@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Each query is forced end-to-end with the noop
+sink (full execution, no driver-side collect cost).  Graph-model queries
+run against the cached graph fixture; the one-time derivation cost is
+reported separately as `_prepare_graph` and not attributed to any query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "agg_q1_pricing_summary",
+    "agg_q3_shipping_priority",
+    "agg_q5_region_revenue",
+    "agg_rollup",
+    "win_rank",
+    "evt_window_hourly",
+    "s7_index_exact",
+    "s8_index_range",
+    "p2_search_filters",
+    "u1_union_distinct",
+    "g1_khop",
+    "w4_topk",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from egraphdb_spark.queries import REGISTRY, fixture
+    from egraphdb_spark.session import get_spark
+
+    spark = get_spark("egraphdb-bench")
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    g = fixture(spark, sf_dir)
+    for df in (g.vertices, g.edges, g.indexes):
+        df.count()  # materialize caches (ingest cost, not query cost)
+    timings["_prepare_graph"] = round(time.perf_counter() - t0, 3)
+
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
