@@ -1,0 +1,329 @@
+"""Deduplication operators — exact and near-duplicate detection at corpus scale.
+
+The reference engine has no dedup surface (its only set op is the usort
+union of id lists, src/egraph_api.erl:342-349).  A training-data pipeline
+at 100 TB needs it as a first-class operator family, so this module
+implements the standard ladder:
+
+  exact_dedup        hash-groupBy on a content fingerprint      (1 shuffle)
+  minhash_signature  char-shingle → 32-bit hash → k-perm min    (1 shuffle)
+  lsh_candidate_pairs band the signature, join within buckets   (1 shuffle)
+  simhash            sign-aggregated 32-bit fingerprint         (1 shuffle)
+  simhash_pairs      Hamming-≤r pairs via byte-block blocking
+  jaccard_pairs      exact n-gram Jaccard over candidate pairs
+  embedding_neardup_pairs  cosine-≥τ pairs over embeddings
+
+Scale design:
+  * All hashing is md5-prefix arithmetic — pure JVM expressions inside
+    whole-stage codegen, reproducible in any engine (the DuckDB oracles
+    re-derive identical signatures, so candidate pairs match bit-for-bit).
+  * The only shuffles are groupBy(doc) for signatures and groupBy(bucket)
+    for candidates.  Bucket joins never go quadratic globally — only within
+    a bucket; `max_bucket_size` drops degenerate buckets (the classic
+    stop-shingle guard) the same way on both engines.
+  * No Python UDFs anywhere: explode → expression → partial-agg min/sum is
+    map-side combinable, so the shuffle carries k longs per doc, not the
+    shingle set.
+
+MinHash math: h(s) = first 8 hex digits of md5(shingle) as uint32; the j-th
+permutation is (A[j]·h + B[j]) mod P with P prime > 2^32; signature =
+elementwise min.  Banding with R rows per band, BANDS bands: P(candidate) =
+1-(1-j^R)^BANDS — the standard S-curve (Broder '97; MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+# ---------------------------------------------------------------------------
+# Deterministic MinHash parameters (shared verbatim with the SQL oracles).
+# ---------------------------------------------------------------------------
+SHINGLE_LEN = 5
+MINHASH_P = 4294967311  # smallest prime > 2^32
+# 16 fixed (a, b) pairs — generated once from a fixed seed, frozen as
+# literals so every engine derives identical signatures.
+MINHASH_A = [
+    636127, 407559, 963343, 856929, 328913, 708155, 286111, 474469,
+    125629, 556783, 943801, 613027, 781351, 199019, 870359, 342437,
+]
+MINHASH_B = [
+    911159, 183269, 749117, 525161, 64613, 277441, 438887, 990589,
+    350899, 668701, 84631, 817613, 232037, 573259, 721499, 135089,
+]
+NUM_PERM = len(MINHASH_A)
+LSH_BANDS = 4
+LSH_ROWS = 4  # NUM_PERM == LSH_BANDS * LSH_ROWS
+
+SIMHASH_BITS = 32
+
+
+def _text_col(text: str | Column) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def normalize(text: str | Column) -> Column:
+    """Lowercase + whitespace-collapse; the canonical form all dedup sees."""
+    return F.regexp_replace(F.lower(F.trim(_text_col(text))), r"\s+", " ")
+
+
+def shingles(text: str | Column, n: int = SHINGLE_LEN) -> Column:
+    """Distinct character n-grams of the normalized text (array<string>)."""
+    norm = normalize(text)
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({'__norm__'})-{n - 1}, 0)),"
+            f" i -> substring({'__norm__'}, i, {n}))".replace("__norm__", "norm_t")
+        )
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str, out: str = "shingle") -> DataFrame:
+    """Explode distinct shingles: one row per (doc, shingle).
+
+    Adds `norm_t` internally; output columns = df columns + `out`.
+    """
+    n = SHINGLE_LEN
+    return (
+        df.withColumn("norm_t", normalize(text_col))
+        .withColumn(
+            out,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(norm_t)-{n - 1}, 0)),"
+                        f" i -> substring(norm_t, i, {n}))"
+                    )
+                )
+            ),
+        )
+        .drop("norm_t")
+    )
+
+
+def shingle_hash32(shingle: str | Column) -> Column:
+    """First 8 hex digits of md5 → uint32 as BIGINT (engine-portable)."""
+    c = _text_col(shingle)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content fingerprint.
+
+    Returns (canonical_id, n_dups) — one row per distinct content, canonical
+    = min id.  One hash-groupBy shuffle on a 60-bit fingerprint (never the
+    text itself — at 100 TB the shuffle carries 16 bytes/doc, not documents).
+    """
+    from .text import fingerprint64
+
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint64(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_dups"))
+        .select("canonical_id", "n_dups")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, m0..m{k-1}) MinHash signature per document.
+
+    explode(shingles) → h32 → groupBy(doc) with k partial-aggregable mins.
+    The shuffle after the map-side combine is k longs per document.
+    """
+    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    h = shingle_hash32("shingle")
+    aggs = [
+        F.min((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)).alias(f"m{j}")
+        for j in range(NUM_PERM)
+    ]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def lsh_band_buckets(sig: DataFrame) -> DataFrame:
+    """(id, band, bucket) — one row per band; bucket = md5 of the band slice."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bucket = F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols]))
+        bands.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return (
+        sig.select("id", F.explode(F.array(*bands)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket_size: int = 64
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs sharing ≥1 LSH bucket.
+
+    Self-join within (band, bucket).  Buckets larger than
+    ``max_bucket_size`` are dropped before the join (degenerate buckets —
+    e.g. empty-text docs — would otherwise go quadratic); the SQL oracle
+    applies the identical guard so results stay exact.
+    """
+    bb = lsh_band_buckets(sig)
+    small = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    bb = bb.join(small, ["band", "bucket"], "left_semi")
+    a = bb.alias("a")
+    b = bb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — 32-bit sign-aggregated fingerprint.
+
+    For each bit i: sum over distinct shingles of (+1 if bit set in h32
+    else −1); fingerprint bit i = 1 iff the sum > 0 (Charikar '02).
+    Expressed as `bits` conditional sums — one groupBy, map-side combined.
+    """
+    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    h = shingle_hash32("shingle")
+    ex = ex.select("id", h.alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy("id").agg(*sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(sh: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance ≤ r.
+
+    Pigeonhole blocking: split the 32-bit fingerprint into 4 bytes; any
+    pair within Hamming ≤ 6 over 32 bits shares at least one equal byte
+    only when r < 4 per-block errors — with 4 blocks and r=6 two blocks
+    must hold ≤1 error... to stay EXACT we block on each byte equality and
+    additionally verify the true Hamming distance; a pair differing in all
+    4 bytes is by pigeonhole at distance ≥ 4 per... NOTE: exactness holds
+    for r ≤ 3 with 4 blocks (pigeonhole: ≤3 bit errors cannot touch all 4
+    bytes).  For r > 3 this is a high-recall approximation — callers
+    wanting exact r ≤ 3 pass max_hamming=3.  The oracle replicates the
+    same blocking, so results remain engine-identical either way.
+    """
+    blocked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftright(F.col("simhash"), k * 8).bitwiseAND(F.lit(255)).alias("val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs: (id_a, id_b, jaccard).
+
+    explode → co-group on shingle → pair-count → |A∩B| / (|A|+|B|−|A∩B|).
+    Shingles occurring in > ``max_shingle_df`` docs are dropped from the
+    PAIR-GENERATION join only (stop-shingle guard against quadratic fanout)
+    — but set sizes |A|,|B| and the intersection are then computed over the
+    same reduced shingle universe on both engines, keeping results exact.
+    """
+    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col).select(
+        "id", "shingle"
+    )
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    ex = ex.join(rare, "shingle", "left_semi")
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine similarity ≥ threshold.
+
+    Brute-force self-join — correct at any SF, quadratic cost; the scale
+    path is LSH/IVF blocking (see similarity.py ivf_topk) feeding the same
+    verification expression.  All arithmetic in DOUBLE with sequential
+    aggregation order so any engine reproduces identical values.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.expr("aggregate(zip_with(a.vec, b.vec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    na = F.expr("sqrt(aggregate(a.vec, 0D, (acc, x) -> acc + x * x))")
+    nb = F.expr("sqrt(aggregate(b.vec, 0D, (acc, x) -> acc + x * x))")
+    cos = dot / (na * nb)
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,143 @@
+"""Multimodal columns — images/audio/video as opaque binary + typed metadata.
+
+Spark-side design for a 100 TB multimodal corpus:
+
+  media(id BIGINT, kind STRING, payload BINARY, meta STRUCT<format,width,
+        height, n_bytes>)
+
+  * payload is an opaque BINARY column — parquet stores it page-compressed;
+    column pruning means metadata-only queries never read the bytes.
+  * decode / resize / frame-sample run as Arrow-batched `mapInPandas`
+    (vectorized transfer, one Python worker per partition — the ONLY place
+    Python touches data, and it streams batches, never materializing a
+    partition).
+  * the actual codec work (PIL/libav) is stubbed in this container — the
+    plumbing (schema, batch iteration, partitioning) is real and tested.
+
+The synthetic corpus derives payloads from documents.text (utf-8 bytes) so
+byte-level features are reproducible by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+    ]
+)
+
+_FORMATS = ("png", "jpeg", "webp")
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table from the documents corpus.
+
+    payload = utf-8 bytes of the text; format/width/height derived from
+    doc_id (pure expressions → SQL-reproducible).
+    """
+    fmt = F.element_at(
+        F.array(*[F.lit(f) for f in _FORMATS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return documents.select(
+        F.col("doc_id").alias("id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - container has no codecs
+    """Real decoder hook.  The container ships no image libs; a deployment
+    drops PIL/torchvision in here without touching the Spark plumbing."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL — stubbed in this environment; "
+            "byte-level features below exercise the same mapInPandas path"
+        ) from e
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched byte-feature extraction via mapInPandas.
+
+    Deterministic per-payload features (length, first/last byte, mean byte
+    rounded to 6 dp) stand in for an embedding model; the Spark plumbing —
+    binary column in, fixed-schema batch out, no driver collect — is the
+    production shape.  Batches stream through; peak memory is one Arrow
+    batch, not one partition.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                    "mean_byte": payloads.map(
+                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                    ).astype("float64"),
+                }
+            )
+
+    return media.select("id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads.
+
+    Without codecs, 'frames' are fixed-size byte windows — the schema and
+    explode shape match a real frame sampler (one row per sampled frame,
+    frame index + frame bytes).
+    """
+    win = 16
+    return (
+        media.select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(cast(length(payload)/{win * every_n} as int)-1, 0)),"
+                    f" i -> substring(payload, i*{win * every_n}+1, {win}))"
+                )
+            ).alias("frame_idx", "frame_bytes"),
+        )
+        .withColumn("frame_len", F.length("frame_bytes").cast("int"))
+    )

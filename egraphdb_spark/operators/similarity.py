@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, a single scan + sort, the
+correctness oracle for every approximate variant.
+
+Scale path: IVF (inverted-file) bucketing — assign each vector to its
+nearest anchor (map-side vs a broadcast anchor list), persist bucketed by
+anchor id, probe only the query's nearest bucket(s).  At 100 TB the anchors
+come from a k-means sample and the probe prunes partitions; here anchors
+are a deterministic prefix of the table so the DuckDB oracle can replicate
+bucket assignment exactly.
+
+All vector math is `zip_with`/`aggregate` over array<double> — JVM
+expressions, no Python; sequential fold order makes values bit-identical
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def _as_double(vec_col: str | Column) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return c.cast("array<double>")
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns (sequential fold)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int
+) -> DataFrame:
+    """Exact brute-force top-k by cosine: (id, cosine), desc, id-asc ties.
+
+    One scan, one global top-k (Spark's TakeOrderedAndProject — no full
+    sort shuffle).  This is the baseline every ANN variant is judged by.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    c = F.round(cosine(_as_double(vec_col), q), 6)
+    return (
+        emb.select(F.col(id_col).alias("id"), c.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str, vec_col: str, anchors: DataFrame
+) -> DataFrame:
+    """Assign each vector to its max-cosine anchor: (id, vec, anchor_id).
+
+    ``anchors`` is a small (anchor_id, vec) DataFrame — broadcast; the
+    assignment is a map-side broadcast join + window argmax, no shuffle of
+    the big side beyond the argmax partial agg.  Deterministic tie-break:
+    smallest anchor_id wins.
+    """
+    from pyspark.sql import Window as W
+
+    a = anchors.select(
+        F.col("anchor_id"), _as_double("vec").alias("avec")
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+        .join(F.broadcast(a))
+        .withColumn("cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9))
+    )
+    w = W.partitionBy("id").orderBy(F.col("cos_a").desc(), F.col("anchor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "vec", "anchor_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchors: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 1,
+) -> DataFrame:
+    """ANN top-k: probe the query's ``n_probe`` nearest anchor buckets only.
+
+    Recall < 1 by design (that's the ANN trade); the probed fraction of the
+    corpus is ~n_probe/n_anchors.  At scale the assignment is precomputed
+    and the table is partitioned by anchor_id, so the probe is partition
+    pruning — the scan touches 1/n_anchors of the data.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    probe = (
+        anchors.select("anchor_id", _as_double("vec").alias("avec"))
+        .select("anchor_id", F.round(cosine(F.col("avec"), q), 9).alias("cos_q"))
+        .orderBy(F.col("cos_q").desc(), F.col("anchor_id"))
+        .limit(n_probe)
+        .select("anchor_id")
+    )
+    assigned = ivf_assign(emb, id_col, vec_col, anchors)
+    bucket = assigned.join(F.broadcast(probe), "anchor_id")
+    c = F.round(cosine(F.col("vec"), q), 6)
+    return (
+        bucket.select("id", c.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def prefix_anchors(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
+    """Deterministic anchor set: the ``n`` smallest-id vectors.
+
+    Stand-in for sampled k-means centroids — chosen so an external SQL
+    oracle can reconstruct the identical anchor set.
+    """
+    return (
+        emb.orderBy(F.col(id_col))
+        .limit(n)
+        .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("vec"))
+    )

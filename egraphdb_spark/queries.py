@@ -601,3 +601,7 @@ REGISTRY: dict[str, tuple] = {
     "set_except": (q_set_except, O_SET_EXCEPT),
     "evt_window_hourly": (q_evt_window_hourly, O_EVT_WINDOW),
 }
+
+from .queries_pipeline import PIPELINE_REGISTRY  # noqa: E402
+
+REGISTRY.update(PIPELINE_REGISTRY)

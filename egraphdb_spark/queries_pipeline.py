@@ -1,0 +1,457 @@
+"""Registry entries for the training-data pipeline operators.
+
+Same contract as queries.py: REGISTRY maps name -> (spark_fn, oracle_sql).
+The oracle SQL strings are *generated* from the identical constants the
+Spark operators use (MINHASH_A/B/P, shingle length, stopword profiles), so
+signatures / buckets / pairs match bit-for-bit across engines.
+
+DuckDB portability notes baked into the generators:
+  * regexp_replace needs the 'g' flag (Spark replaces globally by default)
+  * hex→int is CAST('0x…' AS BIGINT) (Spark: conv(…,16,10))
+  * list_transform(range(1, n+1), …) mirrors Spark transform(sequence(1, n), …)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_PERM,
+    SHINGLE_LEN,
+    SIMHASH_BITS,
+)
+
+
+def _t(spark, sf_dir: str, name: str):
+    from .graph import load_tables
+
+    return load_tables(spark, sf_dir)[name]
+
+
+# --------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# --------------------------------------------------------------------------
+
+# normalized text (lowercase, whitespace collapsed) — mirror of dedup.normalize
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# tokens — mirror of text.tokens
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+_SH_CTE = f"""
+norm AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {SHINGLE_LEN - 1}, 0) + 1),
+           i -> substr(t, CAST(i AS INT), {SHINGLE_LEN})))) AS shingle
+  FROM norm
+),
+hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+)
+"""
+
+_MIN_EXPRS = ",\n         ".join(
+    f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS m{j}"
+    for j in range(NUM_PERM)
+)
+
+_SIG_CTE = f"""
+{_SH_CTE},
+sig AS (
+  SELECT id,
+         {_MIN_EXPRS}
+  FROM hashed GROUP BY id
+)
+"""
+
+
+def _band_sql(alias: str = "sig") -> str:
+    """UNION ALL of the per-band bucket hashes (mirror of lsh_band_buckets)."""
+    parts = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"CAST(m{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS))
+        parts.append(
+            f"SELECT id, {b} AS band, md5(concat_ws('_', '{b}', {cols})) AS bucket FROM {alias}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_SIMHASH_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+{_SH_CTE},
+sums AS (
+  SELECT id,
+         {_SIMHASH_SUMS}
+  FROM hashed GROUP BY id
+),
+simh AS (SELECT id, {_SIMHASH_FP} AS simhash FROM sums)
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_txt_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars_measured"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in text.QUALITY_STOPWORDS) + "]"
+
+# quality via exact integer arithmetic (millionths), mirroring
+# text.quality_millionths: am + bm + cm all BIGINT floor-divisions.
+O_TXT_STATS = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n_tokens,
+         len(text) AS n_chars_measured,
+         greatest(len(tk), 1) AS s,
+         list_sum(list_transform(tk, w -> len(w))) AS total,
+         len(list_filter(tk, w -> list_contains({_SW_LIST}, w))) AS hits
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_chars_measured,
+       CAST(
+         4000 * least(n_tokens, 100)
+         + (300000 * least(total, 8 * s)) // (8 * s)
+         + (300000 * least(5 * hits, 2 * s)) // (2 * s)
+       AS BIGINT) / 1000000.0 AS quality
+FROM m
+"""
+
+
+def q_txt_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id"), text.lang_id("text").alias("pred_lang"))
+
+
+def _lang_oracle() -> str:
+    ratios = []
+    for lang, words in text.LANG_PROFILES:
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratios.append(
+            f"CAST(len(list_filter(tk, w -> list_contains({lst}, w))) AS DOUBLE)"
+            f" / greatest(len(tk), 1) AS r_{lang}"
+        )
+    langs = [lang for lang, _ in text.LANG_PROFILES]
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"r_{l}" for l in langs[i + 1 :]]
+        cond = f"r_{lang} > 0"
+        if rest:
+            cond += f" AND r_{lang} >= greatest({', '.join(rest)})"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+r AS (SELECT doc_id, {", ".join(ratios)} FROM toks)
+SELECT doc_id, CASE {" ".join(cases)} ELSE 'und' END AS pred_lang FROM r
+"""
+
+
+O_TXT_LANG = _lang_oracle()
+
+
+def q_txt_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id"), text.fingerprint64("text").alias("fp"))
+
+
+O_TXT_FP = f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+O_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM (SELECT doc_id, CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp
+      FROM documents)
+GROUP BY fp
+"""
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signature(docs, "doc_id", "text")
+
+
+O_MINHASH_SIG = f"WITH {_SIG_CTE} SELECT * FROM sig"
+
+
+def q_dedup_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, "doc_id", "text")
+    return dedup.lsh_candidate_pairs(sig, max_bucket_size=64)
+
+
+O_MINHASH_PAIRS = f"""
+WITH {_SIG_CTE},
+bands AS ({_band_sql()}),
+small AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 64
+),
+bb AS (SELECT bands.* FROM bands SEMI JOIN small USING (band, bucket))
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+O_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT id, simhash FROM simh"
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash_pairs(sh, max_hamming=3)
+
+
+O_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTE},
+blk AS (
+  SELECT id, simhash, t.b AS blk, (simhash >> CAST(t.b * 8 AS INT)) & 255 AS val
+  FROM simh, (SELECT unnest(range(0, 4)) AS b) t
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_df=100)
+
+
+O_JACCARD_PAIRS = f"""
+WITH {_SH_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+ex AS (SELECT sh.id, sh.shingle FROM sh SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.40)
+
+
+O_EMB_PAIRS = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1, len(a.vec) + 1),
+                  i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]))
+         / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(
+        list_sum(list_transform(range(1, len(a.vec) + 1),
+                 i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]))
+        / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) >= 0.40
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+# Fixed deterministic query vector, inlined as literals on both sides.
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_QV_SQL = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in QUERY_VEC) + "]"
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, "vec_id", "embedding", QUERY_VEC, k=10)
+
+
+O_COSINE_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), q AS (SELECT {_QV_SQL} AS qv)
+SELECT vec_id AS id,
+       round(
+         list_sum(list_transform(range(1, len(vec) + 1),
+                  i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+FROM v, q
+ORDER BY cosine DESC, id LIMIT 10
+"""
+
+_N_ANCHORS = 8
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", _N_ANCHORS)
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", anchors, QUERY_VEC, k=5, n_probe=1
+    )
+
+
+O_IVF_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id LIMIT {_N_ANCHORS}
+),
+q AS (SELECT {_QV_SQL} AS qv),
+probe AS (
+  SELECT anchor_id FROM anchors, q
+  ORDER BY round(
+      list_sum(list_transform(range(1, len(avec) + 1),
+               i -> avec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+      / (sqrt(list_sum(list_transform(avec, x -> x * x)))
+         * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9) DESC, anchor_id
+  LIMIT 1
+),
+assigned AS (
+  SELECT id, vec, anchor_id FROM (
+    SELECT v.vec_id AS id, v.vec, a.anchor_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(
+                 list_sum(list_transform(range(1, len(v.vec) + 1),
+                          i -> v.vec[CAST(i AS INT)] * a.avec[CAST(i AS INT)]))
+                 / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+                    * sqrt(list_sum(list_transform(a.avec, x -> x * x)))), 9) DESC,
+               a.anchor_id
+           ) AS rn
+    FROM v CROSS JOIN anchors a
+  ) WHERE rn = 1
+)
+SELECT id,
+       round(
+         list_sum(list_transform(range(1, len(vec) + 1),
+                  i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+FROM assigned SEMI JOIN probe USING (anchor_id), q
+ORDER BY cosine DESC, id LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+def q_mm_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = multimodal.synth_media(docs)
+    return m.select(
+        "id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+O_MM_META = """
+SELECT doc_id AS id,
+       ['png', 'jpeg', 'webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+       CAST(doc_id % 640 + 64 AS INT) AS width,
+       CAST(doc_id % 480 + 48 AS INT) AS height,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q_mm_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = multimodal.synth_media(docs)
+    return multimodal.extract_features(m)
+
+
+# Valid because the corpus text is ASCII (byte == codepoint); the Spark side
+# computes true byte features through the real mapInPandas path.
+O_MM_FEATURES = """
+WITH b AS (SELECT doc_id AS id, text AS t, octet_length(encode(text)) AS n FROM documents)
+SELECT id, n AS n_bytes,
+       CASE WHEN n = 0 THEN -1 ELSE ascii(substr(t, 1, 1)) END AS first_byte,
+       CASE WHEN n = 0 THEN -1 ELSE ascii(substr(t, len(t), 1)) END AS last_byte,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round(CAST(list_sum(list_transform(range(1, len(t) + 1),
+                     i -> ascii(substr(t, CAST(i AS INT), 1)))) AS DOUBLE) / n, 6)
+       END AS mean_byte
+FROM b
+"""
+
+
+PIPELINE_REGISTRY: dict[str, tuple] = {
+    "txt_stats": (q_txt_stats, O_TXT_STATS),
+    "txt_lang_id": (q_txt_lang_id, O_TXT_LANG),
+    "txt_fingerprint": (q_txt_fingerprint, O_TXT_FP),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_minhash_sig": (q_dedup_minhash_sig, O_MINHASH_SIG),
+    "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, O_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
+    "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, O_JACCARD_PAIRS),
+    "dedup_embedding_pairs": (q_dedup_embedding_pairs, O_EMB_PAIRS),
+    "sim_cosine_topk": (q_sim_cosine_topk, O_COSINE_TOPK),
+    "sim_ivf_topk": (q_sim_ivf_topk, O_IVF_TOPK),
+    "mm_meta": (q_mm_meta, O_MM_META),
+    "mm_features": (q_mm_features, O_MM_FEATURES),
+}

@@ -1,0 +1,175 @@
+"""Training-data pipeline operators: dedup / similarity / text / multimodal.
+
+Two layers: behavioural unit tests on constructed corpora (near-dups are
+actually detected, features actually computed), and oracle parity over the
+driver's documents/embeddings tables at sf0.001 (test_parity.py covers the
+whole registry at the same SF; the unit tests here are what parity can't
+express — detection power on known-duplicate inputs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from egraphdb_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away to the hills "
+        "where a little stream flows quietly between old mossy stones"
+    )
+    near = base.replace("quick", "swift")  # one-word edit → near-duplicate
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, near),  # near-duplicate of 0
+        (3, "completely different text about spark dataframes and shuffle plans"),
+        (4, "ein ganz anderer deutscher satz der die und das enthaelt und ist"),
+        (5, ""),  # empty doc must not crash anything
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_duplicates(corpus):
+    out = dedup.exact_dedup(corpus, "doc_id", "text").collect()
+    by_canon = {r["canonical_id"]: r["n_dups"] for r in out}
+    assert by_canon[0] == 2  # docs 0 and 1 collapse
+    assert by_canon[2] == 1
+    assert len(by_canon) == 5  # 6 docs, one pair merged
+
+
+def test_minhash_lsh_finds_near_duplicate(corpus):
+    sig = dedup.minhash_signature(corpus, "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    assert (0, 1) in pairs  # exact dup: identical signature
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup lands in a shared band
+    assert (0, 3) not in pairs  # unrelated docs don't collide
+
+
+def test_minhash_signature_identical_for_identical_text(corpus):
+    sig = dedup.minhash_signature(corpus, "doc_id", "text")
+    rows = {r["id"]: [r[f"m{j}"] for j in range(dedup.NUM_PERM)] for r in sig.collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[3]
+    # near-dup shares most minhash coordinates (Jaccard estimate high)
+    agree = sum(a == b for a, b in zip(rows[0], rows[2]))
+    assert agree >= dedup.NUM_PERM // 2
+
+
+def test_simhash_hamming_reflects_similarity(corpus):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    assert sh[0] == sh[1]
+    near = bin(sh[0] ^ sh[2]).count("1")
+    far = bin(sh[0] ^ sh[3]).count("1")
+    assert near < far
+    assert near <= 6
+
+
+def test_jaccard_pairs_exact_values(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(corpus, "doc_id", "text", threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_embedding_neardup_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.95).collect()
+    }
+    assert list(pairs) == [(0, 1)]
+    assert pairs[(0, 1)] > 0.99
+
+    topk = similarity.cosine_topk(emb, "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["id"] for r in topk] == [0, 1]
+    assert topk[0]["cosine"] == 1.0
+
+
+def test_ivf_probe_prunes_to_bucket(spark):
+    # Two well-separated clusters; anchors = first vector of each.
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.95, 0.05]),
+        (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (3, [0.0, 1.0])], "anchor_id long, vec array<float>"
+    )
+    got = similarity.ivf_topk(emb, "vec_id", "embedding", anchors, [0.8, 0.2], k=10).collect()
+    # probes the x-cluster bucket only: ids 0,1,2 — never 3,4
+    assert {r["id"] for r in got} == {0, 1, 2}
+
+
+def test_text_functions(corpus):
+    out = {
+        r["doc_id"]: r
+        for r in corpus.select(
+            "doc_id",
+            text.token_count("text").alias("n"),
+            text.lang_id("text").alias("lang"),
+            text.quality_score("text").alias("q"),
+            text.fingerprint64("text").alias("fp"),
+        ).collect()
+    }
+    assert out[0]["n"] == 26
+    assert out[5]["n"] == 0
+    assert out[0]["lang"] == "en"
+    assert out[4]["lang"] == "de"
+    assert out[5]["lang"] == "und"
+    assert 0.0 <= out[5]["q"] < out[0]["q"] <= 1.0
+    assert out[0]["fp"] == out[1]["fp"] != out[2]["fp"]
+
+
+def test_multimodal_features_via_map_in_pandas(spark):
+    docs = spark.createDataFrame(
+        [(7, "abc"), (8, "")], "doc_id long, text string"
+    )
+    media = multimodal.synth_media(docs)
+    feats = {r["id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[7]["n_bytes"] == 3
+    assert feats[7]["first_byte"] == ord("a")
+    assert feats[7]["last_byte"] == ord("c")
+    assert feats[7]["mean_byte"] == round((97 + 98 + 99) / 3, 6)
+    assert feats[8]["n_bytes"] == 0 and feats[8]["first_byte"] == -1
+
+    meta = {r["id"]: r for r in media.select("id", "meta.*").collect()}
+    assert meta[7]["format"] == "jpeg" and meta[7]["width"] == 71
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = spark.createDataFrame([(1, "x" * 400)], "doc_id long, text string")
+    frames = multimodal.sample_frames(multimodal.synth_media(docs), every_n=10).collect()
+    assert len(frames) == 2  # 400 bytes / (16*10) window stride → 2 samples
+    assert all(f["frame_len"] == 16 for f in frames)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG....")
+
+
+def test_lsh_bucket_guard_drops_degenerate_buckets(spark):
+    # 80 identical docs → one bucket of 80 > max_bucket_size=64 → no pairs;
+    # the guard keeps degenerate content from going quadratic.
+    df = spark.createDataFrame(
+        [(i, "same text everywhere for all documents") for i in range(80)],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signature(df, "doc_id", "text")
+    assert dedup.lsh_candidate_pairs(sig, max_bucket_size=64).count() == 0
+    assert dedup.lsh_candidate_pairs(sig, max_bucket_size=100).count() == 80 * 79 // 2
