@@ -25,12 +25,24 @@ BENCH_QUERIES = [
     "agg_rollup",
     "win_rank",
     "evt_window_hourly",
+    "evt_session_window",
     "s7_index_exact",
     "s8_index_range",
     "p2_search_filters",
     "u1_union_distinct",
     "g1_khop",
+    "g2_dfs_path",
     "w4_topk",
+    # training-data pipeline operators
+    "txt_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_embedding_pairs",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "stream_window_counts",
 ]
 
 

@@ -51,9 +51,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos under
         # spark.sql.legacy.parquet.nanosAsLong (see session.py); restore it.
         if t == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer div, NOT /1000.0: epoch-nanos exceed double's 53-bit
+            # mantissa, float division silently corrupts the microsecond
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         out[t] = df
     _TABLE_CACHE[cache_key] = out
     return out

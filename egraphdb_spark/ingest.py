@@ -203,3 +203,28 @@ def upsert_nodes(current: DataFrame, incoming: DataFrame) -> DataFrame:
     )
     untouched = cur.join(inc.select("id"), on="id", how="left_anti")
     return untouched.unionByName(merged_incoming)
+
+
+def delete_nodes(current: DataFrame, keys: list[str]) -> DataFrame:
+    """S18 node delete as an anti-join rewrite (egraph_detail_model.erl:
+    260-277).  On a Delta/Iceberg table this becomes a real DELETE; on
+    immutable parquet the rewritten DataFrame is the new table version.
+
+    Broadcast anti-join: the key list is tiny, the scan is not — no shuffle
+    of the big side.
+    """
+    spark = current.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string").select(
+        node_id("key").alias("id")
+    )
+    return current.join(F.broadcast(kdf), on="id", how="left_anti")
+
+
+def delete_edges(edges: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """S18 edge delete: (source, destination) exact pairs
+    (egraph_link_model.erl:229-264)."""
+    spark = edges.sparkSession
+    pdf = spark.createDataFrame(pairs, "src_key string, dst_key string").select(
+        node_id("src_key").alias("src"), node_id("dst_key").alias("dst")
+    )
+    return edges.join(F.broadcast(pdf), on=["src", "dst"], how="left_anti")

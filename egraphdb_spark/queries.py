@@ -602,6 +602,8 @@ REGISTRY: dict[str, tuple] = {
     "evt_window_hourly": (q_evt_window_hourly, O_EVT_WINDOW),
 }
 
+from .queries_ext import EXT_REGISTRY  # noqa: E402
 from .queries_pipeline import PIPELINE_REGISTRY  # noqa: E402
 
 REGISTRY.update(PIPELINE_REGISTRY)
+REGISTRY.update(EXT_REGISTRY)

@@ -1,0 +1,366 @@
+"""Registry entries: traversal path search, streaming, UDF registry,
+scalar-function surface, IO sinks, and mutation (upsert/delete).
+
+Same (spark_fn, oracle_sql) contract as queries.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .functions import scalars
+
+
+def _t(spark, sf_dir: str, name: str):
+    from .graph import load_tables
+
+    return load_tables(spark, sf_dir)[name]
+
+
+def _fixture(spark, sf_dir: str):
+    from .queries import fixture
+
+    return fixture(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# G2 — path search (reference DFS; contract = a valid src→dst path)
+# --------------------------------------------------------------------------
+
+
+def q_g2_dfs_path(spark, sf_dir):
+    """Path customer:7 → the region of its nation.
+
+    The reference DFS returns *some* valid path (dfs_algo.erl:63-66); our
+    level-synchronous BFS returns the 2-hop one, which is unique here
+    (customer→nation is the only level-1 edge into nations, nation→region
+    the only region edge), so the oracle can assert it exactly.
+    """
+    from .operators.traversal import bfs_path
+
+    g = _fixture(spark, sf_dir)
+    hop = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") == 7)
+        .join(_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_regionkey")
+        .head()
+    )
+    dst = f"region:{hop['n_regionkey']}"
+    path = bfs_path(g.edges, "customer:7", dst, max_depth=4)
+    return spark.createDataFrame(
+        [(i, k) for i, k in enumerate(path or [])], "step int, key string"
+    )
+
+
+O_G2 = """
+SELECT CAST(0 AS INT) AS step, 'customer:7' AS key
+UNION ALL
+SELECT CAST(1 AS INT), 'nation:' || c_nationkey FROM customer WHERE c_custkey = 7
+UNION ALL
+SELECT CAST(2 AS INT), 'region:' || n_regionkey FROM nation
+WHERE n_nationkey = (SELECT c_nationkey FROM customer WHERE c_custkey = 7)
+"""
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming
+# --------------------------------------------------------------------------
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """REAL streaming execution: readStream → watermark → tumbling window →
+    availableNow trigger → memory sink.  Batch-equivalent semantics, so the
+    plain-SQL oracle checks the whole streaming path end-to-end."""
+    from .streaming.stream import read_events_stream, run_to_memory, windowed_counts
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(windowed_counts(ev, "30 minutes"), "stream_window_counts_tbl")
+    return out
+
+
+O_STREAM_WINDOW = """
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_evt_session_window(spark, sf_dir):
+    """Session windows (30-min gap) per user over the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
+# Gaps-and-islands reconstruction of Spark's session_window semantics:
+# a new session starts when the gap to the previous event is >= 30 min;
+# session_end = last event + gap.
+O_SESSION_WINDOW = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# UDF registry (U1/U2) — register with test vectors, then use in a query
+# --------------------------------------------------------------------------
+
+
+def q_fn_registry_udf(spark, sf_dir):
+    import pandas as pd
+
+    from .functions.registry import FunctionRegistry
+
+    reg = FunctionRegistry(spark)
+
+    def net_price(price, discount) -> "pd.Series":  # noqa: F821
+        return price * (1.0 - discount)
+
+    net_price.__annotations__ = {"price": pd.Series, "discount": pd.Series, "return": pd.Series}
+
+    reg.register(
+        "net_price",
+        net_price,
+        "double",
+        test_vectors=[(100.0, 0.1), (50.0, 0.0), (0.0, 0.5)],
+        validator=lambda args, r: abs(r - args[0] * (1 - args[1])) < 1e-9,
+        vectorized=True,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("net_price(l_extendedprice, l_discount)").alias("net"),
+    )
+
+
+O_FN_REGISTRY = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (F1–F11 tour with engine-portable semantics)
+# --------------------------------------------------------------------------
+
+
+def q_fn_scalar_surface(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    ts = F.expr(
+        "timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0, 0, 0, cast(c_custkey % 365 as int))"
+    )
+    d = ts.cast("date")
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        scalars.lower_text("c_name").alias("name_lower"),
+        scalars.first_char_lower("c_mktsegment").alias("seg_fcl"),
+        scalars.to_hex("c_custkey").alias("hexkey"),
+        scalars.from_hex(scalars.to_hex("c_custkey")).alias("unhexed"),
+        scalars.format_ts(ts).alias("ts_fmt"),
+        scalars.to_epoch(ts).alias("epoch_s"),
+        scalars.to_epoch(scalars.minus_hours(ts, 3)).alias("epoch_minus3h"),
+        scalars.minus_months(d, -2).alias("d_plus2m"),
+        scalars.days_between(F.lit("2024-01-01").cast("date"), d).alias("days_since"),
+        F.size(scalars.day_series(F.lit("2024-01-01").cast("date"), d)).cast("long").alias("n_days"),
+        scalars.json_get(scalars.json_encode("c_custkey", "c_name"), ["c_name"]).alias(
+            "json_roundtrip_name"
+        ),
+        scalars.is_blank("c_name").alias("blank"),
+        scalars.to_long(F.lit("42")).alias("cast_long"),
+        scalars.to_double(F.lit("9.25")).alias("cast_double"),
+    )
+
+
+O_FN_SCALARS = """
+WITH c AS (
+  SELECT *, TIMESTAMP '2024-01-01' + (c_custkey % 365) * INTERVAL 1 DAY AS ts
+  FROM customer
+)
+SELECT c_custkey AS custkey,
+       lower(c_name) AS name_lower,
+       lower(substr(c_mktsegment, 1, 1)) || substr(c_mktsegment, 2) AS seg_fcl,
+       printf('%x', c_custkey) AS hexkey,
+       CAST(('0x' || printf('%x', c_custkey)) AS BIGINT) AS unhexed,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_fmt,
+       CAST(epoch(ts) AS BIGINT) AS epoch_s,
+       CAST(epoch(ts - INTERVAL 3 HOUR) AS BIGINT) AS epoch_minus3h,
+       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS d_plus2m,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS BIGINT) AS n_days,
+       c_name AS json_roundtrip_name,
+       false AS blank,
+       CAST(42 AS BIGINT) AS cast_long,
+       CAST(9.25 AS DOUBLE) AS cast_double
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# IO sinks: write → read back → digest (proves S12/S13/S14 end-to-end)
+# --------------------------------------------------------------------------
+
+_IO_ROOT = os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/egraphdb_spark_io")
+
+_IO_DIGEST_ORACLE = """
+SELECT c_mktsegment AS mktsegment, count(*) AS n,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def _customer_slice(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+def _digest(df):
+    return df.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(cast(c_acctbal as decimal(18,2))) as double)").alias(
+            "sum_acctbal"
+        ),
+    )
+
+
+def q_io_csv_roundtrip(spark, sf_dir):
+    from .sources import io
+
+    path = f"{_IO_ROOT}/csv-{os.path.basename(sf_dir.rstrip('/'))}"
+    io.write_csv(_customer_slice(spark, sf_dir), path)
+    back = io.read_csv(
+        spark, path, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    )
+    return _digest(back)
+
+
+def q_io_json_roundtrip(spark, sf_dir):
+    from .sources import io
+
+    path = f"{_IO_ROOT}/json-{os.path.basename(sf_dir.rstrip('/'))}"
+    io.write_json(_customer_slice(spark, sf_dir), path)
+    back = io.read_json(
+        spark, path, "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    )
+    return _digest(back)
+
+
+def q_io_parquet_roundtrip(spark, sf_dir):
+    from .sources import io
+
+    path = f"{_IO_ROOT}/parquet-{os.path.basename(sf_dir.rstrip('/'))}"
+    io.write_parquet(_customer_slice(spark, sf_dir), path, partition_by=["c_mktsegment"])
+    back = io.read_parquet(spark, path).select("c_custkey", "c_mktsegment", "c_acctbal")
+    return _digest(back)
+
+
+# --------------------------------------------------------------------------
+# Mutation: S15 upsert / S18 delete
+# --------------------------------------------------------------------------
+
+
+def q_s15_upsert_version(spark, sf_dir):
+    """Upsert modified details for customers 1..5 + one brand-new node;
+    output (key, version) for the touched keys.  Changed payload → version
+    bump to 1; new key → version 0 (egraph_detail_model.erl:574-588)."""
+    from .graph import _paths, _ts
+    from .ingest import make_vertices, upsert_nodes
+
+    g = _fixture(spark, sf_dir)
+    touched = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").between(1, 5))
+        .select(
+            F.concat(F.lit("customer:"), F.col("c_custkey")).alias("key"),
+            F.to_json(
+                F.struct("c_custkey", F.upper(F.col("c_name")).alias("c_name"))
+            ).alias("details"),
+            _paths(["c_name"]).alias("index_paths"),
+            _paths().alias("lowercase_index_paths"),
+            F.lit("customer").alias("_kind"),
+            _ts("c_custkey").alias("_updated_at"),
+        )
+    )
+    fresh = spark.createDataFrame(
+        [("brandnew:1", '{"hello": "world"}')], "key string, details string"
+    ).select(
+        "key",
+        "details",
+        _paths().alias("index_paths"),
+        _paths().alias("lowercase_index_paths"),
+        F.lit("new").alias("_kind"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("_updated_at"),
+    )
+    incoming = make_vertices(
+        touched.unionByName(fresh), kind=F.col("_kind"), updated_at=F.col("_updated_at")
+    ).drop("_kind", "_updated_at")
+    merged = upsert_nodes(g.vertices, incoming)
+    keys = [f"customer:{i}" for i in range(1, 6)] + ["brandnew:1"]
+    return (
+        merged.where(F.col("key").isin(keys))
+        .select("key", F.col("version").cast("int").alias("version"))
+    )
+
+
+O_S15_UPSERT = """
+SELECT 'customer:' || c_custkey AS key, CAST(1 AS INT) AS version
+FROM customer WHERE c_custkey BETWEEN 1 AND 5
+UNION ALL
+SELECT 'brandnew:1', CAST(0 AS INT)
+"""
+
+
+def q_s18_delete_nodes(spark, sf_dir):
+    """Delete three nodes, return per-kind counts of what remains."""
+    from .ingest import delete_nodes
+
+    g = _fixture(spark, sf_dir)
+    remaining = delete_nodes(g.vertices, ["customer:1", "part:10", "region:0"])
+    return remaining.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+O_S18_DELETE = """
+SELECT 'region' AS kind, count(*) AS n FROM region WHERE r_regionkey <> 0
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer WHERE c_custkey <> 1
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+UNION ALL SELECT 'part', count(*) FROM part WHERE p_partkey <> 10
+"""
+
+
+EXT_REGISTRY: dict[str, tuple] = {
+    "g2_dfs_path": (q_g2_dfs_path, O_G2),
+    "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW),
+    "evt_session_window": (q_evt_session_window, O_SESSION_WINDOW),
+    "fn_registry_udf": (q_fn_registry_udf, O_FN_REGISTRY),
+    "fn_scalar_surface": (q_fn_scalar_surface, O_FN_SCALARS),
+    "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
+    "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
+    "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),
+    "s15_upsert_version": (q_s15_upsert_version, O_S15_UPSERT),
+    "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
+}

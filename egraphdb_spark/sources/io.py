@@ -1,0 +1,99 @@
+"""Sources & sinks (SURVEY.md §2.1 S12–S17).
+
+The reference streams results as chunked JSON arrays / CSV / length-framed
+Erlang binary (src/egraph_api.erl:223-325) and ingests JSON or
+x-erlang-binary bodies (handlers/egraph_generic_handler.erl:184-303).
+Spark-native equivalents: JSON lines / CSV with header / Parquet+Arrow
+(the columnar successor of the framed-binary encoding), each a distributed
+reader/writer rather than a single HTTP socket.
+
+All writers repartition-free: they inherit the upstream partitioning, so a
+100 TB result streams out of every executor in parallel.  `single_file=True`
+coalesces to 1 only for tiny driver-facing exports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S12: JSON-lines sink (one JSON object per row, as the reference's
+    streaming JSON array emits one object per row)."""
+    (df.coalesce(1) if single_file else df).write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S13: CSV sink with header row (reference: header from selected_paths
+    names, src/egraph_api.erl:150-185; quoting handled by the writer the way
+    egraph_util.erl:1110-1120 hand-escaped)."""
+    (df.coalesce(1) if single_file else df).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read.option("header", True)
+    if schema is None:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S14/S17: columnar binary sink — the scale-correct replacement for the
+    reference's length-framed term_to_binary stream (src/egraph_api.erl:
+    276-325): typed, splittable, compressed, predicate-pushdown-capable."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def to_json_rows(df: DataFrame, col_name: str = "json") -> DataFrame:
+    """Row → JSON-string column (driver-side streaming export, S12's shape:
+    iterate with toLocalIterator to stream without materializing)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias(col_name))
+
+
+def ingest_json_nodes(spark: SparkSession, path_or_df, schema: str | None = None) -> DataFrame:
+    """S15: node ingest from JSON lines with the reference's body shape
+    {key_data, details, indexes:{indexes, lowercase_indexes}}
+    (models/egraph_detail_model.erl:161-189) → canonical vertices."""
+    from ..ingest import make_vertices
+
+    src = (
+        path_or_df
+        if isinstance(path_or_df, DataFrame)
+        else read_json(
+            spark,
+            path_or_df,
+            schema
+            or "key_data string, details string, "
+            "indexes struct<indexes: array<array<string>>, lowercase_indexes: array<array<string>>>",
+        )
+    )
+    shaped = src.select(
+        F.col("key_data").alias("key"),
+        F.col("details"),
+        F.coalesce(F.col("indexes.indexes"), F.array().cast("array<array<string>>")).alias(
+            "index_paths"
+        ),
+        F.coalesce(
+            F.col("indexes.lowercase_indexes"), F.array().cast("array<array<string>>")
+        ).alias("lowercase_index_paths"),
+    )
+    return make_vertices(shaped)

@@ -1,0 +1,207 @@
+"""Streaming, UDF registry, IO sinks, scalar functions, mutation ops."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from egraphdb_spark.functions import scalars
+from egraphdb_spark.functions.registry import FunctionRegistry, RegistrationError
+from egraphdb_spark.ingest import delete_edges, delete_nodes
+from egraphdb_spark.sources import io
+from egraphdb_spark.streaming import stream
+
+
+# ----------------------------------------------------------------- streaming
+
+
+def test_stream_windowed_counts_matches_batch(spark):
+    ev_stream = stream.read_events_stream(spark, SF_SMOKE)
+    got = stream.run_to_memory(
+        stream.windowed_counts(ev_stream, "1 hour"), "t_stream_counts"
+    )
+    from egraphdb_spark.graph import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_within_watermark(spark):
+    ev = stream.read_events_stream(spark, SF_SMOKE)
+    doubled = ev.union(ev)  # every event twice
+    got = stream.run_to_memory(
+        stream.dedup_within_watermark(doubled), "t_stream_dedup", output_mode="append"
+    )
+    n_events = stream.read_events_stream(spark, SF_SMOKE)
+    total = stream.run_to_memory(
+        n_events.groupBy().count(), "t_stream_total"
+    ).collect()[0]["count"]
+    assert got.count() == total  # duplicates dropped exactly
+
+
+# ------------------------------------------------------------- UDF registry
+
+
+def test_registry_validates_and_registers(spark):
+    reg = FunctionRegistry(spark)
+    stored = reg.register(
+        "double_it",
+        lambda x: x * 2,
+        "long",
+        test_vectors=[(1,), (21,)],
+        validator=lambda args, r: r == args[0] * 2,
+    )
+    assert stored.version == 0
+    assert reg.invoke("double_it", 21) == {"status": "ok", "result": 42}
+    row = spark.sql("SELECT double_it(5) AS v").collect()[0]
+    assert row["v"] == 10
+
+
+def test_registry_rejects_failing_vector(spark):
+    reg = FunctionRegistry(spark)
+    with pytest.raises(RegistrationError):
+        reg.register(
+            "bad_fn",
+            lambda x: x + 1,
+            "long",
+            test_vectors=[(1,)],
+            validator=lambda args, r: r == args[0] * 100,
+        )
+    assert reg.get("bad_fn", 1) is None
+
+
+def test_registry_version_bumps_on_changed_source(spark):
+    reg = FunctionRegistry(spark)
+
+    def f1(x):
+        return x + 1
+
+    def f2(x):
+        return x + 1 + 0  # different source, same behaviour
+
+    ok = lambda args, r: r == args[0] + 1  # noqa: E731
+    assert reg.register("vfn", f1, "long", [(1,)], ok).version == 0
+    assert reg.register("vfn", f1, "long", [(1,)], ok).version == 0  # unchanged
+    assert reg.register("vfn", f2, "long", [(1,)], ok).version == 1  # changed
+
+
+def test_registry_invoke_error_as_data(spark):
+    reg = FunctionRegistry(spark)
+    reg.register(
+        "inv", lambda x: 1 / x, "double", [(2,)], lambda a, r: r == 0.5
+    )
+    out = reg.invoke("inv", 0)
+    assert out["status"] == "error" and "ZeroDivisionError" in out["error"]
+    assert reg.invoke("missing", 1)["status"] == "error"
+
+
+def test_registry_vectorized_pandas_udf(spark):
+    reg = FunctionRegistry(spark)
+
+    def triple(x) -> "pd.Series":  # noqa: F821
+        return x * 3
+
+    triple.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    reg.register(
+        "triple", triple, "long", [(2,), (0,)],
+        validator=lambda a, r: r == a[0] * 3, vectorized=True,
+    )
+    got = spark.range(4).select(F.expr("triple(id)").alias("t")).collect()
+    assert [r["t"] for r in got] == [0, 3, 6, 9]
+
+
+# --------------------------------------------------------------------- IO
+
+
+def test_io_roundtrips(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b\"quoted\"", 1.5), (2, None, -2.25)], "id long, s string, v double"
+    )
+    for writer, reader in (
+        (io.write_csv, lambda p: io.read_csv(spark, p, "id long, s string, v double")),
+        (io.write_json, lambda p: io.read_json(spark, p, "id long, s string, v double")),
+        (io.write_parquet, lambda p: io.read_parquet(spark, p)),
+    ):
+        p = str(tmp_path / writer.__name__)
+        writer(df, p)
+        back = reader(p).select("id", "s", "v")
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_to_json_rows(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    out = io.to_json_rows(df).collect()
+    assert out[0]["json"] == '{"id":1,"s":"x"}'
+
+
+def test_ingest_json_nodes(spark, tmp_path):
+    p = str(tmp_path / "nodes")
+    raw = spark.createDataFrame(
+        [
+            (
+                "india",
+                '{"name": "India", "pop": 1400}',
+                ([["name"]],),
+            )
+        ],
+        "key_data string, details string, indexes struct<indexes: array<array<string>>>",
+    )
+    raw.write.mode("overwrite").json(p)
+    v = io.ingest_json_nodes(
+        spark,
+        p,
+        "key_data string, details string, "
+        "indexes struct<indexes: array<array<string>>, lowercase_indexes: array<array<string>>>",
+    )
+    row = v.collect()[0]
+    assert row["key"] == "india" and row["version"] == 0
+    from egraphdb_spark.ingest import build_indexes
+
+    idx = build_indexes(v).collect()
+    assert len(idx) == 1 and idx[0]["index_name"] == "name" and idx[0]["v_text"] == "India"
+
+
+# ------------------------------------------------------------------ scalars
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame([("Hello World", 255, "2024-03-05 06:07:08")],
+                               "s string, n long, t string")
+    row = df.select(
+        scalars.first_char_lower("s").alias("fcl"),
+        scalars.to_hex("n").alias("hx"),
+        scalars.from_hex(F.lit("ff")).alias("unhx"),
+        scalars.parse_ts("t").alias("ts"),
+        scalars.format_ts(scalars.parse_ts("t")).alias("rt"),
+        scalars.to_epoch(scalars.parse_ts("t")).alias("ep"),
+        scalars.days_between(F.lit("2024-01-01").cast("date"), F.lit("2024-01-11").cast("date")).alias("db"),
+        scalars.is_blank(F.lit("  ")).alias("blank"),
+        scalars.json_get(F.lit('{"a": {"b": 7}}'), ["a", "b"]).alias("jg"),
+    ).collect()[0]
+    assert row["fcl"] == "hello World"
+    assert row["hx"] == "ff" and row["unhx"] == 255
+    assert row["rt"] == "2024-03-05 06:07:08"
+    assert row["db"] == 10 and row["blank"] is True and row["jg"] == "7"
+
+
+# ----------------------------------------------------------------- mutation
+
+
+def test_delete_nodes_and_edges(graph):
+    v0 = graph.vertices.count()
+    remaining = delete_nodes(graph.vertices, ["region:0", "region:1"])
+    assert remaining.count() == v0 - 2
+    assert remaining.where(F.col("key") == "region:0").count() == 0
+
+    e0 = graph.edges.count()
+    one = graph.edges.select("src_key", "dst_key").head()
+    fewer = delete_edges(graph.edges, [(one["src_key"], one["dst_key"])])
+    assert fewer.count() == e0 - 1

@@ -1,0 +1,85 @@
+"""Physical-plan assertions — the 100 TB questions, answered by .explain().
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives a 1000-executor scale-up: filters and projections reach
+the parquet scan, small dimensions broadcast instead of shuffling, top-k
+never materializes a full sort, and hot expressions run inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from contextlib import redirect_stdout
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from egraphdb_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def q(spark, name):
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF_SMOKE)
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    p = plan_of(q(spark, "agg_q1_pricing_summary"))
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # scan reads only the 7 needed columns, not all 16
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "l_quantity" in read_schema and "l_comment" not in read_schema
+
+
+def test_q3_broadcasts_dimension_join(spark):
+    p = plan_of(q(spark, "agg_q3_shipping_priority"))
+    assert "BroadcastHashJoin" in p  # customer side broadcast, no shuffle
+    assert "TakeOrderedAndProject" in p  # LIMIT 10 never fully sorts
+
+
+def test_q5_star_joins_broadcast(spark):
+    p = plan_of(q(spark, "agg_q5_region_revenue"))
+    # all four dimensions broadcast; only the lineitem⋈orders pair may shuffle
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_uses_take_ordered(spark):
+    for name in ("w4_topk", "sim_cosine_topk"):
+        assert "TakeOrderedAndProject" in plan_of(q(spark, name)), name
+
+
+def test_index_semijoin_broadcasts_id_set(spark):
+    p = plan_of(q(spark, "s7_index_exact"))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # map-side combine: HashAggregate appears both before and after the
+    # exchange, so the shuffle carries partial aggregates, not raw rows
+    p = plan_of(q(spark, "agg_q1_pricing_summary"))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_minhash_shuffle_carries_signatures_not_text(spark):
+    p = plan_of(q(spark, "dedup_minhash_sig"))
+    # the exchange before the final agg partially aggregates the 16 mins;
+    # text/norm_t must not survive past the projection into the shuffle
+    post_exchange = p.split("Exchange")[-1]
+    assert "partial_min" in p or p.count("HashAggregate") >= 2
+    assert "norm_t" not in post_exchange
+
+
+def test_events_scan_prunes_columns(spark):
+    p = plan_of(q(spark, "evt_window_hourly"))
+    rs = p.split("ReadSchema")[1][:300]
+    assert "event_type" in rs and "props" not in rs and "user_id" not in rs
