@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "u1_union_distinct",
     "g1_khop",
     "g2_dfs_path",
+    "graph_bfs_levels",
     "w4_topk",
     # training-data pipeline operators
     "txt_stats",

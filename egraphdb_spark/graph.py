@@ -179,17 +179,20 @@ def build_edges(t: dict[str, DataFrame]) -> DataFrame:
         F.concat(F.lit("region:"), F.col("n_regionkey")).alias("dst_key"),
         rel("in_region"),
     )
+    # distinct on the integer key pair BEFORE stringifying: the dedup
+    # shuffle then carries 16 bytes/row instead of two concat'd strings
     cust_part = (
         t["orders"]
         .select("o_orderkey", "o_custkey")
         .join(t["lineitem"].select("l_orderkey", "l_partkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
         .select(
             F.concat(F.lit("customer:"), F.col("o_custkey")).alias("src_key"),
             F.concat(F.lit("part:"), F.col("l_partkey")).alias("dst_key"),
+            rel("ordered"),
         )
-        .distinct()
-        .select("src_key", "dst_key", rel("ordered"))
     )
     part_supp = (
         t["lineitem"]

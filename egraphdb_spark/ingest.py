@@ -73,10 +73,16 @@ def infer_key_type(value: Column) -> Column:
             & (F.get_json_object(value, "$.type") == "Point"),
             F.lit("geo"),
         )
-        .when(value.rlike(_RE_INT), F.lit("int"))
-        .when(value.rlike(_RE_DOUBLE), F.lit("double"))
-        .when(value.rlike(_RE_DATE), F.lit("date"))
-        .when(value.rlike(_RE_DATETIME), F.lit("datetime"))
+        .when(value.rlike(_RE_INT) & value.try_cast("long").isNotNull(), F.lit("int"))
+        .when(value.rlike(_RE_DOUBLE) & value.try_cast("double").isNotNull(), F.lit("double"))
+        # regex match alone is not enough: "2024-02-30" matches the shape but
+        # fails to parse — the reference falls back to text there
+        # (shard_util.erl:93-104 via convert_binary_to_date's error path)
+        .when(value.rlike(_RE_DATE) & value.try_cast("date").isNotNull(), F.lit("date"))
+        .when(
+            value.rlike(_RE_DATETIME) & value.try_cast("timestamp").isNotNull(),
+            F.lit("datetime"),
+        )
         .otherwise(F.lit("text"))
     )
 

@@ -1,0 +1,90 @@
+"""Distributed graph algorithms — Pregel-style iterative DataFrame loops.
+
+The reference has no graph analytics beyond traversal (SURVEY.md §2.7); the
+north star (BASELINE.json `spark_approach`) calls for GraphX/Pregel-shaped
+algorithms.  Implemented as level-synchronous DataFrame iterations — the
+aggregateMessages pattern (GraphX, OSDI'14; see PAPERS.md) expressed with
+joins + groupBy min, which Catalyst compiles to shuffle-efficient plans:
+
+  * messages = labels ⋈ edges on src  (co-located when edges are bucketed
+    by src; the join is the "sendMsg" phase)
+  * aggregate = groupBy(dst).min      (the "mergeMsg" phase; partial min is
+    map-side combined so the shuffle carries one label per (dst, partition))
+  * iterate until fixpoint, localCheckpoint per round to cut lineage
+
+Labels are *keys* (strings), not engine-specific hashes, so results are
+engine-portable (xxhash64 ids differ per seed across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, undirected: bool = True
+) -> DataFrame:
+    """(key, component) — component = lexicographically-min key reachable.
+
+    Hash-min label propagation over (src_key, dst_key).  Converges in
+    O(diameter) rounds; each round is one join + one min-aggregate.  The
+    fixpoint check is a cheap count of label changes (AQE-coalesced).
+    """
+    e = edges.select("src_key", "dst_key")
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        e.select(F.col("src_key").alias("key"))
+        .unionByName(e.select(F.col("dst_key").alias("key")))
+        .distinct()
+        .select("key", F.col("key").alias("component"))
+    )
+    for _ in range(max_iter):
+        msgs = (
+            e.join(labels, e.src_key == labels.key)
+            .select(F.col("dst_key").alias("key"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("key")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "key")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
+    """(key, level) — minimum hop count from src to every reachable node
+    within max_depth.  Level-synchronous BFS with a visited set; each level
+    is one broadcast join against the (small) frontier."""
+    spark = edges.sparkSession
+    start = spark.createDataFrame([(src_key, 0)], "key string, level int")
+    visited = start
+    frontier = start.select("key")
+    for level in range(1, max_depth + 1):
+        hop = (
+            edges.join(frontier.hint("broadcast"), edges.src_key == frontier.key)
+            .select(F.col("dst_key").alias("key"))
+            .distinct()
+            .join(visited.select("key"), "key", "left_anti")
+            .select("key", F.lit(level).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if hop.isEmpty():
+            break
+        visited = visited.unionByName(hop).localCheckpoint(eager=False)
+        frontier = hop.select("key")
+    return visited

@@ -352,7 +352,286 @@ UNION ALL SELECT 'part', count(*) FROM part WHERE p_partkey <> 10
 """
 
 
+# --------------------------------------------------------------------------
+# Remaining reference-surface rows: S9, J2, W5, P5
+# --------------------------------------------------------------------------
+
+
+def q_s9_geo_exact(spark, sf_dir):
+    """Geo-exact index match (egraph_index_model.erl:319-321): nation whose
+    capital is exactly (-180.0, -80.0) — nation 0's fixture point (exact in
+    binary, so equality is engine-portable)."""
+    from .operators import search
+
+    g = _fixture(spark, sf_dir)
+    ids = search.index_condition_ids(
+        g.indexes,
+        {
+            "key": {"type": "Point", "coordinates": [-180.0, -80.0]},
+            "key_type": "geo",
+            "index_name": "capital_geolocation",
+        },
+    )
+    return g.vertices.join(ids, "id", "left_semi").select("key")
+
+
+O_S9 = "SELECT 'nation:' || n_nationkey AS key FROM nation WHERE n_nationkey = 0"
+
+
+def q_j2_adjacency_details(spark, sf_dir):
+    """J2: one-hop adjacency annotated with destination node details
+    (src/egraph_api.erl:187-213 embeds `__node_details` per link)."""
+    g = _fixture(spark, sf_dir)
+    from .ingest import node_id
+
+    out_edges = g.edges.where(F.col("src") == node_id(F.lit("customer:7"))).alias("e")
+    v = g.vertices.alias("v")
+    return (
+        out_edges.join(v, F.col("e.dst") == F.col("v.id"))
+        .select(
+            F.col("e.dst_key").alias("dst_key"),
+            F.coalesce(
+                F.get_json_object(F.col("v.details"), "$.n_name"),
+                F.get_json_object(F.col("v.details"), "$.p_name"),
+            ).alias("dst_name"),
+        )
+    )
+
+
+O_J2 = """
+SELECT 'nation:' || c_nationkey AS dst_key, n_name AS dst_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 7
+UNION ALL
+SELECT 'part:' || p_partkey, p_name FROM part
+WHERE p_partkey IN (
+  SELECT l_partkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey = 7)
+"""
+
+
+def q_w5_time_probe(spark, sf_dir):
+    """W5: bounded time-window probe — top-k earliest rows, then min/max
+    bounds (models/egraph_detail_model.erl:693-718's LIMIT pre-query)."""
+    g = _fixture(spark, sf_dir)
+    first_k = (
+        g.vertices.where(F.col("kind") == "customer")
+        .orderBy("updated_at", "key")
+        .limit(100)
+    )
+    return first_k.agg(
+        F.min("updated_at").alias("lo"),
+        F.max("updated_at").alias("hi"),
+        F.count("*").alias("n"),
+    )
+
+
+O_W5 = """
+SELECT min(updated_at) AS lo, max(updated_at) AS hi, count(*) AS n FROM (
+  SELECT TIMESTAMP '2024-01-01' + (c_custkey % 365) * INTERVAL 1 DAY AS updated_at,
+         'customer:' || c_custkey AS key
+  FROM customer ORDER BY updated_at, key LIMIT 100
+)
+"""
+
+
+def q_p5_keytype_rawhex(spark, sf_dir):
+    """P5: keytype normalization — client passes the node id as raw hex;
+    the engine parses it back to the signed 64-bit id and point-reads
+    (models/egraph_detail_model.erl:108-118 rawhex branch)."""
+    g = _fixture(spark, sf_dir)
+    from .ingest import node_id
+
+    hex_id = (
+        g.vertices.where(F.col("key") == "customer:7")
+        .select(F.format_string("%016x", "id").alias("h"))
+        .head()["h"]
+    )
+    # hex → unsigned conv → wrap to signed long (two's complement)
+    parsed = F.conv(F.lit(hex_id), 16, 10).cast("decimal(20,0)")
+    signed = F.when(
+        parsed > F.lit(str(2**63 - 1)).cast("decimal(20,0)"),
+        (parsed - F.lit(str(2**64)).cast("decimal(21,0)")).cast("long"),
+    ).otherwise(parsed.cast("long"))
+    return g.vertices.where(F.col("id") == signed).select("key")
+
+
+O_P5 = "SELECT 'customer:7' AS key"
+
+
+# --------------------------------------------------------------------------
+# Additional Spark-native analytics (aggregates / windows / SQL API)
+# --------------------------------------------------------------------------
+
+_Q6_REV = (
+    "cast(l_extendedprice as decimal(18,2)) * cast(l_discount as decimal(18,2))"
+)
+
+
+def q_agg_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            F.expr("l_shipdate >= timestamp'1995-01-01 00:00:00'")
+            & F.expr("l_shipdate < timestamp'1996-01-01 00:00:00'")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(f"cast(sum({_Q6_REV}) as double)").alias("revenue"))
+    )
+
+
+O_AGG_Q6 = f"""
+SELECT cast(sum({_Q6_REV}) as double) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+O_AGG_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_count_distinct(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n"),
+    )
+
+
+O_AGG_CNTD = """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_win_running_sum(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+O_WIN_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) as double) AS running_total
+FROM orders
+"""
+
+
+def q_sql_grouping_sets(spark, sf_dir):
+    """Exercises the spark.sql() API surface over a registered temp view."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT event_type, cast(user_id % 10 as bigint) AS user_bucket,
+               count(*) AS n
+        FROM events_v
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+O_SQL_GSETS = """
+SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+
+
+# --------------------------------------------------------------------------
+# Pregel-style graph algorithms (north-star GraphX/Pregel approach)
+# --------------------------------------------------------------------------
+
+
+def q_graph_cc(spark, sf_dir):
+    """Connected components of the nation↔region membership subgraph:
+    one component per region (region node + its member nations), labeled by
+    the lexicographically smallest member key."""
+    from .operators.graph_algos import connected_components
+
+    g = _fixture(spark, sf_dir)
+    membership = g.edges.where(
+        F.get_json_object("details", "$.rel") == "in_region"
+    )
+    return connected_components(membership, undirected=True)
+
+
+O_GRAPH_CC = """
+WITH comp AS (
+  SELECT n_regionkey, min('nation:' || n_nationkey) AS component
+  FROM nation GROUP BY n_regionkey
+)
+SELECT 'nation:' || n_nationkey AS key, c.component
+FROM nation n JOIN comp c ON n.n_regionkey = c.n_regionkey
+UNION ALL
+SELECT 'region:' || r_regionkey, c.component
+FROM region r JOIN comp c ON r.r_regionkey = c.n_regionkey
+"""
+
+
+def q_graph_bfs_levels(spark, sf_dir):
+    """Min-hop distance from customer:7 to every node within 3 hops."""
+    from .operators.graph_algos import bfs_levels
+
+    g = _fixture(spark, sf_dir)
+    return bfs_levels(g.edges, "customer:7", max_depth=3)
+
+
+# The fixture graph is a DAG (customer→{nation,part}→{region,supplier}→
+# nation→region), so the recursive walk terminates without a cycle guard.
+O_GRAPH_BFS = """
+WITH RECURSIVE e AS (
+  SELECT 'customer:' || c_custkey AS src_key, 'nation:' || c_nationkey AS dst_key FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+),
+walk(key, lvl) AS (
+  SELECT 'customer:7', 0
+  UNION ALL
+  SELECT e.dst_key, w.lvl + 1 FROM walk w JOIN e ON e.src_key = w.key
+  WHERE w.lvl < 3
+)
+SELECT key, CAST(min(lvl) AS INT) AS level FROM walk GROUP BY key
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
+    "graph_cc": (q_graph_cc, O_GRAPH_CC),
+    "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
+    "s9_geo_exact": (q_s9_geo_exact, O_S9),
+    "j2_adjacency_details": (q_j2_adjacency_details, O_J2),
+    "w5_time_probe": (q_w5_time_probe, O_W5),
+    "p5_keytype_rawhex": (q_p5_keytype_rawhex, O_P5),
+    "agg_q6_forecast_revenue": (q_agg_q6_forecast_revenue, O_AGG_Q6),
+    "agg_cube": (q_agg_cube, O_AGG_CUBE),
+    "agg_count_distinct": (q_agg_count_distinct, O_AGG_CNTD),
+    "win_running_sum": (q_win_running_sum, O_WIN_RUNNING),
+    "sql_grouping_sets": (q_sql_grouping_sets, O_SQL_GSETS),
     "g2_dfs_path": (q_g2_dfs_path, O_G2),
     "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW),
     "evt_session_window": (q_evt_session_window, O_SESSION_WINDOW),

@@ -1,0 +1,47 @@
+"""Pregel-style algorithm behaviour on constructed graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from egraphdb_spark.operators.graph_algos import bfs_levels, connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_key string, dst_key string").select(
+        "src_key", "dst_key", F.lit("{}").alias("details")
+    )
+
+
+def test_cc_two_components(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    got = {r["key"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_directed_chain_undirected_semantics(spark):
+    # undirected=True joins a long chain into one component even though
+    # edges all point one way
+    e = _edges(spark, [("n3", "n2"), ("n2", "n1"), ("n1", "n0")])
+    got = {r["key"]: r["component"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {"n0"}
+
+
+def test_cc_directed_mode(spark):
+    # directed min-propagation: labels only flow src→dst
+    e = _edges(spark, [("b", "c"), ("a", "c")])
+    got = {r["key"]: r["component"] for r in connected_components(e, undirected=False).collect()}
+    assert got["c"] == "a" and got["b"] == "b" and got["a"] == "a"
+
+
+def test_bfs_levels_min_hop(spark):
+    # diamond: s→a→t and s→t directly — t's level must be the MIN (1)
+    e = _edges(spark, [("s", "a"), ("a", "t"), ("s", "t")])
+    got = {r["key"]: r["level"] for r in bfs_levels(e, "s", 5).collect()}
+    assert got == {"s": 0, "a": 1, "t": 1}
+
+
+def test_bfs_levels_depth_bound(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["key"]: r["level"] for r in bfs_levels(e, "a", 2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d is beyond max_depth
