@@ -42,8 +42,10 @@ def k_hop(edges: DataFrame, src_keys: list[str], depth: int) -> DataFrame:
             .select(F.col("dst").alias("id"), F.col("dst_key").alias("key"))
             .distinct()
         )
-        if level < depth and depth > 2:
-            hop = hop.localCheckpoint(eager=False)
+        if level < depth:
+            # the hop feeds BOTH the output union and the next level's
+            # frontier — checkpoint so the edges join runs once, not twice
+            hop = hop.localCheckpoint(eager=True)
         step = hop.select(F.lit(level).alias("level"), "key", "id")
         out = step if out is None else out.unionByName(step)
         frontier = hop.select("id")
@@ -62,9 +64,6 @@ def bfs_path(
     """
     spark = edges.sparkSession
     src_id_row = spark.createDataFrame([(src_key,)], "key string").select(
-        node_id("key").alias("id")
-    )
-    target = spark.createDataFrame([(dst_key,)], "key string").select(
         node_id("key").alias("id")
     )
 
@@ -87,13 +86,18 @@ def bfs_path(
             .dropDuplicates(["id"])
             .localCheckpoint(eager=True)
         )
-        if fresh.isEmpty():
+        # one action per level: frontier size + did-we-reach-dst together
+        stats = fresh.agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("key") == dst_key, 1).otherwise(0)).alias("hit"),
+        ).head()
+        if stats["n"] == 0:
             return None
         parent_levels.append(fresh)
-        if not fresh.join(target, on="id", how="left_semi").isEmpty():
+        if stats["hit"] == 1:
             found_level = level
             break
-        visited = visited.unionByName(fresh.select("id")).localCheckpoint(eager=True)
+        visited = visited.unionByName(fresh.select("id")).localCheckpoint(eager=False)
         frontier = fresh.select("id")
     if found_level is None:
         return None

@@ -108,6 +108,39 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def stream_upsert_nodes(
+    events: DataFrame, current_vertices: DataFrame, sink: list
+) -> DataFrame:
+    """Streaming ingest of events into the vertices table via foreachBatch.
+
+    Each micro-batch becomes canonical nodes (key = "event:<id>") and is
+    MERGEd with the reference's versioned-upsert semantics; ``sink``
+    receives the running vertices DataFrame after each batch (on Delta this
+    would be a MERGE INTO; immutable-parquet semantics rewrite the table).
+    Returns the streaming writer's source frame for the caller to start.
+    """
+    from pyspark.sql import functions as F2
+
+    from ..ingest import make_vertices, upsert_nodes
+
+    state = {"vertices": current_vertices}
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nodes = batch_df.select(
+            F2.concat(F2.lit("event:"), F2.col("event_id")).alias("key"),
+            F2.to_json(F2.struct("event_id", "event_type", "value")).alias("details"),
+            F2.array(F2.array(F2.lit("event_type"))).alias("index_paths"),
+            F2.array().cast("array<array<string>>").alias("lowercase_index_paths"),
+        )
+        incoming = make_vertices(nodes, kind=F2.lit("event"))
+        state["vertices"] = upsert_nodes(state["vertices"], incoming).localCheckpoint(
+            eager=True
+        )
+        sink.append(state["vertices"])
+
+    return events, on_batch
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -47,6 +47,28 @@ def test_stream_dedup_within_watermark(spark):
     assert got.count() == total  # duplicates dropped exactly
 
 
+def test_stream_upsert_into_vertices(spark, tmp_path):
+    """SURVEY §7 phase-2 item 11: streaming upsert of events into vertices."""
+    from egraphdb_spark.schema import VERTICES_SCHEMA
+
+    ev = stream.read_events_stream(spark, SF_SMOKE).where(F.col("event_id") < 50)
+    empty = spark.createDataFrame([], VERTICES_SCHEMA)
+    sink: list = []
+    src, on_batch = stream.stream_upsert_nodes(ev, empty, sink)
+    q = (
+        src.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert sink, "no batches processed"
+    final = sink[-1]
+    assert final.count() == 50
+    row = final.where(F.col("kind") == "event").head()
+    assert row["key"].startswith("event:") and row["version"] == 0
+
+
 # ------------------------------------------------------------- UDF registry
 
 
