@@ -131,8 +131,36 @@ def filter_predicate(flt: dict) -> Column:
 
 def apply_filters(df: DataFrame, filters: list[dict] | None) -> DataFrame:
     for flt in filters or []:
-        df = df.where(filter_predicate(flt))  # AND conjunction (P4)
+        path = tuple(flt.get("index_json_path", ()))
+        if path in _INJECTED_PATHS and _INJECTED_PATHS[path] in df.columns:
+            val = F.col(_INJECTED_PATHS[path])
+            key = flt["key"]
+            if isinstance(key, (list, tuple)):
+                pred = val.between(F.lit(key[0]), F.lit(key[1]))
+            else:
+                pred = val == F.lit(key)
+            df = df.where(pred)
+        else:
+            df = df.where(filter_predicate(flt))  # AND conjunction (P4)
     return df
+
+
+# The reference injects these keys into every details document at write time
+# (include/egraph_constants.hrl:142-147; detail_model.erl:182-189): `__key` on
+# nodes, `__source`/`__destination` on links.  We keep them as engine columns
+# instead of rewriting the user's JSON, and resolve the special paths here.
+_INJECTED_PATHS = {
+    ("__key",): "key",
+    ("__source",): "src_key",
+    ("__destination",): "dst_key",
+}
+
+
+def _path_value(df: DataFrame, path: list[str]) -> Column:
+    special = _INJECTED_PATHS.get(tuple(path))
+    if special is not None and special in df.columns:
+        return F.col(special)
+    return F.get_json_object(F.col("details"), json_path_str(path))
 
 
 def project_selected_paths(
@@ -141,10 +169,7 @@ def project_selected_paths(
     """`selected_paths` projection; raw JSON values as strings, missing → null."""
     if not selected_paths:
         return df
-    cols = [
-        F.get_json_object(F.col("details"), json_path_str(path)).alias(name)
-        for name, path in selected_paths.items()
-    ]
+    cols = [_path_value(df, path).alias(name) for name, path in selected_paths.items()]
     return df.select(*cols)
 
 

@@ -620,7 +620,35 @@ SELECT key, CAST(min(lvl) AS INT) AS level FROM walk GROUP BY key
 """
 
 
+def q_evt_props_json(spark, sf_dir):
+    """Schemaless JSON props extraction + aggregation (the reference's
+    nested-path read, P1, applied to the event stream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+O_EVT_PROPS = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
+    "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
