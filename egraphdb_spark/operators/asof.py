@@ -1,0 +1,112 @@
+"""As-of and range joins — operators Spark's join family lacks natively.
+
+As-of join (`left` row ⇝ most recent `right` row with right_ts ≤ left_ts,
+per key): the naive formulation is a theta-join + argmax — quadratic per
+key.  The scalable formulation used here is the classic union-merge:
+
+  1. tag both inputs and union them into one stream
+  2. window PARTITION BY key ORDER BY (ts, tag) with last(..., ignoreNulls)
+     carrying the most recent right-row values forward
+  3. keep left rows; their carried columns are the as-of match
+
+One shuffle (the window partition), no join at all — the same shape Flink's
+temporal join and kdb's aj take.  Right-side columns arrive null when no
+prior right row exists (left-outer semantics).
+
+Range join (value ∈ [lo, hi] intervals): equi-join on a coarse bucket both
+sides, then the exact residual predicate.  Buckets turn the cross product
+into a co-partitioned join; `bucket_width` trades bucket fanout
+(intervals spanning k buckets emit k rows) against join selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    right[right_ts] <= left[left_ts] and equal ``on`` key (nulls if none).
+
+    Tie at the exact same timestamp: the right row counts as visible
+    (<=, matching DuckDB's ASOF JOIN ... ON l.ts >= r.ts semantics).
+    Multiple right rows at one timestamp: the last by a deterministic
+    tie-break (all right_cols, descending-last) wins on both engines only
+    if the (key, ts) pair is unique on the right — callers dedupe first
+    for exact cross-engine parity.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    for c in [f"__r_{c}" for c in right_cols]:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    # right rows (__tag 0) sort before left rows at equal ts → visible to them
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if not c.startswith("__r_")],
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.where(F.col("__tag") == 1).drop("__tag", "__ts")
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__r_{c}", c)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    left_val: str,
+    right: DataFrame,
+    lo: str,
+    hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """left ⋈ right ON left[left_val] ∈ [right[lo], right[hi]) via bucketed
+    equi-join + residual filter.  Intervals explode to one row per covered
+    bucket; points map to exactly one bucket — the join is then
+    hash-partitioned on the bucket instead of a nested-loop theta join.
+    """
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_val) / F.lit(bucket_width)).cast("long")
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / F.lit(bucket_width)).cast("long"),
+                # hi is exclusive: a boundary-aligned hi doesn't reach its bucket
+                F.floor(
+                    (F.col(hi) - F.lit(1e-9)) / F.lit(bucket_width)
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .where((F.col(left_val) >= F.col(lo)) & (F.col(left_val) < F.col(hi)))
+        .drop("__bucket")
+    )

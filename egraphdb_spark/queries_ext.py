@@ -647,8 +647,94 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# As-of / range joins (custom operators Spark lacks natively)
+# --------------------------------------------------------------------------
+
+
+def q_join_asof(spark, sf_dir):
+    """Each event joined to the customer's most recent order at event time.
+
+    Right side deduped to one row per (custkey, orderdate) for exact
+    cross-engine tie semantics (see operators/asof.py docstring)."""
+    from pyspark.sql import Window as W
+
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        W.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    )
+    r1 = (
+        orders.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return asof_join(
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        r1,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    ).select(
+        "event_id",
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+O_JOIN_ASOF = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), r1 AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM r WHERE rn = 1)
+SELECT e.event_id, e.user_id, r1.o_orderkey, r1.o_totalprice
+FROM events e ASOF LEFT JOIN r1
+  ON e.user_id = r1.o_custkey AND e.ts >= r1.o_orderdate
+"""
+
+_PRICE_BANDS = [(0, "cheap", 0.0, 1000.0), (1, "mid", 1000.0, 1500.0), (2, "high", 1500.0, 3000.0)]
+
+
+def q_join_range_bands(spark, sf_dir):
+    """Parts binned into price-interval bands via the bucketed range join."""
+    from .operators.asof import range_join
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band_id long, band string, lo double, hi double"
+    )
+    joined = range_join(part, "p_retailprice", bands, "lo", "hi", bucket_width=250.0)
+    return joined.groupBy("band_id", "band").agg(
+        F.count("*").alias("n"),
+        F.expr("cast(sum(cast(p_retailprice as decimal(18,2))) as double)").alias(
+            "sum_price"
+        ),
+    )
+
+
+O_JOIN_RANGE = """
+WITH bands(band_id, band, lo, hi) AS (
+  VALUES (CAST(0 AS BIGINT), 'cheap', 0.0, 1000.0),
+         (CAST(1 AS BIGINT), 'mid', 1000.0, 1500.0),
+         (CAST(2 AS BIGINT), 'high', 1500.0, 3000.0)
+)
+SELECT band_id, band, count(*) AS n,
+       cast(sum(cast(p_retailprice as decimal(18,2))) as double) AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id, band
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
+    "join_asof": (q_join_asof, O_JOIN_ASOF),
+    "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),

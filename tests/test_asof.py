@@ -1,0 +1,54 @@
+"""As-of and range join operator semantics on constructed data."""
+
+from __future__ import annotations
+
+from egraphdb_spark.operators.asof import asof_join, range_join
+
+
+def test_asof_basic_and_no_prior(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 25), (3, "k", 5), (4, "other", 10)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "at10"), ("k", 20, "at20")], "k string, rts long, payload string"
+    )
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    assert got[1] == "at10"   # equal timestamp counts as visible (<=)
+    assert got[2] == "at20"   # latest prior wins
+    assert got[3] is None     # nothing at/before ts=5
+    assert got[4] is None     # key never seen on the right
+
+
+def test_asof_does_not_look_forward(spark):
+    left = spark.createDataFrame([(1, "k", 15)], "lid long, k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 10, 100.0), ("k", 16, 999.0)], "k string, rts long, v double"
+    )
+    row = asof_join(left, right, "k", "ts", "rts").collect()[0]
+    assert row["v"] == 100.0  # rts=16 is in the future, must not leak
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 0.0), (2, 999.99), (3, 1000.0), (4, 2999.0), (5, 3000.0)],
+        "id long, v double",
+    )
+    right = spark.createDataFrame(
+        [("a", 0.0, 1000.0), ("b", 1000.0, 3000.0)], "band string, lo double, hi double"
+    )
+    got = {r["id"]: r["band"] for r in range_join(left, "v", right, "lo", "hi", 250.0).collect()}
+    # lo inclusive / hi exclusive; 3000.0 falls outside every band
+    assert got == {1: "a", 2: "a", 3: "b", 4: "b"}
+
+
+def test_range_join_overlapping_intervals(spark):
+    left = spark.createDataFrame([(1, 50.0)], "id long, v double")
+    right = spark.createDataFrame(
+        [("x", 0.0, 100.0), ("y", 25.0, 75.0)], "band string, lo double, hi double"
+    )
+    bands = {r["band"] for r in range_join(left, "v", right, "lo", "hi", 10.0).collect()}
+    assert bands == {"x", "y"}  # overlapping intervals both match, no dup rows
