@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "win_rank",
     "evt_window_hourly",
     "evt_session_window",
+    "evt_props_json",
+    "join_asof",
+    "join_range_bands",
     "s7_index_exact",
     "s8_index_range",
     "p2_search_filters",

@@ -731,8 +731,77 @@ GROUP BY band_id, band
 """
 
 
+def q_stream_stateful_counts(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) run as a REAL
+    stream; the final per-user totals hash-match plain SQL.  Robust to the
+    source splitting into several micro-batches: the last update per user
+    (max n — monotone) is the final state."""
+    from .streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        stateful_user_counts,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    tbl = run_to_memory(
+        stateful_user_counts(ev), "stream_stateful_tbl", output_mode="update"
+    )
+    final = tbl.groupBy("user_id").agg(F.max(F.struct("n", "total")).alias("s"))
+    return final.select("user_id", F.col("s.n").alias("n"), F.col("s.total").alias("total"))
+
+
+O_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+FROM events GROUP BY user_id
+"""
+
+
+def q_agg_above_segment_avg(spark, sf_dir):
+    """Correlated-subquery shape: orders whose total exceeds their
+    customer segment's average (decorrelates to a join against the
+    segment aggregate; Catalyst plans exactly that)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    seg_avg = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            (
+                F.expr("cast(sum(cast(o_totalprice as decimal(18,2))) as double)")
+                / F.count("*")
+            ).alias("seg_avg")
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(seg_avg), "c_mktsegment")
+        .where(F.col("o_totalprice") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+O_ABOVE_SEG_AVG = """
+WITH j AS (
+  SELECT o_totalprice, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), s AS (
+  SELECT c_mktsegment,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) / count(*) AS seg_avg
+  FROM j GROUP BY c_mktsegment
+)
+SELECT j.c_mktsegment, count(*) AS n_above
+FROM j JOIN s ON j.c_mktsegment = s.c_mktsegment
+WHERE j.o_totalprice > s.seg_avg
+GROUP BY j.c_mktsegment
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
+    "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
+    "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),

@@ -141,6 +141,51 @@ def stream_upsert_nodes(
     return events, on_batch
 
 
+def stateful_user_counts(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState.
+
+    Keeps one running (count, sum) per user_id in the state store and emits
+    the updated totals each micro-batch — the hand-rolled equivalent of a
+    streaming aggregation, here as the template for state machines Spark's
+    built-ins can't express (sessionization with business rules, CDC
+    merge, fraud counters).  State per key is O(1); the store scales with
+    distinct keys, not stream length.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n bigint, total double"
+    state_schema = "n bigint, cents bigint"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # exact integer cents, so totals are bit-identical on any engine
+        # regardless of summation order
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
