@@ -63,6 +63,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist hash-bucketed (the engine's answer to the reference's 2048
+    id-sharded tables, sql/egraph_table_creation.sql:156-160).
+
+    Two tables bucketed the same way co-locate their join — zero Exchange
+    in the plan (asserted in tests/test_plans.py).  At 100 TB this is what
+    makes point lookups bucket-pruned and vertex⋈edge traversal shuffle-free.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
 def to_json_rows(df: DataFrame, col_name: str = "json") -> DataFrame:
     """Row → JSON-string column (driver-side streaming export, S12's shape:
     iterate with toLocalIterator to stream without materializing)."""
