@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "evt_window_hourly",
     "evt_session_window",
     "evt_props_json",
+    "evt_rollup_cascade",
     "join_asof",
     "join_range_bands",
     "s7_index_exact",

@@ -112,6 +112,63 @@ def ivf_topk(
     )
 
 
+def _lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1] from a fixed LCG —
+    frozen constants, reproducible in any engine as literals."""
+    state = 88172645463325252
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append(round((state / float(2**63)) * 2.0 - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit j = sign(vec·plane_j) ≥ 0."""
+    sig = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane]).cast("array<double>")
+        dot = F.aggregate(
+            F.zip_with(vec, p, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: probe only the query's sign-
+    signature bucket (expected corpus fraction 2^-n_planes), exact cosine
+    within.  At scale the signature is a stored/partitioned column — the
+    probe is partition pruning, like ivf_topk but data-independent (no
+    anchors to fit, cheaper writes; lower recall near hyperplane borders).
+    """
+    planes = _lcg_planes(n_planes, len(query_vec))
+    # query signature is a plain Python constant — engine-portable
+    qsig = 0
+    for j, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << j
+    v = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    bucket = v.where(rhp_signature(F.col("vec"), planes) == qsig)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    c = F.round(cosine(F.col("vec"), q), 6)
+    return (
+        bucket.select("id", c.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def prefix_anchors(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
     """Deterministic anchor set: the ``n`` smallest-id vectors.
 

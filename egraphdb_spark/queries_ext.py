@@ -798,8 +798,42 @@ GROUP BY j.c_mktsegment
 """
 
 
+def q_evt_rollup_cascade(spark, sf_dir):
+    """Hypertable-style cascading rollup: minute-grain partial aggregates
+    re-aggregated to hour grain.  The point at scale: the hourly (and
+    daily, weekly…) materializations are computed from the next-finer
+    rollup, never from raw events — decimal-exact sums compose, so the
+    cascade is lossless (oracle aggregates straight from raw)."""
+    ev = _t(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("m"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+    )
+    hour = (
+        minute.groupBy(F.date_trunc("hour", "m").alias("window_start"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
+    return hour
+
+
+O_EVT_ROLLUP = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
+    "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
     "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
     "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
     "join_asof": (q_join_asof, O_JOIN_ASOF),

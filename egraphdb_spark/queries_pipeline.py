@@ -439,7 +439,50 @@ FROM b
 """
 
 
+def q_sim_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, "vec_id", "embedding", QUERY_VEC, k=5, n_planes=8)
+
+
+def _lsh_oracle() -> str:
+    from .operators.similarity import _lcg_planes
+
+    planes = _lcg_planes(8, len(QUERY_VEC))
+    qsig = 0
+    for j, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(QUERY_VEC, plane)) >= 0:
+            qsig |= 1 << j
+    bits = []
+    for j, plane in enumerate(planes):
+        lits = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {len(plane) + 1}),"
+            f" i -> vec[CAST(i AS INT)] * ({lits})[CAST(i AS INT)])) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    sig = " + ".join(bits)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), q AS (SELECT {_QV_SQL} AS qv),
+bucket AS (SELECT vec_id, vec FROM v WHERE ({sig}) = {qsig})
+SELECT vec_id AS id,
+       round(
+         list_sum(list_transform(range(1, len(vec) + 1),
+                  i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+FROM bucket, q
+ORDER BY cosine DESC, id LIMIT 5
+"""
+
+
+O_LSH_TOPK = _lsh_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
     "txt_lang_id": (q_txt_lang_id, O_TXT_LANG),
     "txt_fingerprint": (q_txt_fingerprint, O_TXT_FP),
