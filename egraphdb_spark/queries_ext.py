@@ -831,8 +831,77 @@ FROM events GROUP BY 1, 2
 """
 
 
+_DISC_X = "cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))"
+
+
+def q_agg_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.expr(f"cast(sum({_DISC_X}) as double)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+O_AGG_Q10 = f"""
+SELECT c_custkey, c_name, n_name, cast(sum({_DISC_X}) as double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_agg_q12_priority_flags(spark, sf_dir):
+    """TPC-H Q12 shape: urgent/non-urgent order counts per return flag —
+    conditional aggregation (CASE inside SUM) over a fact⋈fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("low_line_count"),
+        )
+    )
+
+
+O_AGG_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
+    "agg_q10_returned_revenue": (q_agg_q10_returned_revenue, O_AGG_Q10),
+    "agg_q12_priority_flags": (q_agg_q12_priority_flags, O_AGG_Q12),
     "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
     "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
     "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
