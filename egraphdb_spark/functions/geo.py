@@ -36,6 +36,33 @@ def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     )
 
 
+def bbox_prefilter(
+    lon: Column, lat: Column, center_lon: float, center_lat: float, dist_m: float
+) -> Column:
+    """Sargable bounding-box superset of the haversine-≤dist disk.
+
+    At scale the exact haversine is not pushdown-able, but this lat/lon
+    range IS — it reaches parquet min/max stats and partition pruning, so
+    the expensive trig only runs on the bbox survivors.  The box is padded
+    (×1.01) so it strictly contains the disk; the exact predicate still
+    decides membership, results are unchanged.
+
+    Near the poles (|lat|+Δ ≥ 89°) or across the antimeridian the longitude
+    window degenerates; we widen to all longitudes there — still a superset.
+    """
+    import math
+
+    dlat = math.degrees(dist_m / SPHERE_RADIUS_M) * 1.01
+    lat_ok = lat.between(center_lat - dlat, center_lat + dlat)
+    max_abs_lat = min(abs(center_lat) + dlat, 90.0)
+    if max_abs_lat >= 89.0:
+        return lat_ok
+    dlon = math.degrees(dist_m / (SPHERE_RADIUS_M * math.cos(math.radians(max_abs_lat)))) * 1.01
+    if dlon >= 180.0 or center_lon - dlon < -180.0 or center_lon + dlon > 180.0:
+        return lat_ok
+    return lat_ok & lon.between(center_lon - dlon, center_lon + dlon)
+
+
 def geo_point(lon: float, lat: float) -> Column:
     """Literal GeoJSON Point struct."""
     return F.struct(

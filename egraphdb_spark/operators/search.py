@@ -76,13 +76,20 @@ def index_condition_ids(indexes: DataFrame, cond: dict) -> DataFrame:
     if key_type == "geo":
         lon, lat = (float(c) for c in key["coordinates"])
         if "distance_sphere" in cond:
+            from ..functions.geo import bbox_prefilter
+
+            d = float(cond["distance_sphere"])
             dist = haversine_m(
                 F.col("v_geo.coordinates")[0],
                 F.col("v_geo.coordinates")[1],
                 F.lit(lon),
                 F.lit(lat),
             )
-            pred = dist <= float(cond["distance_sphere"])
+            # sargable bbox first (reaches stats/partition pruning), exact
+            # haversine on the survivors — identical result set
+            pred = bbox_prefilter(
+                F.col("v_geo.coordinates")[0], F.col("v_geo.coordinates")[1], lon, lat, d
+            ) & (dist <= d)
         else:
             pred = (F.col("v_geo.coordinates")[0] == lon) & (
                 F.col("v_geo.coordinates")[1] == lat

@@ -481,8 +481,59 @@ ORDER BY cosine DESC, id LIMIT 5
 O_LSH_TOPK = _lsh_oracle()
 
 
+def q_txt_top_bigrams(spark, sf_dir):
+    """Top-20 word bigrams across the corpus (deterministic order)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 0)),"
+                " i -> concat(split(trim(text), '\\\\s+')[i-1], ' ', split(trim(text), '\\\\s+')[i]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        toks.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+O_TXT_BIGRAMS = r"""
+WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per segment (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-exact)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("median_acctbal"),
+        F.expr("percentile(c_acctbal, 0.9)").alias("p90_acctbal"),
+    )
+
+
+O_AGG_PCTL = """
+SELECT c_mktsegment,
+       quantile_cont(c_acctbal, 0.5) AS median_acctbal,
+       quantile_cont(c_acctbal, 0.9) AS p90_acctbal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
+    "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
+    "agg_percentile": (q_agg_percentile, O_AGG_PCTL),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
     "txt_lang_id": (q_txt_lang_id, O_TXT_LANG),
     "txt_fingerprint": (q_txt_fingerprint, O_TXT_FP),
