@@ -134,6 +134,37 @@ def lang_id(text: str | Column) -> Column:
     return best_lang2
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, ASCII-conservative so any
+# regex engine agrees): letter runs, digit runs, single punctuation marks.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    """Sub-word-ish token count: whitespace splitting undercounts for BPE
+    vocab budgeting; this counts letter runs / digit runs / punctuation
+    separately (the GPT-2 pre-tokenizer shape, minus unicode classes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)).cast("long")
+
+
+def rolling_hash64(text: str | Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash of the normalized text: h = Σ c·B^i mod p.
+
+    Left fold over character codes — the classic Rabin-Karp document
+    fingerprint.  One expression, no UDF; `tests/test_pipeline.py` checks
+    it against a pure-Python reference.  (The md5-based fingerprint64
+    stays the cross-engine dedup key; the rolling form exists for
+    windowed/streaming fingerprinting where incremental update matters.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.aggregate(
+        F.transform(F.split(norm, ""), lambda ch: F.ascii(ch)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + x) % F.lit(mod),
+    )
+
+
 def fingerprint64(text: str | Column) -> Column:
     """Deterministic 60-bit content fingerprint.
 

@@ -530,9 +530,28 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_txt_bpe_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+O_TXT_BPE = rf"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
+    "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),
     "agg_percentile": (q_agg_percentile, O_AGG_PCTL),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
     "txt_lang_id": (q_txt_lang_id, O_TXT_LANG),

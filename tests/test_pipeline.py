@@ -135,6 +135,34 @@ def test_text_functions(corpus):
     assert out[0]["fp"] == out[1]["fp"] != out[2]["fp"]
 
 
+def test_rolling_hash_matches_python_reference(spark):
+    import re
+
+    texts = ["hello world", "  Mixed  CASE\ttabs ", "a", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r["i"]: r["h"] for r in df.select("i", text.rolling_hash64("t").alias("h")).collect()}
+
+    def ref(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % 1_000_000_007
+        return h
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), t
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    df = spark.createDataFrame([(1, "don't count; 2+2=4 ok")], "i long, t string")
+    row = df.select(
+        text.token_count("t").alias("ws"), text.bpe_token_count("t").alias("bpe")
+    ).collect()[0]
+    assert row["ws"] == 4
+    # don ' t count ; 2 + 2 = 4 ok → 11 BPE-ish tokens
+    assert row["bpe"] == 11
+
+
 def test_multimodal_features_via_map_in_pandas(spark):
     docs = spark.createDataFrame(
         [(7, "abc"), (8, "")], "doc_id long, text string"
