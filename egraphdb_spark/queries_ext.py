@@ -898,8 +898,71 @@ GROUP BY l_returnflag
 """
 
 
+def q_agg_distinct_2phase(spark, sf_dir):
+    """Skew-safe exact count-distinct: phase 1 dedupes (key, value) pairs
+    (the shuffle spreads a hot key's values across partitions), phase 2
+    counts per key.  Identical result to count(DISTINCT) with no single
+    reducer holding a hot key's whole value set — the pattern that keeps
+    working when one segment has 100× the traffic."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_custkey")
+        .distinct()
+    )
+    return pairs.groupBy("c_mktsegment").agg(F.count("*").alias("n_active_customers"))
+
+
+O_DISTINCT_2PHASE = """
+SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_active_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_s15_latest_versions(spark, sf_dir):
+    """Append-log compaction (SURVEY §1.4 'append + window-dedup by
+    max(version)'): three stacked upsert generations of the same keys →
+    exactly the newest version per key survives."""
+    from pyspark.sql import Window as W
+
+    base = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey").between(1, 50))
+        .select(
+            F.concat(F.lit("customer:"), F.col("c_custkey")).alias("key"),
+            F.col("c_custkey").alias("ck"),
+        )
+    )
+    log = None
+    for version in range(3):
+        gen = base.select(
+            "key",
+            F.lit(version).alias("version"),
+            (F.col("ck") * 1000 + version).alias("payload"),
+        )
+        log = gen if log is None else log.unionByName(gen)
+    w = W.partitionBy("key").orderBy(F.col("version").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "version", "payload")
+    )
+    return latest
+
+
+O_LATEST_VERSIONS = """
+SELECT 'customer:' || c_custkey AS key, CAST(2 AS INT) AS version,
+       c_custkey * 1000 + 2 AS payload
+FROM customer WHERE c_custkey BETWEEN 1 AND 50
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
+    "agg_distinct_2phase": (q_agg_distinct_2phase, O_DISTINCT_2PHASE),
+    "s15_latest_versions": (q_s15_latest_versions, O_LATEST_VERSIONS),
     "agg_q10_returned_revenue": (q_agg_q10_returned_revenue, O_AGG_Q10),
     "agg_q12_priority_flags": (q_agg_q12_priority_flags, O_AGG_Q12),
     "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
