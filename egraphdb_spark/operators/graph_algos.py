@@ -66,6 +66,47 @@ def connected_components(
     return labels
 
 
+def shortest_paths_weighted(
+    edges: DataFrame,
+    src_key: str,
+    weight,
+    max_iter: int,
+) -> DataFrame:
+    """(key, dist) — minimum path weight from src within max_iter hops.
+
+    Bellman-Ford as aggregateMessages: relax every edge each round
+    (dist ⋈ edges on src_key → candidate dist+w per dst), merge with
+    groupBy-min.  min is order-independent, so results are deterministic
+    under any partitioning — no decimal tricks needed.  ``weight`` is a
+    Column over the edge row (so weights can derive from edge details).
+    """
+    e = edges.withColumn("w", weight).select("src_key", "dst_key", "w")
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(src_key, 0.0)], "key string, dist double")
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(dist, e.src_key == dist.key)
+            .select(F.col("dst_key").alias("key"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("key")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: stop when no distance improved
+        improved = (
+            new_dist.join(dist.withColumnRenamed("dist", "old"), "key", "left")
+            .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            break
+    return dist
+
+
 def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
     """(key, level) — minimum hop count from src to every reachable node
     within max_depth.  Level-synchronous BFS with a visited set; each level

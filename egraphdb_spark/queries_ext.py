@@ -959,7 +959,41 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def q_graph_sssp_weighted(spark, sf_dir):
+    """Single-source shortest paths with edge weights = length(dst_key)
+    (engine-portable weight function), from customer:7, ≤4 relaxation
+    rounds.  Bellman-Ford via join + groupBy-min per round."""
+    from .operators.graph_algos import shortest_paths_weighted
+
+    g = _fixture(spark, sf_dir)
+    return shortest_paths_weighted(
+        g.edges, "customer:7", F.length("dst_key").cast("double"), max_iter=4
+    )
+
+
+# Path enumeration on the DAG (≤4 hops), then min path weight per node.
+O_GRAPH_SSSP = """
+WITH RECURSIVE e AS (
+  SELECT 'customer:' || c_custkey AS src_key, 'nation:' || c_nationkey AS dst_key FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+),
+walk(key, d, hops) AS (
+  SELECT 'customer:7', CAST(0 AS DOUBLE), 0
+  UNION ALL
+  SELECT e.dst_key, w.d + len(e.dst_key), w.hops + 1
+  FROM walk w JOIN e ON e.src_key = w.key
+  WHERE w.hops < 4
+)
+SELECT key, min(d) AS dist FROM walk GROUP BY key
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
+    "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
     "agg_distinct_2phase": (q_agg_distinct_2phase, O_DISTINCT_2PHASE),
     "s15_latest_versions": (q_s15_latest_versions, O_LATEST_VERSIONS),

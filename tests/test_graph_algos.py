@@ -34,6 +34,24 @@ def test_cc_directed_mode(spark):
     assert got["c"] == "a" and got["b"] == "b" and got["a"] == "a"
 
 
+def test_sssp_lighter_long_path_beats_heavy_short_path(spark):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import shortest_paths_weighted
+
+    # s→t direct weight 10; s→a→b→t total weight 3 — Bellman-Ford must
+    # prefer the longer-but-lighter path once enough rounds have run
+    e = spark.createDataFrame(
+        [("s", "t", 10.0), ("s", "a", 1.0), ("a", "b", 1.0), ("b", "t", 1.0)],
+        "src_key string, dst_key string, w double",
+    )
+    got = {
+        r["key"]: r["dist"]
+        for r in shortest_paths_weighted(e, "s", F.col("w"), max_iter=5).collect()
+    }
+    assert got == {"s": 0.0, "a": 1.0, "b": 2.0, "t": 3.0}
+
+
 def test_bfs_levels_min_hop(spark):
     # diamond: s→a→t and s→t directly — t's level must be the MIN (1)
     e = _edges(spark, [("s", "a"), ("a", "t"), ("s", "t")])
