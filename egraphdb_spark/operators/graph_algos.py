@@ -107,6 +107,56 @@ def shortest_paths_weighted(
     return dist
 
 
+def _intdiv(a: "F.Column", d: "F.Column | int"):
+    """Exact integer floor-div for non-negative longs via (a - a%d)/d —
+    the double division is exact because the numerator is a multiple of d."""
+    dd = F.lit(d) if isinstance(d, int) else d
+    return ((a - (a % dd)) / dd).cast("long")
+
+
+def pagerank_scaled(
+    edges: DataFrame, iters: int = 3, scale: int = 10**12
+) -> DataFrame:
+    """(key, pr) — PageRank in fixed-point millionths-of-millionths.
+
+    All arithmetic is integer (scaled by 10^12, damping 0.85 as 85/100
+    integer ops), so every engine reproduces identical values — float
+    PageRank is summation-order-dependent and can never hash-match across
+    engines.  Dangling-node mass is dropped (documented deviation from
+    the renormalizing formulation).  Each iteration: one join (scatter
+    contributions) + one groupBy-sum (gather) — aggregateMessages again.
+    """
+    e = edges.select("src_key", "dst_key")
+    nodes = (
+        e.select(F.col("src_key").alias("key"))
+        .unionByName(e.select(F.col("dst_key").alias("key")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src_key").agg(F.count("*").alias("d"))
+    base = (15 * scale) // (100 * n)
+    pr = nodes.select("key", F.lit(scale // n).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e.src_key == pr.key)
+            .join(deg, "src_key")
+            .select(F.col("dst_key").alias("key"), _intdiv(F.col("pr"), F.col("d")).alias("c"))
+        )
+        gathered = contrib.groupBy("key").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(gathered, "key", "left")
+            .select(
+                "key",
+                (F.lit(base) + _intdiv(F.lit(85) * F.coalesce(F.col("s"), F.lit(0)), 100))
+                .cast("long")
+                .alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
 def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
     """(key, level) — minimum hop count from src to every reachable node
     within max_depth.  Level-synchronous BFS with a visited set; each level

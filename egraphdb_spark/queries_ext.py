@@ -992,8 +992,48 @@ SELECT key, min(d) AS dist FROM walk GROUP BY key
 """
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank (3 iterations) on the nation→region
+    membership subgraph."""
+    from .operators.graph_algos import pagerank_scaled
+
+    g = _fixture(spark, sf_dir)
+    membership = g.edges.where(F.get_json_object("details", "$.rel") == "in_region")
+    return pagerank_scaled(membership, iters=3)
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank over the same membership subgraph."""
+    prev = "pr0"
+    cte = [
+        "e AS (SELECT 'nation:' || n_nationkey AS src_key,"
+        " 'region:' || n_regionkey AS dst_key FROM nation)",
+        "nodes AS (SELECT src_key AS key FROM e UNION SELECT dst_key FROM e)",
+        "nn AS (SELECT count(*) AS c FROM nodes)",
+        "deg AS (SELECT src_key, count(*) AS d FROM e GROUP BY src_key)",
+        f"pr0 AS (SELECT key, {scale} // c AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        cte.append(
+            f"g{i} AS (SELECT e.dst_key AS key, sum({prev}.pr // deg.d) AS s"
+            f" FROM e JOIN {prev} ON e.src_key = {prev}.key"
+            f" JOIN deg ON deg.src_key = e.src_key GROUP BY e.dst_key)"
+        )
+        cte.append(
+            f"pr{i} AS (SELECT nodes.key,"
+            f" (15 * {scale}) // (100 * nn.c) + (85 * COALESCE(g{i}.s, 0)) // 100 AS pr"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN g{i} ON g{i}.key = nodes.key)"
+        )
+        prev = f"pr{i}"
+    return "WITH " + ",\n".join(cte) + f"\nSELECT key, pr FROM {prev}"
+
+
+O_GRAPH_PAGERANK = _pagerank_oracle()
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),
+    "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
     "agg_distinct_2phase": (q_agg_distinct_2phase, O_DISTINCT_2PHASE),
     "s15_latest_versions": (q_s15_latest_versions, O_LATEST_VERSIONS),

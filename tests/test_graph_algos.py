@@ -52,6 +52,16 @@ def test_sssp_lighter_long_path_beats_heavy_short_path(spark):
     assert got == {"s": 0.0, "a": 1.0, "b": 2.0, "t": 3.0}
 
 
+def test_pagerank_in_degree_dominates(spark):
+    from egraphdb_spark.operators.graph_algos import pagerank_scaled
+
+    # hub gets 3 in-edges, spoke gets 1 — hub must rank higher; sources tie
+    e = _edges(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "spoke")])
+    pr = {r["key"]: r["pr"] for r in pagerank_scaled(e, iters=3).collect()}
+    assert pr["hub"] > pr["spoke"] > 0
+    assert pr["b"] == pr["c"]  # identical structure → identical fixed-point value
+
+
 def test_bfs_levels_min_hop(spark):
     # diamond: s→a→t and s→t directly — t's level must be the MIN (1)
     e = _edges(spark, [("s", "a"), ("a", "t"), ("s", "t")])
