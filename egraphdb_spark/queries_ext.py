@@ -898,6 +898,83 @@ GROUP BY l_returnflag
 """
 
 
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment: the event stream broadcast-joins the
+    customer dimension per micro-batch, then aggregates per segment —
+    the canonical streaming-ETL shape (dim lookup needs no state)."""
+    from .streaming.stream import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
+    out = run_to_memory(agg, "stream_static_join_tbl")
+    return out.select(
+        "c_mktsegment", "n", (F.col("cents") / 100.0).alias("sum_value")
+    )
+
+
+O_STREAM_STATIC = """
+SELECT c_mktsegment, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join: each error event matched to
+    click events by the same user in the preceding 30 minutes.  State on
+    both sides is watermark-bounded; with availableNow the full history
+    is processed, so the result equals the batch interval join."""
+    from .streaming.stream import read_events_stream, run_to_memory
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND e_ts >= c_ts AND e_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = run_to_memory(
+        joined.select("click_id", "error_id"), "stream_stream_join_tbl",
+        output_mode="append",
+    )
+    return out
+
+
+O_STREAM_STREAM = """
+SELECT c.event_id AS click_id, e.event_id AS error_id
+FROM events c JOIN events e
+  ON c.user_id = e.user_id AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_agg_distinct_2phase(spark, sf_dir):
     """Skew-safe exact count-distinct: phase 1 dedupes (key, value) pairs
     (the shuffle spreads a hot key's values across partitions), phase 2
@@ -1034,6 +1111,8 @@ O_GRAPH_PAGERANK = _pagerank_oracle()
 EXT_REGISTRY: dict[str, tuple] = {
     "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
+    "stream_static_join": (q_stream_static_join, O_STREAM_STATIC),
+    "stream_stream_join": (q_stream_stream_join, O_STREAM_STREAM),
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),
     "agg_distinct_2phase": (q_agg_distinct_2phase, O_DISTINCT_2PHASE),
     "s15_latest_versions": (q_s15_latest_versions, O_LATEST_VERSIONS),
