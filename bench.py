@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "g1_khop",
     "g2_dfs_path",
     "graph_bfs_levels",
+    "graph_sssp_weighted",
+    "graph_pagerank",
     "w4_topk",
     # training-data pipeline operators
     "txt_stats",
@@ -48,6 +50,7 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "stream_window_counts",
+    "stream_static_join",
 ]
 
 

@@ -281,7 +281,9 @@ def jaccard_pairs(
         .where(F.col("df") <= max_shingle_df)
         .select("shingle")
     )
-    ex = ex.join(rare, "shingle", "left_semi")
+    # the reduced shingle table feeds three consumers (sizes + both join
+    # sides) — materialize once instead of re-exploding the corpus 3×
+    ex = ex.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (

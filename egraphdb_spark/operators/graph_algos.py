@@ -80,7 +80,11 @@ def shortest_paths_weighted(
     under any partitioning — no decimal tricks needed.  ``weight`` is a
     Column over the edge row (so weights can derive from edge details).
     """
-    e = edges.withColumn("w", weight).select("src_key", "dst_key", "w")
+    e = (
+        edges.withColumn("w", weight)
+        .select("src_key", "dst_key", "w")
+        .localCheckpoint(eager=True)  # relaxed every round — materialize once
+    )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(src_key, 0.0)], "key string, dist double")
     for _ in range(max_iter):
@@ -126,7 +130,9 @@ def pagerank_scaled(
     the renormalizing formulation).  Each iteration: one join (scatter
     contributions) + one groupBy-sum (gather) — aggregateMessages again.
     """
-    e = edges.select("src_key", "dst_key")
+    # edges may be an expensive derivation (e.g. a JSON-predicate filter);
+    # it is referenced twice per iteration plus nodes/deg — materialize once
+    e = edges.select("src_key", "dst_key").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src_key").alias("key"))
         .unionByName(e.select(F.col("dst_key").alias("key")))
@@ -134,7 +140,7 @@ def pagerank_scaled(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    deg = e.groupBy("src_key").agg(F.count("*").alias("d"))
+    deg = e.groupBy("src_key").agg(F.count("*").alias("d")).localCheckpoint(eager=True)
     base = (15 * scale) // (100 * n)
     pr = nodes.select("key", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iters):
