@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_kmeans_topk",
+    "sketch_hll_distinct",
+    "skew_salted_topn",
     "stream_window_counts",
     "stream_static_join",
 ]

@@ -180,3 +180,68 @@ def prefix_anchors(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFra
         .limit(n)
         .select(F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("vec"))
     )
+
+
+# Centroid quantization denominator.  Multiplying a float32-sourced double
+# by a power of two is a pure exponent shift (no rounding), so
+# floor(val * 2^20) is EXACT in any engine; integer sums are then
+# order-independent, unlike double sums (partial-agg order varies) or
+# double->decimal casts (Spark rounds ties HALF_UP, DuckDB half-to-even).
+_CENTROID_Q = 1 << 20
+
+
+def kmeans_anchors(
+    emb: DataFrame, id_col: str, vec_col: str, n: int, iters: int = 2
+) -> DataFrame:
+    """Lloyd's k-means refinement of ``prefix_anchors`` — engine-exact.
+
+    Per iteration: assign every vector to its max-cosine anchor (rounded
+    9dp, smallest anchor_id breaks ties — same rule as ``ivf_assign``),
+    then recompute each centroid as the component-wise mean via
+    ``floor(val * 2^20)`` integer sums: mean = round(sum / (cnt * 2^20), 9).
+    Empty clusters keep their previous centroid.  Fixed ``iters`` (no
+    convergence test) so an external SQL oracle can unroll the exact same
+    computation.
+
+    Centroids collect to the driver each iteration — k*dim doubles, the
+    standard distributed k-means shape (the big side never shuffles; each
+    assignment pass is a broadcast join + partial-agg).  At 100 TB swap the
+    long sums for decimal(38,0) to dodge overflow (2^63/2^20 ~ 8.8e12 rows
+    per cluster with |val|<=1).
+    """
+    cur = {
+        r["anchor_id"]: [float(x) for x in r["vec"]]
+        for r in prefix_anchors(emb, id_col, vec_col, n).collect()
+    }
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).localCheckpoint(eager=True)  # scanned once per iteration
+    for _ in range(iters):
+        anchors = spark.createDataFrame(
+            [(k, v) for k, v in sorted(cur.items())],
+            "anchor_id long, vec array<double>",
+        )
+        assigned = ivf_assign(base, "id", "vec", anchors)
+        cent = (
+            assigned.select("anchor_id", F.posexplode("vec").alias("pos", "val"))
+            .withColumn("qv", F.floor(F.col("val") * float(_CENTROID_Q)).cast("long"))
+            .groupBy("anchor_id", "pos")
+            .agg(F.sum("qv").alias("s"), F.count("*").alias("c"))
+            .withColumn(
+                "m", F.round(F.col("s") / (F.col("c") * float(_CENTROID_Q)), 9)
+            )
+        )
+        new = {}
+        for r in cent.select("anchor_id", "pos", "m").collect():
+            new.setdefault(r["anchor_id"], {})[r["pos"]] = r["m"]
+        cur = {
+            aid: (
+                [new[aid][p] for p in range(len(vec))] if aid in new else vec
+            )
+            for aid, vec in cur.items()
+        }
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(cur.items())],
+        "anchor_id long, vec array<double>",
+    )

@@ -1,0 +1,160 @@
+"""Probabilistic sketches, engineered to be *deterministic* and
+engine-portable (the DuckDB oracle reproduces them bit-for-bit).
+
+Why sketches at 100 TB: exact COUNT(DISTINCT) is a full shuffle of every
+distinct key; HLL is a 2^p-counter partial-agg (map-side combinable, a few
+KB per task).  Exact per-key counts for heavy-hitter detection shuffle the
+whole key space; count-min is a fixed (depth x width) integer grid.
+
+Portability recipe (see memory: parity-engineering-recipes):
+  * hash = 60-bit int from md5 hex (identical in every engine; Spark
+    xxhash64 would be faster but has no cross-engine twin — swap it in
+    for production, keep md5 in the gate),
+  * rho (HLL register) = trailing-zero count via length(bin(w & -w)) —
+    pure integer/string ops, no log2 (libm log differs in last ulp),
+  * register sums scaled to BIGINT (2^(K-Mj)) — order-independent,
+    exact; ONE int->double conversion at the end (IEEE, deterministic),
+  * the only float ops are literal*literal*2^K/S and a final round —
+    reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _h60(col) -> "F.Column":
+    """60-bit non-negative hash: first 15 md5 hex digits as an integer."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog distinct-count estimate -> 1 row (estimate, buckets_used).
+
+    m = 2^p registers; bucket = h & (m-1); w = h >> p (60-p bits);
+    rho(w) = trailing zeros + 1 (same geometric law as leading zeros),
+    capped at K = 61-p for w = 0.  Z is accumulated as sum(2^(K - Mj)) in
+    BIGINT — exact and order-free — then the raw estimate
+    alpha_m * m^2 * 2^K / (Z + empty*2^K) is one double expression.
+
+    Standard error ~ 1.04/sqrt(m) (~6.5% at p=8).  The small-range linear
+    counting correction is deliberately omitted: it needs ln(), whose last
+    ulp differs across libm builds — apply it downstream if needed.
+    At scale: partial-agg (max per bucket) combines map-side; the shuffle
+    is at most m rows per partition regardless of input size.
+    """
+    m = 1 << p
+    cap = 61 - p  # rho of w=0; max real rho is (60-p-1) trailing zeros + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _h60(F.col(col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(cap)).otherwise(
+        F.length(F.bin(w.bitwiseAND(-w)))
+    )
+    regs = (
+        df.select(
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    scaled = F.expr(f"shiftleft(1L, {cap} - mj)")  # F.shiftleft wants a literal
+    agg = regs.agg(
+        F.count("*").alias("present"), F.sum(scaled).alias("z")
+    )
+    s = F.col("z") + (F.lit(m) - F.col("present")) * F.lit(1 << cap).cast("long")
+    est = F.lit(alpha * m * m * float(1 << cap)) / s.cast("double")
+    return agg.select(
+        F.round(est, 4).alias("estimate"),
+        F.col("present").cast("long").alias("buckets_used"),
+    )
+
+
+def hll_oracle_sql(table: str, col: str, p: int = 8) -> str:
+    """DuckDB SQL computing the identical HLL estimate."""
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << cap))
+    return f"""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM {table}
+), r AS (
+  SELECT h & {m - 1} AS bucket,
+         max(CASE WHEN h >> {p} = 0 THEN {cap}
+                  ELSE length(bin((h >> {p}) & -(h >> {p}))) END) AS mj
+  FROM h GROUP BY bucket
+), s AS (
+  SELECT count(*) AS present,
+         CAST(sum(1::BIGINT << ({cap} - mj)) AS BIGINT) AS z
+  FROM r
+)
+SELECT round({num} / CAST(z + ({m} - present) * (1::BIGINT << {cap}) AS DOUBLE), 4)
+         AS estimate,
+       CAST(present AS BIGINT) AS buckets_used
+FROM s
+"""
+
+
+# Count-min sketch: depth rows of width counters; per-row hash = a slice
+# of the md5 digest, so rows are independent and engine-portable.
+CM_DEPTH = 3
+CM_WIDTH = 64
+
+
+def cm_counters(df: DataFrame, col: str) -> DataFrame:
+    """The count-min grid: (row, bucket, cnt) — depth*width cells max.
+
+    Each input row increments one cell per sketch row; cell counts are a
+    single groupBy (map-side combinable).  At 100 TB the grid is still
+    CM_DEPTH*CM_WIDTH cells — a broadcastable summary of any key column.
+    """
+    key = F.col(col).cast("string")
+    rows = []
+    for d in range(CM_DEPTH):
+        # independent 24-bit hash per sketch row: md5 hex digits [1+6d, 6+6d]
+        hd = F.conv(F.substring(F.md5(key), 1 + 6 * d, 6), 16, 10).cast("long")
+        rows.append(
+            df.select(
+                F.lit(d).alias("row"),
+                (hd % CM_WIDTH).cast("int").alias("bucket"),
+            )
+        )
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cm_estimate(df: DataFrame, col: str, candidates: DataFrame) -> DataFrame:
+    """Point-estimate counts for ``candidates`` (a small 1-column DF of
+    keys): est = min over sketch rows of the key's cell.  Overestimates
+    only (collisions add).  The grid and the candidate probe are both
+    broadcast-size; nothing large shuffles.
+    """
+    grid = cm_counters(df, col)
+    key = F.col(col).cast("string")
+    probes = []
+    cname = candidates.columns[0]
+    for d in range(CM_DEPTH):
+        hd = F.conv(
+            F.substring(F.md5(F.col(cname).cast("string")), 1 + 6 * d, 6), 16, 10
+        ).cast("long")
+        probes.append(
+            candidates.select(
+                F.col(cname).alias("key"),
+                F.lit(d).alias("row"),
+                (hd % CM_WIDTH).cast("int").alias("bucket"),
+            )
+        )
+    p = probes[0]
+    for r in probes[1:]:
+        p = p.unionByName(r)
+    return (
+        p.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )

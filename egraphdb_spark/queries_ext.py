@@ -1108,7 +1108,76 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
 O_GRAPH_PAGERANK = _pagerank_oracle()
 
 
+# --------------------------------------------------------------------------
+# Skew utilities — salted results must equal the plain-operator oracle
+# --------------------------------------------------------------------------
+
+
+def q_skew_salted_topn(spark, sf_dir):
+    """Top-5 events per event_type (hot keys: ~20% of the table each) via
+    two-phase salted ranking — the window never sees a whole hot key."""
+    from .operators.skew import salted_topn
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_topn(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id")],
+        n=5,
+        n_salt=8,
+    )
+
+
+O_SKEW_TOPN = """
+SELECT event_id, event_type, value, rn FROM (
+  SELECT event_id, event_type, value,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id
+         ) AS INT) AS rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Events (hot event_type keys) joined to a per-type dim with the
+    small side replicated 8x and the fact side salted; aggregate in
+    floor-cents so the sum is order-independent and engine-exact."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_class", F.substring("event_type", 1, 1))
+    )
+    joined = salted_join(
+        ev.select("event_type", "value"), dim, ["event_type"], n_salt=8
+    )
+    return (
+        joined.groupBy("type_class")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("type_class")
+    )
+
+
+O_SKEW_JOIN = """
+WITH dim AS (
+  SELECT DISTINCT event_type, substr(event_type, 1, 1) AS type_class FROM events
+)
+SELECT d.type_class, count(*) AS n,
+       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN dim d USING (event_type)
+GROUP BY d.type_class ORDER BY d.type_class
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
+    "skew_salted_topn": (q_skew_salted_topn, O_SKEW_TOPN),
+    "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
     "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC),

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, similarity, sketches, text
 from .operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -391,6 +391,158 @@ ORDER BY cosine DESC, id LIMIT 5
 """
 
 
+_KM_ANCHORS = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def q_sim_kmeans_topk(spark, sf_dir):
+    """IVF probe over Lloyd-refined anchors (deferred item: real k-means
+    centroids instead of the prefix stand-in; engine-exact arithmetic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = similarity.kmeans_anchors(
+        emb, "vec_id", "embedding", _KM_ANCHORS, iters=_KM_ITERS
+    )
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", anchors, QUERY_VEC, k=5, n_probe=1
+    )
+
+
+def _sql_cos(a: str, b: str, dp: int) -> str:
+    """Rounded cosine between two list<double> expressions (sequential fold,
+    mirrors similarity.cosine)."""
+    return f"""round(
+      list_sum(list_transform(range(1, len({a}) + 1),
+               i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))
+      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+         * sqrt(list_sum(list_transform({b}, x -> x * x)))), {dp})"""
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-iteration k-means oracle (same trick as the PageRank gate):
+    one assign/sums/cent/anchors CTE block per Lloyd iteration, then the
+    standard IVF probe tail against the final anchor set."""
+    q = float(1 << 20)  # similarity._CENTROID_Q
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), q AS (SELECT {_QV_SQL} AS qv),
+anchors0 AS (
+  SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id LIMIT {_KM_ANCHORS}
+)"""
+    ]
+    for it in range(_KM_ITERS):
+        parts.append(f""",
+assign{it} AS (
+  SELECT id, vec, anchor_id FROM (
+    SELECT v.vec_id AS id, v.vec, a.anchor_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cos("v.vec", "a.avec", 9)} DESC, a.anchor_id
+           ) AS rn
+    FROM v CROSS JOIN anchors{it} a
+  ) WHERE rn = 1
+),
+sums{it} AS (
+  SELECT anchor_id, i AS pos,
+         SUM(CAST(floor(vec[CAST(i AS INT)] * {q}) AS BIGINT)) AS s,
+         COUNT(*) AS c
+  FROM assign{it}, generate_series(1, {_KM_DIM}) AS t(i)
+  GROUP BY anchor_id, i
+),
+cent{it} AS (
+  SELECT anchor_id, list(round(s / (c * {q}), 9) ORDER BY pos) AS cvec
+  FROM sums{it} GROUP BY anchor_id
+),
+anchors{it + 1} AS (
+  SELECT a.anchor_id, coalesce(c.cvec, a.avec) AS avec
+  FROM anchors{it} a LEFT JOIN cent{it} c USING (anchor_id)
+)""")
+    fin = f"anchors{_KM_ITERS}"
+    parts.append(f""",
+probe AS (
+  SELECT anchor_id FROM {fin}, q
+  ORDER BY {_sql_cos("avec", "qv", 9)} DESC, anchor_id LIMIT 1
+),
+final_assign AS (
+  SELECT id, vec, anchor_id FROM (
+    SELECT v.vec_id AS id, v.vec, a.anchor_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_sql_cos("v.vec", "a.avec", 9)} DESC, a.anchor_id
+           ) AS rn
+    FROM v CROSS JOIN {fin} a
+  ) WHERE rn = 1
+)
+SELECT id, {_sql_cos("vec", "qv", 6)} AS cosine
+FROM final_assign SEMI JOIN probe USING (anchor_id), q
+ORDER BY cosine DESC, id LIMIT 5""")
+    return "".join(parts)
+
+
+O_KMEANS_TOPK = _kmeans_oracle()
+
+
+# --------------------------------------------------------------------------
+# Sketches (HLL distinct count, count-min heavy hitters)
+# --------------------------------------------------------------------------
+
+
+def q_sketch_hll_distinct(spark, sf_dir):
+    """HLL estimate of distinct customers in orders — 2^8 registers,
+    engine-exact integer register math (no ln/log2)."""
+    from .operators import sketches
+
+    return sketches.hll_distinct(_t(spark, sf_dir, "orders"), "o_custkey", p=8)
+
+
+def _cm_hash_sql(expr: str, d: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5({expr}), {1 + 6 * d}, 6) AS BIGINT)"
+        f" % {64} AS INT)"
+    )
+
+
+def q_sketch_cm_heavy(spark, sf_dir):
+    """Count-min point estimates for every event_type (the hot keys)."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select("event_type").distinct()
+    return sketches.cm_estimate(ev, "event_type", cand).orderBy("key")
+
+
+def _cm_oracle() -> str:
+    from .operators.sketches import CM_DEPTH
+
+    g = "\n  UNION ALL ".join(
+        f"SELECT {d} AS row, {_cm_hash_sql('k', d)} AS bucket FROM src"
+        for d in range(CM_DEPTH)
+    )
+    pr = "\n  UNION ALL ".join(
+        f"SELECT key, {d} AS row, {_cm_hash_sql('CAST(key AS VARCHAR)', d)} AS bucket FROM cand"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+WITH src AS (SELECT CAST(event_type AS VARCHAR) AS k FROM events),
+g AS (
+  {g}
+),
+grid AS (SELECT row, bucket, count(*) AS cnt FROM g GROUP BY row, bucket),
+cand AS (SELECT DISTINCT event_type AS key FROM events),
+probe AS (
+  {pr}
+)
+SELECT key, CAST(min(cnt) AS BIGINT) AS est
+FROM probe JOIN grid USING (row, bucket)
+GROUP BY key ORDER BY key
+"""
+
+
+O_CM_HEAVY = _cm_oracle()
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
@@ -565,6 +717,12 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, O_EMB_PAIRS),
     "sim_cosine_topk": (q_sim_cosine_topk, O_COSINE_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, O_IVF_TOPK),
+    "sim_kmeans_topk": (q_sim_kmeans_topk, O_KMEANS_TOPK),
+    "sketch_hll_distinct": (
+        q_sketch_hll_distinct,
+        sketches.hll_oracle_sql("orders", "o_custkey", p=8),
+    ),
+    "sketch_cm_heavy": (q_sketch_cm_heavy, O_CM_HEAVY),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
 }

@@ -1,0 +1,104 @@
+"""Sketches (HLL, count-min), skew utilities, and k-means anchors.
+
+Parity with the DuckDB oracles is the gate's job; these tests check the
+properties parity can't: estimator accuracy, salting invisibility under
+adversarial partitioning, overestimate-only guarantees, and Lloyd-update
+behavior (movement + empty-cluster handling).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from egraphdb_spark.operators import sketches, similarity
+from egraphdb_spark.operators.skew import salted_join, salted_topn
+
+from conftest import SF_SMOKE
+
+
+def test_hll_accuracy_various_cardinalities(spark):
+    # n=5000 distinct keys, p=8 -> sigma ~6.5%; 4 sigma is a safe bound
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    est = sketches.hll_distinct(df, "k", p=8).collect()[0]
+    assert abs(est["estimate"] / 5000.0 - 1) < 0.26
+    assert 0 < est["buckets_used"] <= 256
+    # duplicates must not move the estimate (it's a distinct-counter)
+    dup = df.unionByName(df).unionByName(df)
+    est2 = sketches.hll_distinct(dup, "k", p=8).collect()[0]
+    assert est2["estimate"] == est["estimate"]
+
+
+def test_hll_register_math_is_integer_exact(spark):
+    # a single key: exactly one register set, estimate far below m
+    one = spark.range(1).select(F.lit("x").alias("k"))
+    r = sketches.hll_distinct(one, "k", p=8).collect()[0]
+    assert r["buckets_used"] == 1
+
+
+def test_cm_overestimates_only(spark):
+    df = spark.range(2000).select((F.col("id") % 7).cast("string").alias("k"))
+    cand = df.select("k").distinct()
+    got = {r["key"]: r["est"] for r in sketches.cm_estimate(df, "k", cand).collect()}
+    true = {
+        r["k"]: r["c"]
+        for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()
+    }
+    for k, t in true.items():
+        assert got[k] >= t  # count-min never undercounts
+        assert got[k] <= t + 2000  # and is bounded by total mass
+
+
+def test_salted_topn_matches_plain_window(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    base = ev.select("event_id", "event_type", "value")
+    # adversarial partitioning: everything in ONE input partition means
+    # every row gets the same salt — must still be correct
+    for df in (base, base.coalesce(1), base.repartition(64)):
+        got = salted_topn(
+            df, ["event_type"], [F.col("value").desc(), F.col("event_id")], 3, 4
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        want = (
+            base.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_matches_plain_join(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    dim = ev.select("event_type").distinct().withColumn(
+        "cls", F.substring("event_type", 1, 2)
+    )
+    for how in ("inner", "left", "left_semi"):
+        got = salted_join(ev, dim, ["event_type"], n_salt=4, how=how)
+        want = ev.join(dim, ["event_type"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, ["event_type"], how="right")
+
+
+def test_kmeans_anchors_move_and_keep_count(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    init = similarity.prefix_anchors(emb, "vec_id", "embedding", 4)
+    fitted = similarity.kmeans_anchors(emb, "vec_id", "embedding", 4, iters=2)
+    assert fitted.count() == 4
+    i0 = {r["anchor_id"]: [float(x) for x in r["vec"]] for r in init.collect()}
+    f0 = {r["anchor_id"]: list(r["vec"]) for r in fitted.collect()}
+    assert set(f0) == set(i0)
+    # Lloyd updates must move at least one centroid off its seed vector
+    assert any(i0[a] != f0[a] for a in i0)
+
+
+def test_kmeans_iter_zero_is_prefix_anchors(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = similarity.kmeans_anchors(emb, "vec_id", "embedding", 3, iters=0).collect()
+    b = similarity.prefix_anchors(emb, "vec_id", "embedding", 3).collect()
+    assert {r["anchor_id"]: [round(float(x), 6) for x in r["vec"]] for r in a} == {
+        r["anchor_id"]: [round(float(x), 6) for x in r["vec"]] for r in b
+    }
