@@ -84,11 +84,18 @@ def range_join(
     lo: str,
     hi: str,
     bucket_width: float,
+    small_side: str | None = "right",
 ) -> DataFrame:
     """left ⋈ right ON left[left_val] ∈ [right[lo], right[hi]) via bucketed
     equi-join + residual filter.  Intervals explode to one row per covered
     bucket; points map to exactly one bucket — the join is then
     hash-partitioned on the bucket instead of a nested-loop theta join.
+
+    ``small_side`` ('right' | 'left' | None) marks the broadcastable side.
+    This matters: an interval dim built via createDataFrame has UNKNOWN
+    stats, so without the hint Spark may broadcast the big fact side
+    (observed: BuildLeft on the parquet side because it alone had a size
+    estimate).  None = let AQE decide (both sides have real stats).
     """
     lb = left.withColumn(
         "__bucket", F.floor(F.col(left_val) / F.lit(bucket_width)).cast("long")
@@ -105,6 +112,10 @@ def range_join(
             )
         ),
     )
+    if small_side == "right":
+        rb = F.broadcast(rb)
+    elif small_side == "left":
+        lb = F.broadcast(lb)
     return (
         lb.join(rb, "__bucket")
         .where((F.col(left_val) >= F.col(lo)) & (F.col(left_val) < F.col(hi)))
