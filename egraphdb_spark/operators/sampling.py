@@ -1,0 +1,83 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data pipelines need samples and train/eval splits that are
+*stable*: the same document must land in the same split on every run, on
+every engine, and after the corpus grows (else eval contaminates train).
+``rand()``-based sampling has none of these properties.
+
+Recipe: u = first 15 md5 hex digits of the key as a 60-bit integer;
+``u < floor(fraction * 2^60)`` is an exact integer comparison — no float
+threshold ambiguity, reproducible in any engine with md5 (the DuckDB
+oracle runs the same predicate).  It's a pure narrow filter: no shuffle,
+pushes below wide operators, scales to any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCALE = 1 << 60
+
+
+def _u60(key: Column) -> Column:
+    """60-bit uniform hash of a key column (salt via concat upstream)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * _SCALE)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample keyed on ``key_col``.
+
+    Membership depends only on the key — rows sharing a key are kept or
+    dropped together, and the sample is a superset of any smaller-fraction
+    sample of the same key (nested samples for free).
+    """
+    return df.where(_u60(F.col(key_col)) < F.lit(_threshold(fraction)))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column ('test' | 'train'), stable per key.
+
+    ``salt`` decorrelates the split from any ``hash_sample`` taken on the
+    same key (different hash input → independent uniforms).
+    """
+    u = _u60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(_threshold(test_fraction)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions`` maps a stratum
+    value to its keep-rate; unlisted strata are dropped.  The predicate is
+    a single CASE — still a narrow, pushdown-friendly filter (Catalyst
+    evaluates it inside the scan stage; no shuffle, no sort)."""
+    u = _u60(F.col(key_col))
+    thr = F.lit(None).cast("long")
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(_threshold(frac))).otherwise(
+            thr
+        )
+    return df.where(u < thr)
+
+
+def sample_oracle_pred(key_expr: str, fraction: float) -> str:
+    """DuckDB predicate matching :func:`hash_sample`'s membership test."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+        f" < {_threshold(fraction)}"
+    )

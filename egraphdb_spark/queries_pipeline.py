@@ -544,6 +544,81 @@ O_CM_HEAVY = _cm_oracle()
 
 
 # --------------------------------------------------------------------------
+# Deterministic sampling / splits
+# --------------------------------------------------------------------------
+
+
+def q_sample_hash_docs(spark, sf_dir):
+    """10% keyed Bernoulli sample of documents — membership is a pure
+    function of doc_id (stable across runs/engines/corpus growth)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_sample_train_test(spark, sf_dir):
+    """Stable 20% test split + per-(split, lang) counts; the salt
+    decorrelates split membership from hash_sample membership."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.train_test_split(docs, "doc_id", 0.20)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language keep-rates (downsample the dominant stratum) — the
+    balanced-corpus construction every pretraining pipeline runs."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    frac = {"en": 0.25, "de": 0.75, "fr": 0.75, "es": 1.0}
+    return (
+        sampling.stratified_hash_sample(docs, "doc_id", "lang", frac)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def _sample_oracles():
+    from .operators.sampling import _threshold, sample_oracle_pred
+
+    o_hash = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {sample_oracle_pred("doc_id", 0.10)}
+"""
+    o_tt = f"""
+SELECT CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) < {_threshold(0.20)}
+            THEN 'test' ELSE 'train' END AS split,
+       lang, count(*) AS n
+FROM documents GROUP BY split, lang ORDER BY split, lang
+"""
+    cases = " ".join(
+        f"WHEN lang = '{v}' THEN {_threshold(f)}"
+        for v, f in sorted({"en": 0.25, "de": 0.75, "fr": 0.75, "es": 1.0}.items())
+    )
+    o_strat = f"""
+SELECT lang, count(*) AS n FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      < CASE {cases} ELSE NULL END
+GROUP BY lang ORDER BY lang
+"""
+    return o_hash, o_tt, o_strat
+
+
+O_SAMPLE_HASH, O_SAMPLE_TT, O_SAMPLE_STRAT = _sample_oracles()
+
+
+# --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
 
@@ -723,6 +798,9 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
         sketches.hll_oracle_sql("orders", "o_custkey", p=8),
     ),
     "sketch_cm_heavy": (q_sketch_cm_heavy, O_CM_HEAVY),
+    "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),
+    "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
 }

@@ -102,3 +102,44 @@ def test_kmeans_iter_zero_is_prefix_anchors(spark):
     assert {r["anchor_id"]: [round(float(x), 6) for x in r["vec"]] for r in a} == {
         r["anchor_id"]: [round(float(x), 6) for x in r["vec"]] for r in b
     }
+
+
+def test_hash_sample_nested_and_stable(spark):
+    from egraphdb_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    s10 = set(r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.10).collect())
+    s30 = set(r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.30).collect())
+    assert s10 <= s30  # nested: smaller fraction is a subset
+    again = set(r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.10).collect())
+    assert s10 == again  # stable across runs
+    # growth-stability: membership decided per key, so a corpus subset
+    # yields exactly the intersection
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    sh = set(r["doc_id"] for r in sampling.hash_sample(half, "doc_id", 0.30).collect())
+    assert sh == {d for d in s30 if d % 2 == 0}
+
+
+def test_train_test_split_partitions_and_decorrelates(spark):
+    from egraphdb_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sp = sampling.train_test_split(docs, "doc_id", 0.2)
+    counts = dict(
+        (r["split"], r["n"])
+        for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert counts["test"] + counts["train"] == docs.count()
+    assert 0 < counts["test"] < counts["train"]
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_rates(spark):
+    from egraphdb_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = sampling.stratified_hash_sample(docs, "doc_id", "lang", {"en": 1.0})
+    # keep-all stratum intact, unlisted strata dropped entirely
+    assert out.where(F.col("lang") != "en").count() == 0
+    assert out.count() == docs.where(F.col("lang") == "en").count()
