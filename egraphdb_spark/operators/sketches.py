@@ -99,6 +99,69 @@ FROM s
 """
 
 
+def histogram_quantiles(
+    df: DataFrame, col: str, width: float, qs: list[float]
+) -> DataFrame:
+    """Approximate quantiles from an equi-width histogram -> (q, est).
+
+    est(q) = lower bound of the bucket holding the ceil(q*n)-th value —
+    error bounded by ``width``, and deterministic: bucketing is
+    floor(val/width), ranks are integer cumulative counts, and the only
+    float ops (q*n, bucket*width) are single IEEE multiplies identical in
+    any engine.  The histogram is mergeable (bucket counts add), so at
+    100 TB this is one map-side-combined groupBy producing a tiny state —
+    unlike exact percentile_disc, which needs a full sort.  The cumulative
+    window runs over the *histogram* (≤ range/width rows), not the data,
+    so its single-partition window is fine at any input scale.
+    """
+    from pyspark.sql import Window as W
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    hist = (
+        df.select(F.floor(F.col(col) / F.lit(width)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg((F.min("bucket") * F.lit(width)).alias("est"))
+        .orderBy("q")
+    )
+
+
+def histogram_quantiles_oracle_sql(
+    table: str, col: str, width: float, qs: list[float]
+) -> str:
+    """DuckDB SQL computing the identical histogram-quantile estimates."""
+    qvals = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+WITH hist AS (
+  SELECT floor({col} / {width}) AS bucket, count(*) AS cnt
+  FROM {table} GROUP BY bucket
+), cum AS (
+  SELECT bucket,
+         sum(cnt) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+), qs(q) AS (VALUES {qvals})
+SELECT q, min(bucket) * {width} AS est
+FROM cum CROSS JOIN qs
+WHERE cum >= ceil(q * n)
+GROUP BY q ORDER BY q
+"""
+
+
 # Count-min sketch: depth rows of width counters; per-row hash = a slice
 # of the md5 digest, so rows are independent and engine-portable.
 CM_DEPTH = 3

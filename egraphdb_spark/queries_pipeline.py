@@ -798,6 +798,14 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
         sketches.hll_oracle_sql("orders", "o_custkey", p=8),
     ),
     "sketch_cm_heavy": (q_sketch_cm_heavy, O_CM_HEAVY),
+    "sketch_hist_quantiles": (
+        lambda spark, sf_dir: sketches.histogram_quantiles(
+            _t(spark, sf_dir, "lineitem"), "l_extendedprice", 100.0, [0.5, 0.9, 0.99]
+        ),
+        sketches.histogram_quantiles_oracle_sql(
+            "lineitem", "l_extendedprice", 100.0, [0.5, 0.9, 0.99]
+        ),
+    ),
     "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),
     "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),

@@ -143,3 +143,21 @@ def test_stratified_sample_rates(spark):
     # keep-all stratum intact, unlisted strata dropped entirely
     assert out.where(F.col("lang") != "en").count() == 0
     assert out.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_histogram_quantiles_error_bound(spark):
+    from egraphdb_spark.operators import sketches
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    got = {r["q"]: r["est"] for r in
+           sketches.histogram_quantiles(li, "l_extendedprice", 50.0, qs).collect()}
+    exact = li.selectExpr(
+        *[f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice) AS p{i}"
+          for i, q in enumerate(qs)]
+    ).collect()[0]
+    for i, q in enumerate(qs):
+        assert abs(got[q] - exact[f"p{i}"]) <= 50.0  # error bounded by width
+    assert sorted(got) == qs
+    with pytest.raises(ValueError):
+        sketches.histogram_quantiles(li, "l_extendedprice", 50.0, [])
