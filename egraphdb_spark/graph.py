@@ -45,6 +45,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cache_key = (id(spark), sf_dir.rstrip("/"))
     if cache_key in _TABLE_CACHE:
         return _TABLE_CACHE[cache_key]
+    # The driver (or any embedding application) supplies its own
+    # SparkSession; events.parquet carries TIMESTAMP(NANOS) which vanilla
+    # Spark rejects with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable,
+    # so set it here — on the passed-in session — rather than relying on the
+    # builder in session.py having configured it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")

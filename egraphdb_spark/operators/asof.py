@@ -45,6 +45,12 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    clash = sorted(set(right_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: right columns {clash} collide with left columns; "
+            "rename or pass right_cols explicitly"
+        )
     lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.select(
         F.col(on),

@@ -66,17 +66,6 @@ def normalize(text: str | Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(_text_col(text))), r"\s+", " ")
 
 
-def shingles(text: str | Column, n: int = SHINGLE_LEN) -> Column:
-    """Distinct character n-grams of the normalized text (array<string>)."""
-    norm = normalize(text)
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({'__norm__'})-{n - 1}, 0)),"
-            f" i -> substring({'__norm__'}, i, {n}))".replace("__norm__", "norm_t")
-        )
-    )
-
-
 def with_shingles(df: DataFrame, text_col: str, out: str = "shingle") -> DataFrame:
     """Explode distinct shingles: one row per (doc, shingle).
 
@@ -303,19 +292,37 @@ def jaccard_pairs(
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    *,
+    mode: str = "grid",
+    num_blocks: int = 16,
+    broadcast_limit_rows: int = 65536,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) pairs with cosine similarity ≥ threshold.
+    """(id_a, id_b, cosine) pairs with cosine similarity ≥ threshold.  Exact.
 
-    Physical plan: block-wise matrix multiply.  The (id, unit-vector)
-    matrix is broadcast once (float64; 1 M × 64-dim ≈ 512 MB is the
-    practical ceiling); each partition multiplies its block against it
-    with one BLAS matmul inside `mapInPandas` and emits only the pairs
-    above threshold.  ~100× faster than a per-pair SQL expression join —
-    no quadratic row materialization, no per-pair array allocation.
+    Default physical plan (``mode="grid"``) is fully distributed — NO driver
+    collect of the corpus: vectors are hash-assigned to ``num_blocks``
+    blocks, every unordered block pair (i ≤ j) becomes one task, and each
+    row is shuffled to the B tasks its block participates in.  A task holds
+    two blocks, unit-normalizes them, and runs ONE float64 BLAS matmul,
+    emitting only pairs above threshold.  Every vector pair lands in exactly
+    one task, so the result is exact (identical to the all-pairs SQL oracle)
+    with no dedup pass.  Cost model at scale: shuffle volume = n·B rows;
+    per-task memory = 2·(n/B)·d doubles; total flops = n²·d/2 spread over
+    B(B+1)/2 independent tasks — pick B ≈ √(n·d·8 / task_mem_budget) so a
+    task fits in executor memory.  Exact all-pairs is inherently O(n²·d);
+    for sub-quadratic near-dup use the LSH/IVF blockers (similarity.py) as
+    candidate generators at lower recall.
 
-    Beyond broadcastable corpus sizes the scale path is LSH/IVF blocking
-    (similarity.py) feeding this same verifier per bucket.
+    ``mode="broadcast"`` is the small-corpus fast path: collect + broadcast
+    the (id, unit-vector) matrix (float64; ~512 MB practical ceiling) and
+    matmul each partition against it via ``mapInPandas`` — fewer tasks, no
+    n·B replication, but driver-bound, so it is never chosen implicitly for
+    large inputs.  ``mode="auto"`` counts the corpus and picks broadcast only
+    when rows ≤ ``broadcast_limit_rows``.
     """
     import numpy as np
     import pandas as pd
@@ -323,29 +330,95 @@ def embedding_neardup_pairs(
     v = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    rows = v.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0.0] = 1.0
-    unit = mat / norms[:, None]
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_unit = spark.sparkContext.broadcast(unit)
 
-    def block(it):
-        all_ids, all_unit = b_ids.value, b_unit.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            bm = np.array(pdf["vec"].tolist(), dtype=np.float64)
-            bn = np.sqrt((bm * bm).sum(axis=1))
-            bn[bn == 0.0] = 1.0
-            sims = np.round((bm / bn[:, None]) @ all_unit.T, 6)
-            bids = pdf["id"].to_numpy()
-            ri, ci = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": bids[ri], "id_b": all_ids[ci], "cosine": sims[ri, ci]}
+    if mode == "auto":
+        n = v.count()
+        mode = "broadcast" if n <= broadcast_limit_rows else "grid"
+
+    def _unit(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        return mat / norms[:, None]
+
+    if mode == "broadcast":
+        rows = v.collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        unit = _unit(np.array([r["vec"] for r in rows], dtype=np.float64))
+        spark = emb.sparkSession
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_unit = spark.sparkContext.broadcast(unit)
+
+        def block(it):
+            all_ids, all_unit = b_ids.value, b_unit.value
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                bm = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                sims = np.round(_unit(bm) @ all_unit.T, 6)
+                bids = pdf["id"].to_numpy()
+                ri, ci = np.nonzero(
+                    (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {"id_a": bids[ri], "id_b": all_ids[ci], "cosine": sims[ri, ci]}
+                )
+
+        return v.mapInPandas(block, "id_a long, id_b long, cosine double")
+
+    if mode != "grid":
+        raise ValueError(f"unknown mode {mode!r} (grid | broadcast | auto)")
+
+    B = max(2, int(num_blocks))
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    # Each row fans out to the B tasks pairing its block with every block.
+    tasks = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("ta"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("tb"),
             )
+            for j in range(B)
+        ]
+    )
+    fanned = (
+        v.withColumn("blk", blk)
+        .select("id", "vec", "blk", F.explode(tasks).alias("t"))
+        .select("id", "vec", "blk", F.col("t.ta").alias("ta"), F.col("t.tb").alias("tb"))
+    )
 
-    return v.mapInPandas(block, "id_a long, id_b long, cosine double")
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def pair_block(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        i, j = key
+        ma = pdf[pdf["blk"] == i]
+        if not len(ma):
+            return empty
+        A = _unit(np.array(ma["vec"].tolist(), dtype=np.float64))
+        ids_a = ma["id"].to_numpy()
+        if i == j:
+            sims = np.round(A @ A.T, 6)
+            ri, ci = np.nonzero(
+                (sims >= threshold) & (ids_a[:, None] < ids_a[None, :])
+            )
+            return pd.DataFrame(
+                {"id_a": ids_a[ri], "id_b": ids_a[ci], "cosine": sims[ri, ci]}
+            )
+        mb = pdf[pdf["blk"] == j]
+        if not len(mb):
+            return empty
+        Bm = _unit(np.array(mb["vec"].tolist(), dtype=np.float64))
+        ids_b = mb["id"].to_numpy()
+        sims = np.round(A @ Bm.T, 6)
+        ri, ci = np.nonzero(sims >= threshold)
+        ia, ib = ids_a[ri], ids_b[ci]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": sims[ri, ci],
+            }
+        )
+
+    return fanned.groupBy("ta", "tb").applyInPandas(
+        pair_block, "id_a long, id_b long, cosine double"
+    )

@@ -74,31 +74,47 @@ def shortest_paths_weighted(
 ) -> DataFrame:
     """(key, dist) — minimum path weight from src within max_iter hops.
 
-    Bellman-Ford as aggregateMessages: relax every edge each round
-    (dist ⋈ edges on src_key → candidate dist+w per dst), merge with
-    groupBy-min.  min is order-independent, so results are deterministic
-    under any partitioning — no decimal tricks needed.  ``weight`` is a
-    Column over the edge row (so weights can derive from edge details).
+    Frontier Bellman-Ford (delta-less SSSP): only vertices whose distance
+    IMPROVED last round emit messages this round — a vertex with an
+    unchanged dist cannot produce a new relaxation, so relaxing its edges
+    again is pure waste.  At 100× scale this is the difference between
+    O(frontier-adjacent edges) and O(|E|) work per round.  Each round:
+
+      messages = edges ⋈ broadcast(frontier) on src  (map-side, no e shuffle)
+                 → groupBy(dst).min  (map-side combined pre-shuffle)
+      merged   = dist ∪ messages → groupBy(key) min + carried old value
+      frontier = rows where dist strictly improved (or key is new)
+
+    min is order-independent, so results are deterministic under any
+    partitioning — no decimal tricks needed.  ``weight`` is a Column over
+    the edge row (so weights can derive from edge details).  When the
+    frontier outgrows the broadcast ceiling (dense expansion phase), the
+    right cluster-scale layout is edges bucketed by src_key so the join
+    co-partitions; the hint degrades gracefully under AQE either way.
     """
     e = (
         edges.withColumn("w", weight)
         .select("src_key", "dst_key", "w")
-        .localCheckpoint(eager=True)  # relaxed every round — materialize once
+        .localCheckpoint(eager=True)  # scanned every round — materialize once
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(src_key, 0.0)], "key string, dist double")
+    frontier = dist
     for _ in range(max_iter):
-        # the frontier is tiny next to the edge table — broadcast it so the
-        # relax pass is map-side (no shuffle of e per round).  At a scale
-        # where the settled set outgrows the broadcast limit, swap the hint
-        # for co-partitioning e and dist on key (bucketed graph layout).
+        # pre-aggregate candidates per dst BEFORE the merge union: the
+        # shuffle then carries one row per touched dst, not one per edge
         relaxed = (
-            e.join(dist.hint("broadcast"), e.src_key == dist.key)
-            .select(F.col("dst_key").alias("key"), (F.col("dist") + F.col("w")).alias("dist"))
+            e.join(frontier.hint("broadcast"), e.src_key == frontier.key)
+            .select(
+                F.col("dst_key").alias("key"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("key")
+            .agg(F.min("dist").alias("dist"))
         )
         # one groupBy produces BOTH the new minimum and the previous value
-        # (old = min over rows tagged as carried-forward), so the fixpoint
-        # probe below is a count on this materialized frame — no extra join.
+        # (old = min over rows tagged as carried-forward), so the frontier
+        # below falls out of this materialized frame — no extra join.
         merged = (
             dist.withColumn("is_old", F.lit(1))
             .unionByName(relaxed.withColumn("is_old", F.lit(0)))
@@ -109,13 +125,11 @@ def shortest_paths_weighted(
             )
             .localCheckpoint(eager=True)
         )
-        improved = (
-            merged.where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .limit(1)
-            .count()
-        )
+        frontier = merged.where(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("key", "dist")
         dist = merged.select("key", "dist")
-        if improved == 0:
+        if frontier.limit(1).isEmpty():
             break
     return dist
 

@@ -117,21 +117,14 @@ def lang_id(text: str | Column) -> Column:
     'und' (undetermined) when no profile scores > 0.
     """
     scores = lang_scores(text)
+    # Forward walk with strict > : earlier profiles win ties.
     best_lang = F.lit("und")
     best_score = F.lit(0.0)
-    # Walk profiles in reverse so that earlier profiles win ties via strict >.
-    for lang, s in reversed(scores):
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    # Recompute forward for strict-earlier-wins semantics.
-    best_lang2 = F.lit("und")
-    best_score2 = F.lit(0.0)
     for lang, s in scores:
-        take = s > best_score2
-        best_lang2 = F.when(take, F.lit(lang)).otherwise(best_lang2)
-        best_score2 = F.when(take, s).otherwise(best_score2)
-    return best_lang2
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
 
 
 # BPE-ish pre-tokenization pattern (GPT-2 style, ASCII-conservative so any

@@ -439,20 +439,23 @@ def q_p5_keytype_rawhex(spark, sf_dir):
     the engine parses it back to the signed 64-bit id and point-reads
     (models/egraph_detail_model.erl:108-118 rawhex branch)."""
     g = _fixture(spark, sf_dir)
-    from .ingest import node_id
 
-    hex_id = (
+    # The rawhex round-trip stays entirely inside the plan (no driver-side
+    # head() during query construction): format the id to 16-digit hex — the
+    # client's wire form — then parse it back and point-read via a broadcast
+    # semi-join on the recovered id.
+    hexed = (
         g.vertices.where(F.col("key") == "customer:7")
         .select(F.format_string("%016x", "id").alias("h"))
-        .head()["h"]
     )
     # hex → unsigned conv → wrap to signed long (two's complement)
-    parsed = F.conv(F.lit(hex_id), 16, 10).cast("decimal(20,0)")
+    parsed = F.conv(F.col("h"), 16, 10).cast("decimal(20,0)")
     signed = F.when(
         parsed > F.lit(str(2**63 - 1)).cast("decimal(20,0)"),
         (parsed - F.lit(str(2**64)).cast("decimal(21,0)")).cast("long"),
     ).otherwise(parsed.cast("long"))
-    return g.vertices.where(F.col("id") == signed).select("key")
+    wanted = hexed.select(signed.alias("id"))
+    return g.vertices.join(F.broadcast(wanted), "id", "left_semi").select("key")
 
 
 O_P5 = "SELECT 'customer:7' AS key"

@@ -55,6 +55,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    # Foreign sessions (the driver's) don't carry the nanos conf; set it here
+    # so the TIMESTAMP(NANOS) file parses as BIGINT under the explicit schema.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     stage = f"/tmp/egraphdb_stream_src/{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events-000.parquet"

@@ -201,3 +201,48 @@ def test_lsh_bucket_guard_drops_degenerate_buckets(spark):
     sig = dedup.minhash_signature(df, "doc_id", "text")
     assert dedup.lsh_candidate_pairs(sig, max_bucket_size=64).count() == 0
     assert dedup.lsh_candidate_pairs(sig, max_bucket_size=100).count() == 80 * 79 // 2
+
+
+def test_embedding_grid_matches_broadcast_on_fixture(spark):
+    """The distributed block-grid path (default) must emit the exact same
+    pair set as the broadcast matmul path — every vector pair lands in
+    exactly one (block_a, block_b) task, so no pair is lost or doubled."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def pairset(mode):
+        df = dedup.embedding_neardup_pairs(
+            emb, "vec_id", "embedding", 0.40, mode=mode, num_blocks=5
+        )
+        return {(r["id_a"], r["id_b"]): r["cosine"] for r in df.collect()}
+
+    grid, bcast = pairset("grid"), pairset("broadcast")
+    assert grid and grid == bcast
+
+
+def test_embedding_grid_plan_has_no_driver_collect(spark):
+    """Plan-shape check: the default path is groupBy→applyInPandas
+    (FlatMapGroupsInPandas), never the broadcast-side MapInPandas, and
+    building the plan must not launch any job (no corpus collect())."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.40)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" not in plan
+    after = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after)  # construction launched no Spark job
+
+
+def test_embedding_auto_mode_routes_by_size(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # Forced-large: corpus "exceeds" the broadcast ceiling → grid path.
+    big = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", 0.40, mode="auto", broadcast_limit_rows=1
+    )
+    assert "FlatMapGroupsInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    # Small corpus under the ceiling → broadcast fast path.
+    small = dedup.embedding_neardup_pairs(
+        emb, "vec_id", "embedding", 0.40, mode="auto", broadcast_limit_rows=10**9
+    )
+    assert "MapInPandas" in small._jdf.queryExecution().executedPlan().toString()
