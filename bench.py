@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "w4_topk",
     # training-data pipeline operators
+    "pipe_corpus_clean",
     "txt_stats",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",

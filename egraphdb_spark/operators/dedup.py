@@ -184,16 +184,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col)
     h = shingle_hash32("shingle")
     ex = ex.select("id", h.alias("h"))
+    # sum of ±1 per bit  ==  2·(count of set bits) − n : plain bit sums are
+    # branch-free (no conditional per row per bit) and still map-side combined
     sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = ex.groupBy("id").agg(*sums)
+    agg = ex.groupBy("id").agg(*sums, F.count("*").alias("n"))
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        # bit i set  ⟺  (+1 votes) > (−1 votes)  ⟺  2·b_i > n
+        bit = F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return agg.select("id", fp.alias("simhash"))
 

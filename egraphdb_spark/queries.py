@@ -632,7 +632,7 @@ _PRIORITY = [
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs", "dedup_jaccard_pairs", "dedup_embedding_pairs",
     "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk", "sim_kmeans_topk",
-    "txt_stats", "txt_lang_id",
+    "txt_stats", "pipe_corpus_clean",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

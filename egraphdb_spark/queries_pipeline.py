@@ -619,6 +619,94 @@ O_SAMPLE_HASH, O_SAMPLE_TT, O_SAMPLE_STRAT = _sample_oracles()
 
 
 # --------------------------------------------------------------------------
+# End-to-end corpus preparation (composition gate)
+# --------------------------------------------------------------------------
+
+
+def q_pipe_corpus_clean(spark, sf_dir):
+    """The pipeline a pretraining corpus actually runs, as ONE plan:
+    quality gate → exact dedup (min-id canonical per content fingerprint)
+    → deterministic train/test split → per-(split, lang) accounting.
+
+    Composes quality_millionths + fingerprint64 + train_test_split —
+    all integer/hash arithmetic, so the whole four-stage pipeline stays
+    bit-reproducible across engines.  Physical plan: one scan computing
+    score/fingerprint/tokens map-side, one window shuffle on fp for the
+    canonical pick, the split predicate map-side, one final aggregation —
+    two shuffles total regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        text.quality_millionths("text").alias("qm"),
+        text.token_count("text").alias("n_tokens"),
+        text.fingerprint64("text").alias("fp"),
+    )
+    kept = scored.where(F.col("qm") >= 500000)
+    canon = (
+        kept.withColumn("min_id", F.min("doc_id").over(W.partitionBy("fp")))
+        .where(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    split = sampling.train_test_split(canon, "doc_id", 0.20)
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("qm") / F.lit(1000000.0)).cast("double").alias("total_quality"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _pipe_oracle():
+    from .operators.sampling import _threshold
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n_tokens,
+         greatest(len(tk), 1) AS s,
+         list_sum(list_transform(tk, w -> len(w))) AS total,
+         len(list_filter(tk, w -> list_contains({_SW_LIST}, w))) AS hits,
+         CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp
+  FROM toks
+), q AS (
+  SELECT doc_id, lang, n_tokens, fp,
+         CAST(4000 * least(n_tokens, 100)
+              + (300000 * least(total, 8 * s)) // (8 * s)
+              + (300000 * least(5 * hits, 2 * s)) // (2 * s) AS BIGINT) AS qm
+  FROM m
+), kept AS (
+  SELECT * FROM q WHERE qm >= 500000
+), canon AS (
+  SELECT * FROM kept QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+), sp AS (
+  SELECT *,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) < {_threshold(0.20)}
+              THEN 'test' ELSE 'train' END AS split
+  FROM canon
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(qm) AS BIGINT) / 1000000.0 AS total_quality
+FROM sp GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+O_PIPE_CLEAN = _pipe_oracle()
+
+
+# --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
 
@@ -811,4 +899,5 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
+    "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),
 }
