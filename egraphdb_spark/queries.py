@@ -625,11 +625,15 @@ _PRIORITY = [
     "evt_window_hourly",
     # SURVEY §2 reference rows that lived in EXT_REGISTRY (13)
     "s9_geo_exact", "p5_keytype_rawhex", "w5_time_probe", "j2_adjacency_details",
-    "g2_dfs_path", "s15_upsert_version", "s15_latest_versions", "s18_delete_nodes",
+    "g2_dfs_path", "s15_upsert_version", "s15_latest_versions",
+    "s15_logtable_persisted", "s18_delete_nodes",
     "io_json_roundtrip", "io_csv_roundtrip", "io_parquet_roundtrip",
     "fn_scalar_surface", "fn_registry_udf",
-    # First-class LLM-data-pipeline gates (12 → exactly 50 priority entries)
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_lsh_pairs",
+    # First-class LLM-data-pipeline gates (11 → exactly 50 priority entries;
+    # minhash_sig correctness is implied by minhash_lsh_pairs, which derives
+    # the same signatures, so it yields its hard-signal slot to the
+    # persistent-mutation gate)
+    "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs", "dedup_jaccard_pairs", "dedup_embedding_pairs",
     "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk", "sim_kmeans_topk",
     "txt_stats", "pipe_corpus_clean",

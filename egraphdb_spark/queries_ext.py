@@ -352,6 +352,66 @@ UNION ALL SELECT 'part', count(*) FROM part WHERE p_partkey <> 10
 """
 
 
+def q_s15_logtable_persisted(spark, sf_dir):
+    """PERSISTENT mutation (S15 upsert + S18 delete on storage, not just on
+    DataFrames): build a log-structured parquet table from customers, apply
+    an upsert delta and a tombstone delta, then merge-on-read and aggregate.
+
+    base    = customers with c_custkey % 3 != 0
+    upsert  = customers with c_custkey % 5 == 0, acctbal + 100.50
+              (updates rows in base, inserts the %3==0 ones not in base)
+    delete  = customers with c_custkey % 7 == 0
+    output  = per-segment counts/balances + the etag (_seq) evidence
+
+    Exercises sources/logtable.py end-to-end: segment layout, tombstones,
+    window merge, snapshot ``_seq``.  The reference's versioned in-place
+    mutations are egraph_detail_model.erl:574-588 / 260-277.
+    """
+    import shutil
+
+    from .sources import logtable as lt
+
+    path = f"{_IO_ROOT}/logtable-{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    lt.create(cust.where(F.col("c_custkey") % 3 != 0), path, ["c_custkey"])
+    lt.append_upsert(
+        cust.where(F.col("c_custkey") % 5 == 0).withColumn(
+            "bal", F.col("bal") + F.lit("100.50").cast("decimal(18,2)")
+        ),
+        path,
+    )
+    lt.append_delete(
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"), path
+    )
+    latest = lt.read_latest(spark, path)
+    return latest.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("bal").cast("double").alias("sum_bal"),
+        F.max(F.col("_seq").cast("long")).alias("max_seq"),
+    )
+
+
+O_S15_LOGTABLE = """
+SELECT c_mktsegment, count(*) AS n,
+       cast(sum(bal) as double) AS sum_bal,
+       CAST(max(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS max_seq
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0
+              THEN cast(c_acctbal as decimal(18,2)) + 100.50
+              ELSE cast(c_acctbal as decimal(18,2)) END AS bal
+  FROM customer
+  WHERE (c_custkey % 3 <> 0 OR c_custkey % 5 = 0) AND c_custkey % 7 <> 0
+)
+GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # Remaining reference-surface rows: S9, J2, W5, P5
 # --------------------------------------------------------------------------
@@ -1215,5 +1275,6 @@ EXT_REGISTRY: dict[str, tuple] = {
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),
     "s15_upsert_version": (q_s15_upsert_version, O_S15_UPSERT),
+    "s15_logtable_persisted": (q_s15_logtable_persisted, O_S15_LOGTABLE),
     "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
 }
