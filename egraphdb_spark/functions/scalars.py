@@ -140,3 +140,75 @@ def json_encode(*cols):
 def is_blank(c):
     col = _c(c)
     return col.isNull() | (F.length(F.trim(col)) == 0)
+
+
+# ---------------------------------------------------------------------------
+# F14 — custom UUID / custom id mint & parse (egraph_util.erl:470-562)
+#
+# The reference's omega-UUID packs, in order (16 bytes):
+#   T3:32  T2:16          low/mid bits of the 60-bit micro-timestamp
+#   0xF | T1:12           four 1-version bits then the top 12 ts bits
+#   C4 C3 C2 C1           node-name CRC32, byte-reversed
+#   S1                    scheduler id (low 8 bits)
+#   D3 D2 D1              24 bits of user data, byte-reversed
+# get_custom_id packs ((ts & 2^60-1) << 3) | (scheduler & 7) so ids sort by
+# time.  Both are deterministic given their inputs, so they live in the
+# analytic surface as pure column expressions (hex-string UUID form).
+# ---------------------------------------------------------------------------
+
+_TS60 = (1 << 60) - 1
+
+
+def _rev_bytes_hex(c: Column, n_bytes: int) -> Column:
+    """Hex of an unsigned integer's bytes in reversed (little-endian) order."""
+    parts = [
+        F.format_string("%02x", F.shiftright(c, 8 * i).bitwiseAND(F.lit(255)))
+        for i in range(n_bytes)
+    ]
+    return F.concat(*parts)
+
+
+def custom_uuid(ts_micro, node_crc32, scheduler_id, data24) -> Column:
+    """Mint the reference's custom UUID as a 32-char lowercase hex string.
+
+    ``ts_micro``/``node_crc32``/``scheduler_id``/``data24`` are integer
+    columns (data24 = the 24-bit user namespace value D1·65536+D2·256+D3).
+    """
+    t = _c(ts_micro).bitwiseAND(F.lit(_TS60))
+    t3 = t.bitwiseAND(F.lit((1 << 32) - 1))
+    t2 = F.shiftright(t, 32).bitwiseAND(F.lit((1 << 16) - 1))
+    ver_t1 = F.shiftright(t, 48).bitwiseAND(F.lit((1 << 12) - 1)) + F.lit(0xF000)
+    return F.concat(
+        F.format_string("%08x", t3),
+        F.format_string("%04x", t2),
+        F.format_string("%04x", ver_t1),
+        _rev_bytes_hex(_c(node_crc32).bitwiseAND(F.lit((1 << 32) - 1)), 4),
+        F.format_string("%02x", _c(scheduler_id).bitwiseAND(F.lit(255))),
+        _rev_bytes_hex(_c(data24).bitwiseAND(F.lit((1 << 24) - 1)), 3),
+    )
+
+
+def uuid_tsmicro(uuid_hex) -> Column:
+    """extract_tsmicro_from_uuid: recover the 60-bit micro-timestamp."""
+    u = _c(uuid_hex)
+    t3 = F.conv(F.substring(u, 1, 8), 16, 10).cast("long")
+    t2 = F.conv(F.substring(u, 9, 4), 16, 10).cast("long")
+    t1 = F.conv(F.substring(u, 13, 4), 16, 10).cast("long").bitwiseAND(
+        F.lit((1 << 12) - 1)
+    )
+    return (
+        F.shiftleft(t1, 48) + F.shiftleft(t2, 32) + t3
+    ).cast("long")
+
+
+def custom_id(ts_micro, scheduler_id) -> Column:
+    """get_custom_id: time-sortable 63-bit integer id."""
+    return (
+        F.shiftleft(_c(ts_micro).bitwiseAND(F.lit(_TS60)), 3)
+        + _c(scheduler_id).bitwiseAND(F.lit(7))
+    ).cast("long")
+
+
+def id_tsmicro(cid) -> Column:
+    """extract ts from get_custom_id output (drop the 3 scheduler bits)."""
+    return F.shiftright(_c(cid), 3).cast("long")

@@ -194,13 +194,86 @@ def q_fn_scalar_surface(spark, sf_dir):
         scalars.is_blank("c_name").alias("blank"),
         scalars.to_long(F.lit("42")).alias("cast_long"),
         scalars.to_double(F.lit("9.25")).alias("cast_double"),
+        # F14 — custom UUID / id mint + parse round-trip (egraph_util.erl:470-562)
+        scalars.custom_uuid(*_uuid_inputs()).alias("uuid_hex"),
+        scalars.uuid_tsmicro(scalars.custom_uuid(*_uuid_inputs())).alias(
+            "uuid_ts_back"
+        ),
+        scalars.custom_id(_uuid_inputs()[0], _uuid_inputs()[2]).alias("custom_id"),
+        scalars.id_tsmicro(
+            scalars.custom_id(_uuid_inputs()[0], _uuid_inputs()[2])
+        ).alias("id_ts_back"),
     )
 
 
+def _uuid_inputs():
+    """Deterministic F14 inputs derived from the row key (mirrored in the
+    oracle's CTE).  Built lazily — column construction needs a live session."""
+    ts = F.lit(1700000000000000).cast("long") + F.col("c_custkey") * F.lit(1000003)
+    crc = (F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)
+    sched = F.col("c_custkey") % F.lit(32)
+    data = F.col("c_custkey") % F.lit(16777216)
+    return ts, crc, sched, data
+
+
+def q_fn_password_hash(spark, sf_dir):
+    """F16 — password hashing (egraph_util.erl:273-310): PBKDF2-HMAC-SHA256
+    (128 iterations, 32-byte key) and the fast HMAC-SHA1 variant, as
+    Arrow-batched pandas UDFs over deterministic per-key credentials.
+
+    The oracle is a known-answer VALUES table computed by the independent
+    CPython hashlib/hmac implementations, semi-joined to ``customer`` so the
+    comparison still depends on the fixture data.
+    """
+    from .functions import crypto
+    from .graph import load_tables
+
+    c = load_tables(spark, sf_dir)["customer"]
+    base = c.filter(F.col("c_custkey") <= 40).select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.lit("pw_"), F.col("c_custkey")).alias("pw"),
+        F.concat(F.lit("salt_"), F.col("c_custkey")).alias("salt"),
+    )
+    return base.select(
+        "custkey",
+        crypto.hash_password("pw", "salt").alias("pbkdf2_hex"),
+        crypto.hash_password_hmac(F.lit("engine_key"), "pw", "salt").alias(
+            "hmac_hex"
+        ),
+    ).orderBy("custkey")
+
+
+def _o_fn_password_hash() -> str:
+    from .functions.crypto import reference_vectors
+
+    rows = ",\n  ".join(
+        f"({k}, '{p}', '{m}')" for k, p, m in reference_vectors(range(0, 41))
+    )
+    return f"""
+WITH kat(custkey, pbkdf2_hex, hmac_hex) AS (VALUES
+  {rows}
+)
+SELECT CAST(custkey AS BIGINT) AS custkey, pbkdf2_hex, hmac_hex
+FROM kat
+WHERE custkey IN (SELECT c_custkey FROM customer)
+ORDER BY custkey
+"""
+
+
+O_FN_PASSWORD = _o_fn_password_hash()
+
+
 O_FN_SCALARS = """
-WITH c AS (
+WITH c0 AS (
   SELECT *, TIMESTAMP '2024-01-01' + (c_custkey % 365) * INTERVAL 1 DAY AS ts
   FROM customer
+), c AS (
+  SELECT *,
+         1700000000000000 + c_custkey * 1000003 AS uts,
+         (c_custkey * 2654435761) % 4294967296 AS ucrc,
+         c_custkey % 32 AS usched,
+         c_custkey % 16777216 AS udata
+  FROM c0
 )
 SELECT c_custkey AS custkey,
        lower(c_name) AS name_lower,
@@ -216,7 +289,21 @@ SELECT c_custkey AS custkey,
        c_name AS json_roundtrip_name,
        false AS blank,
        CAST(42 AS BIGINT) AS cast_long,
-       CAST(9.25 AS DOUBLE) AS cast_double
+       CAST(9.25 AS DOUBLE) AS cast_double,
+       printf('%08x', uts & 4294967295)
+         || printf('%04x', (uts >> 32) & 65535)
+         || printf('%04x', ((uts >> 48) & 4095) + 61440)
+         || printf('%02x', ucrc & 255)
+         || printf('%02x', (ucrc >> 8) & 255)
+         || printf('%02x', (ucrc >> 16) & 255)
+         || printf('%02x', (ucrc >> 24) & 255)
+         || printf('%02x', usched & 255)
+         || printf('%02x', udata & 255)
+         || printf('%02x', (udata >> 8) & 255)
+         || printf('%02x', (udata >> 16) & 255) AS uuid_hex,
+       CAST(uts AS BIGINT) AS uuid_ts_back,
+       CAST((uts << 3) | (usched & 7) AS BIGINT) AS custom_id,
+       CAST(uts AS BIGINT) AS id_ts_back
 FROM c
 """
 
@@ -1270,6 +1357,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW),
     "evt_session_window": (q_evt_session_window, O_SESSION_WINDOW),
     "fn_registry_udf": (q_fn_registry_udf, O_FN_REGISTRY),
+    "fn_password_hash": (q_fn_password_hash, O_FN_PASSWORD),
     "fn_scalar_surface": (q_fn_scalar_surface, O_FN_SCALARS),
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),

@@ -227,3 +227,34 @@ def test_delete_nodes_and_edges(graph):
     one = graph.edges.select("src_key", "dst_key").head()
     fewer = delete_edges(graph.edges, [(one["src_key"], one["dst_key"])])
     assert fewer.count() == e0 - 1
+
+
+# ----------------------------------------------------------------- F16 crypto
+
+
+def test_password_hash_vectors_and_nulls(spark):
+    import hashlib
+    import hmac as _hmac
+
+    from egraphdb_spark.functions import crypto
+
+    df = spark.createDataFrame(
+        [("secret", "s1"), (None, "s2"), ("p3", None)],
+        "pw string, salt string",
+    )
+    rows = {
+        r["salt"]: r
+        for r in df.select(
+            "salt",
+            crypto.hash_password("pw", "salt").alias("pbk"),
+            crypto.hash_password_hmac(F.lit("k"), "pw", "salt").alias("mac"),
+        ).collect()
+    }
+    expect_pbk = hashlib.pbkdf2_hmac(
+        "sha256", b"secret", b"s1", crypto.PBKDF2_ITERATIONS, crypto.PBKDF2_DKLEN
+    ).hex()
+    expect_mac = _hmac.digest(b"k", b"secrets1", "sha1").hex()
+    assert rows["s1"]["pbk"] == expect_pbk
+    assert rows["s1"]["mac"] == expect_mac
+    assert rows["s2"]["pbk"] is None and rows["s2"]["mac"] is None
+    assert rows[None]["pbk"] is None and rows[None]["mac"] is None
