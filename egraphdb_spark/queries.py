@@ -628,15 +628,17 @@ _PRIORITY = [
     "g2_dfs_path", "s15_upsert_version", "s15_latest_versions",
     "s15_logtable_persisted", "s18_delete_nodes",
     "io_json_roundtrip", "io_csv_roundtrip", "io_parquet_roundtrip",
+    "io_framedbin_roundtrip",
     "fn_scalar_surface", "fn_registry_udf", "fn_password_hash",
     # First-class LLM-data-pipeline gates (10 → exactly 50 priority entries;
     # minhash_sig correctness is implied by minhash_lsh_pairs, which derives
     # the same signatures, and sim_lsh_topk shares its bucketed-probe shape
-    # with sim_ivf_topk, so those two yield their hard-signal slots to the
-    # persistent-mutation and F16 gates)
+    # with sim_ivf_topk, and cosine-topk's exact math is embedded in the ivf/
+    # kmeans gates, so those three yield their hard-signal slots to the
+    # persistent-mutation, F16, and framedbin-source gates)
     "dedup_exact", "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs", "dedup_jaccard_pairs", "dedup_embedding_pairs",
-    "sim_cosine_topk", "sim_ivf_topk", "sim_kmeans_topk",
+    "sim_ivf_topk", "sim_kmeans_topk",
     "txt_stats", "pipe_corpus_clean",
 ]
 

@@ -356,6 +356,26 @@ def q_io_json_roundtrip(spark, sf_dir):
     return _digest(back)
 
 
+def q_io_framedbin_roundtrip(spark, sf_dir):
+    """S14/S17 — the reference's length-framed binary stream
+    (src/egraph_api.erl:276-325, handlers/egraph_generic_handler.erl:184-213)
+    as a registered Python DataSource: write customer frames, read them back
+    through the planner (with Python-side filter pushdown enabled), digest."""
+    from .sources import framedbin
+
+    framedbin.register(spark)
+    path = f"{_IO_ROOT}/framedbin-{os.path.basename(sf_dir.rstrip('/'))}"
+    _customer_slice(spark, sf_dir).write.format("framedbin").mode(
+        "overwrite"
+    ).save(path)
+    back = (
+        spark.read.format("framedbin")
+        .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .load(path)
+    )
+    return _digest(back)
+
+
 def q_io_parquet_roundtrip(spark, sf_dir):
     from .sources import io
 
@@ -1362,6 +1382,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),
+    "io_framedbin_roundtrip": (q_io_framedbin_roundtrip, _IO_DIGEST_ORACLE),
     "s15_upsert_version": (q_s15_upsert_version, O_S15_UPSERT),
     "s15_logtable_persisted": (q_s15_logtable_persisted, O_S15_LOGTABLE),
     "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
