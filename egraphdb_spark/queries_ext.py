@@ -927,6 +927,53 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_user_profile(spark, sf_dir):
+    """Custom stateful streaming operator with MAP-shaped per-key state
+    (per-user event_type → (n, cents)), run as a real stream; emits the
+    running profile (n_events, n_types, deterministic top_type, exact
+    total).  The forward implementation is Spark 4 transformWithState
+    (stream.user_type_profile, env-gated on protobuf); this gate runs the
+    applyInPandasWithState build of the same operator.  Multi-batch robust:
+    the last update per user (max n_events — monotone) is the final state."""
+    from .streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        user_type_profile_compat,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    tbl = run_to_memory(
+        user_type_profile_compat(ev), "stream_user_profile_tbl", output_mode="update"
+    )
+    final = tbl.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_types", "top_type", "total")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.n_types").alias("n_types"),
+        F.col("s.top_type").alias("top_type"),
+        F.col("s.total").alias("total"),
+    )
+
+
+O_STREAM_PROFILE = """
+WITH t AS (
+  SELECT user_id, event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT *, max(n) OVER (PARTITION BY user_id) AS mx FROM t
+)
+SELECT user_id,
+       sum(n) AS n_events,
+       count(*) AS n_types,
+       min(CASE WHEN n = mx THEN event_type END) AS top_type,
+       sum(cents) / 100.0 AS total
+FROM r GROUP BY user_id
+"""
+
+
 def q_agg_above_segment_avg(spark, sf_dir):
     """Correlated-subquery shape: orders whose total exceeds their
     customer segment's average (decorrelates to a join against the
@@ -1359,6 +1406,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "agg_q12_priority_flags": (q_agg_q12_priority_flags, O_AGG_Q12),
     "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
     "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
+    "stream_user_profile": (q_stream_user_profile, O_STREAM_PROFILE),
     "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),

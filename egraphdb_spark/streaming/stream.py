@@ -190,6 +190,167 @@ def stateful_user_counts(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     )
 
 
+def user_type_profile(events: DataFrame) -> DataFrame:
+    """Per-user event-type profile via ``transformWithStateInPandas`` —
+    Spark 4's transformWithState API (typed composite state, timers, TTL),
+    the successor to applyInPandasWithState used in
+    :func:`stateful_user_counts`.
+
+    State per user is a ``MapState`` event_type → (n, cents): O(distinct
+    types) per key, independent of stream length — the state shape Spark's
+    built-in aggregations can't expose to user logic.  Each micro-batch
+    emits the user's current profile:
+
+    * ``n_events``  — total events seen
+    * ``n_types``   — distinct event types
+    * ``top_type``  — most frequent type (ties → lexicographically first,
+      so the result is deterministic under any batch split)
+    * ``total``     — exact value total (integer cents, bit-reproducible)
+
+    Requires the RocksDB state-store provider (transformWithState's backing
+    store) via :func:`ensure_tws_conf`, **and the protobuf package**: the
+    TransformWithStateInPySpark driver worker speaks protobuf to the state
+    server, and this container has no ``google.protobuf`` — so this
+    operator is environment-gated (tests skip without protobuf), exactly
+    like the multimodal decoders.  :func:`user_type_profile_compat` is the
+    same operator on applyInPandasWithState, which has no such dependency
+    and carries the hard-signal gate.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id bigint, n_events bigint, n_types bigint, "
+        "top_type string, total double"
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._types = handle.getMapState(
+                "type_counts", "event_type string", "n bigint, cents bigint"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in rows:
+                cents = (pdf["value"] * 100).round().astype("int64")
+                for et, grp in cents.groupby(pdf["event_type"]):
+                    n0, c0 = (
+                        self._types.getValue((et,))
+                        if self._types.containsKey((et,))
+                        else (0, 0)
+                    )
+                    self._types.updateValue(
+                        (et,), (n0 + int(len(grp)), c0 + int(grp.sum()))
+                    )
+            profile = [
+                (k[0], v[0], v[1]) for k, v in self._types.iterator()
+            ]  # (type, n, cents)
+            n_events = sum(n for _, n, _ in profile)
+            total_cents = sum(c for _, _, c in profile)
+            top_n = max(n for _, n, _ in profile)
+            top_type = min(t for t, n, _ in profile if n == top_n)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_types": [len(profile)],
+                    "top_type": [top_type],
+                    "total": [total_cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Profile(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def user_type_profile_compat(events: DataFrame) -> DataFrame:
+    """:func:`user_type_profile` on applyInPandasWithState (no protobuf
+    dependency): the per-user type→(n, cents) map is encoded as three
+    parallel arrays in the fixed state struct — same O(distinct types per
+    user) state bound, same deterministic output columns."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, n_types bigint, "
+        "top_type string, total double"
+    )
+    state_schema = "types array<string>, ns array<bigint>, cents array<bigint>"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        types, ns, cents = state.get if state.exists else ([], [], [])
+        counts = {t: [n, c] for t, n, c in zip(types, ns, cents)}
+        for pdf in pdfs:
+            c = (pdf["value"] * 100).round().astype("int64")
+            for et, grp in c.groupby(pdf["event_type"]):
+                slot = counts.setdefault(et, [0, 0])
+                slot[0] += int(len(grp))
+                slot[1] += int(grp.sum())
+        state.update(
+            (
+                list(counts),
+                [v[0] for v in counts.values()],
+                [v[1] for v in counts.values()],
+            )
+        )
+        n_events = sum(v[0] for v in counts.values())
+        total_cents = sum(v[1] for v in counts.values())
+        top_n = max(v[0] for v in counts.values())
+        top_type = min(t for t, v in counts.items() if v[0] == top_n)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_types": [len(counts)],
+                "top_type": [top_type],
+                "total": [total_cents / 100.0],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ensure_tws_conf(spark: SparkSession) -> None:
+    """transformWithState requires the RocksDB state store; set it on the
+    passed-in (possibly foreign) session — it is read at query start."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -258,3 +258,68 @@ def test_password_hash_vectors_and_nulls(spark):
     assert rows["s1"]["mac"] == expect_mac
     assert rows["s2"]["pbk"] is None and rows["s2"]["mac"] is None
     assert rows[None]["pbk"] is None and rows[None]["mac"] is None
+
+
+def test_user_profile_compat_matches_batch(spark):
+    from egraphdb_spark.streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        user_type_profile_compat,
+    )
+
+    ev = read_events_stream(spark, SF_SMOKE)
+    tbl = run_to_memory(
+        user_type_profile_compat(ev), "t_profile_tbl", output_mode="update"
+    )
+    final = tbl.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "n_types", "top_type", "total")).alias("s")
+    )
+    got = {r["user_id"]: r["s"] for r in final.collect()}
+    # spot-check one user against a hand aggregation
+    import collections
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    by_user = collections.defaultdict(lambda: collections.Counter())
+    cents_u = collections.Counter()
+    for r in rows:
+        by_user[r["user_id"]][r["event_type"]] += 1
+        cents_u[r["user_id"]] += int(round(r["value"] * 100))
+    uid = sorted(by_user)[0]
+    c = by_user[uid]
+    top_n = max(c.values())
+    assert got[uid]["n_events"] == sum(c.values())
+    assert got[uid]["n_types"] == len(c)
+    assert got[uid]["top_type"] == min(t for t, n in c.items() if n == top_n)
+    assert got[uid]["total"] == cents_u[uid] / 100.0
+
+
+def test_user_profile_tws_requires_protobuf(spark):
+    """transformWithState plan builds; execution needs protobuf (env-gated,
+    like multimodal decode).  With protobuf present the operator must match
+    the compat build."""
+    pytest.importorskip("google.protobuf")
+    from egraphdb_spark.streaming.stream import (
+        ensure_tws_conf,
+        read_events_stream,
+        run_to_memory,
+        user_type_profile,
+        user_type_profile_compat,
+    )
+
+    ensure_tws_conf(spark)
+    ev = read_events_stream(spark, SF_SMOKE)
+    tws = run_to_memory(user_type_profile(ev), "t_tws_tbl", output_mode="update")
+    compat = run_to_memory(
+        user_type_profile_compat(ev), "t_tws_compat_tbl", output_mode="update"
+    )
+
+    def final(tbl):
+        return {
+            r["user_id"]: tuple(r["s"])
+            for r in tbl.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "n_types", "top_type", "total")).alias("s"))
+            .collect()
+        }
+
+    assert final(tws) == final(compat)
