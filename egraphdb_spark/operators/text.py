@@ -169,3 +169,74 @@ def fingerprint64(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition statistics per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters; also C4's heuristics
+    — public corpus-cleaning practice).
+
+    Returns one row per document with EXACT integer evidence, so the
+    downstream threshold choice stays an analyst decision and the result is
+    bit-reproducible on any engine:
+
+      n_tokens, n_distinct, top_unigram_n   (most frequent token count)
+      n_bigrams, top_bigram_n               (most frequent bigram count)
+      repetition_ok                         (top unigram ≤ 20% of tokens AND
+                                             top bigram ≤ 18% of bigrams,
+                                             integer cross-multiplied)
+
+    Scale shape: explode → groupBy(doc, term) → groupBy(doc) is linear in
+    corpus tokens with map-side partial combine on both levels; doc_id keys
+    are uniform so no salting is needed.  The alternative zero-shuffle
+    expression form (array_distinct + nested filter) is O(tokens²) per doc
+    — wrong for the 1000+-token documents a real corpus has.
+    """
+    t = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    # One scan of the text column, one tagged explode, two shuffles
+    # ((doc, kind, term) then (doc)) and no join: the unigram/bigram streams
+    # are distinguished by a kind byte and re-separated with conditional
+    # aggregates.  Halves the heavy column's scan cost vs the naive
+    # two-explode + join formulation.
+    u_terms = F.transform(
+        t, lambda w: F.struct(F.lit("u").alias("kind"), w.alias("term"))
+    )
+    b_terms = F.transform(
+        bigrams, lambda b: F.struct(F.lit("b").alias("kind"), b.alias("term"))
+    )
+    is_u = F.col("kind") == "u"
+    out = (
+        docs.select(F.col(id_col), F.explode(F.concat(u_terms, b_terms)).alias("x"))
+        .select(id_col, F.col("x.kind").alias("kind"), F.col("x.term").alias("term"))
+        .groupBy(id_col, "kind", "term")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum(F.when(is_u, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.count(F.when(is_u, True)).alias("n_distinct"),
+            F.coalesce(F.max(F.when(is_u, F.col("c"))), F.lit(0)).alias(
+                "top_unigram_n"
+            ),
+            F.coalesce(F.sum(F.when(~is_u, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(F.max(F.when(~is_u, F.col("c"))), F.lit(0)).alias(
+                "top_bigram_n"
+            ),
+        )
+    )
+    return out.withColumn(
+        "repetition_ok",
+        (F.col("top_unigram_n") * 100 <= F.col("n_tokens") * 20)
+        & (F.col("top_bigram_n") * 100 <= F.col("n_bigrams") * 18),
+    )

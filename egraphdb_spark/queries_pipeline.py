@@ -863,12 +863,53 @@ FROM documents
 """
 
 
+
+
+def q_txt_repetition(spark, sf_dir):
+    """Gopher-style repetition filter evidence per document (exact integer
+    numerators/denominators; see operators/text.repetition_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+O_TXT_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), uc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY doc_id, tok
+), ua AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_unigram_n
+  FROM uc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+    FROM d
+  ) GROUP BY doc_id, bg
+), ba AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bigram_n
+  FROM bc GROUP BY doc_id
+)
+SELECT ua.doc_id, n_tokens, n_distinct, top_unigram_n,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(top_bigram_n, 0) AS top_bigram_n,
+       (top_unigram_n * 100 <= n_tokens * 20
+        AND coalesce(top_bigram_n, 0) * 100 <= coalesce(n_bigrams, 0) * 18)
+         AS repetition_ok
+FROM ua LEFT JOIN ba USING (doc_id)
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),
     "agg_percentile": (q_agg_percentile, O_AGG_PCTL),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
+    "txt_repetition": (q_txt_repetition, O_TXT_REPETITION),
     "txt_lang_id": (q_txt_lang_id, O_TXT_LANG),
     "txt_fingerprint": (q_txt_fingerprint, O_TXT_FP),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
