@@ -1392,6 +1392,64 @@ GROUP BY d.type_class ORDER BY d.type_class
 """
 
 
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle census (degree-oriented wedge join — Suri &
+    Vassilvitskii WWW'11) over the fixture graph augmented with
+    customer/supplier→region shortcut edges (the base graph is a layered
+    DAG with zero triangles; the shortcuts close exactly one triangle per
+    customer and per supplier through its nation and region)."""
+    from .operators.graph_algos import triangle_stats
+
+    g = _fixture(spark, sf_dir)
+    rel = F.get_json_object("details", "$.rel")
+    e = g.edges.select("src_key", "dst_key")
+    to_nation = g.edges.where(rel == "in_nation").select(
+        F.col("src_key").alias("x"), F.col("dst_key").alias("n")
+    )
+    to_region = g.edges.where(rel == "in_region").select(
+        F.col("src_key").alias("n"), F.col("dst_key").alias("r")
+    )
+    shortcuts = to_nation.join(F.broadcast(to_region), "n").select(
+        F.col("x").alias("src_key"), F.col("r").alias("dst_key")
+    )
+    return triangle_stats(e.unionByName(shortcuts))
+
+
+O_GRAPH_TRIANGLES = """
+WITH e AS (
+  SELECT 'customer:' || c_custkey AS s, 'nation:' || c_nationkey AS d FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+  UNION ALL SELECT 'customer:' || c_custkey, 'region:' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+), und AS (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e WHERE s <> d
+), deg AS (
+  SELECT key, count(*) AS deg
+  FROM (SELECT a AS key FROM und UNION ALL SELECT b FROM und) GROUP BY key
+), dagg AS (
+  SELECT count(*) AS n_vertices, CAST(sum(deg * (deg - 1)) AS BIGINT) AS w2 FROM deg
+), ecnt AS (
+  SELECT count(*) AS n_edges FROM und
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n_vertices, n_edges, w2 // 2 AS n_wedges, n_triangles,
+       CAST(CASE WHEN w2 > 0 THEN (n_triangles * 6000000) // w2 ELSE 0 END AS BIGINT)
+         AS clustering_millionths
+FROM dagg, ecnt, tri
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "skew_salted_topn": (q_skew_salted_topn, O_SKEW_TOPN),
     "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
@@ -1411,6 +1469,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
+    "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),
