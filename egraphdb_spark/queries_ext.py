@@ -1450,6 +1450,133 @@ FROM dagg, ecnt, tri
 """
 
 
+
+
+def q_win_frames(spark, sf_dir):
+    """Window-frame breadth in one pass: sliding ROWS frame (centered 3-row
+    decimal avg), RANGE frame (peers-inclusive running count by date),
+    ntile(4) and exact percent_rank — the analytic-window family the
+    reference lacks entirely (SURVEY §2.5)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    rows3 = wo.rowsBetween(-1, 1)
+    # RANGE frame needs a numeric/date order key alone; count peers ≤ date
+    wrange = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(price_dec).over(rows3) / F.count("*").over(rows3))
+        .cast("decimal(22,6)")
+        .cast("double")
+        .alias("avg3"),
+        F.count("*").over(wrange).alias("n_upto_date"),
+        F.ntile(4).over(wo).alias("quartile"),
+        # percent_rank as exact integer millionths: (rank-1)*1e6 div (n-1)
+        F.expr(
+            "cast(CASE WHEN count(*) OVER (PARTITION BY o_custkey) = 1 THEN 0 "
+            "ELSE ((rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) - 1) * 1000000) "
+            "div (count(*) OVER (PARTITION BY o_custkey) - 1) END as bigint)"
+        ).alias("pr_millionths"),
+    )
+
+
+O_WIN_FRAMES = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER rows3
+                 / count(*) OVER rows3 AS DECIMAL(22,6)) AS DOUBLE) AS avg3,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS n_upto_date,
+       CAST(ntile(4) OVER wo AS INTEGER) AS quartile,
+       CAST(CASE WHEN count(*) OVER (PARTITION BY o_custkey) = 1 THEN 0
+            ELSE ((rank() OVER wo - 1) * 1000000)
+                 // (count(*) OVER (PARTITION BY o_custkey) - 1) END AS BIGINT)
+         AS pr_millionths
+FROM orders
+WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       rows3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+
+def q_agg_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders with ≥1 slow lineitem (shipped ≥75 days after
+    order date), counted by priority — the EXISTS semi-join aggregate with a
+    non-equi component."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = (
+        orders.o_orderkey == li.l_orderkey
+    ) & (li.l_shipdate >= F.date_add(orders.o_orderdate, 75))
+    return (
+        orders.join(li, slow, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+O_AGG_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= o_orderdate + INTERVAL 75 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_agg_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation over a
+    join, in exact DECIMAL then millionths."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    # fully integer revenue unit (cent × percent): both factors go through
+    # the identical double→round path on both engines, so sums are exact and
+    # no final decimal rounding (with its engine-specific tie rule) occurs
+    rev = F.expr(
+        "cast(round(l_extendedprice * 100) as decimal(18,0))"
+        " * cast(round((1 - l_discount) * 100) as decimal(18,0))"
+    )
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("promo_cents100"),
+        F.sum(rev).cast("decimal(38,0)").alias("total_cents100"),
+    ).select(
+        "promo_cents100",
+        "total_cents100",
+        F.expr("cast((promo_cents100 * 1000000) div total_cents100 as bigint)").alias(
+            "promo_millionths"
+        ),
+    )
+
+
+O_AGG_Q14 = """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))
+           * CAST(round((1 - l_discount) * 100) AS DECIMAL(18,0)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DECIMAL(38,0))
+         AS promo_cents100,
+       CAST(sum(rev) AS DECIMAL(38,0)) AS total_cents100,
+       CAST((CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS BIGINT)
+             * 1000000) // CAST(sum(rev) AS BIGINT) AS BIGINT) AS promo_millionths
+FROM j
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "skew_salted_topn": (q_skew_salted_topn, O_SKEW_TOPN),
     "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
@@ -1479,6 +1606,9 @@ EXT_REGISTRY: dict[str, tuple] = {
     "agg_cube": (q_agg_cube, O_AGG_CUBE),
     "agg_count_distinct": (q_agg_count_distinct, O_AGG_CNTD),
     "win_running_sum": (q_win_running_sum, O_WIN_RUNNING),
+    "win_frames": (q_win_frames, O_WIN_FRAMES),
+    "agg_q4_order_priority": (q_agg_q4_order_priority, O_AGG_Q4),
+    "agg_q14_promo_share": (q_agg_q14_promo_share, O_AGG_Q14),
     "sql_grouping_sets": (q_sql_grouping_sets, O_SQL_GSETS),
     "g2_dfs_path": (q_g2_dfs_path, O_G2),
     "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW),
