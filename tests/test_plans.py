@@ -120,3 +120,31 @@ def test_events_scan_prunes_columns(spark):
     p = plan_of(q(spark, "evt_window_hourly"))
     rs = p.split("ReadSchema")[1][:300]
     assert "event_type" in rs and "props" not in rs and "user_id" not in rs
+
+
+def test_repetition_stats_single_scan_no_join(spark):
+    """txt_repetition reads the text column once (tagged explode) and closes
+    with conditional aggregates — no self-join of the documents scan."""
+    p = plan_of(q(spark, "txt_repetition"))
+    assert "Join" not in p, "repetition stats must not join two text scans"
+    # column pruning: only doc_id + text reach the scan, not lang/source
+    read_schema = p.split("ReadSchema")[1][:200]
+    assert "text" in read_schema and "source" not in read_schema
+
+
+def test_triangle_census_no_cartesian_no_python(spark):
+    """Degree-oriented triangle counting stays JVM-side (no Python workers)
+    and never degrades to a cartesian/broadcast-nested-loop product."""
+    p = plan_of(q(spark, "graph_triangles"))
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_win_frames_single_window_exchange(spark):
+    """All four frame computations share the (o_custkey) partitioning — the
+    plan must not shuffle once per window function."""
+    p = plan_of(q(spark, "win_frames"))
+    import re
+
+    n_exch = len(re.findall(r"\bExchange hashpartitioning\(o_custkey", p))
+    assert n_exch <= 1, f"expected one shared window shuffle, saw {n_exch}\n{p}"
