@@ -903,6 +903,60 @@ FROM ua LEFT JOIN ba USING (doc_id)
 """
 
 
+
+
+def q_dedup_near_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS — the corpus-dedup endgame: LSH candidate
+    pairs → connected components → one canonical representative (min doc_id)
+    per duplicate group.  Reuses the distributed hash-min label propagation
+    from graph_algos (ids zero-padded so lexicographic min == numeric min).
+    Output: (rep_id, n_members) per multi-document group."""
+    from .operators.graph_algos import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(docs, "doc_id", "text")
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket_size=64)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src_key"),
+        F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst_key"),
+    )
+    cc = connected_components(edges, undirected=True)
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            F.col("component").cast("long").alias("rep_id"),
+            F.col("n_members"),
+        )
+    )
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SIG_CTE},
+bands AS ({_band_sql()}),
+small AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 64
+),
+bb AS (SELECT bands.* FROM bands SEMI JOIN small USING (band, bucket)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u
+),
+lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id)
+SELECT CAST(lbl AS BIGINT) AS rep_id, count(*) AS n_members
+FROM lbl GROUP BY lbl
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
@@ -915,6 +969,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, O_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, O_MINHASH_PAIRS),
+    "dedup_near_clusters": (q_dedup_near_clusters, O_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, O_JACCARD_PAIRS),
