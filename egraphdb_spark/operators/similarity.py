@@ -245,3 +245,38 @@ def kmeans_anchors(
         [(k, v) for k, v in sorted(cur.items())],
         "anchor_id long, vec array<double>",
     )
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Per-vector symmetric-range int8 quantization — the storage/transfer
+    compression step of an embedding pipeline (4× smaller than float32,
+    16× smaller than float64; ANN candidate generation runs fine on codes).
+
+    code_i = round((v_i - mn) * 254 / (mx - mn)) - 127  ∈ [-127, 127]
+
+    Emitted evidence is integer-only (codes digest + extrema + the scale
+    floored to millionths), so the result is bit-comparable across engines:
+    the only float ops are (v - mn) * 254 / span on non-negative values with
+    identical evaluation order, and round() on a non-negative domain agrees
+    between HALF_UP and half-away-from-zero.
+
+    Degenerate constant vectors (span = 0) map to code 0 everywhere.
+    """
+    v = _as_double(vec_col)
+    mn, mx = F.array_min(v), F.array_max(v)
+    span = mx - mn
+    codes = F.when(span == 0, F.transform(v, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(v, lambda x: F.round((x - mn) * 254 / span).cast("long") - 127)
+    )
+    return emb.select(
+        F.col(id_col),
+        F.size(v).cast("long").alias("n_dims"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: a + c * c
+        ).alias("code_sq_sum"),
+        F.array_min(codes).cast("long").alias("code_min"),
+        F.array_max(codes).cast("long").alias("code_max"),
+        F.floor(mn * 1000000).cast("long").alias("mn_millionths"),
+        F.floor(span * 1000000).cast("long").alias("span_millionths"),
+    )

@@ -957,6 +957,42 @@ FROM lbl GROUP BY lbl
 """
 
 
+
+
+def q_emb_quantize_int8(spark, sf_dir):
+    """int8 embedding quantization evidence (see similarity.quantize_int8):
+    integer-only digest of the per-vector codes + floored scale params."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb)
+
+
+O_EMB_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), m AS (
+  SELECT vec_id, vec, list_min(vec) AS mn,
+         list_max(vec) - list_min(vec) AS span
+  FROM v
+), c AS (
+  SELECT vec_id, mn, span,
+         CASE WHEN span = 0 THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(vec, x -> CAST(round((x - mn) * 254 / span) AS BIGINT) - 127)
+         END AS codes,
+         len(vec) AS n_dims
+  FROM m
+)
+SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS code_sq_sum,
+       CAST(list_min(codes) AS BIGINT) AS code_min,
+       CAST(list_max(codes) AS BIGINT) AS code_max,
+       CAST(floor(mn * 1000000) AS BIGINT) AS mn_millionths,
+       CAST(floor(span * 1000000) AS BIGINT) AS span_millionths
+FROM c
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
@@ -970,6 +1006,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_minhash_sig": (q_dedup_minhash_sig, O_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, O_MINHASH_PAIRS),
     "dedup_near_clusters": (q_dedup_near_clusters, O_DEDUP_CLUSTERS),
+    "emb_quantize_int8": (q_emb_quantize_int8, O_EMB_QUANTIZE),
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, O_JACCARD_PAIRS),
