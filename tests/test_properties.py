@@ -97,3 +97,53 @@ def test_khop_chain_levels(spark, n, extra):
     depth = min(n, 1 + extra)
     got = sorted((r["level"], r["key"]) for r in k_hop(e, ["v0"], depth).collect())
     assert got == [(i, f"v{i}") for i in range(1, depth + 1)]
+
+
+# ----------------------------------------------------------- framedbin codec
+
+
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=2000), min_size=0, max_size=50)
+)
+@settings(max_examples=50, deadline=None)
+def test_frame_codec_roundtrip_property(payloads):
+    """write_frames → read_frames is the identity for any payload list
+    within the 16-bit frame cap (pure Python — no Spark per example)."""
+    import io as pyio
+
+    from egraphdb_spark.sources.framedbin import read_frames, write_frames
+
+    buf = pyio.BytesIO()
+    n = write_frames(buf, iter(payloads))
+    assert n == len(payloads)
+    buf.seek(0)
+    assert list(read_frames(buf)) == payloads
+
+
+# ----------------------------------------------------------- F14 uuid/id laws
+
+
+@given(
+    ts=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    crc=st.integers(min_value=0, max_value=(1 << 32) - 1),
+    sched=st.integers(min_value=0, max_value=255),
+    data=st.integers(min_value=0, max_value=(1 << 24) - 1),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_custom_uuid_roundtrip_property(spark, ts, crc, sched, data):
+    """mint→parse recovers the full 60-bit timestamp; the uuid is 32 hex
+    chars with the version nibble 'f' at position 13 (egraph_util.erl
+    packs 0xF | T1 there); custom_id is time-sortable."""
+    from egraphdb_spark.functions import scalars
+
+    df = spark.createDataFrame(
+        [(ts, crc, sched, data)], "ts long, crc long, sched long, data long"
+    )
+    row = df.select(
+        scalars.custom_uuid("ts", "crc", "sched", "data").alias("u"),
+        scalars.uuid_tsmicro(scalars.custom_uuid("ts", "crc", "sched", "data")).alias("t"),
+        scalars.id_tsmicro(scalars.custom_id("ts", "sched")).alias("t2"),
+    ).collect()[0]
+    assert len(row["u"]) == 32 and row["u"][12] == "f"
+    assert row["t"] == ts
+    assert row["t2"] == ts
