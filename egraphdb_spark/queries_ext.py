@@ -1577,6 +1577,44 @@ FROM j
 """
 
 
+
+
+def q_stream_logtable_cdc(spark, sf_dir):
+    """Streaming → persistent storage integration: the events stream CDCs
+    into the log-structured table (one upsert segment per micro-batch via
+    foreachBatch), then the merged snapshot is digested.  Idempotent under
+    replay: event_id is the table key, so duplicate deliveries collapse in
+    the merge-on-read window exactly like Delta MERGE."""
+    import shutil
+
+    from .sources import logtable as lt
+    from .streaming.stream import read_events_stream, stream_into_logtable
+
+    path = f"{_IO_ROOT}/logtable-cdc-{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    base = _t(spark, sf_dir, "events").limit(0).select(
+        "event_id", "event_type", "value"
+    )
+    lt.create(base, path, key_cols=["event_id"])
+    q = stream_into_logtable(
+        read_events_stream(spark, sf_dir).select("event_id", "event_type", "value"),
+        path,
+    )
+    q.awaitTermination()
+    merged = lt.read_latest(spark, path)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.expr("cast(round(value * 100) as bigint)")) / 100.0).alias("total"),
+    )
+
+
+O_STREAM_LOGTABLE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+FROM events GROUP BY event_type
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "skew_salted_topn": (q_skew_salted_topn, O_SKEW_TOPN),
     "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
@@ -1592,6 +1630,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
     "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
     "stream_user_profile": (q_stream_user_profile, O_STREAM_PROFILE),
+    "stream_logtable_cdc": (q_stream_logtable_cdc, O_STREAM_LOGTABLE),
     "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),

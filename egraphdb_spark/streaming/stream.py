@@ -370,3 +370,28 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_into_logtable(events: DataFrame, path: str):
+    """Streaming CDC into the persistent log-structured table: each
+    micro-batch appends one upsert segment via foreachBatch — the
+    parquet-only analogue of `MERGE INTO` a Delta sink from a stream
+    (sources/logtable.py carries the merge-on-read semantics; last writer
+    per key wins, so replays/duplicates collapse exactly like MERGE).
+
+    Returns the started streaming query (availableNow); callers await it
+    and read the merged state with ``logtable.read_latest``.
+    """
+    from ..sources import logtable as lt
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lt.append_upsert(batch_df, path)
+
+    return (
+        events.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}/_stream_checkpoint")
+        .start()
+    )
