@@ -365,9 +365,20 @@ def q_io_framedbin_roundtrip(spark, sf_dir):
 
     framedbin.register(spark)
     path = f"{_IO_ROOT}/framedbin-{os.path.basename(sf_dir.rstrip('/'))}"
-    _customer_slice(spark, sf_dir).write.format("framedbin").mode(
-        "overwrite"
-    ).save(path)
+    try:
+        _customer_slice(spark, sf_dir).write.format("framedbin").mode(
+            "overwrite"
+        ).save(path)
+    except Exception:
+        # Python-source worker startup is occasionally starved on a loaded
+        # host (observed once in 3 full sweeps: init fails before any user
+        # code runs).  One retry; a real defect fails both times.
+        import time
+
+        time.sleep(2)
+        _customer_slice(spark, sf_dir).write.format("framedbin").mode(
+            "overwrite"
+        ).save(path)
     back = (
         spark.read.format("framedbin")
         .schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
