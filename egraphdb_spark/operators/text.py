@@ -240,3 +240,32 @@ def repetition_stats(docs, text_col: str = "text", id_col: str = "doc_id"):
         (F.col("top_unigram_n") * 100 <= F.col("n_tokens") * 20)
         & (F.col("top_bigram_n") * 100 <= F.col("n_bigrams") * 18),
     )
+
+
+# PII scrubbing patterns — RE2-compatible (no lookaround), so the same
+# pattern strings run on Spark (Java regex) and any RE2 engine (DuckDB).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+1 \d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Replace email / NANP-phone / IPv4 literals with typed redaction
+    tokens — the corpus-sanitization pass every training pipeline runs
+    before tokenization.  Sequential regexp_replace column expressions:
+    JVM-side, linear, no shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(text: str | Column) -> list[Column]:
+    """One match-count column per PII pattern (audit evidence)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]

@@ -993,6 +993,62 @@ FROM c
 """
 
 
+
+
+def q_txt_pii_scrub(spark, sf_dir):
+    """PII scrubbing audit: deterministic synthetic PII (an email and a NANP
+    phone derived from doc_id) is appended to each document, then scrubbed;
+    output = per-doc match counts, redacted-size delta, and the md5 of the
+    scrubbed text (bit-exact evidence the redaction is identical)."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    clean = text.scrub_pii("t")
+    return dirty.select(
+        "doc_id",
+        *text.pii_counts("t"),
+        (F.length("t") - F.length(clean)).cast("long").alias("redacted_chars"),
+        F.md5(clean).alias("scrub_md5"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1 \d{3}-\d{3}-\d{4}"
+_PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+O_TXT_PII = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1 555-000-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS clean
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+       CAST(len(t) - len(clean) AS BIGINT) AS redacted_chars,
+       md5(clean) AS scrub_md5
+FROM scrubbed
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
@@ -1000,6 +1056,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "agg_percentile": (q_agg_percentile, O_AGG_PCTL),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
     "txt_repetition": (q_txt_repetition, O_TXT_REPETITION),
+    "txt_pii_scrub": (q_txt_pii_scrub, O_TXT_PII),
     "txt_lang_id": (q_txt_lang_id, O_TXT_LANG),
     "txt_fingerprint": (q_txt_fingerprint, O_TXT_FP),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
