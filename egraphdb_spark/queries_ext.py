@@ -1626,6 +1626,84 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+def q_evt_funnel(spark, sf_dir):
+    """Event funnel (ClickHouse windowFunnel shape): users who did
+    view → click → purchase in strict event-time order, completing within
+    2 h of the first view.  Three stacked window-min expressions over ONE
+    user_id partitioning (single Exchange; the per-user groupBy then reuses
+    the same hash partitioning), then a tiny depth histogram."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    deadline = F.col("t1") + F.expr("INTERVAL 2 HOURS")
+    depth = (
+        F.when(F.col("t3").isNotNull() & (F.col("t3") <= deadline), F.lit(3))
+        .when(F.col("t2").isNotNull() & (F.col("t2") <= deadline), F.lit(2))
+        .when(F.col("t1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        per_user.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+O_EVT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+), allu AS (
+  SELECT DISTINCT user_id FROM events
+), j AS (
+  SELECT a.user_id, v.t1, c.t2, p.t3
+  FROM allu a LEFT JOIN v USING (user_id)
+             LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+)
+SELECT CASE WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 2 HOUR THEN 3
+            WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 2 HOUR THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth,
+       count(*) AS n_users
+FROM j GROUP BY 1
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "skew_salted_topn": (q_skew_salted_topn, O_SKEW_TOPN),
     "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
@@ -1639,6 +1717,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "agg_q10_returned_revenue": (q_agg_q10_returned_revenue, O_AGG_Q10),
     "agg_q12_priority_flags": (q_agg_q12_priority_flags, O_AGG_Q12),
     "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
+    "evt_funnel": (q_evt_funnel, O_EVT_FUNNEL),
     "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
     "stream_user_profile": (q_stream_user_profile, O_STREAM_PROFILE),
     "stream_logtable_cdc": (q_stream_logtable_cdc, O_STREAM_LOGTABLE),
