@@ -425,3 +425,73 @@ def embedding_neardup_pairs(
     return fanned.groupBy("ta", "tb").applyInPandas(
         pair_block, "id_a long, id_b long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination (decontamination scan)
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    test_fraction: float = 0.20,
+    salt: str = "split",
+) -> DataFrame:
+    """Per-eval-document n-gram overlap against the training split.
+
+    The decontamination scan every LLM eval pipeline runs (the reference has
+    no dedup/contamination surface at all — this is part of the engine's
+    training-data extension family): split the corpus into train/test with
+    the deterministic keyed split (`sampling.train_test_split` — membership
+    is a pure function of the id, stable under corpus growth), shingle both
+    sides with the shared dedup normalizer, and report, for every test
+    document sharing at least one shingle with ANY train document, how much
+    of it is covered by the training set.
+
+    Overlap is measured over 32-bit md5-prefix shingle hashes, not raw
+    shingle strings — the same membership-by-hash design as Bloom-filter
+    decontamination in production pipelines (rare collisions overcount
+    slightly; both engines hash identically so the gate is still exact).
+
+    Returns (id, n_grams, n_hit, hit_ratio) — one row per test doc with
+    n_hit > 0; hit_ratio = n_hit / n_grams rounded to 6dp (same-integer
+    division is bit-identical across engines).
+
+    Scale shape (100 TB): the split predicate is a narrow map-side filter;
+    distinct train hashes is one partial-agg'd shuffle carrying 8 B/shingle;
+    the probe is a shuffle hash join on that 8-byte key where the probe side
+    is only the test fraction of the corpus; final groupBy(id) is map-side
+    combinable.  No UDFs, no driver state.  If the train side must be
+    reused across many eval sets, persist the distinct-hash DataFrame once
+    (it is the engine's Bloom-filter analogue, exact instead of lossy).
+    """
+    from .sampling import train_test_split
+
+    split = train_test_split(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        "id",
+        test_fraction,
+        salt=salt,
+    )
+    hashed = (
+        with_shingles(split, "t", "shingle")
+        .select("id", "split", shingle_hash32("shingle").alias("h"))
+        .distinct()
+    )
+    train = hashed.where(F.col("split") == "train").select("h").distinct()
+    test = hashed.where(F.col("split") == "test").select("id", "h")
+    return (
+        test.join(train.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .where(F.col("n_hit") > 0)
+        .withColumn(
+            "hit_ratio",
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
+        )
+    )

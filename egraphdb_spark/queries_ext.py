@@ -1704,7 +1704,252 @@ FROM j GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Further TPC-H plan shapes: two-sided dimension join (Q7), outer-join
+# histogram (Q13), having-semi-join (Q18), disjunctive pushdown (Q19),
+# anti-join + scalar subquery (Q22 shape).  All money/quantity arithmetic
+# uses the integer cents recipe so cross-engine sums are order-free exact.
+# --------------------------------------------------------------------------
+
+_REV_CENTS100 = (
+    "cast(round(l_extendedprice * 100) as decimal(18,0))"
+    " * cast(round((1 - l_discount) * 100) as decimal(18,0))"
+)
+_REV_CENTS100_SQL = (
+    "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))"
+    " * CAST(round((1 - l_discount) * 100) AS DECIMAL(18,0))"
+)
+
+
+def q_agg_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations, by direction and
+    ship year.  Two independent dimension chains hang off the fact table —
+    supplier→nation on l_suppkey and orders→customer→nation on the order key
+    — with a disjunctive filter over the (supp, cust) nation pair.
+
+    Scale: both nation chains are broadcast (25-row dim); the only wide
+    shuffle is lineitem⋈orders on orderkey, which bucketing co-locates at
+    100 TB.  customer is broadcast here (15 k rows at sf0.1); on a real
+    cluster it exceeds the broadcast threshold and AQE picks a shuffle join
+    on o_custkey instead — the plan is declared, not hand-scheduled.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    supp_n = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust_n = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(F.expr(_REV_CENTS100)).cast("decimal(38,0)").alias("volume_cents100"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O_AGG_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_REV_CENTS100_SQL}) AS DECIMAL(38,0)) AS volume_cents100
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_agg_q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer — a LEFT OUTER
+    join (customers with zero qualifying orders must survive with count 0)
+    feeding a second aggregation over the first's result.
+
+    Scale: two shuffles (custkey, then c_count); the second input is one row
+    per customer and the histogram domain is tiny, so the second exchange is
+    negligible.  The filter on the orders side is applied pre-join, inside
+    the scan stage.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+O_AGG_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_agg_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-quantity orders — a HAVING-filtered aggregate
+    used as a semi-join filter back onto the fact/dim chain.
+
+    Quantities ride as exact integer cents so the HAVING threshold is an
+    integer comparison on both engines.  Scale: the groupBy(l_orderkey)
+    pre-aggregates map-side; the surviving key set is tiny (p99 of order
+    quantity is ~262 at this distribution, threshold 300), so the back-join
+    is a broadcast of the filtered keys — the classic "aggregate once,
+    semi-join the survivors" shape.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = "cast(round(l_quantity * 100) as decimal(18,0))"
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.expr(qty)).cast("decimal(38,0)").alias("qty_cents"))
+        .where(F.col("qty_cents") > 300 * 100)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("total_cents"),
+            "qty_cents",
+        )
+        .orderBy(F.desc("total_cents"), "o_orderkey")
+        .limit(20)
+    )
+
+
+O_AGG_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DECIMAL(38,0))
+           AS qty_cents
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) > 30000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, qty_cents
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_cents DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_agg_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a disjunction of (brand, size,
+    quantity-band) predicate groups spanning both join sides.
+
+    The common conjuncts (p_size >= 1, quantity bounds) still push into the
+    scans; the brand-specific OR evaluates post-join.  One broadcast join,
+    one scalar aggregate — no wide shuffle at any scale.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def band(brand: str, max_size: int, qlo: int, qhi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, max_size))
+            & (F.col("l_quantity").between(qlo, qhi))
+        )
+
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(
+            band("Brand#12", 15, 1, 15)
+            | band("Brand#23", 20, 10, 25)
+            | band("Brand#34", 25, 20, 35)
+        )
+        .agg(F.sum(F.expr(_REV_CENTS100)).cast("decimal(38,0)").alias("revenue_cents100"))
+    )
+
+
+O_AGG_Q19 = f"""
+SELECT CAST(sum({_REV_CENTS100_SQL}) AS DECIMAL(38,0)) AS revenue_cents100
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def q_agg_q22_idle_rich(spark, sf_dir):
+    """TPC-H Q22 shape: per-nation count/balance of above-average-balance
+    customers who never placed an URGENT order — scalar-subquery threshold +
+    anti-join.
+
+    The average-balance comparison is cross-multiplied into pure integers
+    (bal_cents · n_pos > sum_pos_cents) so no engine ever divides: exact on
+    both sides with zero rounding policy.  Scale: the threshold aggregate is
+    one row (broadcast); the anti-join shuffles on custkey — or broadcasts
+    the distinct urgent-custkey set when it is small, which AQE decides.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    bal = F.expr("cast(round(c_acctbal * 100) as bigint)")
+    pos = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("sum_pos_cents"), F.count("*").alias("n_pos")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.withColumn("bal_cents", bal)
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos_cents"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.sum("bal_cents").alias("totbal_cents"))
+        .orderBy("c_nationkey")
+    )
+
+
+O_AGG_Q22 = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_pos_cents,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totbal_cents
+FROM customer, pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
+    "agg_q7_nation_volume": (q_agg_q7_nation_volume, O_AGG_Q7),
+    "agg_q13_order_histogram": (q_agg_q13_order_histogram, O_AGG_Q13),
+    "agg_q18_large_orders": (q_agg_q18_large_orders, O_AGG_Q18),
+    "agg_q19_disjunctive_revenue": (q_agg_q19_disjunctive_revenue, O_AGG_Q19),
+    "agg_q22_idle_rich": (q_agg_q22_idle_rich, O_AGG_Q22),
     "skew_salted_topn": (q_skew_salted_topn, O_SKEW_TOPN),
     "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
     "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),

@@ -307,6 +307,47 @@ WHERE round(
 """
 
 
+def q_dedup_contamination(spark, sf_dir):
+    """Decontamination scan: 20% eval split, n-gram-hash overlap vs train."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.contamination_report(docs, "doc_id", "text", test_fraction=0.20)
+
+
+def _contamination_oracle():
+    from .operators.sampling import _threshold
+
+    return f"""
+WITH split AS (
+  SELECT doc_id AS id, text,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) < {_threshold(0.20)}
+              THEN 'test' ELSE 'train' END AS side
+  FROM documents
+),
+norm AS (SELECT id, side, {_NORM} AS t FROM split),
+sh AS (
+  SELECT id, side, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {SHINGLE_LEN - 1}, 0) + 1),
+           i -> substr(t, CAST(i AS INT), {SHINGLE_LEN})))) AS shingle
+  FROM norm
+),
+hashed AS (
+  SELECT DISTINCT id, side,
+         CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM sh
+),
+train AS (SELECT DISTINCT h FROM hashed WHERE side = 'train'),
+test AS (SELECT id, h FROM hashed WHERE side = 'test')
+SELECT test.id AS id, count(*) AS n_grams, count(train.h) AS n_hit,
+       round(CAST(count(train.h) AS DOUBLE) / count(*), 6) AS hit_ratio
+FROM test LEFT JOIN train ON test.h = train.h
+GROUP BY test.id HAVING count(train.h) > 0
+"""
+
+
+O_CONTAMINATION = _contamination_oracle()
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -1068,6 +1109,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, O_JACCARD_PAIRS),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, O_EMB_PAIRS),
+    "dedup_contamination": (q_dedup_contamination, O_CONTAMINATION),
     "sim_cosine_topk": (q_sim_cosine_topk, O_COSINE_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, O_IVF_TOPK),
     "sim_kmeans_topk": (q_sim_kmeans_topk, O_KMEANS_TOPK),
