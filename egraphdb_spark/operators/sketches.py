@@ -221,3 +221,100 @@ def cm_estimate(df: DataFrame, col: str, candidates: DataFrame) -> DataFrame:
         .groupBy("key")
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, sparse, mergeable)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_BITS = 1 << 16  # 65536 bits = 1024 64-bit words (8 KB dense ceiling)
+
+
+def _bloom_pos(key) -> list["F.Column"]:
+    """k=4 16-bit bit positions from ONE md5: hex nibble slices [1:5),
+    [5:9), [9:13), [13:17) — 4 hex digits are exactly 16 bits, so no
+    modulo (and no modulo-bias) is needed."""
+    md = F.md5(key.cast("string"))
+    return [
+        F.conv(F.substring(md, 1 + 4 * j, 4), 16, 10).cast("long")
+        for j in range(BLOOM_K)
+    ]
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """Build a sparse Bloom filter over ``col`` → (word, bits) rows.
+
+    Word w holds bits [64w, 64w+64); rows with no set bits are absent.
+    Everything is map-side expression work plus ONE groupBy(word) shuffle
+    bounded by 1024 rows regardless of input size; `bit_or` partials are
+    map-side combined, and two filters (daily corpus increments, say)
+    merge by unioning rows and re-`bit_or`-ing — the same mergeability
+    contract as the HLL/count-min sketches above.  The dense form is ≤8 KB:
+    always broadcastable, so the intended 100 TB use is "build once on the
+    small/authoritative side, broadcast, and pre-filter the probe side of a
+    join before its shuffle" (Spark's own runtime row filter, but
+    persistent, engine-portable, and exact to re-derive).  md5 keeps the
+    DuckDB oracle bit-identical; swap xxhash64 for production throughput.
+    """
+    pos = _bloom_pos(F.col(col))
+    return (
+        df.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("word"),
+            F.expr("cast(pos % 64 as int)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+    )
+
+
+def bloom_probe_summary(
+    sketch: DataFrame, probe: DataFrame, probe_col: str, truth: DataFrame
+) -> DataFrame:
+    """Probe every ``probe`` key against the filter; summarize accuracy.
+
+    ``truth`` is a 1-column DataFrame of the keys actually inserted.
+    Returns ONE row (n_probe, n_true, n_bloom_hits, n_false_pos); the
+    no-false-negative law (hits ⊇ truth) makes n_bloom_hits − n_false_pos
+    = n_true an invariant the gate checks for free.
+
+    Shape: 4 position rows per probe key joined against the ≤1024-row
+    sketch — Catalyst broadcasts the sketch side; the per-key verdict
+    (all k bits set) is a map-side combinable groupBy(key).
+    """
+    pos = _bloom_pos(F.col("key"))
+    exploded = probe.select(F.col(probe_col).alias("key")).distinct().select(
+        "key", F.explode(F.array(*pos)).alias("pos")
+    ).select(
+        "key",
+        F.expr("pos div 64").alias("word"),
+        F.expr("cast(pos % 64 as int)").alias("bit"),
+    )
+    hits = (
+        exploded.join(F.broadcast(sketch), "word", "left")
+        .select(
+            "key",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.expr("bits & shiftleft(1L, bit)") != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("key")
+        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_hit"))
+    )
+    tname = truth.columns[0]
+    marked = hits.join(
+        F.broadcast(truth.select(F.col(tname).alias("key")).distinct().withColumn("is_true", F.lit(1))),
+        "key",
+        "left",
+    ).fillna({"is_true": 0})
+    return marked.agg(
+        F.count("*").alias("n_probe"),
+        F.sum("is_true").alias("n_true"),
+        F.sum("bloom_hit").alias("n_bloom_hits"),
+        F.sum(F.expr("bloom_hit * (1 - is_true)")).alias("n_false_pos"),
+    )

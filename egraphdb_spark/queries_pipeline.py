@@ -629,6 +629,60 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sketch_bloom_fp(spark, sf_dir):
+    """Bloom filter built over urgent-order custkeys, probed with every
+    customer: one-row accuracy summary (the no-false-negative invariant is
+    n_bloom_hits − n_false_pos = n_true)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    members = (
+        o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    )
+    sk = sketches.bloom_build(members, "o_custkey")
+    return sketches.bloom_probe_summary(sk, c, "c_custkey", members)
+
+
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), CAST(1 + 4*j AS INT), 4))"
+    " AS BIGINT)"
+)
+# DuckDB range-checks 1<<63 (Spark's shiftleft wraps to the sign bit), so
+# the top bit gets an explicit min-long literal.
+_BLOOM_MASK = (
+    "CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)"
+    " ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END"
+)
+
+O_BLOOM_FP = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+ks AS (SELECT unnest(range(0, 4)) AS j),
+mpos AS (SELECT {_BLOOM_POS} AS pos FROM members, ks),
+words AS (
+  SELECT pos // 64 AS word, bit_or({_BLOOM_MASK}) AS bits
+  FROM mpos GROUP BY 1
+),
+probe AS (SELECT DISTINCT c_custkey AS key FROM customer),
+ppos AS (SELECT key, {_BLOOM_POS} AS pos FROM probe, ks),
+perkey AS (
+  SELECT key,
+         CASE WHEN sum(CASE WHEN bits IS NOT NULL
+                             AND (bits & ({_BLOOM_MASK})) != 0
+                            THEN 1 ELSE 0 END) = 4
+              THEN 1 ELSE 0 END AS bloom_hit
+  FROM ppos LEFT JOIN words ON pos // 64 = word
+  GROUP BY key
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(bloom_hit * (CASE WHEN m.key IS NULL THEN 1 ELSE 0 END)) AS BIGINT)
+         AS n_false_pos
+FROM perkey LEFT JOIN members m ON perkey.key = m.key
+"""
+
+
 def _sample_oracles():
     from .operators.sampling import _threshold, sample_oracle_pred
 
@@ -1126,6 +1180,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
             "lineitem", "l_extendedprice", 100.0, [0.5, 0.9, 0.99]
         ),
     ),
+    "sketch_bloom_fp": (q_sketch_bloom_fp, O_BLOOM_FP),
     "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),
     "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
