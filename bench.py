@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "sim_kmeans_topk",
     "sketch_hll_distinct",
+    "sketch_bloom_fp",
+    "dedup_contamination",
+    "agg_q7_nation_volume",
+    "agg_q13_order_histogram",
+    "agg_q18_large_orders",
+    "agg_q19_disjunctive_revenue",
+    "agg_q22_idle_rich",
     "skew_salted_topn",
     "sample_stratified",
     "stream_window_counts",

@@ -51,16 +51,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # so set it here — on the passed-in session — rather than relying on the
     # builder in session.py having configured it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out = {}
-    for t in TABLES:
+
+    # Each spark.read.parquet pays a driver-side footer/schema job; ten
+    # serial reads cost ~2 s even locally.  The reads are independent, so
+    # issue them concurrently (py4j is thread-safe; Spark analyzes each
+    # relation under its own lock).
+    def _read(t: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (see session.py); restore it.
+        # spark.sql.legacy.parquet.nanosAsLong (see above); restore it.
         if t == "events" and dict(df.dtypes).get("ts") == "bigint":
             # integer div, NOT /1000.0: epoch-nanos exceed double's 53-bit
             # mantissa, float division silently corrupts the microsecond
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        out[t] = df
+        return df
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(TABLES)) as ex:
+        dfs = list(ex.map(_read, TABLES))
+    out = dict(zip(TABLES, dfs))
     _TABLE_CACHE[cache_key] = out
     return out
 
