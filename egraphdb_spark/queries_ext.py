@@ -88,6 +88,31 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming deduplication: the source unioned with itself (every event
+    arrives twice) → dropDuplicatesWithinWatermark on event_id → append sink.
+    The oracle is the per-type count over the ORIGINAL table: a correct
+    streaming dedup makes the doubled stream indistinguishable from it.
+    State is bounded by the watermark horizon, not stream length."""
+    from .streaming.stream import dedup_within_watermark, read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    deduped = run_to_memory(
+        dedup_within_watermark(ev.union(ev)), "stream_dedup_tbl", output_mode="append"
+    )
+    return (
+        deduped.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.count_distinct("event_id").alias("n_ids"))
+        .orderBy("event_type")
+    )
+
+
+O_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_evt_session_window(spark, sf_dir):
     """Session windows (30-min gap) per user over the events table."""
     ev = _t(spark, sf_dir, "events")
@@ -1986,6 +2011,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "sql_grouping_sets": (q_sql_grouping_sets, O_SQL_GSETS),
     "g2_dfs_path": (q_g2_dfs_path, O_G2),
     "stream_window_counts": (q_stream_window_counts, O_STREAM_WINDOW),
+    "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     "evt_session_window": (q_evt_session_window, O_SESSION_WINDOW),
     "fn_registry_udf": (q_fn_registry_udf, O_FN_REGISTRY),
     "fn_password_hash": (q_fn_password_hash, O_FN_PASSWORD),

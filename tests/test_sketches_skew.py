@@ -161,3 +161,23 @@ def test_histogram_quantiles_error_bound(spark):
     assert sorted(got) == qs
     with pytest.raises(ValueError):
         sketches.histogram_quantiles(li, "l_extendedprice", 50.0, [])
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    members = spark.range(500).select((F.col("id") * 7 + 3).alias("k"))
+    sk = sketches.bloom_build(members, "k")
+    # dense size bound: at most 1024 words
+    assert sk.count() <= 1024
+    probe = spark.range(2000).select(F.col("id").alias("k"))
+    row = sketches.bloom_probe_summary(sk, probe, "k", members.withColumnRenamed("k", "m")).collect()[0]
+    # membership law: every true member hits (no false negatives)
+    assert row["n_probe"] == 2000
+    assert row["n_bloom_hits"] - row["n_false_pos"] == row["n_true"]
+    # mergeability: build over two halves, bit_or-merge == single build
+    h1 = sketches.bloom_build(members.where(F.col("k") % 2 == 0), "k")
+    h2 = sketches.bloom_build(members.where(F.col("k") % 2 == 1), "k")
+    merged = (
+        h1.unionByName(h2).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    full = {(r["word"], r["bits"]) for r in sk.collect()}
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == full
