@@ -683,6 +683,43 @@ FROM perkey LEFT JOIN members m ON perkey.key = m.key
 """
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order clustering evidence on part over (p_size, p_partkey%1024):
+    per-range-bucket row counts for a 2-D box predicate.  The box's rows
+    concentrate in few buckets — the fraction of files a z-laid-out table
+    would actually read (ntile here is the oracle-exact stand-in for the
+    production repartitionByRange writer in operators/layout.py)."""
+    from .operators import layout
+
+    part = _t(spark, sf_dir, "part").withColumn("pk_lo", F.expr("p_partkey % 1024"))
+    return layout.zorder_prune_stats(
+        part, "p_size", "pk_lo", (10, 20), (100, 300), n_buckets=32,
+        tiebreak="p_partkey",
+    )
+
+
+def _zorder_oracle():
+    from .operators.layout import zvalue_sql
+
+    z = zvalue_sql("p_size", "pk_lo")
+    return f"""
+WITH d AS (SELECT p_size, p_partkey % 1024 AS pk_lo, p_partkey, {z} AS z FROM part),
+t AS (
+  SELECT p_size, pk_lo, z,
+         ntile(32) OVER (ORDER BY z, p_partkey) AS bucket
+  FROM d
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p_size BETWEEN 10 AND 20 AND pk_lo BETWEEN 100 AND 300
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_box_rows,
+       min(z) AS z_min, max(z) AS z_max
+FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+O_LAYOUT_ZORDER = _zorder_oracle()
+
+
 def _sample_oracles():
     from .operators.sampling import _threshold, sample_oracle_pred
 
@@ -1181,6 +1218,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
         ),
     ),
     "sketch_bloom_fp": (q_sketch_bloom_fp, O_BLOOM_FP),
+    "layout_zorder_prune": (q_layout_zorder, O_LAYOUT_ZORDER),
     "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),
     "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),

@@ -181,3 +181,19 @@ def test_bloom_no_false_negatives_and_merge(spark):
     )
     full = {(r["word"], r["bits"]) for r in sk.collect()}
     assert {(r["word"], r["bits"]) for r in merged.collect()} == full
+
+
+def test_zvalue_bit_interleave_laws(spark):
+    from egraphdb_spark.operators.layout import zvalue
+
+    df = spark.range(1).select(
+        zvalue(F.lit(0b1111), F.lit(0)).alias("a_only"),
+        zvalue(F.lit(0), F.lit(0b1111)).alias("b_only"),
+        zvalue(F.lit(0b1111), F.lit(0b1111)).alias("both"),
+        zvalue(F.lit(1), F.lit(2)).alias("mixed"),
+    ).collect()[0]
+    assert df["a_only"] == 0b01010101  # a lands on even bit positions
+    assert df["b_only"] == 0b10101010  # b on odd
+    assert df["both"] == 0b11111111
+    # a=1 -> bit0; b=2 -> bit of (b's bit1) = position 3
+    assert df["mixed"] == 0b1001
