@@ -1,0 +1,88 @@
+"""Dataset profiling and outlier treatment — the ANALYZE step of a pipeline.
+
+Before a 100 TB corpus is joined, sampled, or trained on, you profile it:
+per-column null rates, distinct counts, ranges — and you clip pathological
+numeric tails (winsorization) so downstream statistics aren't dominated by
+corrupt rows.  Both are single-scan aggregations here.
+
+Scale notes:
+  * `profile_columns` computes every metric for every column in ONE pass
+    (one hash-aggregate, map-side combined; the unpivot to long form is a
+    zero-cost projection of the single result row).  Exact NDV is the gate
+    contract; at 100 TB swap `countDistinct` for the HLL sketch in
+    operators/sketches.py column-by-column — same output schema.
+  * `winsorize_stats` uses exact interpolated percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-verified by the
+    agg_percentile gate); at scale use `approx_percentile` with a bounded
+    error — the clip logic is unchanged.  The two-row threshold frame is a
+    broadcast; nothing but the one scan shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame, numeric_cols: list[str], string_cols: list[str]
+) -> DataFrame:
+    """Long-form per-column profile: (column, n, n_null, ndv, min_num,
+    max_num, min_str, max_str) — numeric mins/maxes rounded to 6dp, string
+    ranges binary-collated (both engines' default)."""
+    aggs = []
+    for c in numeric_cols + string_cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__ndv"),
+        ]
+    for c in numeric_cols:
+        aggs += [
+            F.round(F.min(F.col(c).cast("double")), 6).alias(f"{c}__min"),
+            F.round(F.max(F.col(c).cast("double")), 6).alias(f"{c}__max"),
+        ]
+    for c in string_cols:
+        aggs += [F.min(c).alias(f"{c}__mins"), F.max(c).alias(f"{c}__maxs")]
+    flat = df.agg(*aggs)
+
+    def row(c: str, numeric: bool):
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nnull").alias("n_null"),
+            F.col(f"{c}__ndv").alias("ndv"),
+            (F.col(f"{c}__min") if numeric else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"{c}__max") if numeric else F.lit(None).cast("double")).alias("max_num"),
+            (F.lit(None).cast("string") if numeric else F.col(f"{c}__mins")).alias("min_str"),
+            (F.lit(None).cast("string") if numeric else F.col(f"{c}__maxs")).alias("max_str"),
+        )
+
+    rows = [row(c, True) for c in numeric_cols] + [row(c, False) for c in string_cols]
+    return flat.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def winsorize_stats(
+    df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99
+) -> DataFrame:
+    """Clip ``col`` to its [lo, hi] percentile band; one summary row:
+    (n, n_clip_low, n_clip_high, sum_clipped_cents, p_lo, p_hi).
+
+    The clipped sum rides as integer cents (round(100·x) after clamping to
+    the engine-identical percentile doubles) so it is order-free exact.
+    """
+    q = df.agg(
+        F.expr(f"percentile({col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({col}, {hi})").alias("p_hi"),
+    )
+    v = F.col(col)
+    return (
+        df.crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((v < F.col("p_lo")).cast("long")).alias("n_clip_low"),
+            F.sum((v > F.col("p_hi")).cast("long")).alias("n_clip_high"),
+            F.sum(F.expr(f"cast(round(100 * (CASE WHEN {col} < p_lo THEN p_lo WHEN {col} > p_hi THEN p_hi ELSE {col} END)) as bigint)")).alias("sum_clipped_cents"),
+            F.round(F.min("p_lo"), 6).alias("p_lo"),
+            F.round(F.min("p_hi"), 6).alias("p_hi"),
+        )
+    )

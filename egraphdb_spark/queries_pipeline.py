@@ -720,6 +720,72 @@ FROM t GROUP BY bucket ORDER BY bucket
 O_LAYOUT_ZORDER = _zorder_oracle()
 
 
+def q_profile_table(spark, sf_dir):
+    """One-pass ANALYZE profile of lineitem (nulls / NDV / ranges)."""
+    from .operators import profiling
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profiling.profile_columns(
+        li,
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    ).orderBy("column")
+
+
+def _profile_oracle():
+    num = ["l_quantity", "l_extendedprice", "l_discount"]
+    s = ["l_returnflag", "l_linestatus"]
+    parts = [
+        f"""SELECT '{c}' AS "column", CAST(count({c}) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+            round(CAST(min({c}) AS DOUBLE), 6) AS min_num,
+            round(CAST(max({c}) AS DOUBLE), 6) AS max_num,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM lineitem"""
+        for c in num
+    ] + [
+        f"""SELECT '{c}', CAST(count({c}) AS BIGINT),
+            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(count(DISTINCT {c}) AS BIGINT),
+            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min({c}), max({c})
+            FROM lineitem"""
+        for c in s
+    ]
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+O_PROFILE = _profile_oracle()
+
+
+def q_clean_winsorize(spark, sf_dir):
+    """Winsorization summary for l_extendedprice at [p1, p99]."""
+    from .operators import profiling
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profiling.winsorize_stats(li, "l_extendedprice", 0.01, 0.99)
+
+
+O_WINSORIZE = """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p_lo,
+         quantile_cont(l_extendedprice, 0.99) AS p_hi
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_low,
+       CAST(sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_high,
+       CAST(sum(CAST(round(100 * (CASE WHEN l_extendedprice < p_lo THEN p_lo
+                                       WHEN l_extendedprice > p_hi THEN p_hi
+                                       ELSE l_extendedprice END)) AS BIGINT))
+            AS BIGINT) AS sum_clipped_cents,
+       round(min(p_lo), 6) AS p_lo, round(min(p_hi), 6) AS p_hi
+FROM lineitem, q
+"""
+
+
 def _sample_oracles():
     from .operators.sampling import _threshold, sample_oracle_pred
 
@@ -1219,6 +1285,8 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     ),
     "sketch_bloom_fp": (q_sketch_bloom_fp, O_BLOOM_FP),
     "layout_zorder_prune": (q_layout_zorder, O_LAYOUT_ZORDER),
+    "profile_table": (q_profile_table, O_PROFILE),
+    "clean_winsorize": (q_clean_winsorize, O_WINSORIZE),
     "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),
     "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
