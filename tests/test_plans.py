@@ -148,3 +148,46 @@ def test_win_frames_single_window_exchange(spark):
 
     n_exch = len(re.findall(r"\bExchange hashpartitioning\(o_custkey", p))
     assert n_exch <= 1, f"expected one shared window shuffle, saw {n_exch}\n{p}"
+
+
+def test_profile_single_scan_no_join(spark):
+    """profile_table computes every column's metrics in one aggregate over
+    one scan — no join, no union of per-column scans."""
+    p = plan_of(q(spark, "profile_table"))
+    assert "Join" not in p and "Union" not in p
+    # multi-count_distinct runs via Expand over ONE scan of one file —
+    # never a union of per-column scans (AQE may print the node twice)
+    assert "Expand" in p
+    locs = {ln for ln in p.splitlines() if "InMemoryFileIndex" in ln}
+    assert len(locs) == 1
+
+
+def test_q7_broadcasts_both_nation_chains(spark):
+    p = plan_of(q(spark, "agg_q7_nation_volume"))
+    # nation (×2 via supplier and customer chains) and supplier broadcast;
+    # only lineitem⋈orders may shuffle
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q13_outer_join_no_cartesian(spark):
+    p = plan_of(q(spark, "agg_q13_order_histogram"))
+    assert "LeftOuter" in p and "CartesianProduct" not in p
+
+
+def test_bloom_probe_broadcasts_sketch(spark):
+    """The ≤1024-row sketch must broadcast; the probe side never shuffles
+    on the word key."""
+    p = plan_of(q(spark, "sketch_bloom_fp"))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_no_driver_jobs_during_construction(spark):
+    """Building the contamination plan must not execute any Spark job."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = q(spark, "dedup_contamination")
+    after = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after)
+    assert "Join" in plan_of(df)
