@@ -1653,6 +1653,45 @@ FROM events GROUP BY event_type
 
 
 
+def q_evt_transitions(spark, sf_dir):
+    """Per-user event-sequence transition matrix (Markov-chain prep): one
+    lead() window over (user_id, event-time) → pair counts + distinct-user
+    support per transition.  One Exchange on user_id for the window; the
+    tiny (type, next_type) aggregation reuses map-side combine.  At scale
+    the events table is already bucketed by user_id, making the window
+    shuffle-free."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+O_EVT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_evt_funnel(spark, sf_dir):
     """Event funnel (ClickHouse windowFunnel shape): users who did
     view → click → purchase in strict event-time order, completing within
@@ -1988,6 +2027,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "agg_q12_priority_flags": (q_agg_q12_priority_flags, O_AGG_Q12),
     "evt_rollup_cascade": (q_evt_rollup_cascade, O_EVT_ROLLUP),
     "evt_funnel": (q_evt_funnel, O_EVT_FUNNEL),
+    "evt_transitions": (q_evt_transitions, O_EVT_TRANSITIONS),
     "stream_stateful_counts": (q_stream_stateful_counts, O_STREAM_STATEFUL),
     "stream_user_profile": (q_stream_user_profile, O_STREAM_PROFILE),
     "stream_logtable_cdc": (q_stream_logtable_cdc, O_STREAM_LOGTABLE),
