@@ -58,7 +58,9 @@ from pyspark.sql.types import StructType
 
 # Reference framing constants (src/egraph_api.erl:351-362): 2-byte length
 # prefix, big-endian, so a frame payload is capped at 64 KiB - 1.
-_LEN = struct.Struct(">H")
+# ">H" packed inline (a precompiled struct.Struct instance is not
+# cloudpickle-able, and register() ships this module by value)
+_LEN_SIZE = 2
 MAX_FRAME = 0xFFFF
 
 
@@ -71,7 +73,7 @@ def write_frames(fh, payloads: Iterator[bytes]) -> int:
                 f"frame payload {len(p)} B exceeds the 16-bit length prefix "
                 f"({MAX_FRAME} B) — the reference's framing limit"
             )
-        fh.write(_LEN.pack(len(p)))
+        fh.write(struct.pack(">H", len(p)))
         fh.write(p)
         n += 1
     return n
@@ -85,7 +87,7 @@ def read_frames(fh) -> Iterator[bytes]:
             return
         if len(head) != 2:
             raise EOFError("truncated frame header")
-        (size,) = _LEN.unpack(head)
+        (size,) = struct.unpack(">H", head)
         payload = fh.read(size)
         if len(payload) != size:
             raise EOFError("truncated frame payload")
@@ -235,6 +237,22 @@ def register(spark) -> None:
     Enables Python-source filter pushdown (off by default; runtime-settable)
     — without it Spark refuses any reader that implements ``pushFilters``.
     Set on the passed-in session so foreign (driver-supplied) sessions work.
+
+    The reader/writer classes are unpickled inside Spark's Python *worker*
+    processes, which inherit the executor environment — NOT the driver's
+    sys.path.  An embedding application that imported this package from a
+    path-loaded location (the driver loads ``__spark_entry__.py`` by file
+    path) would hit ``ModuleNotFoundError: egraphdb_spark`` in the worker.
+    Registering the module for pickle-by-value makes the classes
+    self-contained in the pickle stream, so no worker-side import happens.
     """
+    try:  # cloudpickle >= 2.0 (bundled with pyspark 4)
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except (ImportError, AttributeError):
+        pass  # older cloudpickle: fall back to by-reference (same-path envs)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FramedBinaryDataSource)
