@@ -604,9 +604,11 @@ REGISTRY: dict[str, tuple] = {
 
 from .queries_ext import EXT_REGISTRY  # noqa: E402
 from .queries_pipeline import PIPELINE_REGISTRY  # noqa: E402
+from .queries_tpch import TPCH_REGISTRY  # noqa: E402
 
 REGISTRY.update(PIPELINE_REGISTRY)
 REGISTRY.update(EXT_REGISTRY)
+REGISTRY.update(TPCH_REGISTRY)
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver hard-checks queries in dict order (r01 checked

@@ -191,3 +191,38 @@ def test_contamination_no_driver_jobs_during_construction(spark):
     after = tracker.getJobIdsForGroup(None)
     assert list(before) == list(after)
     assert "Join" in plan_of(df)
+
+
+def test_q6_pure_scan_pushdown(spark):
+    """Q6 is the pushdown-evidence query: no join anywhere, and the whole
+    shipdate/discount/quantity predicate reaches the parquet reader."""
+    p = plan_of(q(spark, "agg_q6_forecast_revenue"))
+    assert "Join" not in p
+    pushed = p.split("PushedFilters")[1][:300]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q8_semi_join_market_and_broadcast_dims(spark):
+    p = plan_of(q(spark, "agg_q8_market_share"))
+    # the EUROPE customer set enters as a semi-join, never an inner blowup
+    assert "LeftSemi" in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q15_scalar_max_broadcasts_back(spark):
+    """The one-row max aggregate must come back as a broadcast, not force
+    the per-supplier aggregate through another shuffle."""
+    p = plan_of(q(spark, "agg_q15_top_supplier"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_single_exchange_serves_agg_and_window(spark):
+    """Q21's per-(order,supplier) aggregate and the order-level windows all
+    key on l_orderkey — one hash exchange on it must serve the chain (plus
+    the final per-supplier count): no repeated re-shuffle of the fact."""
+    p = plan_of(q(spark, "agg_q21_waiting_supplier"))
+    assert p.count("hashpartitioning(l_orderkey") <= 2
+    assert "CartesianProduct" not in p
