@@ -54,11 +54,18 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_bloom_fp",
     "dedup_contamination",
+    "agg_q6_forecast_revenue",
     "agg_q7_nation_volume",
+    "agg_q8_market_share",
+    "agg_q10_returned_revenue",
     "agg_q13_order_histogram",
+    "agg_q17_small_qty_revenue",
     "agg_q18_large_orders",
     "agg_q19_disjunctive_revenue",
+    "agg_q21_waiting_supplier",
     "agg_q22_idle_rich",
+    "pipe_seq_pack",
+    "pipe_mixture",
     "skew_salted_topn",
     "sample_stratified",
     "stream_window_counts",

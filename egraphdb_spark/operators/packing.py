@@ -1,0 +1,197 @@
+"""Sequence packing — map documents onto fixed-length training windows.
+
+GPT-style pretraining concatenates the tokenized corpus in a deterministic
+document order and slices it into fixed ``seq_len`` windows; what the data
+pipeline must produce is each document's *global token offset*, from which
+every (document ↔ training-sequence) incidence follows arithmetically:
+``first_seq = offset div L``, ``last_seq = (offset + n_tokens - 1) div L``.
+
+The naive plan — ``sum(tokens) OVER (ORDER BY doc_id)`` with no partition —
+is a single-reducer global sort: the whole corpus funnels through one task.
+This operator computes the identical result with the classic two-level
+prefix sum instead:
+
+1. range-bucket documents by ``id div bucket_width`` (order-preserving,
+   no count() needed — ids are the order);
+2. per-bucket token totals → running prefix via a window over the *bucket
+   summary* (one row per bucket — thousands of rows at 100 TB, so the
+   single-partition window there is free), broadcast-joined back;
+3. intra-bucket running sum partitioned by bucket — every partition works
+   independently.
+
+Wall-clock at scale is therefore two narrow shuffles (the bucket summary
+and the per-bucket window) instead of one global sort; no driver collect.
+
+All arithmetic is integer (token counts, offsets, ``div``), so the DuckDB
+oracle — the naive global-window formulation — matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """Global token offsets + sequence-window incidence for each document.
+
+    ``df`` must carry an integral ``id_col`` defining the pack order and an
+    integral ``token_col`` (> 0; filter empties upstream).  Returns the
+    input ids plus ``offset``, ``first_seq``, ``last_seq``, ``n_seqs``.
+
+    ``bucket_width`` trades parallelism against bucket-summary size; with
+    dense ids, ~65k docs per bucket keeps the summary tiny (one row per
+    bucket) while leaving thousands of independent partitions at corpus
+    scale.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    d = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(token_col).cast("long").alias("__tok"),
+    ).withColumn("__bucket", F.expr(f"__id div {int(bucket_width)}"))
+
+    # Per-bucket totals; the running prefix over the summary is a window
+    # with no partitionBy — intentional: the summary has one row per
+    # bucket, so this "global sort" is over thousands of rows, not the
+    # corpus.  exclusive prefix = cumulative - own.
+    per_bucket = d.groupBy("__bucket").agg(F.sum("__tok").alias("__bucket_tok"))
+    w_buckets = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bases = per_bucket.select(
+        "__bucket",
+        (F.sum("__bucket_tok").over(w_buckets) - F.col("__bucket_tok")).alias("__base"),
+    )
+
+    w_intra = (
+        Window.partitionBy("__bucket")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    L = int(seq_len)
+    return (
+        d.join(F.broadcast(bases), "__bucket")
+        .withColumn(
+            "offset", F.col("__base") + F.sum("__tok").over(w_intra) - F.col("__tok")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__tok").alias("n_tokens"),
+            "offset",
+            F.expr(f"offset div {L}").alias("first_seq"),
+            F.expr(f"(offset + __tok - 1) div {L}").alias("last_seq"),
+        )
+        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + F.lit(1))
+    )
+
+
+def pack_oracle_sql(
+    source_cte: str, id_col: str, token_col: str, seq_len: int
+) -> str:
+    """DuckDB oracle: the naive single-window formulation of the same math.
+
+    ``source_cte`` must be a complete CTE body exposing ``{id_col}`` and
+    ``{token_col}`` under the name ``src``.
+    """
+    L = int(seq_len)
+    return f"""
+WITH {source_cte},
+packed AS (
+  SELECT {id_col}, CAST({token_col} AS BIGINT) AS n_tokens,
+         CAST(sum({token_col}) OVER (ORDER BY {id_col}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - {token_col} AS BIGINT) AS "offset"
+  FROM src
+)
+SELECT {id_col}, n_tokens, "offset",
+       "offset" // {L} AS first_seq,
+       ("offset" + n_tokens - 1) // {L} AS last_seq,
+       ("offset" + n_tokens - 1) // {L} - "offset" // {L} + 1 AS n_seqs
+FROM packed
+"""
+
+
+def mixture_weights(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Epoch-weighted domain mixture — the "repeat CC twice, Wikipedia 3.4
+    epochs" step of assembling a pretraining mix.
+
+    A weight ``w = k + f`` (integer part ``k``, fraction ``f``) means every
+    document of that domain appears ``k`` times plus one more with
+    probability ``f``, decided by the same deterministic 60-bit md5
+    threshold the sampling operators use — per (document, copy) so the
+    fractional epoch is an unbiased hash-sample of the domain.  Unlisted
+    domains get weight 0 (dropped).
+
+    Implemented as a broadcast-joined per-domain copy count + a lateral
+    ``sequence`` explode: narrow, shuffle-free, and linear in *output*
+    rows, which is how an upsampling join must behave at 100 TB (the
+    explode happens after any pushed-down filters).  Output: the input
+    columns plus ``copy`` (0-based repeat ordinal).
+    """
+    from .sampling import _SCALE  # 1 << 60
+
+    whole = F.lit(None).cast("int")
+    frac_thr = F.lit(None).cast("long")
+    for dom, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {dom!r}")
+        k = int(w)
+        f_ = w - k
+        whole = F.when(F.col(domain_col) == dom, F.lit(k)).otherwise(whole)
+        frac_thr = F.when(
+            F.col(domain_col) == dom, F.lit(int(f_ * _SCALE))
+        ).otherwise(frac_thr)
+
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_copies = F.col("__whole") + F.when(u < F.col("__frac_thr"), 1).otherwise(0)
+    return (
+        df.withColumn("__whole", whole)
+        .withColumn("__frac_thr", frac_thr)
+        .where(F.col("__whole").isNotNull())
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn("copy", F.explode(F.expr("sequence(0, __n - 1)")))
+        .drop("__whole", "__frac_thr", "__n")
+    )
+
+
+def mixture_oracle_sql(
+    source_cte: str, id_col: str, domain_col: str, weights: dict[str, float], salt: str = "mix"
+) -> str:
+    """DuckDB oracle for :func:`mixture_weights` over CTE ``src``."""
+    scale = 1 << 60
+    whole = "CASE " + " ".join(
+        f"WHEN {domain_col} = '{d}' THEN {int(w)}" for d, w in sorted(weights.items())
+    ) + " END"
+    frac = "CASE " + " ".join(
+        f"WHEN {domain_col} = '{d}' THEN {int((w - int(w)) * scale)}"
+        for d, w in sorted(weights.items())
+    ) + " END"
+    return f"""
+WITH {source_cte},
+marked AS (
+  SELECT *, {whole} AS __whole,
+         CASE WHEN CAST(('0x' || substr(md5('{salt}' || ':' || CAST({id_col} AS VARCHAR)), 1, 15))
+                   AS BIGINT) < {frac} THEN 1 ELSE 0 END AS __extra
+  FROM src WHERE {whole} IS NOT NULL
+),
+counted AS (SELECT *, __whole + __extra AS __n FROM marked WHERE __whole + __extra > 0)
+SELECT counted.* EXCLUDE (__whole, __extra, __n), CAST(t.copy AS BIGINT) AS copy
+FROM counted, LATERAL (SELECT unnest(range(0, __n)) AS copy) t
+"""

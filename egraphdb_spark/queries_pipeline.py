@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, sketches, text
+from .operators import dedup, multimodal, packing, similarity, sketches, text
 from .operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -1247,7 +1247,58 @@ FROM scrubbed
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing + training-mix assembly
+# --------------------------------------------------------------------------
+
+
+def q_pipe_seq_pack(spark, sf_dir):
+    """Map every document onto its fixed-length (512-token) training
+    windows: global token offset via the two-level prefix sum (see
+    operators/packing.py — no single-reducer global sort), then the
+    seq-window incidence by integer division.  bucket_width=64 keeps the
+    sf0.01 fixture multi-bucket so the distributed path is what's tested.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    ).where(F.col("n_tok") > 0)
+    return packing.pack_offsets(d, "doc_id", "n_tok", seq_len=512, bucket_width=64)
+
+
+O_PIPE_PACK = packing.pack_oracle_sql(
+    f"""src AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS n_tok
+  FROM documents
+  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END) > 0
+)""",
+    "doc_id",
+    "n_tok",
+    seq_len=512,
+)
+
+_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 0.25, "zh": 3.0}  # es: dropped
+
+
+def q_pipe_mixture(spark, sf_dir):
+    """Epoch-weighted domain mixture (langs stand in for domains): en×2.5,
+    zh×3, de×1, fr×0.25, es dropped — integer repeats plus a deterministic
+    hash-sampled fractional epoch, exploded lateral-style (narrow, linear
+    in output rows; see operators/packing.py:mixture_weights).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return packing.mixture_weights(docs, "doc_id", "lang", _MIX_WEIGHTS)
+
+
+O_PIPE_MIXTURE = packing.mixture_oracle_sql(
+    "src AS (SELECT doc_id, lang FROM documents)", "doc_id", "lang", _MIX_WEIGHTS
+)
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "pipe_seq_pack": (q_pipe_seq_pack, O_PIPE_PACK),
+    "pipe_mixture": (q_pipe_mixture, O_PIPE_MIXTURE),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),

@@ -1,0 +1,94 @@
+"""Sequence packing + mixture upsampling: laws and plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from egraphdb_spark.operators import packing, text
+from test_plans import plan_of
+
+
+def _doc_tokens(spark):
+    from egraphdb_spark.graph import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    return docs.select("doc_id", text.token_count("text").alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+
+
+def test_pack_offsets_are_exact_prefix_sums(spark):
+    d = _doc_tokens(spark)
+    rows = (
+        packing.pack_offsets(d, "doc_id", "n_tok", seq_len=512, bucket_width=7)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows, "fixture has no non-empty documents"
+    expect = 0
+    for r in rows:
+        # offsets are the exclusive prefix sum in doc_id order — the packed
+        # corpus has no holes and no overlaps, regardless of bucketing
+        assert r["offset"] == expect
+        expect += r["n_tokens"]
+        assert r["first_seq"] == r["offset"] // 512
+        assert r["last_seq"] == (r["offset"] + r["n_tokens"] - 1) // 512
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+
+def test_pack_bucket_width_invariance(spark):
+    d = _doc_tokens(spark)
+    a = packing.pack_offsets(d, "doc_id", "n_tok", 512, bucket_width=3).orderBy("doc_id")
+    b = packing.pack_offsets(d, "doc_id", "n_tok", 512, bucket_width=10_000).orderBy(
+        "doc_id"
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_pack_plan_has_no_global_window(spark):
+    """The corpus-sized window must partition by bucket; only the one-row-
+    per-bucket summary may use a partitionless (single-reducer) window."""
+    d = _doc_tokens(spark)
+    p = plan_of(packing.pack_offsets(d, "doc_id", "n_tok", 512, bucket_width=64))
+    # the intra-bucket running sum keys its window exchange on the bucket
+    # column — corpus rows never funnel through one partition ...
+    assert "hashpartitioning(__bucket" in p
+    # ... and exactly ONE SinglePartition exchange exists: the one-row-per-
+    # bucket summary window (a corpus-sized global sort would add another)
+    assert p.count("SinglePartition") == 1, p
+
+
+def test_mixture_epoch_law(spark):
+    docs = _doc_tokens(spark).select("doc_id")
+    from egraphdb_spark.graph import load_tables
+
+    src = load_tables(spark, SF_SMOKE)["documents"].select("doc_id", "lang")
+    out = packing.mixture_weights(src, "doc_id", "lang", {"en": 2.5, "fr": 0.0, "zh": 1.0})
+    per_doc = out.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n"), F.max("copy").alias("max_copy")
+    )
+    rows = per_doc.collect()
+    assert rows
+    for r in rows:
+        if r["lang"] == "en":
+            assert r["n"] in (2, 3)  # 2 whole epochs + Bernoulli(0.5) third
+        elif r["lang"] == "zh":
+            assert r["n"] == 1
+        else:
+            pytest.fail(f"lang {r['lang']} should have been dropped")
+        assert r["max_copy"] == r["n"] - 1  # copies are 0..n-1, dense
+    # fr (weight 0.0) and unlisted langs are absent entirely
+    langs = {r["lang"] for r in rows}
+    assert langs <= {"en", "zh"}
+    # the fractional epoch is a real sample: some en docs got 3, some 2
+    en_counts = {r["n"] for r in rows if r["lang"] == "en"}
+    assert en_counts == {2, 3}
+
+
+def test_mixture_rejects_negative_weight(spark):
+    src = _doc_tokens(spark).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError):
+        packing.mixture_weights(src, "doc_id", "lang", {"en": -1.0})
