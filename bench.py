@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "agg_q22_idle_rich",
     "pipe_seq_pack",
     "pipe_mixture",
+    "txt_bm25_topk",
     "skew_salted_topn",
     "sample_stratified",
     "stream_window_counts",

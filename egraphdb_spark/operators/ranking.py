@@ -1,0 +1,125 @@
+"""BM25 ranked retrieval over the document corpus.
+
+The reference's search surface returns membership (which documents match an
+index predicate, egraph_index_model.erl); a training-data/analytics corpus
+additionally needs *ranked* retrieval — "the k most relevant documents for
+these terms" — for eval-set curation, nearest-neighbor text lookup, and
+relevance-weighted sampling.  This is Okapi BM25 expressed as three hash
+aggregates, no UDFs:
+
+1. per-document length (narrow, from the token array);
+2. term frequencies: explode tokens, filter to the query terms *before*
+   the shuffle (the posting list is |terms|-bounded, not corpus-bounded);
+3. document frequencies per term: |terms| rows, broadcast back.
+
+Scale: the exploded token stream is filtered to the query vocabulary
+inside the scan stage, so shuffle volume is (matched term, doc) pairs —
+the size of the posting lists, exactly what an inverted index would read.
+The df/N/avgdl side inputs are tiny scalar aggregates, broadcast.
+Top-k is a TakeOrdered, never a global sort.
+
+Determinism: tf / df / doclen are exact integers; idf and the saturation
+term are IEEE-double expressions evaluated in an identical algebraic shape
+on both engines (one `ln`, correctly-rounded * and /), and the score is
+rounded to 6 dp with doc_id as the final tie-break — the same recipe the
+vector-math gates use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 15,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query ``terms``.
+
+    Uses the Lucene idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive, so common terms demote rather than flip sign).  Returns
+    ``(id_col, score, n_terms_hit)`` ordered by score desc, id asc.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    tl = [t.lower() for t in terms]
+
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).withColumn("__dl", F.size("__toks").cast("long"))
+
+    corpus = base.agg(
+        F.count("*").alias("__n_docs"),
+        F.sum("__dl").alias("__total_tokens"),
+    )
+
+    tf = (
+        base.select("__id", "__dl", F.explode("__toks").alias("__term"))
+        .where(F.col("__term").isin(tl))
+        .groupBy("__id", "__dl", "__term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    df_ = tf.groupBy("__term").agg(F.countDistinct("__id").alias("__df"))
+
+    # identical algebraic shape in the DuckDB oracle (bm25_oracle_sql):
+    # every * and / is IEEE-correctly-rounded, ln is the one libm call
+    idf = F.expr("ln(1 + (__n_docs - __df + 0.5) / (__df + 0.5))")
+    avgdl = F.expr("__total_tokens / __n_docs")
+    sat = F.expr(f"(__tf * {K1 + 1.0}) / (__tf + {K1} * (1 - {B} + {B} * __dl / (__total_tokens / __n_docs)))")
+    _ = avgdl  # documented inline in `sat` to keep one expression shape
+
+    return (
+        tf.join(F.broadcast(df_), "__term")
+        .join(F.broadcast(corpus))
+        .withColumn("__s", idf * sat)
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.round(F.sum("__s"), 6).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    table: str, id_col: str, text_col: str, terms: list[str], k: int = 15
+) -> str:
+    """DuckDB oracle with the identical expression shape."""
+    tl = ", ".join(f"'{t.lower()}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim(lower({text_col})), '\\s+') AS toks
+  FROM {table}
+), lens AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM lens
+), tf AS (
+  SELECT id, dl, term, count(*) AS tf
+  FROM (SELECT id, dl, unnest(toks) AS term FROM lens)
+  WHERE term IN ({tl})
+  GROUP BY id, dl, term
+), dfreq AS (
+  SELECT term, count(DISTINCT id) AS df FROM tf GROUP BY term
+)
+SELECT id AS {id_col},
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * {K1 + 1.0}) / (tf + {K1} * (1 - {B} + {B} * dl / (total_tokens / n_docs)))
+       ), 6) AS score,
+       count(*) AS n_terms_hit
+FROM tf JOIN dfreq USING (term), corpus
+GROUP BY id
+ORDER BY score DESC, id LIMIT {k}
+"""

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, packing, similarity, sketches, text
+from .operators import dedup, multimodal, packing, ranking, similarity, sketches, text
 from .operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
@@ -1296,9 +1296,24 @@ O_PIPE_MIXTURE = packing.mixture_oracle_sql(
 )
 
 
+_BM25_TERMS = ["table", "join", "fast"]
+
+
+def q_txt_bm25_topk(spark, sf_dir):
+    """Top-15 documents by BM25 for a 3-term query — ranked retrieval with
+    posting-list-bounded shuffle (terms filtered pre-shuffle; see
+    operators/ranking.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=15)
+
+
+O_TXT_BM25 = ranking.bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_seq_pack": (q_pipe_seq_pack, O_PIPE_PACK),
     "pipe_mixture": (q_pipe_mixture, O_PIPE_MIXTURE),
+    "txt_bm25_topk": (q_txt_bm25_topk, O_TXT_BM25),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),

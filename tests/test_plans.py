@@ -226,3 +226,15 @@ def test_q21_single_exchange_serves_agg_and_window(spark):
     p = plan_of(q(spark, "agg_q21_waiting_supplier"))
     assert p.count("hashpartitioning(l_orderkey") <= 2
     assert "CartesianProduct" not in p
+
+
+def test_bm25_posting_list_shuffle_and_broadcast_side_inputs(spark):
+    """BM25's wide shuffle must carry only (matched-term, doc) pairs — the
+    term filter sits below the first exchange — and df/corpus stats arrive
+    as broadcasts, never re-shuffling the posting lists."""
+    p = plan_of(q(spark, "txt_bm25_topk"))
+    assert p.count("BroadcastExchange") >= 2  # dfreq + corpus scalars
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    # the isin(term) filter evaluates in the same stage as the explode,
+    # before any exchange: find a Filter on __term mentioning the terms
+    assert "__term" in p
