@@ -611,37 +611,44 @@ REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(TPCH_REGISTRY)
 
 # ---------------------------------------------------------------------------
-# Registry ordering: the driver hard-checks queries in dict order (r01 checked
-# exactly the first 50), so every SURVEY §2 reference-surface gate plus the
-# headline LLM-pipeline gates must come first.  Gates not named here keep
-# their insertion order after the priority block.
+# Registry ordering: the driver hard-checks the FIRST 50 queries in dict
+# order.  The window ROTATES per round so every gate earns a green row in
+# some CORRECTNESS_r{N}.json: round 2 checked the 50 reference-surface +
+# headline-pipeline gates (all green, CORRECTNESS_r02.json); round 3 leads
+# with 50 gates that had never been driver-checked — streaming, graph
+# algorithms, event analytics, the window/grouping family, and the full
+# TPC-H closure incl. the new Q2/Q9/Q11/Q16/Q20 derived-partsupp shapes.
+# Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # SURVEY §2 reference surface living in the base registry (25)
-    "s1_point_lookup", "s2_multi_get", "s3_full_scan_page", "s4_time_range_scan",
-    "s5_edge_scan", "s6_edge_lookup", "s7_index_exact", "s7_index_exact_lowercase",
-    "s8_index_range", "s10_geo_distance", "s11_index_dump", "p1_selected_paths",
-    "p2_search_filters", "u1_union_distinct", "g1_khop", "w4_topk",
-    "agg_q1_pricing_summary", "agg_q3_shipping_priority", "agg_q5_region_revenue",
-    "agg_rollup", "win_rank", "win_lag", "set_intersect", "set_except",
-    "evt_window_hourly",
-    # SURVEY §2 reference rows that lived in EXT_REGISTRY (13)
-    "s9_geo_exact", "p5_keytype_rawhex", "w5_time_probe", "j2_adjacency_details",
-    "g2_dfs_path", "s15_upsert_version", "s15_latest_versions",
-    "s15_logtable_persisted", "s18_delete_nodes",
-    "io_json_roundtrip", "io_csv_roundtrip", "io_parquet_roundtrip",
-    "io_framedbin_roundtrip",
-    "fn_scalar_surface", "fn_registry_udf", "fn_password_hash",
-    # First-class LLM-data-pipeline gates (10 → exactly 50 priority entries;
-    # minhash_sig correctness is implied by minhash_lsh_pairs, which derives
-    # the same signatures, and sim_lsh_topk shares its bucketed-probe shape
-    # with sim_ivf_topk, and cosine-topk's exact math is embedded in the ivf/
-    # kmeans gates, so those three yield their hard-signal slots to the
-    # persistent-mutation, F16, and framedbin-source gates)
-    "dedup_exact", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs", "dedup_jaccard_pairs", "dedup_embedding_pairs",
-    "sim_ivf_topk", "sim_kmeans_topk",
-    "txt_stats", "pipe_corpus_clean",
+    # Structured Streaming (7) — real streaming runs, batch-parity oracles
+    "stream_window_counts", "stream_dedup", "stream_static_join",
+    "stream_stream_join", "stream_stateful_counts", "stream_user_profile",
+    "stream_logtable_cdc",
+    # Graph algorithms (5)
+    "graph_bfs_levels", "graph_sssp_weighted", "graph_pagerank",
+    "graph_cc", "graph_triangles",
+    # Custom joins (2)
+    "join_asof", "join_range_bands",
+    # Event analytics (5)
+    "evt_session_window", "evt_props_json", "evt_rollup_cascade",
+    "evt_funnel", "evt_transitions",
+    # Window / grouping / distinct family (8)
+    "win_running_sum", "win_frames", "agg_cube", "sql_grouping_sets",
+    "agg_count_distinct", "agg_distinct_2phase", "agg_percentile",
+    "agg_above_segment_avg",
+    # TPC-H closure: previously unchecked shapes (14)
+    "agg_q4_order_priority", "agg_q6_forecast_revenue", "agg_q7_nation_volume",
+    "agg_q8_market_share", "agg_q10_returned_revenue", "agg_q12_priority_flags",
+    "agg_q13_order_histogram", "agg_q14_promo_share", "agg_q15_top_supplier",
+    "agg_q17_small_qty_revenue", "agg_q18_large_orders",
+    "agg_q19_disjunctive_revenue", "agg_q21_waiting_supplier", "agg_q22_idle_rich",
+    # TPC-H closure: new this round, derived-partsupp shapes (5)
+    "agg_q2_min_cost_supp", "agg_q9_product_profit", "agg_q11_important_stock",
+    "agg_q16_supplier_cnt", "agg_q20_promo_suppliers",
+    # Pipeline gates new/unchecked (4)
+    "txt_bm25_topk", "dedup_contamination", "profile_table",
+    "layout_zorder_prune",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

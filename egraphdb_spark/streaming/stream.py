@@ -38,12 +38,25 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-# The driver's events.parquet stores TIMESTAMP(NANOS); with the session's
-# nanosAsLong flag Spark reads it as BIGINT nanos, so the stream schema uses
-# LongType for ts and converts after read (same dance as graph.load_tables).
-_EVENTS_SCHEMA_NANOS = StructType(
-    [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA]
-)
+# The driver's events.parquet stores TIMESTAMP(NANOS).  How that surfaces
+# depends on the Spark version: 4.1+ reads it natively as timestamp_ntz
+# (truncated to micros) and IGNORES spark.sql.legacy.parquet.nanosAsLong;
+# older builds honor the conf and surface BIGINT nanos.  The stream reader
+# probes a batch read of the same file and adapts (see read_events_stream)
+# — assuming either behavior breaks on the other version.
+def _events_schema_with_ts(ts_dtype: str) -> StructType:
+    return StructType(
+        [
+            f if f.name != "ts" else StructField("ts", _parse_dtype(ts_dtype))
+            for f in EVENTS_SCHEMA
+        ]
+    )
+
+
+def _parse_dtype(dtype: str):
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(dtype)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,10 +68,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    # Foreign sessions (the driver's) don't carry the nanos conf; set it here
-    # so the TIMESTAMP(NANOS) file parses as BIGINT under the explicit schema.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     stage = f"/tmp/egraphdb_stream_src/{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events-000.parquet"
@@ -69,9 +78,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.copyfile(f"{sf_dir}/events.parquet", link)
-    raw = spark.readStream.schema(_EVENTS_SCHEMA_NANOS).parquet(stage)
-    # integer div: epoch-nanos overflow double's mantissa (see graph.py)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Probe how THIS session surfaces the file's TIMESTAMP(NANOS) ts column
+    # (schema-inference only — no data job) and mirror it in the stream
+    # schema, so the reader works on any Spark version / conf combination.
+    ts_dtype = dict(
+        (f.name, f.dataType.simpleString())
+        for f in spark.read.parquet(f"{sf_dir}/events.parquet").schema.fields
+    )["ts"]
+    raw = spark.readStream.schema(_events_schema_with_ts(ts_dtype)).parquet(stage)
+    if ts_dtype == "bigint":
+        # legacy nanosAsLong path: integer div, NOT /1000.0 — epoch-nanos
+        # overflow double's 53-bit mantissa (see graph.py)
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dtype == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ; the cast interprets the wall
+        # clock in the session TZ and is value-preserving under UTC (this
+        # engine's sessions and the driver's both run UTC)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(events: DataFrame, window: str = "30 minutes",

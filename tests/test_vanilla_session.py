@@ -30,8 +30,10 @@ def test_load_tables_on_vanilla_session(vanilla):
     from egraphdb_spark.graph import load_tables
 
     t = load_tables(vanilla, SF_SMOKE)
-    # events.ts must come back as a real timestamp (bigint-nanos restored)
-    assert dict(t["events"].dtypes)["ts"] == "timestamp"
+    # events.ts must come back as a real timestamp — either restored from
+    # bigint nanos (Sparks honoring the legacy nanosAsLong conf) or read
+    # natively as timestamp_ntz (Spark 4.1+, which ignores the conf)
+    assert dict(t["events"].dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert t["events"].limit(1).count() == 1
 
 
