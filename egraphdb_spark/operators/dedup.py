@@ -95,6 +95,20 @@ def shingle_hash32(shingle: str | Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def shingle_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle, h) — the exploded-shingle table the whole dedup family
+    consumes (minhash joins on h, jaccard on shingle, simhash on h).
+
+    At 100 TB this is a materialized derived table (written once, bucketed
+    by shingle), exactly like the typed index table: the normalize + explode
+    + md5 scan is the dominant dedup cost and every signature family reads
+    the same rows, so deriving it per-query would re-pay the corpus scan
+    3×.  Callers memoize/cache it (see queries_pipeline._doc_shingles).
+    """
+    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    return ex.select("id", "shingle", shingle_hash32("shingle").alias("h"))
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content fingerprint.
 
@@ -112,19 +126,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """(id, m0..m{k-1}) MinHash signature per document.
 
     explode(shingles) → h32 → groupBy(doc) with k partial-aggregable mins.
     The shuffle after the map-side combine is k longs per document.
+    ``shingles``: optional pre-built :func:`shingle_table` (id, shingle, h).
     """
-    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col)
-    h = shingle_hash32("shingle")
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    h = F.col("h")
     aggs = [
         F.min((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)).alias(f"m{j}")
         for j in range(NUM_PERM)
     ]
-    return ex.groupBy("id").agg(*aggs)
+    return shingles.groupBy("id").agg(*aggs)
 
 
 def lsh_band_buckets(sig: DataFrame) -> DataFrame:
@@ -174,16 +192,23 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """(id, simhash) — 32-bit sign-aggregated fingerprint.
 
     For each bit i: sum over distinct shingles of (+1 if bit set in h32
     else −1); fingerprint bit i = 1 iff the sum > 0 (Charikar '02).
     Expressed as `bits` conditional sums — one groupBy, map-side combined.
+    ``shingles``: optional pre-built :func:`shingle_table` (id, shingle, h).
     """
-    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col)
-    h = shingle_hash32("shingle")
-    ex = ex.select("id", h.alias("h"))
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    ex = shingles.select("id", "h")
     # sum of ±1 per bit  ==  2·(count of set bits) − n : plain bit sums are
     # branch-free (no conditional per row per bit) and still map-side combined
     sums = [
@@ -255,6 +280,7 @@ def jaccard_pairs(
     text_col: str,
     threshold: float,
     max_shingle_df: int = 100,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs: (id_a, id_b, jaccard).
 
@@ -263,10 +289,11 @@ def jaccard_pairs(
     PAIR-GENERATION join only (stop-shingle guard against quadratic fanout)
     — but set sizes |A|,|B| and the intersection are then computed over the
     same reduced shingle universe on both engines, keeping results exact.
+    ``shingles``: optional pre-built :func:`shingle_table` (id, shingle, h).
     """
-    ex = with_shingles(df.select(F.col(id_col).alias("id"), text_col), text_col).select(
-        "id", "shingle"
-    )
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    ex = shingles.select("id", "shingle")
     rare = (
         ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -438,6 +465,7 @@ def contamination_report(
     text_col: str,
     test_fraction: float = 0.20,
     salt: str = "split",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-eval-document n-gram overlap against the training split.
 
@@ -469,15 +497,14 @@ def contamination_report(
     """
     from .sampling import train_test_split
 
-    split = train_test_split(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
-        "id",
-        test_fraction,
-        salt=salt,
-    )
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    # split membership is a pure function of the id, so it attaches to the
+    # (possibly cached/shared) shingle table as a narrow column expression —
+    # no re-scan or re-explode of the corpus
     hashed = (
-        with_shingles(split, "t", "shingle")
-        .select("id", "split", shingle_hash32("shingle").alias("h"))
+        train_test_split(shingles, "id", test_fraction, salt=salt)
+        .select("id", "split", "h")
         .distinct()
     )
     train = hashed.where(F.col("split") == "train").select("h").distinct()

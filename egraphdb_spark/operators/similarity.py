@@ -223,24 +223,25 @@ def kmeans_anchors(
             "anchor_id long, vec array<double>",
         )
         assigned = ivf_assign(base, "id", "vec", anchors)
-        cent = (
-            assigned.select("anchor_id", F.posexplode("vec").alias("pos", "val"))
-            .withColumn("qv", F.floor(F.col("val") * float(_CENTROID_Q)).cast("long"))
-            .groupBy("anchor_id", "pos")
-            .agg(F.sum("qv").alias("s"), F.count("*").alias("c"))
-            .withColumn(
-                "m", F.round(F.col("s") / (F.col("c") * float(_CENTROID_Q)), 9)
-            )
-        )
+        # dim-wise column aggregates instead of posexplode: the explode
+        # multiplies the corpus by dim before the hash-aggregate; element_at
+        # sums evaluate the same floor(val*2^20) integer per component with
+        # the rows un-exploded (same math, ~dim× fewer aggregate tuples)
+        dim = len(next(iter(cur.values())))
+        qsum = [
+            F.sum(
+                F.floor(
+                    F.element_at("vec", i + 1) * float(_CENTROID_Q)
+                ).cast("long")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ]
+        cent = assigned.groupBy("anchor_id").agg(*qsum, F.count("*").alias("c"))
         new = {}
-        for r in cent.select("anchor_id", "pos", "m").collect():
-            new.setdefault(r["anchor_id"], {})[r["pos"]] = r["m"]
-        cur = {
-            aid: (
-                [new[aid][p] for p in range(len(vec))] if aid in new else vec
-            )
-            for aid, vec in cur.items()
-        }
+        for r in cent.collect():
+            c = r["c"] * _CENTROID_Q
+            new[r["anchor_id"]] = [round(r[f"s{i}"] / c, 9) for i in range(dim)]
+        cur = {aid: new.get(aid, vec) for aid, vec in cur.items()}
     return spark.createDataFrame(
         [(k, v) for k, v in sorted(cur.items())],
         "anchor_id long, vec array<double>",

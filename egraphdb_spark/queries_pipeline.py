@@ -34,6 +34,22 @@ def _t(spark, sf_dir: str, name: str):
     return load_tables(spark, sf_dir)[name]
 
 
+# Materialized shingle table, memoized per (session, sf_dir) — the dedup
+# family's shared derived input (see dedup.shingle_table).  Cached like the
+# fixture's vertices/edges/indexes: the corpus-scan + explode + md5 cost is
+# paid once, not once per signature family.
+_DOC_SHINGLES: dict[tuple[int, str], object] = {}
+
+
+def doc_shingles(spark, sf_dir: str):
+    key = (id(spark), sf_dir.rstrip("/"))
+    if key not in _DOC_SHINGLES:
+        _DOC_SHINGLES[key] = dedup.shingle_table(
+            _t(spark, sf_dir, "documents"), "doc_id", "text"
+        ).cache()
+    return _DOC_SHINGLES[key]
+
+
 # --------------------------------------------------------------------------
 # Shared oracle SQL fragments
 # --------------------------------------------------------------------------
@@ -207,7 +223,9 @@ GROUP BY fp
 
 def q_dedup_minhash_sig(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_signature(docs, "doc_id", "text")
+    return dedup.minhash_signature(
+        docs, "doc_id", "text", shingles=doc_shingles(spark, sf_dir)
+    )
 
 
 O_MINHASH_SIG = f"WITH {_SIG_CTE} SELECT * FROM sig"
@@ -215,7 +233,9 @@ O_MINHASH_SIG = f"WITH {_SIG_CTE} SELECT * FROM sig"
 
 def q_dedup_minhash_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(docs, "doc_id", "text")
+    sig = dedup.minhash_signature(
+        docs, "doc_id", "text", shingles=doc_shingles(spark, sf_dir)
+    )
     return dedup.lsh_candidate_pairs(sig, max_bucket_size=64)
 
 
@@ -233,7 +253,9 @@ FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash(
+        docs, "doc_id", "text", shingles=doc_shingles(spark, sf_dir)
+    )
 
 
 O_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT id, simhash FROM simh"
@@ -241,7 +263,9 @@ O_SIMHASH = f"WITH {_SIMHASH_CTE} SELECT id, simhash FROM simh"
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sh = dedup.simhash(docs, "doc_id", "text")
+    sh = dedup.simhash(
+        docs, "doc_id", "text", shingles=doc_shingles(spark, sf_dir)
+    )
     return dedup.simhash_pairs(sh, max_hamming=3)
 
 
@@ -260,7 +284,10 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_df=100)
+    return dedup.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=100,
+        shingles=doc_shingles(spark, sf_dir),
+    )
 
 
 O_JACCARD_PAIRS = f"""
@@ -310,7 +337,10 @@ WHERE round(
 def q_dedup_contamination(spark, sf_dir):
     """Decontamination scan: 20% eval split, n-gram-hash overlap vs train."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.contamination_report(docs, "doc_id", "text", test_fraction=0.20)
+    return dedup.contamination_report(
+        docs, "doc_id", "text", test_fraction=0.20,
+        shingles=doc_shingles(spark, sf_dir),
+    )
 
 
 def _contamination_oracle():
