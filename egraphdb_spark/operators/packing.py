@@ -195,3 +195,77 @@ counted AS (SELECT *, __whole + __extra AS __n FROM marked WHERE __whole + __ext
 SELECT counted.* EXCLUDE (__whole, __extra, __n), CAST(t.copy AS BIGINT) AS copy
 FROM counted, LATERAL (SELECT unnest(range(0, __n)) AS copy) t
 """
+
+
+# --------------------------------------------------------------------------
+# Sliding-window document chunking — context-window preparation
+# --------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed windows.
+
+    The RAG-ingestion / long-context-training primitive: chunk ``i`` covers
+    tokens [i·stride, i·stride + window) with stride = window − overlap; a
+    document shorter than ``window`` yields exactly one chunk.  Output is
+    (id, chunk_idx, n_tokens, chunk_text) where chunk_text re-joins the
+    token slice with single spaces (whitespace-normalized by construction).
+
+    All chunk arithmetic is integer: n_chunks = 1 + ceil(max(n−window, 0) /
+    stride) via (x + stride − 1) div stride.  Scale: pure per-row explode —
+    no shuffle at all; the fan-out is bounded by n_tokens/stride per doc,
+    and Parquet writers downstream see chunk rows already partitioned
+    however the corpus was.
+    """
+    if overlap >= window:
+        raise ValueError(f"overlap ({overlap}) must be < window ({window})")
+    stride = window - overlap
+    from .text import tokens
+
+    t = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks").cast("long"))
+    n_chunks = F.expr(f"1 + (greatest(n - {window}, 0) + {stride - 1}) div {stride}")
+    return (
+        t.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"slice(toks, chunk_idx * {stride} + 1, {window})").alias("ck"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.size("ck").cast("long").alias("n_tokens"),
+            F.array_join("ck", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_oracle_sql(
+    table: str, id_col: str, text_col: str, window: int = 64, overlap: int = 16
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (identical integer math)."""
+    stride = window - overlap
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id,
+         string_split_regex(trim({text_col}), '\\s+') AS toks
+  FROM {table}
+), n AS (
+  SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+), idx AS (
+  SELECT id, toks, unnest(range(0, 1 + (greatest(n - {window}, 0) + {stride - 1}) // {stride})) AS chunk_idx
+  FROM n
+)
+SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' ') AS chunk_text
+FROM idx
+"""

@@ -123,3 +123,51 @@ FROM tf JOIN dfreq USING (term), corpus
 GROUP BY id
 ORDER BY score DESC, id LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion — hybrid lexical + semantic retrieval
+# --------------------------------------------------------------------------
+
+RRF_C = 60          # the standard RRF constant (Cormack et al. 2009)
+RRF_SCALE = 10**12  # integer fixed-point: score_i = SCALE div (C + rank_i)
+
+
+def with_rank(ranked: DataFrame, id_col: str, *order_cols) -> DataFrame:
+    """(id, rnk) from an already-top-k result under a total order.
+
+    The input is k rows (a top-k), so the single-partition window is a
+    k-row sort on one core — never a corpus-wide exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    return ranked.select(
+        F.col(id_col).alias("id"), F.row_number().over(w).alias("rnk")
+    )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 15) -> DataFrame:
+    """Fuse (id, rnk) lists by reciprocal-rank: Σ SCALE div (C + rnk).
+
+    Integer division makes the fused score bit-identical across engines
+    (1/(60+r) never terminates in binary; SCALE div (60+r) is exact).
+    Returns (id, rrf_scaled, n_lists) ordered by score desc, id asc.
+
+    Scale: each input is a top-k (tiny); the union + groupBy runs on k·m
+    rows.  The expensive parts — BM25 posting lists, ANN probes — stay in
+    their own operators; fusion itself is O(k·m).
+    """
+    u = None
+    for r in rankings:
+        u = r if u is None else u.unionByName(r)
+    return (
+        u.select(
+            "id",
+            F.expr(f"cast({RRF_SCALE} div ({RRF_C} + rnk) as bigint)").alias("part"),
+        )
+        .groupBy("id")
+        .agg(F.sum("part").alias("rrf_scaled"), F.count("*").alias("n_lists"))
+        .orderBy(F.desc("rrf_scaled"), "id")
+        .limit(k)
+    )

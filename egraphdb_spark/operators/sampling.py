@@ -81,3 +81,50 @@ def sample_oracle_pred(key_expr: str, fraction: float) -> str:
         f"CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15) AS BIGINT)"
         f" < {_threshold(fraction)}"
     )
+
+
+def quota_by_group(
+    df: DataFrame, key_col: str, group_col: str, quota: int, salt: str = "quota"
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, hash-ranked — corpus balancing.
+
+    The per-source cap every mixture pipeline applies before weighting: a
+    dominant crawl may not contribute more than N documents.  Selection is
+    by the keyed 60-bit hash (deterministic, stable under corpus growth —
+    adding documents to OTHER groups never changes a group's survivors),
+    with the raw key as the final tie-break.
+
+    Adds ``qrank`` (1-based position within the group).  Scale: one hash
+    partition by group + per-group top-N — Spark runs rank-then-filter
+    with partial top-N pushed into the sort (no full group materialization
+    per reducer beyond the window buffer); skew in a hot group is bounded
+    by that group's row count, and the guarded variant at extreme skew is
+    skew.salted_topn (same result, two-phase).
+    """
+    from pyspark.sql import Window
+
+    u = _u60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("qrank", F.row_number().over(w).cast("long"))
+        .where(F.col("qrank") <= quota)
+    )
+
+
+def quota_oracle_sql(
+    table: str, key_col: str, group_col: str, quota: int, salt: str = "quota"
+) -> str:
+    """DuckDB mirror of :func:`quota_by_group`."""
+    u = (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""
+SELECT * FROM (
+  SELECT {table}.*,
+         CAST(row_number() OVER (PARTITION BY {group_col}
+                                 ORDER BY {u}, {key_col}) AS BIGINT) AS qrank
+  FROM {table}
+)
+WHERE qrank <= {quota}
+"""

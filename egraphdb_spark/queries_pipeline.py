@@ -1340,10 +1340,93 @@ def q_txt_bm25_topk(spark, sf_dir):
 O_TXT_BM25 = ranking.bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
 
 
+def q_rag_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 (lexical) and cosine top-50 (semantic,
+    over the aligned embeddings table) fused by reciprocal-rank into one
+    top-15 — the standard RAG first-stage retriever pair.  Fusion math is
+    integer (SCALE div (C + rank)), so the gate is hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = ranking.with_rank(
+        ranking.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50),
+        "doc_id", F.desc("score"), F.col("doc_id"),
+    )
+    sem = ranking.with_rank(
+        similarity.cosine_topk(emb, "vec_id", "embedding", QUERY_VEC, k=50),
+        "id", F.desc("cosine"), F.col("id"),
+    )
+    return ranking.rrf_fuse([lex, sem], k=15)
+
+
+_O_BM25_50 = ranking.bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=50)
+O_RAG_RRF = f"""
+WITH lex AS ({_O_BM25_50}),
+lexr AS (
+  SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM lex
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), q AS (SELECT {_QV_SQL} AS qv),
+sem AS (
+  SELECT vec_id AS id,
+         round(
+           list_sum(list_transform(range(1, len(vec) + 1),
+                    i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+           / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+  FROM v, q ORDER BY cosine DESC, vec_id LIMIT 50
+),
+semr AS (
+  SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rnk FROM sem
+),
+allr AS (SELECT * FROM lexr UNION ALL SELECT * FROM semr)
+SELECT id, CAST(sum({ranking.RRF_SCALE} // ({ranking.RRF_C} + rnk)) AS BIGINT) AS rrf_scaled,
+       count(*) AS n_lists
+FROM allr GROUP BY id ORDER BY rrf_scaled DESC, id LIMIT 15
+"""
+
+
+def q_pipe_chunking(spark, sf_dir):
+    """Sliding-window chunking of every document (64-token windows, 16
+    overlap) — the RAG-ingestion / long-context prep primitive.  Pure
+    per-row explode, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(docs, "doc_id", "text", window=64, overlap=16)
+
+
+O_PIPE_CHUNK = packing.chunk_oracle_sql("documents", "doc_id", "text", 64, 16)
+
+
+def q_sample_source_quota(spark, sf_dir):
+    """Per-source document cap (quota 40, hash-ranked) — the corpus
+    balancing step before mixture weighting."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import sampling
+
+    return sampling.quota_by_group(docs, "doc_id", "source", quota=40).select(
+        "doc_id", "source", "qrank"
+    )
+
+
+def _quota_oracle():
+    from .operators.sampling import quota_oracle_sql
+
+    inner = quota_oracle_sql("documents", "doc_id", "source", 40)
+    return f"SELECT doc_id, source, qrank FROM ({inner})"
+
+
+O_SAMPLE_QUOTA = _quota_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_seq_pack": (q_pipe_seq_pack, O_PIPE_PACK),
     "pipe_mixture": (q_pipe_mixture, O_PIPE_MIXTURE),
+    "pipe_chunking": (q_pipe_chunking, O_PIPE_CHUNK),
     "txt_bm25_topk": (q_txt_bm25_topk, O_TXT_BM25),
+    "rag_hybrid_rrf": (q_rag_hybrid_rrf, O_RAG_RRF),
+    "sample_source_quota": (q_sample_source_quota, O_SAMPLE_QUOTA),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),

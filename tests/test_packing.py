@@ -92,3 +92,77 @@ def test_mixture_rejects_negative_weight(spark):
     src = _doc_tokens(spark).withColumn("lang", F.lit("en"))
     with pytest.raises(ValueError):
         packing.mixture_weights(src, "doc_id", "lang", {"en": -1.0})
+
+
+# --------------------------------------------------------------------------
+# chunk_documents
+# --------------------------------------------------------------------------
+
+
+def test_chunking_covers_every_token(spark):
+    from egraphdb_spark.graph import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    out = packing.chunk_documents(docs, "doc_id", "text", window=64, overlap=16)
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    per_doc = out.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_idx").alias("max_idx"),
+        F.sum("n_tokens").alias("tok_rows"),
+        F.max("n_tokens").alias("max_ck"),
+    )
+    j = toks.join(per_doc, "doc_id").collect()
+    assert j
+    stride = 64 - 16
+    for r in j:
+        expected = 1 + max(r["n"] - 64, 0 + stride - 1) // stride if r["n"] > 64 else 1
+        expected = 1 + (max(r["n"] - 64, 0) + stride - 1) // stride
+        assert r["n_chunks"] == expected, (r["n"], r["n_chunks"], expected)
+        assert r["max_idx"] == r["n_chunks"] - 1  # dense 0..k-1
+        assert r["max_ck"] <= 64
+        # total coverage: every position covered once plus `overlap` extra
+        # per chunk boundary
+        assert r["tok_rows"] == r["n"] + (r["n_chunks"] - 1) * 16
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    from egraphdb_spark.graph import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    with pytest.raises(ValueError):
+        packing.chunk_documents(docs, "doc_id", "text", window=32, overlap=32)
+
+
+# --------------------------------------------------------------------------
+# quota_by_group / rrf_fuse
+# --------------------------------------------------------------------------
+
+
+def test_quota_caps_and_stability(spark):
+    from egraphdb_spark.graph import load_tables
+    from egraphdb_spark.operators import sampling
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    out = sampling.quota_by_group(docs, "doc_id", "source", quota=10)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] <= 10 for r in per)
+    # stability: survivors of quota 5 ⊆ survivors of quota 10
+    small = sampling.quota_by_group(docs, "doc_id", "source", quota=5)
+    assert small.join(out, "doc_id", "left_anti").count() == 0
+
+
+def test_rrf_fuse_integer_scores(spark):
+    from egraphdb_spark.operators import ranking
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rnk int")
+    b = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], "id long, rnk int")
+    rows = {r["id"]: r for r in ranking.rrf_fuse([a, b], k=10).collect()}
+    S, C = ranking.RRF_SCALE, ranking.RRF_C
+    assert rows[2]["rrf_scaled"] == S // (C + 2) + S // (C + 1)
+    assert rows[2]["n_lists"] == 2
+    assert rows[1]["rrf_scaled"] == S // (C + 1) and rows[1]["n_lists"] == 1
+    # doc in both lists outranks the single-list rank-1 docs
+    order = [r["id"] for r in sorted(rows.values(), key=lambda r: -r["rrf_scaled"])]
+    assert order[0] == 2
