@@ -309,3 +309,49 @@ def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
         .cast("long")
         .alias("clustering_millionths"),
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """R-round k-core peel: (key, degree) of nodes surviving ``rounds``
+    iterations of "drop every node with degree < k in the current induced
+    subgraph".
+
+    Fixed round count (no convergence test) so an external SQL oracle can
+    unroll the identical computation: every true k-core member survives any
+    number of rounds, and once node-sets stabilize the result IS the k-core
+    (the convergence pytest asserts that on the fixture).  Each round is
+    one degree aggregate + two semi-joins on the surviving node set —
+    aggregateMessages shape, no driver state beyond the loop counter.
+
+    Scale: node-set frames shrink monotonically; localCheckpoint per round
+    keeps the plan linear in rounds, not exponential.  At 100 TB the edge
+    list would be bucketed on both endpoints so every round's semi-joins
+    co-partition.
+    """
+    und = (
+        edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
+        .unionByName(
+            edges.select(
+                F.col("dst_key").alias("a"), F.col("src_key").alias("b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = und
+    for _ in range(rounds):
+        alive = (
+            e.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(alive, "a", "left_semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("a").alias("key"))
+        .agg(F.count("*").alias("degree"))
+    )

@@ -826,6 +826,48 @@ SELECT key, CAST(min(lvl) AS INT) AS level FROM walk GROUP BY key
 """
 
 
+def q_graph_kcore(spark, sf_dir):
+    """4-round 2-core peel of the part↔supplier bipartite subgraph —
+    iterative degeneracy pruning (the graph-cleaning step before dense-
+    subgraph mining).  The oracle unrolls the identical 4 rounds, so
+    parity holds round-for-round whether or not the peel has converged."""
+    from .operators.graph_algos import kcore_peel
+
+    g = _fixture(spark, sf_dir)
+    supplied = g.edges.where(
+        F.get_json_object("details", "$.rel") == "supplied_by"
+    )
+    return kcore_peel(supplied, k=2, rounds=4)
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    sql = """
+WITH e0 AS (
+  SELECT a, b FROM (
+    SELECT DISTINCT 'part:' || l_partkey AS a, 'supplier:' || l_suppkey AS b
+    FROM lineitem)
+  UNION
+  SELECT b, a FROM (
+    SELECT DISTINCT 'part:' || l_partkey AS a, 'supplier:' || l_suppkey AS b
+    FROM lineitem)
+)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+n{r} AS (SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}),
+e{r} AS (
+  SELECT {prev}.a, {prev}.b FROM {prev}
+  SEMI JOIN n{r} ON {prev}.a = n{r}.a
+  SEMI JOIN n{r} AS m{r} ON {prev}.b = m{r}.a
+)"""
+        prev = f"e{r}"
+    sql += f"\nSELECT a AS key, count(*) AS degree FROM {prev} GROUP BY a"
+    return sql
+
+
+O_GRAPH_KCORE = _kcore_oracle()
+
+
 def q_evt_props_json(spark, sf_dir):
     """Schemaless JSON props extraction + aggregation (the reference's
     nested-path read, P1, applied to the event stream)."""
@@ -2036,6 +2078,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
+    "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),

@@ -73,3 +73,20 @@ def test_bfs_levels_depth_bound(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
     got = {r["key"]: r["level"] for r in bfs_levels(e, "a", 2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # d is beyond max_depth
+
+
+def test_kcore_peel_converges_on_fixture(graph):
+    """4 peel rounds reach the fixpoint on the fixture — so the gate's
+    fixed-round result IS the true 2-core there, not a truncation."""
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import kcore_peel
+
+    supplied = graph.edges.where(
+        F.get_json_object("details", "$.rel") == "supplied_by"
+    )
+    r4 = kcore_peel(supplied, 2, 4)
+    r5 = kcore_peel(supplied, 2, 5)
+    assert r4.exceptAll(r5).count() == 0 and r5.exceptAll(r4).count() == 0
+    # every survivor has degree >= k by definition of the fixpoint
+    assert r4.where(F.col("degree") < 2).count() == 0
