@@ -311,7 +311,9 @@ def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
     )
 
 
-def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int, checkpoint: bool = True
+) -> DataFrame:
     """R-round k-core peel: (key, degree) of nodes surviving ``rounds``
     iterations of "drop every node with degree < k in the current induced
     subgraph".
@@ -336,8 +338,9 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
     e = und
     for _ in range(rounds):
         alive = (
@@ -346,11 +349,11 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .where(F.col("deg") >= k)
             .select("a")
         )
-        e = (
-            e.join(alive, "a", "left_semi")
-            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+        e = e.join(alive, "a", "left_semi").join(
+            alive.select(F.col("a").alias("b")), "b", "left_semi"
         )
+        if checkpoint:
+            e = e.localCheckpoint(eager=True)
     return (
         e.groupBy(F.col("a").alias("key"))
         .agg(F.count("*").alias("degree"))

@@ -238,3 +238,52 @@ def test_bm25_posting_list_shuffle_and_broadcast_side_inputs(spark):
     # the isin(term) filter evaluates in the same stage as the explode,
     # before any exchange: find a Filter on __term mentioning the terms
     assert "__term" in p
+
+
+def test_chunking_zero_shuffle(spark):
+    """Chunking is a pure per-row explode — no Exchange anywhere."""
+    p = plan_of(q(spark, "pipe_chunking"))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_quota_single_exchange_on_group(spark):
+    """Per-source quota = one hash exchange on the group key with a
+    PARTIAL WindowGroupLimit below it (per-partition top-N pre-shuffle),
+    then the rank-filter window; no second shuffle, no cartesian."""
+    p = plan_of(q(spark, "sample_source_quota"))
+    assert p.count("hashpartitioning(source") == 1
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rrf_fusion_stays_topk_shaped(spark):
+    """Both retriever legs end in TakeOrdered top-ks; fusion never sorts
+    the corpus globally (the only windows run over k-row inputs)."""
+    p = plan_of(q(spark, "rag_hybrid_rrf"))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q9_composite_key_join_and_broadcast_dims(spark):
+    """Q9: the lineitem⋈partsupp composite-key join is the one wide join;
+    part/supplier/nation arrive broadcast."""
+    p = plan_of(q(spark, "agg_q9_product_profit"))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_kcore_rounds_are_semi_joins(spark, graph):
+    """Every peel round prunes via semi-joins on the surviving node set —
+    no inner-join blowups, no cartesian.  (The gate's plan truncates at the
+    per-round localCheckpoint, so inspect an uncheckpointed build.)"""
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import kcore_peel
+
+    supplied = graph.edges.where(
+        F.get_json_object("details", "$.rel") == "supplied_by"
+    )
+    p = plan_of(kcore_peel(supplied, k=2, rounds=2, checkpoint=False))
+    assert p.count("LeftSemi") >= 4  # two semi-joins per round
+    assert "CartesianProduct" not in p
