@@ -522,3 +522,49 @@ def contamination_report(
             F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 6),
         )
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated token spans — the memorization/boilerplate
+    scan: every ``n_tokens``-token window occurring in ≥ ``min_docs``
+    distinct documents, with its document and occurrence counts.
+
+    Finer-grained than whole-document dedup (catches shared boilerplate,
+    license headers, templated passages inside otherwise-unique documents)
+    — the span-level scan run before memorization evals.
+
+    Output: (span, n_docs, n_occurrences) over whitespace tokens of the
+    normalized text.  Scale: one explode bounded by tokens-per-doc, one
+    groupBy — at 100 TB the group key is xxhash64(span) and the span text
+    is dropped (8 B through the shuffle); here the span string is kept so
+    the gate's output is directly readable, and min_docs prunes the
+    long singleton tail before any join consumes the result.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"), normalize(text_col).alias("norm_t")
+    ).withColumn("toks", F.split(F.col("norm_t"), " "))
+    spans = t.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {n_tokens - 1}, 0)),"
+                    f" i -> array_join(slice(toks, i, {n_tokens}), ' '))"
+                )
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

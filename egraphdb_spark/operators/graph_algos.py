@@ -358,3 +358,33 @@ def kcore_peel(
         e.groupBy(F.col("a").alias("key"))
         .agg(F.count("*").alias("degree"))
     )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(bucket, n_vertices, min_deg, max_deg) — log2-bucketed out+in degree
+    distribution of the undirected graph.
+
+    The one-scan graph profiling step (skew detection before choosing a
+    partitioning / salting strategy).  bucket = floor(log2(deg)) computed
+    as length-of-binary-representation - 1 (pure integer, engine-exact).
+    Scale: one degree aggregate + one tiny bucket aggregate.
+    """
+    und = (
+        edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst_key").alias("a"), F.col("src_key").alias("b"))
+        )
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+    bucket = (F.length(F.expr("bin(deg)")) - 1).cast("long")
+    return (
+        deg.select(bucket.alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )

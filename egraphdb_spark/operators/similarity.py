@@ -281,3 +281,53 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedd
         F.floor(mn * 1000000).cast("long").alias("mn_millionths"),
         F.floor(span * 1000000).cast("long").alias("span_millionths"),
     )
+
+
+def label_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """(label, pos, mean_q, n_vectors) — per-class centroid components in
+    floor(val·2^20) fixed point, mean_q = sum div n (integer division).
+
+    The class-profile summary of a labeled embedding table (per-domain /
+    per-cluster centroids for drift monitoring, centroid-seeded ANN, or
+    class-balanced sampling).  All arithmetic is integer, so any engine
+    reproduces it bit-for-bit.  Scale: groupBy(label) with per-dimension
+    element_at sums — partial-aggregated, no explode, shuffle carries
+    dim longs per label per map task.
+    """
+    first = emb.select(F.size(_as_double(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    v = _as_double(vec_col)
+    sums = [
+        F.sum(
+            F.floor(F.element_at(v, i + 1) * float(_CENTROID_Q)).cast("long")
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    agg = emb.groupBy(F.col(label_col).alias("label")).agg(
+        *sums, F.count("*").alias("n_vectors")
+    )
+    # floor(s/n), NOT `s div n`: div truncates toward zero while the oracle
+    # needs floor semantics on negative sums.  The double division is safe:
+    # a non-integer quotient sits ≥ 1/n away from any integer, far above
+    # double's ~ulp error at this magnitude, and exact-integer quotients
+    # are representable exactly.
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("pos"),
+                F.floor(F.col(f"s{i}") / F.col("n_vectors")).cast("long").alias("mean_q"),
+            )
+            for i in range(dim)
+        ]
+    )
+    return (
+        agg.select("label", "n_vectors", F.explode(comps).alias("c"))
+        .select(
+            "label",
+            F.col("c.pos").alias("pos"),
+            F.col("c.mean_q").alias("mean_q"),
+            "n_vectors",
+        )
+    )

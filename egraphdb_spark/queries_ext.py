@@ -868,6 +868,32 @@ e{r} AS (
 O_GRAPH_KCORE = _kcore_oracle()
 
 
+def q_graph_degree_stats(spark, sf_dir):
+    """Log2-bucketed degree distribution of the whole fixture graph — the
+    skew-profiling scan run before choosing a partitioning strategy."""
+    from .operators.graph_algos import degree_stats
+
+    g = _fixture(spark, sf_dir)
+    return degree_stats(g.edges)
+
+
+O_GRAPH_DEGREE = """
+WITH e0 AS (
+  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+),
+und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       count(*) AS n_vertices, min(deg) AS min_deg, max(deg) AS max_deg
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_evt_props_json(spark, sf_dir):
     """Schemaless JSON props extraction + aggregation (the reference's
     nested-path read, P1, applied to the event stream)."""
@@ -2079,6 +2105,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
+    "graph_degree_stats": (q_graph_degree_stats, O_GRAPH_DEGREE),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),

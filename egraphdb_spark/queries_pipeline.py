@@ -1420,6 +1420,50 @@ def _quota_oracle():
 O_SAMPLE_QUOTA = _quota_oracle()
 
 
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Cross-document repeated 8-token spans (boilerplate / memorization
+    scan): spans occurring in ≥2 distinct documents with doc/occurrence
+    counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.repeated_spans(docs, "doc_id", "text", n_tokens=8, min_docs=2)
+
+
+O_REPEATED_SPANS = f"""
+WITH norm AS (
+  SELECT doc_id AS id, string_split({_NORM}, ' ') AS toks FROM documents
+),
+spans AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> array_to_string(toks[CAST(i AS INT) : CAST(i AS INT) + 7], ' ')))) AS span
+  FROM norm
+)
+SELECT span, count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
+FROM spans GROUP BY span HAVING count(DISTINCT id) >= 2
+"""
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in floor(val·2^20) fixed point —
+    integer-exact class profiles of the labeled embedding table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, "vec_id", "embedding", "label")
+
+
+O_LABEL_CENTROIDS = """
+WITH comp AS (
+  SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT label, pos,
+       CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q,
+       count(*) AS n_vectors
+FROM comp GROUP BY label, pos
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_seq_pack": (q_pipe_seq_pack, O_PIPE_PACK),
     "pipe_mixture": (q_pipe_mixture, O_PIPE_MIXTURE),
@@ -1427,6 +1471,8 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_bm25_topk": (q_txt_bm25_topk, O_TXT_BM25),
     "rag_hybrid_rrf": (q_rag_hybrid_rrf, O_RAG_RRF),
     "sample_source_quota": (q_sample_source_quota, O_SAMPLE_QUOTA),
+    "dedup_repeated_spans": (q_dedup_repeated_spans, O_REPEATED_SPANS),
+    "emb_label_centroids": (q_emb_label_centroids, O_LABEL_CENTROIDS),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),

@@ -246,3 +246,55 @@ def test_embedding_auto_mode_routes_by_size(spark):
         emb, "vec_id", "embedding", 0.40, mode="auto", broadcast_limit_rows=10**9
     )
     assert "MapInPandas" in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repeated_spans_properties(spark):
+    from egraphdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "the quick brown fox jumps over the lazy dog at night"),
+            (3, "completely different text with no shared eight token span here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.repeated_spans(docs, "doc_id", "text", n_tokens=8, min_docs=2)
+    rows = out.collect()
+    assert rows, "shared 8-token prefix must be detected"
+    for r in rows:
+        assert r["n_docs"] >= 2
+        assert len(r["span"].split(" ")) == 8
+    spans = {r["span"] for r in rows}
+    assert "the quick brown fox jumps over the lazy" in spans
+
+
+def test_label_centroids_fixed_point_math(spark):
+    from egraphdb_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -1.0], "x"), (2, [0.0, -0.5], "x"), (3, [2.0, 2.0], "y")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    rows = {
+        (r["label"], r["pos"]): r
+        for r in similarity.label_centroids(emb, "vec_id", "embedding", "label").collect()
+    }
+    Q = 1 << 20
+    # label x, pos 0: floor((Q + 0) / 2); pos 1: floor((-Q + floor(-0.5*Q)) / 2)
+    assert rows[("x", 0)]["mean_q"] == (Q + 0) // 2
+    assert rows[("x", 1)]["mean_q"] == (-Q + (-Q // 2)) // 2  # floor semantics
+    assert rows[("y", 0)]["mean_q"] == 2 * Q
+    assert all(r["n_vectors"] == (2 if r["label"] == "x" else 1) for r in rows.values())
+
+
+def test_degree_stats_buckets(graph):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import degree_stats
+
+    out = degree_stats(graph.edges).collect()
+    assert out
+    for r in out:
+        lo, hi = 1 << r["bucket"], (1 << (r["bucket"] + 1)) - 1
+        assert lo <= r["min_deg"] <= r["max_deg"] <= hi
