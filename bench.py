@@ -71,6 +71,15 @@ BENCH_QUERIES = [
     "sample_stratified",
     "stream_window_counts",
     "stream_static_join",
+    # round-3 additions
+    "rag_hybrid_rrf",
+    "pipe_chunking",
+    "sample_source_quota",
+    "dedup_repeated_spans",
+    "emb_label_centroids",
+    "graph_kcore",
+    "graph_degree_stats",
+    "stream_session_window",
 ]
 
 

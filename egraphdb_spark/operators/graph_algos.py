@@ -328,15 +328,20 @@ def kcore_peel(
     Scale: node-set frames shrink monotonically; localCheckpoint per round
     keeps the plan linear in rounds, not exponential.  At 100 TB the edge
     list would be bucketed on both endpoints so every round's semi-joins
-    co-partition.
+    co-partition.  The loop runs on the 8-byte integer ids (string keys
+    join back once at the end) — every round's shuffle carries 16 B/edge,
+    not two key strings.
     """
-    und = (
-        edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
+    keymap = (
+        edges.select(F.col("src").alias("nid"), F.col("src_key").alias("key"))
         .unionByName(
-            edges.select(
-                F.col("dst_key").alias("a"), F.col("src_key").alias("b")
-            )
+            edges.select(F.col("dst").alias("nid"), F.col("dst_key").alias("key"))
         )
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
     if checkpoint:
@@ -354,9 +359,9 @@ def kcore_peel(
         )
         if checkpoint:
             e = e.localCheckpoint(eager=True)
-    return (
-        e.groupBy(F.col("a").alias("key"))
-        .agg(F.count("*").alias("degree"))
+    deg = e.groupBy("a").agg(F.count("*").alias("degree"))
+    return deg.join(keymap, deg.a == keymap.nid).select(
+        F.col("key"), F.col("degree")
     )
 
 

@@ -150,6 +150,21 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_stream_session_window(spark, sf_dir):
+    """REAL streaming session windows: readStream → watermark →
+    session_window(30 min) per user → availableNow → memory sink.  Same
+    gaps-and-islands oracle as the batch gate — a correct streaming
+    sessionizer is indistinguishable from the batch one once the stream
+    drains."""
+    from .streaming.stream import read_events_stream, run_to_memory, sessionized
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(sessionized(ev, "30 minutes"), "stream_session_tbl")
+
+
+O_STREAM_SESSION = O_SESSION_WINDOW
+
+
 # --------------------------------------------------------------------------
 # UDF registry (U1/U2) — register with test vectors, then use in a query
 # --------------------------------------------------------------------------
@@ -2106,6 +2121,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
     "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
     "graph_degree_stats": (q_graph_degree_stats, O_GRAPH_DEGREE),
+    "stream_session_window": (q_stream_session_window, O_STREAM_SESSION),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),
