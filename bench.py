@@ -106,16 +106,22 @@ def main() -> None:
     # tables so its one-time cost is attributed to ingest, transparently.
     from egraphdb_spark.queries_pipeline import doc_shingles
 
-    g.vertices.count()
     from concurrent.futures import ThreadPoolExecutor
 
+    def _vertices_then_indexes():
+        # indexes derive from vertices — materialize the vertex cache first
+        # so the index build reads it instead of re-deriving
+        g.vertices.count()
+        g.indexes.count()
+
     with ThreadPoolExecutor(3) as ex:
-        list(
-            ex.map(
-                lambda df: df.count(),
-                (g.edges, g.indexes, doc_shingles(spark, sf_dir)),
-            )
-        )
+        futs = [
+            ex.submit(_vertices_then_indexes),
+            ex.submit(g.edges.count),
+            ex.submit(lambda: doc_shingles(spark, sf_dir).count()),
+        ]
+        for f in futs:
+            f.result()
     timings["_prepare_graph"] = round(time.perf_counter() - t0, 3)
 
     # Best-of-2 per query: this host shows multi-second CPU-steal spikes
