@@ -568,3 +568,44 @@ def repeated_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def incremental_lsh_matches(
+    sig_existing: DataFrame, sig_new: DataFrame, max_bucket_size: int = 64
+) -> DataFrame:
+    """New documents colliding with the EXISTING corpus's LSH buckets.
+
+    The incremental-ingestion dedup path: signatures of the standing corpus
+    are a stored table; each arriving batch derives its own signatures and
+    probes the stored buckets — no all-pairs work, no rescan of the corpus
+    text.  Returns (new_id, n_bucket_hits, first_match) where first_match
+    is the smallest existing doc id sharing any (band, bucket).
+
+    The bucket-size guard applies to the EXISTING side only (degenerate
+    buckets — empty-text clusters — would otherwise match everything);
+    the oracle replicates the same guard.  Scale: the probe is a join on
+    (band, bucket) where the new side is one batch, shuffle bounded by the
+    batch's band rows + matched existing rows.
+    """
+    ex_bb = lsh_band_buckets(sig_existing)
+    small = (
+        ex_bb.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    ex_bb = ex_bb.join(small, ["band", "bucket"], "left_semi")
+    new_bb = lsh_band_buckets(sig_new)
+    return (
+        new_bb.alias("n")
+        .join(
+            ex_bb.alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bucket") == F.col("e.bucket")),
+        )
+        .groupBy(F.col("n.id").alias("new_id"))
+        .agg(
+            F.count("*").alias("n_bucket_hits"),
+            F.min(F.col("e.id")).alias("first_match"),
+        )
+    )

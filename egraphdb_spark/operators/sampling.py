@@ -128,3 +128,37 @@ SELECT * FROM (
 )
 WHERE qrank <= {quota}
 """
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    tokens_col,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep a hash-ordered prefix of each group whose cumulative token
+    count stays within ``budget`` — corpus construction under a per-source
+    token allowance (the budgeted generalization of quota_by_group).
+
+    A document is kept iff the running token sum UP TO AND INCLUDING it
+    (in keyed-hash order, key as tie-break) is ≤ budget; all arithmetic is
+    integer, so the survivor set is engine-exact.  Adds ``cum_tokens``.
+    Scale: one hash partition by group + per-group running sum (window
+    prefix sum); groups are independent, skew bounded by the largest
+    group's rows.
+    """
+    from pyspark.sql import Window
+
+    tok = tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    u = _u60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(u, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tok.cast("long")).over(w))
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -1443,6 +1443,72 @@ FROM spans GROUP BY span HAVING count(DISTINCT id) >= 2
 """
 
 
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Incremental-ingestion dedup: the 20% of docs with doc_id % 5 == 0
+    play the arriving batch; their LSH buckets probe the standing corpus's
+    stored buckets.  No all-pairs work, no corpus rescan."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(spark, sf_dir)
+    existing = dedup.minhash_signature(
+        docs, "doc_id", "text",
+        shingles=sh.where(F.col("id") % 5 != 0),
+    )
+    new = dedup.minhash_signature(
+        docs, "doc_id", "text",
+        shingles=sh.where(F.col("id") % 5 == 0),
+    )
+    return dedup.incremental_lsh_matches(existing, new, max_bucket_size=64)
+
+
+O_INCREMENTAL_LSH = f"""
+WITH {_SH_CTE},
+hx AS (SELECT * FROM hashed WHERE id % 5 != 0),
+hn AS (SELECT * FROM hashed WHERE id % 5 = 0),
+sige AS (SELECT id, {_MIN_EXPRS} FROM hx GROUP BY id),
+sign AS (SELECT id, {_MIN_EXPRS} FROM hn GROUP BY id),
+ebands AS ({_band_sql("sige")}),
+small AS (
+  SELECT band, bucket FROM ebands GROUP BY band, bucket HAVING count(*) <= 64
+),
+ebb AS (SELECT ebands.* FROM ebands SEMI JOIN small USING (band, bucket)),
+nbands AS ({_band_sql("sign")})
+SELECT n.id AS new_id, count(*) AS n_bucket_hits, min(e.id) AS first_match
+FROM nbands n JOIN ebb e ON n.band = e.band AND n.bucket = e.bucket
+GROUP BY n.id
+"""
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Per-source token-budget prefix (5000 tokens, hash-ordered) — corpus
+    construction under a per-source allowance."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", text.token_count("text"))
+    return sampling.token_budget_sample(
+        docs, "doc_id", "source", "n_tokens", budget=5000
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+O_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS n_tokens,
+         CAST('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         sum(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY u, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
+"""
+
+
 def q_emb_label_centroids(spark, sf_dir):
     """Per-label embedding centroids in floor(val·2^20) fixed point —
     integer-exact class profiles of the labeled embedding table."""
@@ -1472,6 +1538,8 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "rag_hybrid_rrf": (q_rag_hybrid_rrf, O_RAG_RRF),
     "sample_source_quota": (q_sample_source_quota, O_SAMPLE_QUOTA),
     "dedup_repeated_spans": (q_dedup_repeated_spans, O_REPEATED_SPANS),
+    "dedup_incremental_lsh": (q_dedup_incremental_lsh, O_INCREMENTAL_LSH),
+    "sample_token_budget": (q_sample_token_budget, O_TOKEN_BUDGET),
     "emb_label_centroids": (q_emb_label_centroids, O_LABEL_CENTROIDS),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),

@@ -298,3 +298,43 @@ def test_degree_stats_buckets(graph):
     for r in out:
         lo, hi = 1 << r["bucket"], (1 << (r["bucket"] + 1)) - 1
         assert lo <= r["min_deg"] <= r["max_deg"] <= hi
+
+
+def test_incremental_lsh_finds_planted_dup(spark):
+    from egraphdb_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (10, base), (11, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_table(docs, "doc_id", "text")
+    existing = dedup.minhash_signature(
+        docs, "doc_id", "text", shingles=sh.where(F.col("id") < 10)
+    )
+    new = dedup.minhash_signature(
+        docs, "doc_id", "text", shingles=sh.where(F.col("id") >= 10)
+    )
+    rows = {r["new_id"]: r for r in dedup.incremental_lsh_matches(existing, new).collect()}
+    assert 10 in rows, "planted duplicate of doc 1 must collide"
+    assert rows[10]["first_match"] == 1
+    assert 11 not in rows, "unrelated doc must not collide"
+
+
+def test_token_budget_prefix_property(spark):
+    from egraphdb_spark.graph import load_tables
+    from egraphdb_spark.operators import sampling, text as text_ops
+
+    docs = load_tables(spark, SF_SMOKE)["documents"].withColumn(
+        "n_tokens", text_ops.token_count("text")
+    )
+    out = sampling.token_budget_sample(
+        docs, "doc_id", "source", "n_tokens", budget=2000
+    )
+    per = out.groupBy("source").agg(
+        F.max("cum_tokens").alias("mx"), F.count("*").alias("n")
+    ).collect()
+    assert per and all(r["mx"] <= 2000 for r in per)
+    # prefix property: a bigger budget keeps a superset
+    big = sampling.token_budget_sample(docs, "doc_id", "source", "n_tokens", budget=4000)
+    assert out.select("doc_id").join(big, "doc_id", "left_anti").count() == 0
