@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Measured scaling evidence: replicate the sf0.1 tables K× with
+FK-consistent key offsets into /tmp, then time headline operators at 1×
+and K× and report the scaling ratio.
+
+A near-K× ratio on a fixed 32-core box means the operator's work grows
+linearly with data (no quadratic joins, no driver bottleneck) — the local
+proxy for "the plan survives a 100× scale-up".  Sub-K× ratios mean fixed
+overheads still dominate at this size.
+
+Usage: python tools/scale_probe.py [K] [query ...]
+Writes /tmp/egraphdb_scale/sf1x and /tmp/egraphdb_scale/sfKx, prints a
+markdown table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/egraphdb_scale"
+
+# (table, [key columns to offset]) — offsets keep every FK chain consistent
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+COPIED = ["region", "nation"]
+
+PROBES = [
+    "agg_q1_pricing_summary",
+    "agg_q5_region_revenue",
+    "agg_q9_product_profit",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_contamination",
+    "txt_bm25_topk",
+    "sim_ivf_topk",
+    "dedup_embedding_pairs",
+    "pipe_corpus_clean",
+    "sample_token_budget",
+    "graph_kcore",
+    "graph_sssp_weighted",
+]
+
+
+def build(spark, k: int, dst: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(dst, "_DONE")):
+        return
+    os.makedirs(dst, exist_ok=True)
+    for t in COPIED:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        spans = {c: df.agg(F.max(c)).first()[0] + 1 for c in keys}
+        rep = df.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        for c in keys:
+            rep = rep.withColumn(c, F.col(c) + F.col("_i") * F.lit(spans[c]))
+        rep.drop("_i").write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    open(os.path.join(dst, "_DONE"), "w").write("ok")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:]
+    from egraphdb_spark.queries import REGISTRY, fixture
+    from egraphdb_spark.queries_pipeline import doc_shingles
+    from egraphdb_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    one, big = f"{OUT}/sf1x", f"{OUT}/sf{k}x"
+    build(spark, 1, one)
+    build(spark, k, big)
+
+    probes = [p for p in PROBES if not only or any(s in p for s in only)]
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results = []
+    for sf_dir in (one, big):
+        t0 = time.perf_counter()
+        g = fixture(spark, sf_dir)
+        g.vertices.count(); g.edges.count(); g.indexes.count()
+        doc_shingles(spark, sf_dir).count()
+        prep = time.perf_counter() - t0
+        row = {"_prepare": prep}
+        for name in probes:
+            fn, _ = REGISTRY[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            row[name] = best
+            print(f"{sf_dir.rsplit('/',1)[-1]} {name} {best:.2f}s", flush=True)
+        results.append(row)
+
+    print(f"\n| query | 1x (s) | {k}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name in ["_prepare"] + probes:
+        a, b = results[0][name], results[1][name]
+        print(f"| {name} | {a:.2f} | {b:.2f} | {b / max(a, 1e-9):.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
