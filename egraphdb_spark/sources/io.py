@@ -117,3 +117,18 @@ def ingest_json_nodes(spark: SparkSession, path_or_df, schema: str | None = None
         ).alias("lowercase_index_paths"),
     )
     return make_vertices(shaped)
+
+
+def write_index_store(indexes: DataFrame, path: str) -> None:
+    """Persist the typed index table partitioned by ``index_name`` — the
+    engine's analogue of the reference's table-per-(type, index-name)
+    layout (models/egraph_index_model.erl:205-241) with zero routing code:
+    a search on one index becomes Catalyst partition pruning (the scan
+    touches one directory), and per-file min/max stats give value-range
+    skipping within it.  See tests/test_plans.py for the pruning proof.
+    """
+    indexes.write.mode("overwrite").partitionBy("index_name").parquet(path)
+
+
+def read_index_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
