@@ -1775,6 +1775,95 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_evt_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct-user counts at each later week offset — the standard
+    product-analytics triangle.  All derivation is integer/date arithmetic
+    (datediff div 7), so the matrix is engine-exact.  Scale: one
+    per-user min (map-side combined), one distinct-count per cell."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+O_EVT_RETENTION = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_evt_spikes(spark, sf_dir):
+    """Hourly spike detection per event type: hours whose count more than
+    doubles the mean of the trailing 24 OBSERVED hours (ROWS window on
+    both engines, so gap hours shift rather than shrink the baseline),
+    with a full trailing window required.
+    The comparison is cross-multiplied (24·count > 2·trailing_sum) so no
+    engine divides — integer-exact anomaly flags.  Scale: one hourly
+    aggregate, one bounded window per event type."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    flagged = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("trail_sum"),
+        F.count("n").over(w).alias("trail_n"),
+    )
+    return (
+        flagged.where(
+            (F.col("trail_n") == 24) & (F.col("n") * 24 > F.col("trail_sum") * 2)
+        )
+        .select("event_type", "hour", "n", "trail_sum")
+        .orderBy("event_type", "hour")
+    )
+
+
+O_EVT_SPIKES = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+flagged AS (
+  SELECT event_type, hour, n,
+         sum(n) OVER w AS trail_sum, count(n) OVER w AS trail_n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n, trail_sum
+FROM flagged WHERE trail_n = 24 AND n * 24 > trail_sum * 2
+ORDER BY event_type, hour
+"""
+
+
 def q_evt_funnel(spark, sf_dir):
     """Event funnel (ClickHouse windowFunnel shape): users who did
     view → click → purchase in strict event-time order, completing within
@@ -2122,6 +2211,8 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_kcore": (q_graph_kcore, O_GRAPH_KCORE),
     "graph_degree_stats": (q_graph_degree_stats, O_GRAPH_DEGREE),
     "stream_session_window": (q_stream_session_window, O_STREAM_SESSION),
+    "evt_retention": (q_evt_retention, O_EVT_RETENTION),
+    "evt_spikes": (q_evt_spikes, O_EVT_SPIKES),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),
