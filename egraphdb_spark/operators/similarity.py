@@ -331,3 +331,88 @@ def label_centroids(
             "n_vectors",
         )
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Product-quantization code assignment: (id, m, code, dist_q).
+
+    PQ is the memory-scale path for billion-vector ANN (Jégou et al. 2011):
+    split each vector into M subspaces, quantize each subvector to its
+    nearest per-subspace centroid, store M small codes (here 8×4 bits =
+    4 B/vector vs 512 B float64).  Centroids are the subvectors of the
+    ``n_centroids`` smallest-id vectors (the deterministic prefix-anchor
+    convention every ANN operator here uses, so an external SQL oracle can
+    rebuild the codebook bit-for-bit; production swaps in sampled k-means
+    per subspace — kmeans_anchors already provides the refinement loop).
+
+    code = argmin squared-L2 distance, rounded 9dp, centroid id as the
+    tie-break; dist_q = that distance in floor(d·2^20) fixed point so the
+    gate compares integers.  Scale: the codebook (M·K subvectors)
+    broadcasts; assignment is one narrow explode (M rows per vector) + a
+    per-(id, m) argmin — shuffle carries M rows per vector, nothing
+    quadratic.
+    """
+    sub_dim_row = emb.select(F.size(_as_double(vec_col)).alias("d")).first()
+    dim = sub_dim_row["d"]
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sd = dim // n_subspaces
+
+    prefix = (
+        emb.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
+        .collect()
+    )
+    spark = emb.sparkSession
+    codebook = spark.createDataFrame(
+        [
+            (m, int(r["cid"]), [float(x) for x in r["v"][m * sd : (m + 1) * sd]])
+            for m in range(n_subspaces)
+            for r in prefix
+        ],
+        "m int, cid long, cvec array<double>",
+    )
+
+    v = _as_double(vec_col)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(v, m * sd + 1, sd).alias("sv"),
+            )
+            for m in range(n_subspaces)
+        ]
+    )
+    exploded = emb.select(
+        F.col(id_col).alias("id"), F.explode(subs).alias("s")
+    ).select("id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    from pyspark.sql import Window as W
+
+    scored = exploded.join(F.broadcast(codebook), "m").withColumn("d2", d2)
+    w = W.partitionBy("id", "m").orderBy(F.col("d2"), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "id",
+            F.col("m").cast("long").alias("m"),
+            F.col("cid").alias("code"),
+            F.floor(F.col("d2") * float(_CENTROID_Q)).cast("long").alias("dist_q"),
+        )
+    )

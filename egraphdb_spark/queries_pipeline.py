@@ -1509,6 +1509,49 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
 """
 
 
+def q_sim_pq_codes(spark, sf_dir):
+    """Product-quantization codes (8 subspaces × 16 centroids): the
+    billion-vector memory-scale ANN representation (4 bits/subspace here;
+    codebook = prefix-anchor subvectors so the oracle rebuilds it)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(
+        emb, "vec_id", "embedding", n_subspaces=8, n_centroids=16
+    )
+
+
+O_SIM_PQ = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+pref AS (SELECT vec_id AS cid, vec FROM v ORDER BY vec_id LIMIT 16),
+codebook AS (
+  SELECT CAST(t.m AS INT) AS m, cid,
+         vec[CAST(t.m * 8 + 1 AS INT) : CAST(t.m * 8 + 8 AS INT)] AS cvec
+  FROM pref, unnest(range(0, 8)) AS t(m)
+),
+subs AS (
+  SELECT vec_id AS id, CAST(t.m AS INT) AS m,
+         vec[CAST(t.m * 8 + 1 AS INT) : CAST(t.m * 8 + 8 AS INT)] AS sv
+  FROM v, unnest(range(0, 8)) AS t(m)
+),
+scored AS (
+  SELECT id, m, cid,
+         round(list_sum(list_transform(range(1, 9),
+               i -> (sv[CAST(i AS INT)] - cvec[CAST(i AS INT)])
+                    * (sv[CAST(i AS INT)] - cvec[CAST(i AS INT)]))), 9) AS d2
+  FROM subs JOIN codebook USING (m)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+  FROM scored
+)
+SELECT id, CAST(m AS BIGINT) AS m, cid AS code,
+       CAST(floor(d2 * 1048576.0) AS BIGINT) AS dist_q
+FROM best WHERE rn = 1
+"""
+
+
 def q_emb_label_centroids(spark, sf_dir):
     """Per-label embedding centroids in floor(val·2^20) fixed point —
     integer-exact class profiles of the labeled embedding table."""
@@ -1541,6 +1584,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_incremental_lsh": (q_dedup_incremental_lsh, O_INCREMENTAL_LSH),
     "sample_token_budget": (q_sample_token_budget, O_TOKEN_BUDGET),
     "emb_label_centroids": (q_emb_label_centroids, O_LABEL_CENTROIDS),
+    "sim_pq_codes": (q_sim_pq_codes, O_SIM_PQ),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),

@@ -338,3 +338,22 @@ def test_token_budget_prefix_property(spark):
     # prefix property: a bigger budget keeps a superset
     big = sampling.token_budget_sample(docs, "doc_id", "source", "n_tokens", budget=4000)
     assert out.select("doc_id").join(big, "doc_id", "left_anti").count() == 0
+
+
+def test_pq_codes_self_assignment(spark):
+    """Codebook vectors quantize to THEMSELVES (dist 0) in every subspace;
+    non-codebook vectors get valid codes from the codebook id set."""
+    from egraphdb_spark.graph import load_tables
+    from egraphdb_spark.operators import similarity
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    out = similarity.pq_codes(emb, "vec_id", "embedding", 8, 16)
+    prefix_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(16).collect()]
+    self_rows = out.where(F.col("id").isin(prefix_ids)).collect()
+    assert self_rows and all(
+        r["code"] == r["id"] and r["dist_q"] == 0 for r in self_rows
+    )
+    # every (id, m) pair exactly once, codes drawn from the codebook
+    n = emb.count()
+    assert out.count() == n * 8
+    assert out.where(~F.col("code").isin(prefix_ids)).count() == 0
