@@ -570,6 +570,60 @@ GROUP BY c_mktsegment
 """
 
 
+def q_s15_logtable_diff(spark, sf_dir):
+    """CDC snapshot diff over the same base/upsert/tombstone log as
+    `s15_logtable_persisted`: every key touched after the base segment,
+    classified insert/update/delete against the base snapshot.  The
+    winner-per-key pass reads only the delta segments (seg pruning); the
+    before-snapshot is semi-join-pruned to affected keys."""
+    import shutil
+
+    from .sources import logtable as lt
+
+    path = f"{_IO_ROOT}/logtable-diff-{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    lt.create(cust.where(F.col("c_custkey") % 3 != 0), path, ["c_custkey"])
+    lt.append_upsert(
+        cust.where(F.col("c_custkey") % 5 == 0).withColumn(
+            "bal", F.col("bal") + F.lit("100.50").cast("decimal(18,2)")
+        ),
+        path,
+    )
+    lt.append_delete(
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"), path
+    )
+    return lt.snapshot_diff(spark, path, from_seg=0).select(
+        "c_custkey", "change", F.col("_seq").cast("long").alias("_seq")
+    )
+
+
+# Relational reconstruction: base = %3!=0; seg1 upserts %5==0; seg2
+# tombstones %7==0.  Winner per key = seg2 if %7==0 else seg1; classify
+# against base membership; tombstones of never-existed keys drop out.
+O_S15_LOGTABLE_DIFF = """
+WITH touched AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'd' ELSE 'u' END AS op,
+         CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS seg,
+         (c_custkey % 3 <> 0) AS existed
+  FROM customer
+  WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+)
+SELECT c_custkey,
+       CASE WHEN op = 'd' AND existed THEN 'delete'
+            WHEN op = 'u' AND existed THEN 'update'
+            WHEN op = 'u' AND NOT existed THEN 'insert' END AS change,
+       CAST(seg AS BIGINT) AS _seq
+FROM touched
+WHERE NOT (op = 'd' AND NOT existed)
+"""
+
+
 # --------------------------------------------------------------------------
 # Remaining reference-surface rows: S9, J2, W5, P5
 # --------------------------------------------------------------------------
@@ -2212,6 +2266,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_degree_stats": (q_graph_degree_stats, O_GRAPH_DEGREE),
     "stream_session_window": (q_stream_session_window, O_STREAM_SESSION),
     "evt_retention": (q_evt_retention, O_EVT_RETENTION),
+    "s15_logtable_diff": (q_s15_logtable_diff, O_S15_LOGTABLE_DIFF),
     "evt_spikes": (q_evt_spikes, O_EVT_SPIKES),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),

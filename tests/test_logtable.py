@@ -102,3 +102,25 @@ def test_create_refuses_existing(spark, tdir):
     lt.create(base, tdir, ["k"])
     with pytest.raises(ValueError):
         lt.create(base, tdir, ["k"])
+
+
+def test_snapshot_diff_classification(spark, tmp_path):
+    from egraphdb_spark.sources import logtable as lt
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    lt.create(base, path, ["k"])
+    lt.append_upsert(
+        spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), path
+    )
+    lt.append_delete(spark.createDataFrame([(3,), (99,)], "k long"), path)
+    diff = {r["k"]: r for r in lt.snapshot_diff(spark, path, 0).collect()}
+    assert diff[2]["change"] == "update"
+    assert diff[4]["change"] == "insert"
+    assert diff[3]["change"] == "delete"
+    assert 99 not in diff, "tombstone of a never-existed key is a net nil"
+    assert 1 not in diff, "untouched keys never appear"
+    # diff of an empty range is empty
+    assert lt.snapshot_diff(spark, path, 0, 0).count() == 0
