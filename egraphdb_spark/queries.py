@@ -232,7 +232,7 @@ def q_p1_selected_paths(spark, sf_dir):
     query = {
         "type": "index",
         "conditions": {
-            "any": [{"key": ["A", "J"], "key_type": "text", "index_name": "n_name"}]
+            "any": [{"key": ["NATION_0", "NATION_3"], "key_type": "text", "index_name": "n_name"}]
         },
         "selected_paths": {"name": ["n_name"], "regionkey": ["n_regionkey"]},
     }
@@ -242,7 +242,7 @@ def q_p1_selected_paths(spark, sf_dir):
 # selected_paths emits raw JSON scalars as strings (missing → null).
 O_P1 = """
 SELECT n_name AS name, CAST(n_regionkey AS VARCHAR) AS regionkey
-FROM nation WHERE n_name >= 'A' AND n_name <= 'J'
+FROM nation WHERE n_name >= 'NATION_0' AND n_name <= 'NATION_3'
 """
 
 
@@ -530,8 +530,14 @@ SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
 
 
 def q_set_except(spark, sf_dir):
+    """Customers who placed no order in 1995 (usort-complement shape —
+    the reference's union is the only set op it has; EXCEPT is the
+    natural Spark extension).  The 1995 restriction keeps the result
+    non-trivial at every scale factor."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
     return cust.select(F.col("c_custkey").alias("custkey")).exceptAll(
         orders.select(F.col("o_custkey").alias("custkey")).distinct()
     )
@@ -541,6 +547,7 @@ O_SET_EXCEPT = """
 SELECT c_custkey AS custkey FROM customer
 EXCEPT ALL
 SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
 """
 
 
