@@ -17,6 +17,8 @@ across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Column, functions as F
 
 
@@ -415,4 +417,73 @@ def pq_codes(
             F.col("cid").alias("code"),
             F.floor(F.col("d2") * float(_CENTROID_Q)).cast("long").alias("dist_q"),
         )
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_candidates: int = 32,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """PQ-ANN top-k: asymmetric-distance candidate generation over the
+    4-bit codes, exact cosine re-rank of the best ``n_candidates``.
+
+    The standard two-stage PQ search (Jégou et al. 2011): per subspace the
+    query precomputes a K-entry lookup table of squared-L2 distances to
+    the codebook; a vector's approximate distance is the sum of its M
+    table entries — scanning CODES (4 B/vector), not vectors.  The exact
+    re-rank touches full vectors only for the candidate set.
+
+    LUT entries are floor(d·2^20) fixed point, so the integer candidate
+    scores are engine-exact; re-rank reuses the 6dp cosine convention.
+    Scale: the LUT (M·K ints) broadcasts; candidate generation is one
+    groupBy(id) over M rows/vector; re-rank is a semi-join-pruned scan.
+    """
+    sd = len(query_vec) // n_subspaces
+    codes = pq_codes(emb, id_col, vec_col, n_subspaces, n_centroids)
+
+    prefix = (
+        emb.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
+        .collect()
+    )
+    lut_rows = []
+    for m in range(n_subspaces):
+        qs = query_vec[m * sd : (m + 1) * sd]
+        for r in prefix:
+            cv = [float(x) for x in r["v"][m * sd : (m + 1) * sd]]
+            d = 0.0
+            for a, b in zip(qs, cv):
+                d = d + (a - b) * (a - b)
+            # same fixed-point recipe as pq_codes: round 9dp (no dyadic
+            # double sits exactly on a decimal tie, so Python's rounding
+            # agrees with SQL round()), then an exact exponent shift+floor
+            lut_rows.append(
+                (m, int(r["cid"]), int(math.floor(round(d, 9) * _CENTROID_Q)))
+            )
+    spark = emb.sparkSession
+    lut = spark.createDataFrame(lut_rows, "m long, code long, qd long")
+
+    approx = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("qd").alias("approx_d"))
+        .orderBy("approx_d", "id")
+        .limit(n_candidates)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    cand = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).join(F.broadcast(approx.select("id")), "id", "left_semi")
+    c = F.round(cosine(F.col("vec"), q), 6)
+    return (
+        cand.select("id", c.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
     )

@@ -1552,6 +1552,79 @@ FROM best WHERE rn = 1
 """
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """PQ-ANN search: integer asymmetric-distance candidates over the
+    4-bit codes (scan codes, not vectors), exact cosine re-rank of the
+    top 32."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, "vec_id", "embedding", QUERY_VEC, k=10, n_candidates=32
+    )
+
+
+def _pq_lut_sql() -> str:
+    """Query-side LUT CTE: per (m, code) the fixed-point squared-L2 from
+    the query subvector to the codebook subvector."""
+    return f"""
+q AS (SELECT {_QV_SQL} AS qv),
+lut AS (
+  SELECT m, cid AS code,
+         CAST(floor(round(list_sum(list_transform(range(1, 9),
+               i -> (qv[CAST(m * 8 + i AS INT)] - cvec[CAST(i AS INT)])
+                    * (qv[CAST(m * 8 + i AS INT)] - cvec[CAST(i AS INT)]))), 9)
+               * 1048576.0) AS BIGINT) AS qd
+  FROM codebook, q
+)"""
+
+
+O_SIM_PQ_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+pref AS (SELECT vec_id AS cid, vec FROM v ORDER BY vec_id LIMIT 16),
+codebook AS (
+  SELECT CAST(t.m AS INT) AS m, cid,
+         vec[CAST(t.m * 8 + 1 AS INT) : CAST(t.m * 8 + 8 AS INT)] AS cvec
+  FROM pref, unnest(range(0, 8)) AS t(m)
+),
+subs AS (
+  SELECT vec_id AS id, CAST(t.m AS INT) AS m,
+         vec[CAST(t.m * 8 + 1 AS INT) : CAST(t.m * 8 + 8 AS INT)] AS sv
+  FROM v, unnest(range(0, 8)) AS t(m)
+),
+scored AS (
+  SELECT id, m, cid,
+         round(list_sum(list_transform(range(1, 9),
+               i -> (sv[CAST(i AS INT)] - cvec[CAST(i AS INT)])
+                    * (sv[CAST(i AS INT)] - cvec[CAST(i AS INT)]))), 9) AS d2
+  FROM subs JOIN codebook USING (m)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+  FROM scored
+),
+codes AS (SELECT id, m, cid AS code FROM best WHERE rn = 1),
+{_pq_lut_sql()},
+approx AS (
+  SELECT id, sum(qd) AS approx_d
+  FROM codes JOIN lut USING (m, code)
+  GROUP BY id ORDER BY approx_d, id LIMIT 32
+),
+rerank AS (
+  SELECT v.vec_id AS id,
+         round(
+           list_sum(list_transform(range(1, len(vec) + 1),
+                    i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
+           / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+  FROM v, q
+  WHERE v.vec_id IN (SELECT id FROM approx)
+)
+SELECT id, cosine FROM rerank ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
 def q_emb_label_centroids(spark, sf_dir):
     """Per-label embedding centroids in floor(val·2^20) fixed point —
     integer-exact class profiles of the labeled embedding table."""
@@ -1585,6 +1658,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_token_budget": (q_sample_token_budget, O_TOKEN_BUDGET),
     "emb_label_centroids": (q_emb_label_centroids, O_LABEL_CENTROIDS),
     "sim_pq_codes": (q_sim_pq_codes, O_SIM_PQ),
+    "sim_pq_topk": (q_sim_pq_topk, O_SIM_PQ_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),
