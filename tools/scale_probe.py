@@ -53,6 +53,14 @@ PROBES = [
     "sample_token_budget",
     "graph_kcore",
     "graph_sssp_weighted",
+    "rag_hybrid_rrf",
+    "pipe_chunking",
+    "dedup_repeated_spans",
+    "dedup_incremental_lsh",
+    "sim_pq_topk",
+    "evt_retention",
+    "evt_spikes",
+    "emb_label_centroids",
 ]
 
 
