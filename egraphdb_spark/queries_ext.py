@@ -1041,7 +1041,7 @@ FROM events e ASOF LEFT JOIN r1
   ON e.user_id = r1.o_custkey AND e.ts >= r1.o_orderdate
 """
 
-_PRICE_BANDS = [(0, "cheap", 0.0, 1000.0), (1, "mid", 1000.0, 1500.0), (2, "high", 1500.0, 3000.0)]
+_PRICE_BANDS = [(0, "cheap", 900.0, 950.0), (1, "mid", 950.0, 980.0), (2, "high", 980.0, 1000.0)]
 
 
 def q_join_range_bands(spark, sf_dir):
@@ -1063,9 +1063,9 @@ def q_join_range_bands(spark, sf_dir):
 
 O_JOIN_RANGE = """
 WITH bands(band_id, band, lo, hi) AS (
-  VALUES (CAST(0 AS BIGINT), 'cheap', 0.0, 1000.0),
-         (CAST(1 AS BIGINT), 'mid', 1000.0, 1500.0),
-         (CAST(2 AS BIGINT), 'high', 1500.0, 3000.0)
+  VALUES (CAST(0 AS BIGINT), 'cheap', 900.0, 950.0),
+         (CAST(1 AS BIGINT), 'mid', 950.0, 980.0),
+         (CAST(2 AS BIGINT), 'high', 980.0, 1000.0)
 )
 SELECT band_id, band, count(*) AS n,
        cast(sum(cast(p_retailprice as decimal(18,2))) as double) AS sum_price

@@ -333,7 +333,7 @@ def q_agg_q2_min_cost_supp(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     p = _t(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "LARGE")
     )
     eu_supp = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -369,7 +369,7 @@ eu_ps AS (
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost_cents
 FROM eu_ps
-JOIN part ON ps_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE'
+JOIN part ON ps_partkey = p_partkey AND p_size IN (5, 15, 25, 35, 45) AND p_type = 'LARGE'
 WHERE ps_supplycost_cents = min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
 """
