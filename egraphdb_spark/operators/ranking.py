@@ -171,3 +171,68 @@ def rrf_fuse(rankings: list[DataFrame], k: int = 15) -> DataFrame:
         .orderBy(F.desc("rrf_scaled"), "id")
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-N keywords by TF-IDF: (id, term, score, kw_rank).
+
+    The keyword-extraction / auto-labeling primitive.  idf uses the same
+    Lucene form as `bm25_topk` — the one `ln` call both engines evaluate
+    identically (proven by the BM25 gate) — and the score rounds to 6 dp
+    with the term string as the final tie-break.
+
+    Scale: explode → groupBy(id, term) with map-side combine; the df table
+    shuffles once on term and joins back (at corpus scale the df side is
+    the heavy one — it stays distributed, never collected); top-N per doc
+    is a WindowGroupLimit (partial top-N below the exchange).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = base.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5))")
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("kw_rank") <= top_n)
+        .select("id", "term", "score", "kw_rank")
+    )
+
+
+def tfidf_oracle_sql(table: str, id_col: str, text_col: str, top_n: int = 3) -> str:
+    """DuckDB mirror of :func:`tfidf_keywords`."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS term
+  FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM base GROUP BY id, term),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT id, term,
+         round(tf * ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS score
+  FROM tf JOIN dfq USING (term), n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, term)
+                 AS BIGINT) AS kw_rank
+  FROM scored
+)
+SELECT id, term, score, kw_rank FROM ranked WHERE kw_rank <= {top_n}
+"""

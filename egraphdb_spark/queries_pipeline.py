@@ -1340,6 +1340,16 @@ def q_txt_bm25_topk(spark, sf_dir):
 O_TXT_BM25 = ranking.bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=15)
 
 
+def q_txt_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document — keyword extraction with the
+    BM25-proven ln convention; 6dp score, term tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.tfidf_keywords(docs, "doc_id", "text", top_n=3)
+
+
+O_TXT_TFIDF = ranking.tfidf_oracle_sql("documents", "doc_id", "text", top_n=3)
+
+
 def q_rag_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 top-50 (lexical) and cosine top-50 (semantic,
     over the aligned embeddings table) fused by reciprocal-rank into one
@@ -1652,6 +1662,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_chunking": (q_pipe_chunking, O_PIPE_CHUNK),
     "txt_bm25_topk": (q_txt_bm25_topk, O_TXT_BM25),
     "rag_hybrid_rrf": (q_rag_hybrid_rrf, O_RAG_RRF),
+    "txt_tfidf_keywords": (q_txt_tfidf_keywords, O_TXT_TFIDF),
     "sample_source_quota": (q_sample_source_quota, O_SAMPLE_QUOTA),
     "dedup_repeated_spans": (q_dedup_repeated_spans, O_REPEATED_SPANS),
     "dedup_incremental_lsh": (q_dedup_incremental_lsh, O_INCREMENTAL_LSH),
