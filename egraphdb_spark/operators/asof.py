@@ -31,6 +31,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     right[right_ts] <= left[left_ts] and equal ``on`` key (nulls if none).
@@ -41,6 +42,11 @@ def asof_join(
     tie-break (all right_cols, descending-last) wins on both engines only
     if the (key, ts) pair is unique on the right — callers dedupe first
     for exact cross-engine parity.
+
+    ``tolerance_seconds`` (pandas merge_asof-style): a carried match older
+    than the tolerance at the left row's timestamp reverts to null —
+    "most recent state, but only if fresh enough".  Same single-window
+    plan; the age check is a row-local column expression.
     """
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
@@ -70,14 +76,34 @@ def asof_join(
         .orderBy(F.col("__ts"), F.col("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carry_cols = list(right_cols)
+    if tolerance_seconds is not None:
+        # carry the matched right timestamp too, to age-check per left row
+        unioned = unioned.withColumn(
+            "__r___mts", F.when(F.col("__tag") == 0, F.col("__ts"))
+        )
+        carry_cols = carry_cols + ["__mts"]
     carried = unioned.select(
         *[c for c in unioned.columns if not c.startswith("__r_")],
         *[
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_cols
+            for c in carry_cols
         ],
     )
-    out = carried.where(F.col("__tag") == 1).drop("__tag", "__ts")
+    out = carried.where(F.col("__tag") == 1)
+    if tolerance_seconds is not None:
+        # ntz casts to long only via timestamp; value-preserving under the
+        # UTC sessions this engine and the driver run
+        def _secs(c):
+            return F.col(c).cast("timestamp").cast("long")
+
+        stale = _secs("__ts") - _secs("__r___mts") > tolerance_seconds
+        for c in right_cols:
+            out = out.withColumn(
+                f"__r_{c}", F.when(~stale, F.col(f"__r_{c}"))
+            )
+        out = out.drop("__r___mts")
+    out = out.drop("__tag", "__ts")
     for c in right_cols:
         out = out.withColumnRenamed(f"__r_{c}", c)
     return out

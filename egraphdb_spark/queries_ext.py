@@ -1041,6 +1041,61 @@ FROM events e ASOF LEFT JOIN r1
   ON e.user_id = r1.o_custkey AND e.ts >= r1.o_orderdate
 """
 
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join with a freshness tolerance (pandas merge_asof-style):
+    each event joined to the SAME USER's most recent purchase event, but
+    only if it happened within the preceding 2 hours — attribution with a
+    staleness cutoff.  The purchase side is deduped to one row per
+    (user, ts) for exact cross-engine tie semantics."""
+    from pyspark.sql import Window as W
+
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    r1 = (
+        purchases.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        ev,
+        r1,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["purchase_id", "purchase_value"],
+        tolerance_seconds=2 * 3600,
+    ).select("event_id", "user_id", "purchase_id", "purchase_value")
+
+
+O_JOIN_ASOF_TOL = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS purchase_id, value AS purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r1 AS (SELECT user_id, p_ts, purchase_id, purchase_value FROM p WHERE rn = 1)
+SELECT e.event_id, e.user_id,
+       CASE WHEN e.ts - r1.p_ts <= INTERVAL 2 HOUR
+            THEN r1.purchase_id END AS purchase_id,
+       CASE WHEN e.ts - r1.p_ts <= INTERVAL 2 HOUR
+            THEN r1.purchase_value END AS purchase_value
+FROM events e ASOF LEFT JOIN r1
+  ON e.user_id = r1.user_id AND e.ts >= r1.p_ts
+"""
+
+
 _PRICE_BANDS = [(0, "cheap", 900.0, 950.0), (1, "mid", 950.0, 980.0), (2, "high", 980.0, 1000.0)]
 
 
@@ -2259,6 +2314,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "stream_logtable_cdc": (q_stream_logtable_cdc, O_STREAM_LOGTABLE),
     "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
+    "join_asof_tolerance": (q_join_asof_tolerance, O_JOIN_ASOF_TOL),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
