@@ -141,3 +141,21 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .withColumn("frame_len", F.length("frame_bytes").cast("int"))
     )
+
+
+def payload_dedup(media: DataFrame, id_col: str = "id") -> DataFrame:
+    """Exact media dedup: duplicate groups by payload byte hash.
+
+    The image/audio twin of text exact-dedup: identical binary payloads
+    collapse to (payload_md5, canonical_id = min id, n_copies), returned
+    only where n_copies ≥ 2.  At 100 TB the shuffle carries a 16-byte
+    hash per object, never payload bytes — same discipline as the text
+    fingerprint path; near-dup (perceptual-hash) variants slot into the
+    identical groupBy shape with pHash in place of md5.
+    """
+    return (
+        media.select(F.col(id_col).alias("id"), F.md5("payload").alias("payload_md5"))
+        .groupBy("payload_md5")
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") >= 2)
+    )

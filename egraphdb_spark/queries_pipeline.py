@@ -969,6 +969,36 @@ def q_mm_features(spark, sf_dir):
 
 # Valid because the corpus text is ASCII (byte == codepoint); the Spark side
 # computes true byte features through the real mapInPandas path.
+def q_mm_payload_dedup(spark, sf_dir):
+    """Exact media dedup by payload hash — identical binaries collapse to
+    one canonical object (the image/audio twin of text exact-dedup).
+    The corpus has no byte-identical documents, so the media table unions
+    a re-keyed copy of every 10th object (deterministic planted
+    duplicates — the re-upload scenario)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synth_media(docs)
+    reupload = multimodal.synth_media(
+        docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return multimodal.payload_dedup(media.unionByName(reupload))
+
+
+# DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — identical to
+# Spark's md5 over the encode(text,'UTF-8') payload column.
+O_MM_PAYLOAD_DEDUP = """
+WITH media AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS payload_md5, min(id) AS canonical_id,
+       count(*) AS n_copies
+FROM media GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 O_MM_FEATURES = """
 WITH b AS (SELECT doc_id AS id, text AS t, octet_length(encode(text)) AS n FROM documents)
 SELECT id, n AS n_bytes,
@@ -1714,5 +1744,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
+    "mm_payload_dedup": (q_mm_payload_dedup, O_MM_PAYLOAD_DEDUP),
     "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),
 }
