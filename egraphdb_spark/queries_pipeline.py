@@ -985,6 +985,31 @@ def q_mm_payload_dedup(spark, sf_dir):
     return multimodal.payload_dedup(media.unionByName(reupload))
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling plumbing: every 10th 16-byte window of
+    each payload, one row per sampled frame with its digest — the schema
+    and explode shape of a real frame sampler (codecs stubbed)."""
+    docs = _t(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.synth_media(docs), every_n=10)
+    return frames.select(
+        "id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_len").cast("long").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+# ASCII corpus ⇒ byte windows == character windows; DuckDB md5(VARCHAR)
+# hashes the same bytes Spark's md5(BINARY) sees.
+O_MM_FRAME_SAMPLE = """
+WITH t AS (SELECT doc_id AS id, text, octet_length(encode(text)) AS n FROM documents)
+SELECT id, CAST(i AS BIGINT) AS frame_idx,
+       CAST(len(substr(text, CAST(i * 160 + 1 AS INT), 16)) AS BIGINT) AS frame_len,
+       md5(substr(text, CAST(i * 160 + 1 AS INT), 16)) AS frame_md5
+FROM t, unnest(range(0, greatest(n // 160 - 1, 0) + 1)) AS u(i)
+"""
+
+
 # DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — identical to
 # Spark's md5 over the encode(text,'UTF-8') payload column.
 O_MM_PAYLOAD_DEDUP = """
@@ -1745,5 +1770,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
     "mm_payload_dedup": (q_mm_payload_dedup, O_MM_PAYLOAD_DEDUP),
+    "mm_frame_sample": (q_mm_frame_sample, O_MM_FRAME_SAMPLE),
     "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),
 }
