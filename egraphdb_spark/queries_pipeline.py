@@ -1405,6 +1405,93 @@ def q_txt_tfidf_keywords(spark, sf_dir):
 O_TXT_TFIDF = ranking.tfidf_oracle_sql("documents", "doc_id", "text", top_n=3)
 
 
+def q_pipe_assemble(spark, sf_dir):
+    """End-to-end training-data ASSEMBLY as one plan: token-count floor →
+    exact dedup (min-id per fingerprint) → sliding-window chunking →
+    global sequence packing of the chunk stream.  The composition every
+    pretraining pipeline runs between "raw corpus" and "token shards";
+    each stage is the already-gated operator, composed lazily (no
+    intermediate materialization).
+
+    Output: one row per chunk with its global token offset and the
+    training-sequence window(s) it lands in.  Scale: quality filter and
+    dedup are narrow/one-shuffle; chunking is a zero-shuffle explode; the
+    packing prefix-sum is two narrow shuffles (packing.py) — the whole
+    assembly is 3 shuffles end to end.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import exact_dedup
+    from .operators.packing import chunk_documents, pack_offsets
+
+    qualified = docs.where(text.token_count("text") >= 16)
+    keep = exact_dedup(qualified, "doc_id", "text").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = qualified.join(keep, "doc_id", "left_semi")
+    chunks = chunk_documents(kept, "doc_id", "text", window=64, overlap=16)
+    # composite chunk key: chunk_idx is bounded far below 64 on this corpus
+    # AND the oracle replicates the identical key, so the pack order is
+    # engine-exact either way
+    ck = chunks.withColumn("ckey", F.col("id") * 64 + F.col("chunk_idx"))
+    packed = pack_offsets(ck, "ckey", "n_tokens", seq_len=64)
+    # the key round-trips arithmetically — no join back needed
+    return packed.select(
+        F.expr("ckey div 64").alias("id"),
+        (F.col("ckey") % 64).alias("chunk_idx"),
+        "n_tokens",
+        "offset",
+        "first_seq",
+        "last_seq",
+    )
+
+
+def _assemble_oracle() -> str:
+    stride = 48
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS n_tok
+  FROM documents
+),
+qualified AS (SELECT doc_id, text FROM toks WHERE n_tok >= 16),
+fp AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS f
+  FROM qualified
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+kept AS (SELECT fp.doc_id, fp.text FROM fp SEMI JOIN keep USING (doc_id)),
+t AS (
+  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks FROM kept
+),
+n AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+idx AS (
+  SELECT id, toks,
+         unnest(range(0, 1 + (greatest(n - 64, 0) + {stride - 1}) // {stride})) AS chunk_idx
+  FROM n
+),
+chunks AS (
+  SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + 64]) AS BIGINT) AS n_tokens,
+         id * 64 + chunk_idx AS ckey
+  FROM idx
+),
+packed AS (
+  SELECT *,
+         sum(n_tokens) OVER (ORDER BY ckey ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+  FROM chunks
+)
+SELECT id, chunk_idx, n_tokens, "offset",
+       "offset" // 64 AS first_seq,
+       ("offset" + n_tokens - 1) // 64 AS last_seq
+FROM packed
+"""
+
+
+O_PIPE_ASSEMBLE = _assemble_oracle()
+
+
 def q_rag_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 top-50 (lexical) and cosine top-50 (semantic,
     over the aligned embeddings table) fused by reciprocal-rank into one
@@ -1715,6 +1802,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_seq_pack": (q_pipe_seq_pack, O_PIPE_PACK),
     "pipe_mixture": (q_pipe_mixture, O_PIPE_MIXTURE),
     "pipe_chunking": (q_pipe_chunking, O_PIPE_CHUNK),
+    "pipe_assemble": (q_pipe_assemble, O_PIPE_ASSEMBLE),
     "txt_bm25_topk": (q_txt_bm25_topk, O_TXT_BM25),
     "rag_hybrid_rrf": (q_rag_hybrid_rrf, O_RAG_RRF),
     "txt_tfidf_keywords": (q_txt_tfidf_keywords, O_TXT_TFIDF),
