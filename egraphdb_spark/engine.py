@@ -116,6 +116,52 @@ class Engine:
             self.spark, self.vertices, self.edges, build_indexes(self.vertices), self.registry
         )
 
+    def reindex_status(self, n_shards: int = 2048) -> DataFrame:
+        """Per-shard rebuild watermarks — the reference's reindex-status
+        surface (models/egraph_reindex_model.erl:135-155; table
+        sql/egraph_table_creation.sql:214-222: shard_id / is_reindexing /
+        version / updated_datetime) re-expressed over immutable tables.
+
+        In this engine index derivation is a synchronous idempotent batch
+        (``reindex()``), so ``is_reindexing`` is identically 0; the
+        operationally useful signal the reference's table carries —
+        which shard moved and when — survives as per-shard counts and
+        watermarks: a shard whose ``last_updated_at`` exceeds the index
+        build time needs re-derivation.  Sharding uses the engine's
+        portable 60-bit md5 key hash (uniform, engine-exact across SQL
+        dialects) rather than the reference's MySQL-routing hash — same
+        role, verifiable by the DuckDB oracle.  Scale: one aggregate over
+        vertices + one over indexes (join on id co-partitions with the
+        vertices bucketing); output is ≤ n_shards rows.
+        """
+        shard = F.pmod(
+            F.conv(F.substring(F.md5(F.col("key")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).alias("shard_id")
+        v_sharded = self.vertices.select(shard, "id", "version", "updated_at")
+        per_v = v_sharded.groupBy("shard_id").agg(
+            F.count("*").alias("n_nodes"),
+            F.max("version").cast("long").alias("max_version"),
+            F.max("updated_at").alias("last_updated_at"),
+        )
+        per_ix = (
+            self.indexes.join(v_sharded.select("shard_id", "id"), "id")
+            .groupBy("shard_id")
+            .agg(F.count("*").alias("n_index_rows"))
+        )
+        return (
+            per_v.join(per_ix, "shard_id", "left")
+            .select(
+                "shard_id",
+                "n_nodes",
+                F.coalesce("n_index_rows", F.lit(0)).alias("n_index_rows"),
+                "max_version",
+                "last_updated_at",
+                F.lit(0).alias("is_reindexing"),
+            )
+            .orderBy("shard_id")
+        )
+
     # ------------------------------------------------------------ functions
 
     def register_function(self, *args, **kwargs):

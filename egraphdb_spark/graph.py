@@ -38,11 +38,15 @@ TABLES = (
 
 # Memoized per (session, sf_dir): spark.read.parquet runs a footer/schema
 # job per table, which would otherwise be re-paid by every query call.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    cache_key = (id(spark), sf_dir.rstrip("/"))
+    from .session import prune_dead_entries, session_cache_key
+
+    app = session_cache_key(spark)
+    prune_dead_entries(_TABLE_CACHE, app)
+    cache_key = (app, sf_dir.rstrip("/"))
     if cache_key in _TABLE_CACHE:
         return _TABLE_CACHE[cache_key]
     # The driver (or any embedding application) supplies its own

@@ -553,9 +553,14 @@ def repeated_spans(
         "id",
         F.explode(
             F.array_distinct(
+                # guard short docs explicitly: sequence(1, 0) is DESCENDING
+                # [1, 0] in Spark (default step -1 when start > stop) and
+                # slice(toks, 0, n) then throws — an unguarded version
+                # crashes on any document shorter than n_tokens
                 F.expr(
-                    f"transform(sequence(1, greatest(size(toks) - {n_tokens - 1}, 0)),"
-                    f" i -> array_join(slice(toks, i, {n_tokens}), ' '))"
+                    f"if(size(toks) < {n_tokens}, array(),"
+                    f" transform(sequence(1, size(toks) - {n_tokens - 1}),"
+                    f" i -> array_join(slice(toks, i, {n_tokens}), ' ')))"
                 )
             )
         ).alias("span"),

@@ -347,6 +347,7 @@ def kcore_peel(
     if checkpoint:
         und = und.localCheckpoint(eager=True)
     e = und
+    prev_cnt = None
     for _ in range(rounds):
         alive = (
             e.groupBy("a")
@@ -354,11 +355,24 @@ def kcore_peel(
             .where(F.col("deg") >= k)
             .select("a")
         )
+        if checkpoint:
+            # materialize the round's degree aggregate ONCE — both
+            # endpoint semi-joins read it; left lazy it is recomputed
+            # per join (two full degree aggregates per round)
+            alive = alive.localCheckpoint(eager=True)
         e = e.join(alive, "a", "left_semi").join(
             alive.select(F.col("a").alias("b")), "b", "left_semi"
         )
         if checkpoint:
             e = e.localCheckpoint(eager=True)
+            # fixpoint early-exit: an unchanged edge count means no node
+            # fell below k this round, so every further round is the
+            # identity — the remaining iterations of the oracle's unroll
+            # are no-ops on the same set, result-identical by definition
+            cnt = e.count()
+            if cnt == prev_cnt:
+                break
+            prev_cnt = cnt
     deg = e.groupBy("a").agg(F.count("*").alias("degree"))
     return deg.join(keymap, deg.a == keymap.nid).select(
         F.col("key"), F.col("degree")

@@ -22,6 +22,24 @@ import math
 from pyspark.sql import DataFrame, Column, functions as F
 
 
+def _round_half_up(x: float, ndigits: int = 9) -> float:
+    """Driver-side decimal rounding matching Spark's F.round / SQL round.
+
+    Python's builtin ``round`` is banker's (half-even) and DOES diverge
+    from half-up on exact decimal ties reachable from dyadic doubles
+    (e.g. 1/1024 = 0.0009765625 → ...62.5 ties at 9dp: half-even 976562,
+    half-up 976563).  ``Decimal(repr(x))`` mirrors Scala's
+    ``BigDecimal(double)`` shortest-repr conversion, so this matches the
+    JVM-side F.round bit-for-bit.
+    """
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-ndigits)
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def _as_double(vec_col: str | Column) -> Column:
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return c.cast("array<double>")
@@ -242,7 +260,9 @@ def kmeans_anchors(
         new = {}
         for r in cent.collect():
             c = r["c"] * _CENTROID_Q
-            new[r["anchor_id"]] = [round(r[f"s{i}"] / c, 9) for i in range(dim)]
+            new[r["anchor_id"]] = [
+                _round_half_up(r[f"s{i}"] / c, 9) for i in range(dim)
+            ]
         cur = {aid: new.get(aid, vec) for aid, vec in cur.items()}
     return spark.createDataFrame(
         [(k, v) for k, v in sorted(cur.items())],
@@ -461,11 +481,11 @@ def pq_topk(
             d = 0.0
             for a, b in zip(qs, cv):
                 d = d + (a - b) * (a - b)
-            # same fixed-point recipe as pq_codes: round 9dp (no dyadic
-            # double sits exactly on a decimal tie, so Python's rounding
-            # agrees with SQL round()), then an exact exponent shift+floor
+            # same fixed-point recipe as pq_codes: HALF-UP round 9dp
+            # (builtin round is half-even and diverges on dyadic ties,
+            # e.g. 1/1024), then an exact exponent shift+floor
             lut_rows.append(
-                (m, int(r["cid"]), int(math.floor(round(d, 9) * _CENTROID_Q)))
+                (m, int(r["cid"]), int(math.floor(_round_half_up(d, 9) * _CENTROID_Q)))
             )
     spark = emb.sparkSession
     lut = spark.createDataFrame(lut_rows, "m long, code long, qd long")

@@ -143,7 +143,9 @@ def histogram_quantiles_oracle_sql(
     table: str, col: str, width: float, qs: list[float]
 ) -> str:
     """DuckDB SQL computing the identical histogram-quantile estimates."""
-    qvals = ", ".join(f"({float(q)})" for q in qs)
+    # CAST keeps the q column DOUBLE — a bare VALUES (0.5) is DECIMAL in
+    # DuckDB, which pandas surfaces as Decimal and the driver hash rejects
+    qvals = ", ".join(f"(CAST({float(q)} AS DOUBLE))" for q in qs)
     return f"""
 WITH hist AS (
   SELECT floor({col} / {width}) AS bucket, count(*) AS cnt

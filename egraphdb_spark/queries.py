@@ -24,11 +24,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .graph import GraphFixture
 from .operators import scans, search, traversal
 
-_FIXTURES: dict[tuple[int, str], GraphFixture] = {}
+_FIXTURES: dict[tuple[str, str], GraphFixture] = {}
 
 
 def fixture(spark: SparkSession, sf_dir: str) -> GraphFixture:
-    key = (id(spark), sf_dir.rstrip("/"))
+    from .session import prune_dead_entries, session_cache_key
+
+    app = session_cache_key(spark)
+    prune_dead_entries(_FIXTURES, app)
+    key = (app, sf_dir.rstrip("/"))
     if key not in _FIXTURES:
         g = GraphFixture(spark, sf_dir)
         g.vertices = g.vertices.cache()
@@ -621,41 +625,47 @@ REGISTRY.update(TPCH_REGISTRY)
 # Registry ordering: the driver hard-checks the FIRST 50 queries in dict
 # order.  The window ROTATES per round so every gate earns a green row in
 # some CORRECTNESS_r{N}.json: round 2 checked the 50 reference-surface +
-# headline-pipeline gates (all green, CORRECTNESS_r02.json); round 3 leads
-# with 50 gates that had never been driver-checked — streaming, graph
-# algorithms, event analytics, the window/grouping family, and the full
-# TPC-H closure incl. the new Q2/Q9/Q11/Q16/Q20 derived-partsupp shapes.
+# headline-pipeline gates (all green); round 3 checked streaming / graph /
+# joins / events / windows / the TPC-H closure (36 green + 14 oracle-dtype
+# fails).  Round 4 leads with those 14 — their oracles now emit BIGINT
+# (the engine values were correct all along; see tests/test_oracle_types.py)
+# and MUST convert to green — then 36 of the 46 never-driver-checked gates.
+# The 10 deferred to round 5 are the ones whose operator FAMILY already
+# holds a green row (minhash_sig/simhash ~ their *_pairs gates, cosine_topk
+# ~ ivf/kmeans, degree_stats ~ the graph family, session_window/retention ~
+# evt_session_window, logtable_diff ~ the s15 trio, ...), so every operator
+# family keeps hard-signal coverage this round.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # Structured Streaming (7) — real streaming runs, batch-parity oracles
-    "stream_window_counts", "stream_dedup", "stream_static_join",
-    "stream_stream_join", "stream_stateful_counts", "stream_user_profile",
-    "stream_logtable_cdc",
-    # Graph algorithms (5)
-    "graph_bfs_levels", "graph_sssp_weighted", "graph_pagerank",
-    "graph_cc", "graph_triangles",
-    # Custom joins (2)
-    "join_asof", "join_range_bands",
-    # Event analytics (5)
-    "evt_session_window", "evt_props_json", "evt_rollup_cascade",
-    "evt_funnel", "evt_transitions",
-    # Window / grouping / distinct family (8)
-    "win_running_sum", "win_frames", "agg_cube", "sql_grouping_sets",
-    "agg_count_distinct", "agg_distinct_2phase", "agg_percentile",
-    "agg_above_segment_avg",
-    # TPC-H closure: previously unchecked shapes (14)
-    "agg_q4_order_priority", "agg_q6_forecast_revenue", "agg_q7_nation_volume",
-    "agg_q8_market_share", "agg_q10_returned_revenue", "agg_q12_priority_flags",
-    "agg_q13_order_histogram", "agg_q14_promo_share", "agg_q15_top_supplier",
-    "agg_q17_small_qty_revenue", "agg_q18_large_orders",
-    "agg_q19_disjunctive_revenue", "agg_q21_waiting_supplier", "agg_q22_idle_rich",
-    # TPC-H closure: new this round, derived-partsupp shapes (5)
-    "agg_q2_min_cost_supp", "agg_q9_product_profit", "agg_q11_important_stock",
-    "agg_q16_supplier_cnt", "agg_q20_promo_suppliers",
-    # Pipeline gates new/unchecked (4)
-    "txt_bm25_topk", "dedup_contamination", "profile_table",
-    "layout_zorder_prune",
+    # Round-3 oracle-dtype fails, re-checked first (14)
+    "stream_user_profile", "graph_pagerank", "evt_props_json",
+    "agg_q7_nation_volume", "agg_q8_market_share", "agg_q9_product_profit",
+    "agg_q11_important_stock", "agg_q12_priority_flags", "agg_q14_promo_share",
+    "agg_q15_top_supplier", "agg_q17_small_qty_revenue", "agg_q18_large_orders",
+    "agg_q19_disjunctive_revenue", "agg_q22_idle_rich",
+    # Latent dtype defects fixed this round — validate the fix class (4)
+    "pipe_assemble", "sample_token_budget", "evt_spikes",
+    "sketch_hist_quantiles",
+    # Training-data pipeline: packing / chunking / mixture / assembly (4)
+    "pipe_seq_pack", "pipe_mixture", "pipe_chunking", "rag_hybrid_rrf",
+    # Text analysis (6)
+    "txt_tfidf_keywords", "txt_bpe_tokens", "txt_repetition",
+    "txt_pii_scrub", "txt_lang_id", "txt_fingerprint",
+    # Dedup extensions (3)
+    "dedup_repeated_spans", "dedup_incremental_lsh", "dedup_near_clusters",
+    # Similarity / embeddings (5)
+    "emb_label_centroids", "sim_pq_codes", "sim_pq_topk", "sim_lsh_topk",
+    "emb_quantize_int8",
+    # Sketches (3; hist_quantiles above)
+    "sketch_hll_distinct", "sketch_cm_heavy", "sketch_bloom_fp",
+    # Sampling (3)
+    "sample_source_quota", "sample_train_test", "sample_stratified",
+    # Multimodal (4)
+    "mm_meta", "mm_features", "mm_payload_dedup", "mm_frame_sample",
+    # Skew / joins / graph (4)
+    "skew_salted_topn", "skew_salted_join", "join_asof_tolerance",
+    "graph_kcore",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

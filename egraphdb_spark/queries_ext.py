@@ -510,6 +510,38 @@ UNION ALL SELECT 'part', count(*) FROM part WHERE p_partkey <> 10
 """
 
 
+def q_reindex_status(spark, sf_dir):
+    """Per-shard reindex watermarks over the graph fixture (16 shards) —
+    Engine.reindex_status(), the reference's egraph_reindex_status table
+    surface (sql/egraph_table_creation.sql:214-222).  The gate checks the
+    deterministic columns (shard assignment, node counts, version
+    watermark); index-row counts and timestamps are pytest-covered."""
+    from .engine import Engine
+
+    g = _fixture(spark, sf_dir)
+    eng = Engine(spark, g.vertices, g.edges, g.indexes)
+    return eng.reindex_status(n_shards=16).select(
+        "shard_id", "n_nodes", "max_version", "is_reindexing"
+    )
+
+
+O_REINDEX_STATUS = """
+WITH keys AS (
+  SELECT 'region:' || r_regionkey AS key FROM region
+  UNION ALL SELECT 'nation:' || n_nationkey FROM nation
+  UNION ALL SELECT 'customer:' || c_custkey FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey FROM supplier
+  UNION ALL SELECT 'part:' || p_partkey FROM part
+)
+SELECT CAST(CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) % 16 AS BIGINT)
+         AS shard_id,
+       count(*) AS n_nodes,
+       CAST(0 AS BIGINT) AS max_version,
+       CAST(0 AS INT) AS is_reindexing
+FROM keys GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_s15_logtable_persisted(spark, sf_dir):
     """PERSISTENT mutation (S15 upsert + S18 delete on storage, not just on
     DataFrames): build a log-structured parquet table from customers, apply
@@ -984,7 +1016,7 @@ def q_evt_props_json(spark, sf_dir):
 O_EVT_PROPS = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
@@ -1194,7 +1226,7 @@ WITH t AS (
   SELECT *, max(n) OVER (PARTITION BY user_id) AS mx FROM t
 )
 SELECT user_id,
-       sum(n) AS n_events,
+       CAST(sum(n) AS BIGINT) AS n_events,
        count(*) AS n_types,
        min(CASE WHEN n = mx THEN event_type END) AS top_type,
        sum(cents) / 100.0 AS total
@@ -1334,10 +1366,10 @@ def q_agg_q12_priority_flags(spark, sf_dir):
 
 O_AGG_Q12 = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -1547,7 +1579,10 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
             f" FROM nodes CROSS JOIN nn LEFT JOIN g{i} ON g{i}.key = nodes.key)"
         )
         prev = f"pr{i}"
-    return "WITH " + ",\n".join(cte) + f"\nSELECT key, pr FROM {prev}"
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT key, CAST(pr AS BIGINT) AS pr FROM {prev}"
+    )
 
 
 O_GRAPH_PAGERANK = _pagerank_oracle()
@@ -1778,12 +1813,12 @@ def q_agg_q14_promo_share(spark, sf_dir):
     return j.agg(
         F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)))
         .cast("decimal(38,0)")
-        .alias("promo_cents100"),
-        F.sum(rev).cast("decimal(38,0)").alias("total_cents100"),
+        .alias("promo_dec"),
+        F.sum(rev).cast("decimal(38,0)").alias("total_dec"),
     ).select(
-        "promo_cents100",
-        "total_cents100",
-        F.expr("cast((promo_cents100 * 1000000) div total_cents100 as bigint)").alias(
+        F.col("promo_dec").cast("bigint").alias("promo_cents100"),
+        F.col("total_dec").cast("bigint").alias("total_cents100"),
+        F.expr("cast((promo_dec * 1000000) div total_dec as bigint)").alias(
             "promo_millionths"
         ),
     )
@@ -1796,11 +1831,11 @@ WITH j AS (
          p_type
   FROM lineitem JOIN part ON l_partkey = p_partkey
 )
-SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DECIMAL(38,0))
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS BIGINT)
          AS promo_cents100,
-       CAST(sum(rev) AS DECIMAL(38,0)) AS total_cents100,
-       CAST((CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS BIGINT)
-             * 1000000) // CAST(sum(rev) AS BIGINT) AS BIGINT) AS promo_millionths
+       CAST(sum(rev) AS BIGINT) AS total_cents100,
+       CAST((CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS HUGEINT)
+             * 1000000) // CAST(sum(rev) AS HUGEINT) AS BIGINT) AS promo_millionths
 FROM j
 """
 
@@ -1891,11 +1926,14 @@ def q_evt_retention(spark, sf_dir):
     (datediff div 7), so the matrix is engine-exact.  Scale: one
     per-user min (map-side combined), one distinct-count per cell."""
     ev = _t(spark, sf_dir, "events")
+    # cohort keys stay TIMESTAMP on both engines: Spark DateType surfaces
+    # as datetime.date objects in pandas while DuckDB DATE surfaces as
+    # datetime64 — a driver-hash mismatch even for identical days
     first = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     act = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
     ).distinct()
     return (
         act.join(first, "user_id")
@@ -1962,7 +2000,7 @@ WITH hourly AS (
 ),
 flagged AS (
   SELECT event_type, hour, n,
-         sum(n) OVER w AS trail_sum, count(n) OVER w AS trail_n
+         CAST(sum(n) OVER w AS BIGINT) AS trail_sum, count(n) OVER w AS trail_n
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
@@ -2098,7 +2136,7 @@ def q_agg_q7_nation_volume(spark, sf_dir):
         .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(F.expr(_REV_CENTS100)).cast("decimal(38,0)").alias("volume_cents100"))
+        .agg(F.sum(F.expr(_REV_CENTS100)).cast("bigint").alias("volume_cents100"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -2106,7 +2144,7 @@ def q_agg_q7_nation_volume(spark, sf_dir):
 O_AGG_Q7 = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       CAST(sum({_REV_CENTS100_SQL}) AS DECIMAL(38,0)) AS volume_cents100
+       CAST(sum({_REV_CENTS100_SQL}) AS BIGINT) AS volume_cents100
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2172,7 +2210,7 @@ def q_agg_q18_large_orders(spark, sf_dir):
     qty = "cast(round(l_quantity * 100) as decimal(18,0))"
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.expr(qty)).cast("decimal(38,0)").alias("qty_cents"))
+        .agg(F.sum(F.expr(qty)).cast("bigint").alias("qty_cents"))
         .where(F.col("qty_cents") > 300 * 100)
     )
     return (
@@ -2193,7 +2231,7 @@ def q_agg_q18_large_orders(spark, sf_dir):
 O_AGG_Q18 = """
 WITH big AS (
   SELECT l_orderkey,
-         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS DECIMAL(38,0))
+         CAST(sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) AS BIGINT)
            AS qty_cents
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(round(l_quantity * 100) AS DECIMAL(18,0))) > 30000
@@ -2231,12 +2269,12 @@ def q_agg_q19_disjunctive_revenue(spark, sf_dir):
             | band("Brand#23", 20, 10, 25)
             | band("Brand#34", 25, 20, 35)
         )
-        .agg(F.sum(F.expr(_REV_CENTS100)).cast("decimal(38,0)").alias("revenue_cents100"))
+        .agg(F.sum(F.expr(_REV_CENTS100)).cast("bigint").alias("revenue_cents100"))
     )
 
 
 O_AGG_Q19 = f"""
-SELECT CAST(sum({_REV_CENTS100_SQL}) AS DECIMAL(38,0)) AS revenue_cents100
+SELECT CAST(sum({_REV_CENTS100_SQL}) AS BIGINT) AS revenue_cents100
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
@@ -2280,7 +2318,7 @@ WITH pos AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS numcust,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totbal_cents
 FROM customer, pos
 WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos_cents
   AND c_custkey NOT IN (
@@ -2351,4 +2389,5 @@ EXT_REGISTRY: dict[str, tuple] = {
     "s15_upsert_version": (q_s15_upsert_version, O_S15_UPSERT),
     "s15_logtable_persisted": (q_s15_logtable_persisted, O_S15_LOGTABLE),
     "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
+    "reindex_status": (q_reindex_status, O_REINDEX_STATUS),
 }

@@ -37,12 +37,18 @@ def _t(spark, sf_dir: str, name: str):
 # Materialized shingle table, memoized per (session, sf_dir) — the dedup
 # family's shared derived input (see dedup.shingle_table).  Cached like the
 # fixture's vertices/edges/indexes: the corpus-scan + explode + md5 cost is
-# paid once, not once per signature family.
-_DOC_SHINGLES: dict[tuple[int, str], object] = {}
+# paid once, not once per signature family.  Keyed on applicationId (not
+# id(spark): addresses get reused after GC) and pruned of dead-session
+# entries so executor memory is not pinned for the process lifetime.
+_DOC_SHINGLES: dict[tuple[str, str], object] = {}
 
 
 def doc_shingles(spark, sf_dir: str):
-    key = (id(spark), sf_dir.rstrip("/"))
+    from .session import prune_dead_entries, session_cache_key
+
+    app = session_cache_key(spark)
+    prune_dead_entries(_DOC_SHINGLES, app)
+    key = (app, sf_dir.rstrip("/"))
     if key not in _DOC_SHINGLES:
         _DOC_SHINGLES[key] = dedup.shingle_table(
             _t(spark, sf_dir, "documents"), "doc_id", "text"
@@ -1429,15 +1435,31 @@ def q_pipe_assemble(spark, sf_dir):
     )
     kept = qualified.join(keep, "doc_id", "left_semi")
     chunks = chunk_documents(kept, "doc_id", "text", window=64, overlap=16)
-    # composite chunk key: chunk_idx is bounded far below 64 on this corpus
-    # AND the oracle replicates the identical key, so the pack order is
-    # engine-exact either way
-    ck = chunks.withColumn("ckey", F.col("id") * 64 + F.col("chunk_idx"))
+    # composite chunk key, collision-free by construction: chunk_idx < 2^24
+    # would require a single document of >768M tokens (window 64 / stride
+    # 48), far beyond anything a row can hold, and ids stay collision-free
+    # up to 2^39 documents.  The guard raises instead of silently packing a
+    # colliding key; the oracle replicates the identical key arithmetic so
+    # the pack order is engine-exact.
+    bound = 1 << 24
+    ck = chunks.withColumn(
+        "ckey",
+        F.when(
+            F.col("chunk_idx") < bound, F.col("id") * bound + F.col("chunk_idx")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("chunk_idx exceeds pack-key bound 2^24 for doc id "),
+                    F.col("id").cast("string"),
+                )
+            )
+        ),
+    )
     packed = pack_offsets(ck, "ckey", "n_tokens", seq_len=64)
     # the key round-trips arithmetically — no join back needed
     return packed.select(
-        F.expr("ckey div 64").alias("id"),
-        (F.col("ckey") % 64).alias("chunk_idx"),
+        F.expr(f"ckey div {bound}").alias("id"),
+        (F.col("ckey") % bound).alias("chunk_idx"),
         "n_tokens",
         "offset",
         "first_seq",
@@ -1474,12 +1496,13 @@ idx AS (
 chunks AS (
   SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + 64]) AS BIGINT) AS n_tokens,
-         id * 64 + chunk_idx AS ckey
+         id * {1 << 24} + chunk_idx AS ckey
   FROM idx
 ),
 packed AS (
   SELECT *,
-         sum(n_tokens) OVER (ORDER BY ckey ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+         CAST(sum(n_tokens) OVER (ORDER BY ckey ROWS UNBOUNDED PRECEDING)
+              - n_tokens AS BIGINT) AS "offset"
   FROM chunks
 )
 SELECT id, chunk_idx, n_tokens, "offset",
@@ -1652,9 +1675,9 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-         sum(CAST(n_tokens AS BIGINT)) OVER (
+         CAST(sum(CAST(n_tokens AS BIGINT)) OVER (
            PARTITION BY source ORDER BY u, doc_id
-           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000

@@ -11,7 +11,10 @@ the preserved artifact is the plan shape (join topology, correlation
 pattern, aggregation structure), which is the thing being tested.
 
 Determinism: every money aggregate is integer cents (`round(x*100)`)
-summed in DECIMAL, cast once at the end; every ratio is returned as a
+summed in DECIMAL, cast to BIGINT once at the end (output columns must
+never be DECIMAL/HUGEINT — pandas renders those as Decimal/float64 and
+the driver's value-hash then mismatches, see COVERAGE.md "Oracle type
+contract"); every ratio is returned as a
 (numerator, denominator) integer pair so no engine ever divides — see
 the parity recipes in NOTES_r1/NOTES_r2.
 """
@@ -77,9 +80,9 @@ def q_agg_q8_market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0)))
-            .cast("decimal(38,0)")
+            .cast("bigint")
             .alias("nation_volume_cents100"),
-            F.sum(vol).cast("decimal(38,0)").alias("total_volume_cents100"),
+            F.sum(vol).cast("bigint").alias("total_volume_cents100"),
         )
         .orderBy("o_year")
     )
@@ -88,8 +91,8 @@ def q_agg_q8_market_share(spark, sf_dir):
 O_AGG_Q8 = f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN {_REV_CENTS100_SQL}
-                     ELSE 0 END) AS DECIMAL(38,0)) AS nation_volume_cents100,
-       CAST(sum({_REV_CENTS100_SQL}) AS DECIMAL(38,0)) AS total_volume_cents100
+                     ELSE 0 END) AS BIGINT) AS nation_volume_cents100,
+       CAST(sum({_REV_CENTS100_SQL}) AS BIGINT) AS total_volume_cents100
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
 JOIN orders   ON l_orderkey = o_orderkey
@@ -123,7 +126,7 @@ def q_agg_q15_top_supplier(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     rev = (
         li.groupBy("l_suppkey")
-        .agg(F.sum(F.expr(_REV_CENTS100)).cast("decimal(38,0)").alias("total_revenue_cents100"))
+        .agg(F.sum(F.expr(_REV_CENTS100)).cast("bigint").alias("total_revenue_cents100"))
     )
     mx = rev.agg(F.max("total_revenue_cents100").alias("mx"))
     return (
@@ -138,7 +141,7 @@ def q_agg_q15_top_supplier(spark, sf_dir):
 O_AGG_Q15 = f"""
 WITH rev AS (
   SELECT l_suppkey,
-         CAST(sum({_REV_CENTS100_SQL}) AS DECIMAL(38,0)) AS total_revenue_cents100
+         CAST(sum({_REV_CENTS100_SQL}) AS BIGINT) AS total_revenue_cents100
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
@@ -180,7 +183,7 @@ def q_agg_q17_small_qty_revenue(spark, sf_dir):
         .where(F.expr(qty) * 5 * F.col("cnt") < F.col("sum_qty_cents"))
         .agg(
             F.sum(F.expr("cast(round(l_extendedprice * 100) as decimal(18,0))"))
-            .cast("decimal(38,0)")
+            .cast("bigint")
             .alias("small_qty_price_cents")
         )
     )
@@ -198,7 +201,7 @@ WITH li_p AS (
   FROM li_p GROUP BY 1
 )
 SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)))
-            AS DECIMAL(38,0)) AS small_qty_price_cents
+            AS BIGINT) AS small_qty_price_cents
 FROM li_p JOIN per_part ON l_partkey = pk
 WHERE CAST(round(l_quantity * 100) AS BIGINT) * 5 * cnt < sum_qty_cents
 """
@@ -416,7 +419,7 @@ def q_agg_q9_product_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("decimal(38,0)").alias("profit_scaled"))
+        .agg(F.sum(profit).cast("bigint").alias("profit_scaled"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -426,7 +429,7 @@ WITH ps AS ({_PARTSUPP_SQL})
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CAST({_REV_CENTS100_SQL} AS DECIMAL(38,0)) * 10000
                 - CAST(round(l_quantity * 100) AS DECIMAL(38,0))
-                  * ps_supplycost_cents) AS DECIMAL(38,0)) AS profit_scaled
+                  * ps_supplycost_cents) AS BIGINT) AS profit_scaled
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
 JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
@@ -472,13 +475,15 @@ def q_agg_q11_important_stock(spark, sf_dir):
         ),
     )
     per_part = nat_ps.groupBy("ps_partkey").agg(
-        F.sum("value").cast("decimal(38,0)").alias("part_value")
+        F.sum("value").cast("decimal(38,0)").alias("part_value_dec")
     )
     total = nat_ps.agg(F.sum("value").cast("decimal(38,0)").alias("total_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("part_value") * 10000 > F.col("total_value"))
-        .select("ps_partkey", "part_value")
+        .where(F.col("part_value_dec") * 10000 > F.col("total_value"))
+        .select(
+            "ps_partkey", F.col("part_value_dec").cast("bigint").alias("part_value")
+        )
         .orderBy(F.desc("part_value"), "ps_partkey")
     )
 
@@ -493,7 +498,7 @@ nat_ps AS (
     SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_3')
 )
-SELECT ps_partkey, CAST(sum(value) AS DECIMAL(38,0)) AS part_value
+SELECT ps_partkey, CAST(sum(value) AS BIGINT) AS part_value
 FROM nat_ps
 GROUP BY 1
 HAVING CAST(sum(value) AS DECIMAL(38,0)) * 10000 >

@@ -53,3 +53,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_cache_key(spark: SparkSession) -> str:
+    """Stable per-session identity for memoization dictionaries.
+
+    ``id(spark)`` is NOT safe as a cache key: after a session is stopped
+    and garbage-collected, CPython can reuse the address for a brand-new
+    session, silently returning cached DataFrames bound to the dead one.
+    The Spark application id is unique per context lifetime (sessions
+    sharing a context share DataFrames safely).
+    """
+    return spark.sparkContext.applicationId
+
+
+def prune_dead_entries(cache: dict, live_key: str) -> None:
+    """Drop cache entries from previous (stopped) sessions.
+
+    Entries are keyed ``(app_id, ...)``; anything whose app_id differs from
+    the live session's can never be returned again (application ids are
+    never reused within a process) — dropping them unpins the dict and lets
+    the dead session's cached plans be collected.
+    """
+    for k in [k for k in cache if k[0] != live_key]:
+        del cache[k]

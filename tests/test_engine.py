@@ -127,3 +127,33 @@ def test_ir_accepts_reference_query():
 def test_ir_rejects_malformed(bad):
     with pytest.raises(QueryIRError):
         validate(bad)
+
+
+def test_session_cache_key_and_prune(spark):
+    """Memo dicts must key on applicationId, not id(spark) — a GC'd session's
+    address can be reused by a new session, resurrecting dead DataFrames."""
+    from egraphdb_spark.session import prune_dead_entries, session_cache_key
+
+    key = session_cache_key(spark)
+    assert isinstance(key, str) and key  # e.g. "local-17236..."
+    cache = {("app-old", "a"): 1, ("app-old", "b"): 2, (key, "a"): 3}
+    prune_dead_entries(cache, key)
+    assert cache == {(key, "a"): 3}
+
+
+def test_reindex_status_watermarks(spark, graph):
+    """reindex_status: shard totals reconcile with the base tables and the
+    index join; reindex() leaves watermarks unchanged (idempotent)."""
+    from egraphdb_spark.engine import Engine
+
+    eng = Engine(spark, graph.vertices, graph.edges, graph.indexes)
+    st = eng.reindex_status(n_shards=16)
+    rows = st.collect()
+    assert 0 < len(rows) <= 16
+    assert sum(r["n_nodes"] for r in rows) == graph.vertices.count()
+    assert sum(r["n_index_rows"] for r in rows) == graph.indexes.count()
+    assert all(r["is_reindexing"] == 0 for r in rows)
+    assert all(r["last_updated_at"] is not None for r in rows)
+    # rebuild is idempotent: identical status afterwards
+    st2 = eng.reindex().reindex_status(n_shards=16)
+    assert sorted(map(tuple, st2.collect())) == sorted(map(tuple, rows))

@@ -256,6 +256,12 @@ def test_repeated_spans_properties(spark):
             (1, "the quick brown fox jumps over the lazy dog every day"),
             (2, "the quick brown fox jumps over the lazy dog at night"),
             (3, "completely different text with no shared eight token span here"),
+            # short/empty docs are ubiquitous in real corpora — must yield
+            # zero spans, not crash (sequence(1,0) is descending in Spark)
+            (4, "too short"),
+            (5, ""),
+            (6, "   "),
+            (7, "exactly seven tokens is still too short"),
         ],
         "doc_id long, text string",
     )
