@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "graph_kcore",
     "graph_degree_stats",
     "stream_session_window",
+    # round-4 additions
+    "dedup_semantic_pairs",
+    "txt_bpe_pair_counts",
+    "pipe_assemble",
+    "reindex_status",
 ]
 
 

@@ -76,12 +76,14 @@ def ivf_assign(
     """Assign each vector to its max-cosine anchor: (id, vec, anchor_id).
 
     ``anchors`` is a small (anchor_id, vec) DataFrame — broadcast; the
-    assignment is a map-side broadcast join + window argmax, no shuffle of
-    the big side beyond the argmax partial agg.  Deterministic tie-break:
-    smallest anchor_id wins.
+    assignment is a map-side broadcast join + an aggregating argmax.
+    Deterministic tie-break: smallest anchor_id wins (encoded as
+    ``max(struct(cos, -anchor_id))`` so the whole argmax is a partial
+    aggregate — each task reduces its n·k scored rows to one row per id
+    BEFORE the exchange, where the window-function formulation would
+    sort-shuffle all n·k rows).  ``vec`` is constant within an id group,
+    so ``first(vec)`` is deterministic here.
     """
-    from pyspark.sql import Window as W
-
     a = anchors.select(
         F.col("anchor_id"), _as_double("vec").alias("avec")
     )
@@ -90,11 +92,11 @@ def ivf_assign(
         .join(F.broadcast(a))
         .withColumn("cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9))
     )
-    w = W.partitionBy("id").orderBy(F.col("cos_a").desc(), F.col("anchor_id"))
+    best = F.max(F.struct(F.col("cos_a"), (-F.col("anchor_id")).alias("neg_anchor")))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "vec", "anchor_id")
+        scored.groupBy("id")
+        .agg(F.first("vec").alias("vec"), best.alias("b"))
+        .select("id", "vec", (-F.col("b.neg_anchor")).alias("anchor_id"))
     )
 
 

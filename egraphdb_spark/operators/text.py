@@ -140,6 +140,55 @@ def bpe_token_count(text: str | Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), 0)).cast("long")
 
 
+def bpe_pair_counts(
+    docs: "DataFrame", text_col: str, top_n: int = 50
+) -> "DataFrame":
+    """Corpus-wide adjacent-symbol pair counts — the inner step of BPE
+    tokenizer training (the first merge round: character-level pairs).
+
+    Real BPE trainers never scan the corpus per merge: they aggregate a
+    WORD-FREQUENCY table once and count pairs over the distinct words,
+    weighted by word count.  Same here: pre-tokens (letter/digit/punct
+    runs, :data:`BPE_PATTERN`) → groupBy(word) — vocabulary-sized, ≪
+    corpus, map-side combined — then each distinct word explodes into its
+    adjacent character pairs weighted by the word's count.  At 100 TB the
+    corpus is touched once; every subsequent merge round would rerun only
+    over the (tiny) vocabulary table.
+
+    Output: (pair, n) — top ``top_n`` by count, pair/lexicographic
+    tie-break, integer counts (engine-exact).
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    # 1-char words have no pairs: guard the window generation (Spark's
+    # sequence(1, 0) is descending — same trap as the shingle generators)
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "if(length(w) < 2, array(),"
+                " transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2)))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_n)
+    )
+
+
 def rolling_hash64(text: str | Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the normalized text: h = Σ c·B^i mod p.
 

@@ -416,6 +416,65 @@ ORDER BY cosine DESC, id LIMIT 10
 _N_ANCHORS = 8
 
 
+# DuckDB fragment: 9dp-rounded cosine between list columns {a} and {b} —
+# the assignment-side convention shared with ivf_assign/O_IVF_TOPK.
+def _cos_sql(a: str, b: str, dp: int) -> str:
+    return f"""round(
+      list_sum(list_transform(range(1, len({a}) + 1),
+               i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))
+      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+         * sqrt(list_sum(list_transform({b}, x -> x * x)))), {dp})"""
+
+
+# Target SemDeDup cluster size: k = n / _SEM_CLUSTER grows WITH the corpus,
+# keeping within-cluster pair work (Σ|c|² ≈ n·_SEM_CLUSTER) linear in n.  A
+# fixed k would make pair work quadratic — measured 21.7× at 10× data before
+# this scaling; 2.9× after (SCALE_PROBE.md round 4).
+_SEM_CLUSTER = 512
+
+
+def q_dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup: cluster-scoped semantic near-dup pairs — embeddings are
+    k-clustered (deterministic prefix anchors here; sampled k-means at
+    scale) and cosine-≥τ pairs form within clusters only, bounding the
+    candidate set to Σ|cluster|² ≈ n·cluster_size instead of the exact
+    pass's n².  k scales with the corpus (see _SEM_CLUSTER); the count()
+    action is one column-pruned scan, the price of a data-dependent k
+    (real deployments read it from table stats)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = max(_N_ANCHORS, emb.count() // _SEM_CLUSTER)
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", k)
+    return dedup.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", anchors, threshold=0.40
+    )
+
+
+O_SEMANTIC_PAIRS = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id
+  LIMIT greatest({_N_ANCHORS}, (SELECT count(*) FROM v) // {_SEM_CLUSTER})
+),
+assigned AS (
+  SELECT id, vec, anchor_id FROM (
+    SELECT v.vec_id AS id, v.vec, a.anchor_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.vec', 'a.avec', 9)} DESC, a.anchor_id
+           ) AS rn
+    FROM v CROSS JOIN anchors a
+  ) WHERE rn = 1
+)
+SELECT a.anchor_id AS cluster_id, a.id AS id_a, b.id AS id_b,
+       {_cos_sql('a.vec', 'b.vec', 6)} AS cosine
+FROM assigned a JOIN assigned b ON a.anchor_id = b.anchor_id AND a.id < b.id
+WHERE {_cos_sql('a.vec', 'b.vec', 6)} >= 0.40
+"""
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", _N_ANCHORS)
@@ -1154,6 +1213,28 @@ FROM documents
 
 
 
+def q_txt_bpe_pair_counts(spark, sf_dir):
+    """Top-50 adjacent character pairs over the word-frequency table —
+    the first BPE merge round of tokenizer training (text.bpe_pair_counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, "text", top_n=50)
+
+
+O_TXT_BPE_PAIRS = rf"""
+WITH words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS w
+    FROM documents) GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, wc
+  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+"""
+
+
 def q_txt_repetition(spark, sf_dir):
     """Gopher-style repetition filter evidence per document (exact integer
     numerators/denominators; see operators/text.repetition_stats)."""
@@ -1839,6 +1920,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),
+    "txt_bpe_pair_counts": (q_txt_bpe_pair_counts, O_TXT_BPE_PAIRS),
     "agg_percentile": (q_agg_percentile, O_AGG_PCTL),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
     "txt_repetition": (q_txt_repetition, O_TXT_REPETITION),
@@ -1854,6 +1936,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, O_JACCARD_PAIRS),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, O_EMB_PAIRS),
+    "dedup_semantic_pairs": (q_dedup_semantic_pairs, O_SEMANTIC_PAIRS),
     "dedup_contamination": (q_dedup_contamination, O_CONTAMINATION),
     "sim_cosine_topk": (q_sim_cosine_topk, O_COSINE_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, O_IVF_TOPK),

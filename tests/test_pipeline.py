@@ -363,3 +363,60 @@ def test_pq_codes_self_assignment(spark):
     n = emb.count()
     assert out.count() == n * 8
     assert out.where(~F.col("code").isin(prefix_ids)).count() == 0
+
+
+def test_shingles_short_doc_empty(spark):
+    """Docs shorter than SHINGLE_LEN yield NO shingles (matching the SQL
+    oracle's half-open range) — not a phantom whole-text shingle from
+    Spark's descending sequence(1, 0) + substring(_, 0, n) aliasing."""
+    from egraphdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "   "), (4, "abcde"), (5, "abcdef")],
+        "doc_id long, text string",
+    )
+    rows = dedup.shingle_table(docs, "doc_id", "text").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["shingle"])
+    assert 1 not in by_id and 2 not in by_id and 3 not in by_id
+    assert by_id[4] == ["abcde"]
+    assert sorted(by_id[5]) == ["abcde", "bcdef"]
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    """SemDeDup finds within-cluster near-dups and (by design) does NOT
+    report pairs straddling a cluster boundary."""
+    from egraphdb_spark.operators import dedup, similarity
+
+    rows = [
+        (0, [1.0, 0.0]),       # anchor / cluster A
+        (1, [0.0, 1.0]),       # anchor / cluster B
+        (2, [0.999, 0.045]),   # near-dup of 0, lands in A
+        (3, [0.045, 0.999]),   # near-dup of 1, lands in B
+        (4, [-1.0, 0.0]),      # far from everything, lands in B (max cos)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", 2)
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["cluster_id"], r["cosine"])
+        for r in dedup.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", anchors, threshold=0.95
+        ).collect()
+    }
+    assert set(pairs) == {(0, 2), (1, 3)}
+    assert pairs[(0, 2)][0] == 0 and pairs[(1, 3)][0] == 1
+    assert all(c >= 0.95 for _, c in pairs.values())
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from egraphdb_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "aba aba ab"), (2, "x y z")],  # 1-char words contribute no pairs
+        "doc_id long, text string",
+    )
+    rows = {r["pair"]: r["n"] for r in
+            text_ops.bpe_pair_counts(docs, "text", top_n=10).collect()}
+    # 'aba' ×2 → pairs ab, ba each ×2; 'ab' ×1 → ab ×1
+    assert rows == {"ab": 3, "ba": 2}

@@ -61,6 +61,11 @@ PROBES = [
     "evt_retention",
     "evt_spikes",
     "emb_label_centroids",
+    # round-4 additions
+    "dedup_semantic_pairs",
+    "txt_bpe_pair_counts",
+    "pipe_assemble",
+    "reindex_status",
 ]
 
 
