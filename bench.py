@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "txt_bpe_pair_counts",
     "pipe_assemble",
     "reindex_status",
+    "txt_unigram_nll",
+    "pipe_shard_manifest",
 ]
 
 

@@ -103,7 +103,25 @@ def extract_features(media: DataFrame) -> DataFrame:
     batch, not one partition.
     """
 
+    # HALF-UP decimal rounding to match SQL round(): sum(bytes)/n is a
+    # small-denominator rational, so exact 6dp ties DO occur (e.g. n=128
+    # → x.1328125), where Python's builtin half-even round diverges.
+    # Defined INSIDE the UDF body (not imported from the engine package):
+    # cloudpickle ships local defs by value, while a module reference
+    # would require egraphdb_spark on every Python worker's sys.path —
+    # not true when the driver embeds this engine from another cwd.
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import decimal
+
+        q6 = decimal.Decimal(1).scaleb(-6)
+
+        def _rhu(x: float) -> float:
+            return float(
+                decimal.Decimal(repr(float(x))).quantize(
+                    q6, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+
         for pdf in it:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -113,12 +131,69 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
                     "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
                     "mean_byte": payloads.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                        lambda b: _rhu(sum(b) / len(b)) if len(b) else 0.0
                     ).astype("float64"),
                 }
             )
 
     return media.select("id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, scale: int = 4) -> DataFrame:
+    """Resize plumbing: every-``scale``-th-byte downsample standing in for
+    the codec resize (the container ships no PIL/libav — a deployment
+    swaps the two marked lines for a real decode→resize→encode).
+
+    Returns the SAME media schema (id, kind, payload, meta) with payload
+    downsampled and width/height/n_bytes updated, so the stage composes
+    with :func:`extract_features` / :func:`sample_frames` exactly like a
+    real resize sits between decode and featurize.  Arrow-batched
+    mapInPandas: batches stream through one Python worker per partition,
+    no driver collect, peak memory one batch.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+
+    flat_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("kind", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("format", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    # real impl: decode(payload).resize(w//scale, h//scale)
+                    "payload": pdf["payload"].map(lambda b: bytes(b[::scale])),
+                    "format": pdf["format"],
+                    "width": (pdf["width"] // scale).clip(lower=1).astype("int32"),
+                    "height": (pdf["height"] // scale).clip(lower=1).astype("int32"),
+                }
+            )
+
+    flat = media.select(
+        "id", "kind", "payload", "meta.format", "meta.width", "meta.height"
+    )
+    out = flat.mapInPandas(batches, flat_schema)
+    return out.select(
+        "id",
+        "kind",
+        "payload",
+        F.struct(
+            F.col("format"),
+            F.col("width"),
+            F.col("height"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -269,3 +269,44 @@ SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' ') AS chunk_text
 FROM idx
 """
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic output-shard assignment + per-shard manifest — the
+    last step before writing training shards (webdataset/parquet "shard
+    files"): every document lands in shard = hash(id) mod n_shards, and
+    the manifest reports each shard's document count, token total, and id
+    range (what a loader needs to plan epochs without opening shards).
+
+    The hash is the engine's salted 60-bit md5 uniform (same recipe as
+    the sampling family), so shard membership is reproducible in any
+    engine and decorrelated from any sample/split taken on the same ids.
+    Hash sharding also balances token totals across shards regardless of
+    id clustering — the property that matters when 1000 loader workers
+    each stream one shard.  Scale: one map-side-combined aggregate;
+    output is n_shards rows.
+    """
+    from .sampling import _u60
+
+    u = _u60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (
+        df.select(
+            F.pmod(u, F.lit(n_shards)).alias("shard_id"),
+            F.col(id_col).alias("__id"),
+            F.col(token_col).cast("long").alias("__tok"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("n_tokens"),
+            F.min("__id").alias("min_id"),
+            F.max("__id").alias("max_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -189,6 +189,61 @@ def bpe_pair_counts(
     )
 
 
+def unigram_nll(
+    docs: "DataFrame", id_col: str, text_col: str
+) -> "DataFrame":
+    """Per-document negative log-likelihood under the corpus's own unigram
+    LM — the CCNet-style statistical quality filter (language-model
+    perplexity bucketing): fluent text scores low, boilerplate/junk high.
+
+    Add-one smoothing: p(w) = (c(w)+1) / (T+V) with T = total tokens,
+    V = vocabulary size.  Per-token −ln p is quantized to integer
+    MICRO-lognats (floor(−ln p · 10⁶)) BEFORE the per-document sum, so
+    the aggregate is an integer sum — order-exact under Spark's partial
+    aggregation and bit-identical in the SQL oracle (one correctly-
+    rounded division + the same single ln call the BM25 gate already
+    relies on).
+
+    Output: (id, n_tokens, nll_micro, avg_nll_micro) — integer columns;
+    avg = nll_micro div n_tokens.  Scale: one token explode (linear), one
+    vocabulary-sized aggregate, one join on term (shuffle bounded by the
+    token stream; the unigram table itself is vocabulary-sized and
+    broadcastable for natural-language vocabularies), one map-side-
+    combined per-doc sum.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    corpus = counts.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V")
+    )
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "nll_micro_tok",
+            F.expr("cast(floor(-ln((c + 1) / (T + V)) * 1000000) as bigint)"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("nll_micro_tok").alias("nll_micro"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "nll_micro",
+            F.expr("nll_micro div n_tokens").alias("avg_nll_micro"),
+        )
+    )
+
+
 def rolling_hash64(text: str | Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the normalized text: h = Σ c·B^i mod p.
 

@@ -1032,6 +1032,35 @@ def q_mm_features(spark, sf_dir):
     return multimodal.extract_features(m)
 
 
+def q_mm_resize_features(spark, sf_dir):
+    """Two chained mapInPandas stages: resize (every-4th-byte downsample,
+    width/height scaled) then byte-feature extraction — the decode→resize→
+    featurize composition of a real multimodal pipeline.  The oracle
+    recomputes the sampled byte stream arithmetically (ASCII corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = multimodal.resize_media(multimodal.synth_media(docs), scale=4)
+    return multimodal.extract_features(m)
+
+
+O_MM_RESIZE_FEATURES = """
+WITH b AS (
+  SELECT doc_id AS id, text AS t, octet_length(encode(text)) AS n,
+         (octet_length(encode(text)) + 3) // 4 AS n2
+  FROM documents
+)
+SELECT id, CAST(n2 AS BIGINT) AS n_bytes,
+       CASE WHEN n2 = 0 THEN -1 ELSE ascii(substr(t, 1, 1)) END AS first_byte,
+       CASE WHEN n2 = 0 THEN -1
+            ELSE ascii(substr(t, CAST(1 + 4 * (n2 - 1) AS INT), 1)) END AS last_byte,
+       CASE WHEN n2 = 0 THEN 0.0
+            ELSE round(CAST(list_sum(list_transform(range(0, CAST(n2 AS INT)),
+                     i -> ascii(substr(t, CAST(1 + 4 * i AS INT), 1)))) AS DOUBLE)
+                 / n2, 6)
+       END AS mean_byte
+FROM b
+"""
+
+
 # Valid because the corpus text is ASCII (byte == codepoint); the Spark side
 # computes true byte features through the real mapInPandas path.
 def q_mm_payload_dedup(spark, sf_dir):
@@ -1232,6 +1261,64 @@ pairs AS (
 )
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+def q_pipe_shard_manifest(spark, sf_dir):
+    """16-shard output manifest over the documents table (hash-assigned
+    shards, per-shard doc/token totals + id range — packing.shard_manifest)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text.token_count("text")
+    )
+    from .operators.packing import shard_manifest
+
+    return shard_manifest(docs, "doc_id", "n_tokens", n_shards=16)
+
+
+O_PIPE_SHARD_MANIFEST = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS}) END AS n_tokens,
+         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 16 AS shard_id
+  FROM documents
+)
+SELECT shard_id, count(*) AS n_docs,
+       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM t GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+def q_txt_unigram_nll(spark, sf_dir):
+    """Per-doc negative log-likelihood under the corpus unigram LM — the
+    CCNet-style perplexity quality filter, integer micro-lognats
+    (text.unigram_nll; order-exact sums, oracle-identical ln)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.unigram_nll(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "nll_micro", "avg_nll_micro"
+    )
+
+
+O_TXT_UNIGRAM_NLL = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+corpus AS (SELECT CAST(sum(c) AS BIGINT) AS T, count(*) AS V FROM counts),
+scored AS (
+  SELECT id,
+         CAST(floor(-ln((c + 1) / (T + V)) * 1000000) AS BIGINT) AS nll_micro_tok
+  FROM toks JOIN counts USING (term), corpus
+)
+SELECT id AS doc_id, count(*) AS n_tokens,
+       CAST(sum(nll_micro_tok) AS BIGINT) AS nll_micro,
+       CAST(sum(nll_micro_tok) AS BIGINT) // count(*) AS avg_nll_micro
+FROM scored GROUP BY id
 """
 
 
@@ -1921,6 +2008,8 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),
     "txt_bpe_pair_counts": (q_txt_bpe_pair_counts, O_TXT_BPE_PAIRS),
+    "txt_unigram_nll": (q_txt_unigram_nll, O_TXT_UNIGRAM_NLL),
+    "pipe_shard_manifest": (q_pipe_shard_manifest, O_PIPE_SHARD_MANIFEST),
     "agg_percentile": (q_agg_percentile, O_AGG_PCTL),
     "txt_stats": (q_txt_stats, O_TXT_STATS),
     "txt_repetition": (q_txt_repetition, O_TXT_REPETITION),
@@ -1963,6 +2052,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
+    "mm_resize_features": (q_mm_resize_features, O_MM_RESIZE_FEATURES),
     "mm_payload_dedup": (q_mm_payload_dedup, O_MM_PAYLOAD_DEDUP),
     "mm_frame_sample": (q_mm_frame_sample, O_MM_FRAME_SAMPLE),
     "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),

@@ -420,3 +420,59 @@ def test_bpe_pair_counts_weighted_by_word_frequency(spark):
             text_ops.bpe_pair_counts(docs, "text", top_n=10).collect()}
     # 'aba' ×2 → pairs ab, ba each ×2; 'ab' ×1 → ab ×1
     assert rows == {"ab": 3, "ba": 2}
+
+
+def test_unigram_nll_orders_fluent_before_junk(spark):
+    """Repetitive text (common tokens) scores LOWER nll than rare-token
+    junk; empty-ish docs don't crash; integers only."""
+    from egraphdb_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "zxqv jkwp mbfg qqzz xxyy ccvv bbnn mmkk"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in text_ops.unigram_nll(docs, "doc_id", "text").collect()}
+    assert rows[1]["avg_nll_micro"] < rows[2]["avg_nll_micro"]
+    assert rows[1]["nll_micro"] == rows[1]["avg_nll_micro"] * 8
+    for r in rows.values():
+        assert isinstance(r["nll_micro"], int)
+
+
+def test_shard_manifest_partitions_and_reconciles(spark):
+    from egraphdb_spark.operators.packing import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(100)], "doc_id long, n_tokens long"
+    )
+    rows = shard_manifest(df, "doc_id", "n_tokens", n_shards=8).collect()
+    assert sum(r["n_docs"] for r in rows) == 100
+    assert sum(r["n_tokens"] for r in rows) == sum(10 + i for i in range(100))
+    assert all(0 <= r["shard_id"] < 8 for r in rows)
+    assert len(rows) == len({r["shard_id"] for r in rows})
+    # deterministic: same assignment on re-run
+    again = shard_manifest(df, "doc_id", "n_tokens", n_shards=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_media_downsamples_and_composes(spark):
+    from egraphdb_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    resized = multimodal.resize_media(multimodal.synth_media(docs), scale=4)
+    rows = {r["id"]: r for r in resized.collect()}
+    assert bytes(rows[1]["payload"]) == b"aei"  # every 4th byte of 10
+    assert rows[1]["meta"]["n_bytes"] == 3
+    assert rows[1]["meta"]["width"] == max(1, (1 % 640 + 64) // 4)
+    assert bytes(rows[2]["payload"]) == b"x"
+    assert bytes(rows[3]["payload"]) == b"" and rows[3]["meta"]["n_bytes"] == 0
+    # composes with the feature stage (two chained mapInPandas)
+    feats = {r["id"]: r for r in multimodal.extract_features(resized).collect()}
+    assert feats[1]["n_bytes"] == 3 and feats[1]["first_byte"] == ord("a")
+    assert feats[1]["last_byte"] == ord("i")
+    assert feats[3]["n_bytes"] == 0 and feats[3]["first_byte"] == -1

@@ -66,6 +66,8 @@ PROBES = [
     "txt_bpe_pair_counts",
     "pipe_assemble",
     "reindex_status",
+    "txt_unigram_nll",
+    "pipe_shard_manifest",
 ]
 
 
