@@ -62,8 +62,16 @@ def _text_col(text: str | Column) -> Column:
 
 
 def normalize(text: str | Column) -> Column:
-    """Lowercase + whitespace-collapse; the canonical form all dedup sees."""
-    return F.regexp_replace(F.lower(F.trim(_text_col(text))), r"\s+", " ")
+    """Lowercase + whitespace-collapse + trim; the canonical form all
+    dedup sees.
+
+    Collapse FIRST, trim second: ``trim`` strips only ' ' (both Spark and
+    DuckDB), so trim-first left ``"foo\\n"`` normalizing to ``"foo "`` —
+    whitespace-variant duplicates then had different fingerprints/
+    shingles (found by the hypothesis property suite).  After collapsing,
+    boundary whitespace can only be ' ', which trim removes.
+    """
+    return F.trim(F.regexp_replace(F.lower(_text_col(text)), r"\s+", " "))
 
 
 def with_shingles(df: DataFrame, text_col: str, out: str = "shingle") -> DataFrame:

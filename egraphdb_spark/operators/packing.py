@@ -256,7 +256,7 @@ def chunk_oracle_sql(
     return f"""
 WITH t AS (
   SELECT {id_col} AS id,
-         string_split_regex(trim({text_col}), '\\s+') AS toks
+         list_filter(string_split_regex({text_col}, '\\s+'), t -> t <> '') AS toks
   FROM {table}
 ), n AS (
   SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t

@@ -99,7 +99,7 @@ def bm25_oracle_sql(
     return f"""
 WITH base AS (
   SELECT {id_col} AS id,
-         string_split_regex(trim(lower({text_col})), '\\s+') AS toks
+         list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '') AS toks
   FROM {table}
 ), lens AS (
   SELECT id, CAST(len(toks) AS BIGINT) AS dl, toks FROM base
@@ -218,7 +218,7 @@ def tfidf_oracle_sql(table: str, id_col: str, text_col: str, top_n: int = 3) -> 
     """DuckDB mirror of :func:`tfidf_keywords`."""
     return f"""
 WITH base AS (
-  SELECT {id_col} AS id, unnest(string_split_regex(trim(lower({text_col})), '\\s+')) AS term
+  SELECT {id_col} AS id, unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'), t -> t <> '')) AS term
   FROM {table}
 ),
 tf AS (SELECT id, term, count(*) AS tf FROM base GROUP BY id, term),

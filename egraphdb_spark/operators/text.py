@@ -36,14 +36,22 @@ QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
 
 
 def tokens(text: str | Column) -> Column:
-    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    """Whitespace tokenization → array<string>; blank/whitespace-only text
+    yields an EMPTY array.
+
+    A bare ``split`` leaves phantom ``''`` tokens at whitespace boundaries
+    (``split("foo\\n")`` → ``["foo", ""]`` — ``trim`` strips only ' ', not
+    \\n/\\t, in both Spark and DuckDB), which inflated token counts and
+    quality denominators for trailing-whitespace docs.  Filtering empties
+    handles every boundary case uniformly; SQL mirrors use
+    ``list_filter(string_split_regex(text, '\\s+'), t -> t <> '')``.
+    """
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(c, r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(text: str | Column) -> Column:
-    t = tokens(text)
-    return F.when(F.length(F.trim(F.col(text) if isinstance(text, str) else text)) == 0, F.lit(0)).otherwise(F.size(t)).cast("long")
+    return F.size(tokens(text)).cast("long")
 
 
 def char_count(text: str | Column) -> Column:
@@ -254,7 +262,8 @@ def rolling_hash64(text: str | Column, base: int = 31, mod: int = 1_000_000_007)
     windowed/streaming fingerprinting where incremental update matters.)
     """
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # collapse-then-trim (trim strips only ' '; see dedup.normalize)
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.aggregate(
         F.transform(F.split(norm, ""), lambda ch: F.ascii(ch)),
         F.lit(0).cast("long"),
@@ -271,7 +280,8 @@ def fingerprint64(text: str | Column) -> Column:
     dedup blocking; exact dedup still compares full text within a block.
     """
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # collapse-then-trim (trim strips only ' '; see dedup.normalize)
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
 
 

@@ -61,9 +61,12 @@ def doc_shingles(spark, sf_dir: str):
 # --------------------------------------------------------------------------
 
 # normalized text (lowercase, whitespace collapsed) — mirror of dedup.normalize
-_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# collapse-then-trim, mirroring dedup.normalize (trim strips only ' ' in
+# both engines, so it must run AFTER \s+ collapsing)
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 # tokens — mirror of text.tokens
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+# mirror of text.tokens: boundary empties filtered (trim strips only ' ')
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
 _SH_CTE = f"""
 norm AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
@@ -152,7 +155,7 @@ WITH toks AS (
          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n_tokens,
          len(text) AS n_chars_measured,
          greatest(len(tk), 1) AS s,
-         list_sum(list_transform(tk, w -> len(w))) AS total,
+         COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) AS total,
          len(list_filter(tk, w -> list_contains({_SW_LIST}, w))) AS hits
   FROM toks
 )
@@ -968,7 +971,7 @@ WITH toks AS (
   SELECT doc_id, lang,
          CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(tk) END AS n_tokens,
          greatest(len(tk), 1) AS s,
-         list_sum(list_transform(tk, w -> len(w))) AS total,
+         COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) AS total,
          len(list_filter(tk, w -> list_contains({_SW_LIST}, w))) AS hits,
          CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp
   FROM toks
@@ -1176,11 +1179,15 @@ O_LSH_TOPK = _lsh_oracle()
 def q_txt_top_bigrams(spark, sf_dir):
     """Top-20 word bigrams across the corpus (deterministic order)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
+    # short-doc guard (same trap as the shingle generators: sequence(1, 0)
+    # is descending and indexes off the array); tokens() filters the
+    # phantom '' boundary tokens a bare split(trim(…)) leaves behind
+    toks = docs.select(text.tokens(F.col("text")).alias("tk")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 0)),"
-                " i -> concat(split(trim(text), '\\\\s+')[i-1], ' ', split(trim(text), '\\\\s+')[i]))"
+                "if(size(tk) < 2, array(),"
+                " transform(sequence(1, size(tk) - 1),"
+                " i -> concat(tk[i-1], ' ', tk[i])))"
             )
         ).alias("bigram")
     )
@@ -1193,7 +1200,7 @@ def q_txt_top_bigrams(spark, sf_dir):
 
 
 O_TXT_BIGRAMS = r"""
-WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk FROM documents),
+WITH toks AS (SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk FROM documents),
 bg AS (
   SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
                 i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1])) AS bigram
@@ -1233,8 +1240,8 @@ def q_txt_bpe_tokens(spark, sf_dir):
 
 O_TXT_BPE = rf"""
 SELECT doc_id,
-       CASE WHEN len(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+         AS n_ws_tokens,
        len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS n_bpe_tokens
 FROM documents
 """
@@ -1305,7 +1312,7 @@ def q_txt_unigram_nll(spark, sf_dir):
 O_TXT_UNIGRAM_NLL = r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
   FROM documents
 ),
 counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
@@ -1653,7 +1660,7 @@ fp AS (
 keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
 kept AS (SELECT fp.doc_id, fp.text FROM fp SEMI JOIN keep USING (doc_id)),
 t AS (
-  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS toks FROM kept
+  SELECT doc_id AS id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM kept
 ),
 n AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
 idx AS (

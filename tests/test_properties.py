@@ -147,3 +147,114 @@ def test_custom_uuid_roundtrip_property(spark, ts, crc, sched, data):
     assert len(row["u"]) == 32 and row["u"][12] == "f"
     assert row["t"] == ts
     assert row["t2"] == ts
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pipeline operators vs pure-Python references on random corpora
+# ---------------------------------------------------------------------------
+
+_DOC_TEXT = st.text(
+    alphabet="ab c\tdef  gh\n", min_size=0, max_size=40
+)
+
+
+@given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_bpe_pair_counts_matches_python_reference(spark, texts):
+    import re
+    from collections import Counter
+
+    from egraphdb_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: r["n"]
+        for r in text_ops.bpe_pair_counts(docs, "text", top_n=1000).collect()
+    }
+
+    words = Counter()
+    for t in texts:
+        words.update(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", t.lower()))
+    ref = Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += c
+    assert got == dict(ref)
+
+
+@given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, texts):
+    import re
+
+    from egraphdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in dedup.shingle_table(docs, "doc_id", "text").collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+
+    n = dedup.SHINGLE_LEN
+    ref = {}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        s = {norm[j : j + n] for j in range(len(norm) - n + 1)} if len(norm) >= n else set()
+        if s:
+            ref[i] = s
+    assert got == ref
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30, unique=True),
+    n_shards=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_shard_manifest_matches_python_reference(spark, ids, n_shards):
+    import hashlib
+
+    from egraphdb_spark.operators.packing import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, i % 13 + 1) for i in ids], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["shard_id"]: (r["n_docs"], r["n_tokens"], r["min_id"], r["max_id"])
+        for r in shard_manifest(df, "doc_id", "n_tokens", n_shards).collect()
+    }
+
+    ref = {}
+    for i in ids:
+        u = int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15], 16)
+        s = u % n_shards
+        d = ref.setdefault(s, [0, 0, None, None])
+        d[0] += 1
+        d[1] += i % 13 + 1
+        d[2] = i if d[2] is None else min(d[2], i)
+        d[3] = i if d[3] is None else max(d[3], i)
+    assert got == {k: tuple(v) for k, v in ref.items()}
+
+
+@given(texts=st.lists(_DOC_TEXT, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_token_count_matches_python_split(spark, texts):
+    """tokens()/token_count == str.split() semantics (drop boundary
+    empties) for any ASCII-whitespace mess."""
+    from egraphdb_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n"], r["toks"])
+        for r in docs.select(
+            "doc_id",
+            text_ops.token_count("text").alias("n"),
+            text_ops.tokens(F.col("text")).alias("toks"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == (len(t.split()), t.split()), repr(t)
