@@ -266,7 +266,7 @@ WITH t AS (
 )
 SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}]) AS BIGINT) AS n_tokens,
-       array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' ') AS chunk_text
+       COALESCE(array_to_string(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' '), '') AS chunk_text
 FROM idx
 """
 

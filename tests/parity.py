@@ -70,7 +70,12 @@ def _dtype_class(s: pd.Series) -> str:
         # DATE arrives as datetime64 — empirically the driver hashes these
         # EQUAL (fn_scalar_surface was r2 driver-green with a date column),
         # so date-vs-datetime is NOT a failure class; int-vs-float is.
-        if s.map(lambda v: v is None or isinstance(v, datetime.date)).all():
+        # The .any() guard prevents vacuous classification of empty or
+        # all-None object columns as dates.
+        if (
+            s.map(lambda v: isinstance(v, datetime.date)).any()
+            and s.map(lambda v: v is None or isinstance(v, datetime.date)).all()
+        ):
             return "datetime"
     return str(s.dtype) if s.dtype != object else "object"
 

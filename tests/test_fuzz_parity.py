@@ -1,0 +1,112 @@
+"""Cross-engine fuzz parity: text-family gates on ADVERSARIAL corpora.
+
+The driver's correctness gate runs on a fixed synthetic corpus, which
+cannot contain the inputs that historically broke cross-engine parity
+(short docs, whitespace-only docs, boundary whitespace, exact duplicates).
+This suite generates hostile documents tables with hypothesis, writes them
+as parquet, and runs a selection of text/dedup/pipeline gates through BOTH
+engines via the same compare() the local harness uses — so any
+corpus-dependent Spark↔DuckDB divergence fails HERE instead of on real
+data.  (Caught pre-merge: phantom '' tokens, trim-vs-\\s semantics, the
+descending-sequence crash family.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from parity import compare, run_oracle
+
+from egraphdb_spark.queries import REGISTRY
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# hostile text: whitespace runs of every ASCII kind, very short docs,
+# duplicates (fixed candidates below guarantee them), punctuation, digits
+_TEXT = st.text(alphabet="ab c\td.e2f\ng  h\r", min_size=0, max_size=60)
+_CANNED = st.sampled_from(
+    ["", " ", "\n", "a", "ab cd", "ab cd", "the the the", "x " * 40, "  ab\tcd  "]
+)
+_DOC = st.one_of(_TEXT, _CANNED)
+
+# gates whose inputs are only the documents table and whose semantics are
+# the text/dedup/packing families under test
+FUZZ_GATES = [
+    "txt_stats",
+    "txt_fingerprint",
+    "txt_bpe_tokens",
+    "txt_bpe_pair_counts",
+    "txt_unigram_nll",
+    "txt_top_bigrams",
+    "txt_lang_id",
+    "txt_pii_scrub",
+    "txt_repetition",
+    "dedup_exact",
+    "dedup_repeated_spans",
+    "dedup_minhash_sig",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "dedup_jaccard_pairs",
+    "pipe_chunking",
+    "pipe_shard_manifest",
+    "pipe_seq_pack",
+    "pipe_assemble",
+    "pipe_mixture",
+    "sample_hash_docs",
+    "sample_token_budget",
+    "sample_source_quota",
+]
+
+_LANGS = ["en", "de", "fr", "zh", "es"]
+
+
+def _write_corpus(spark, texts: list[str]) -> str:
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="fuzz_docs_")
+    # single parquet FILE (not a Spark part-file directory): the oracle
+    # runner points DuckDB at '<dir>/documents.parquet' verbatim
+    pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": [_LANGS[i % len(_LANGS)] for i in range(len(texts))],
+            "source": [f"src{i % 3}" for i in range(len(texts))],
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    # the oracle runner creates views for every table name; gates under
+    # test only read documents, but the views must exist
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        dst = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    return d
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_gates_parity_on_hostile_corpus(spark, texts):
+    # one corpus write per example, all gates against it (a per-gate
+    # parametrize would pay the corpus write FUZZ_GATES times over)
+    sf_dir = _write_corpus(spark, texts)
+    failures = []
+    for gate in FUZZ_GATES:
+        fn, sql = REGISTRY[gate]
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        oracle_pdf = run_oracle(sql, sf_dir)
+        problems = compare(spark_pdf, oracle_pdf)
+        if problems:
+            failures.append(f"{gate}: " + "; ".join(problems))
+    assert not failures, f"on {texts!r}:\n" + "\n".join(failures)
