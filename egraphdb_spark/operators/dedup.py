@@ -694,7 +694,10 @@ def semantic_dedup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    c = F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    # zero-norm guard, same 0.0 convention as similarity.cosine (ANSI
+    # division would throw on a zero embedding)
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    c = F.round(F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(dot / denom), 6)
     return (
         a.join(b, "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))

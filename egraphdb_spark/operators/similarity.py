@@ -46,11 +46,19 @@ def _as_double(vec_col: str | Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<double> columns (sequential fold)."""
+    """Cosine similarity between two array<double> columns (sequential fold).
+
+    Zero vectors get cosine 0.0 by convention — an unguarded division
+    crashes under Spark's default ANSI mode (DIVIDE_BY_ZERO) and yields
+    NaN in DuckDB, which DuckDB sorts ABOVE every real similarity; 0.0 is
+    deterministic, identical on both engines, and ranks zero vectors last
+    / below any positive threshold.  The SQL oracles carry the identical
+    CASE guard (queries_pipeline._cos_sql).
+    """
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return F.when(na * nb == F.lit(0.0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
 def cosine_topk(

@@ -329,17 +329,9 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(
-         list_sum(list_transform(range(1, len(a.vec) + 1),
-                  i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]))
-         / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) AS cosine
+       round(CASE WHEN sqrt(list_sum(list_transform(a.vec, x -> x * x))) * sqrt(list_sum(list_transform(b.vec, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(a.vec, x -> x * x))) * sqrt(list_sum(list_transform(b.vec, x -> x * x)))) END, 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(
-        list_sum(list_transform(range(1, len(a.vec) + 1),
-                 i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]))
-        / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
-           * sqrt(list_sum(list_transform(b.vec, x -> x * x)))), 6) >= 0.40
+WHERE round(CASE WHEN sqrt(list_sum(list_transform(a.vec, x -> x * x))) * sqrt(list_sum(list_transform(b.vec, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(a.vec, x -> x * x))) * sqrt(list_sum(list_transform(b.vec, x -> x * x)))) END, 6) >= 0.40
 """
 
 
@@ -407,11 +399,7 @@ WITH v AS (
   FROM embeddings
 ), q AS (SELECT {_QV_SQL} AS qv)
 SELECT vec_id AS id,
-       round(
-         list_sum(list_transform(range(1, len(vec) + 1),
-                  i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
-         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
-            * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+       round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
 FROM v, q
 ORDER BY cosine DESC, id LIMIT 10
 """
@@ -422,11 +410,17 @@ _N_ANCHORS = 8
 # DuckDB fragment: 9dp-rounded cosine between list columns {a} and {b} —
 # the assignment-side convention shared with ivf_assign/O_IVF_TOPK.
 def _cos_sql(a: str, b: str, dp: int) -> str:
-    return f"""round(
-      list_sum(list_transform(range(1, len({a}) + 1),
-               i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))
-      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
-         * sqrt(list_sum(list_transform({b}, x -> x * x)))), {dp})"""
+    # zero-norm guard mirrors similarity.cosine: a zero vector has cosine
+    # 0.0 by convention on BOTH engines (unguarded, Spark's ANSI division
+    # throws DIVIDE_BY_ZERO while DuckDB yields NaN — which it then sorts
+    # ABOVE every real similarity)
+    na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))"
+    )
+    return f"round(CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END, {dp})"
 
 
 # Target SemDeDup cluster size: k = n / _SEM_CLUSTER grows WITH the corpus,
@@ -497,11 +491,7 @@ anchors AS (
 q AS (SELECT {_QV_SQL} AS qv),
 probe AS (
   SELECT anchor_id FROM anchors, q
-  ORDER BY round(
-      list_sum(list_transform(range(1, len(avec) + 1),
-               i -> avec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
-      / (sqrt(list_sum(list_transform(avec, x -> x * x)))
-         * sqrt(list_sum(list_transform(qv, x -> x * x)))), 9) DESC, anchor_id
+  ORDER BY round(CASE WHEN sqrt(list_sum(list_transform(avec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(avec) + 1), i -> avec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(avec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 9) DESC, anchor_id
   LIMIT 1
 ),
 assigned AS (
@@ -509,22 +499,14 @@ assigned AS (
     SELECT v.vec_id AS id, v.vec, a.anchor_id,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY round(
-                 list_sum(list_transform(range(1, len(v.vec) + 1),
-                          i -> v.vec[CAST(i AS INT)] * a.avec[CAST(i AS INT)]))
-                 / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
-                    * sqrt(list_sum(list_transform(a.avec, x -> x * x)))), 9) DESC,
+             ORDER BY round(CASE WHEN sqrt(list_sum(list_transform(v.vec, x -> x * x))) * sqrt(list_sum(list_transform(a.avec, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(v.vec) + 1), i -> v.vec[CAST(i AS INT)] * a.avec[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(v.vec, x -> x * x))) * sqrt(list_sum(list_transform(a.avec, x -> x * x)))) END, 9) DESC,
                a.anchor_id
            ) AS rn
     FROM v CROSS JOIN anchors a
   ) WHERE rn = 1
 )
 SELECT id,
-       round(
-         list_sum(list_transform(range(1, len(vec) + 1),
-                  i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
-         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
-            * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+       round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
 FROM assigned SEMI JOIN probe USING (anchor_id), q
 ORDER BY cosine DESC, id LIMIT 5
 """
@@ -549,12 +531,8 @@ def q_sim_kmeans_topk(spark, sf_dir):
 
 def _sql_cos(a: str, b: str, dp: int) -> str:
     """Rounded cosine between two list<double> expressions (sequential fold,
-    mirrors similarity.cosine)."""
-    return f"""round(
-      list_sum(list_transform(range(1, len({a}) + 1),
-               i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))
-      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
-         * sqrt(list_sum(list_transform({b}, x -> x * x)))), {dp})"""
+    zero-norm guarded; mirrors similarity.cosine)."""
+    return _cos_sql(a, b, dp)
 
 
 def _kmeans_oracle() -> str:
@@ -1163,11 +1141,7 @@ WITH v AS (
 ), q AS (SELECT {_QV_SQL} AS qv),
 bucket AS (SELECT vec_id, vec FROM v WHERE ({sig}) = {qsig})
 SELECT vec_id AS id,
-       round(
-         list_sum(list_transform(range(1, len(vec) + 1),
-                  i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
-         / (sqrt(list_sum(list_transform(vec, x -> x * x)))
-            * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+       round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
 FROM bucket, q
 ORDER BY cosine DESC, id LIMIT 5
 """
@@ -1721,11 +1695,7 @@ v AS (
 ), q AS (SELECT {_QV_SQL} AS qv),
 sem AS (
   SELECT vec_id AS id,
-         round(
-           list_sum(list_transform(range(1, len(vec) + 1),
-                    i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
-           / (sqrt(list_sum(list_transform(vec, x -> x * x)))
-              * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+         round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
   FROM v, q ORDER BY cosine DESC, vec_id LIMIT 50
 ),
 semr AS (
@@ -1963,11 +1933,7 @@ approx AS (
 ),
 rerank AS (
   SELECT v.vec_id AS id,
-         round(
-           list_sum(list_transform(range(1, len(vec) + 1),
-                    i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))
-           / (sqrt(list_sum(list_transform(vec, x -> x * x)))
-              * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+         round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
   FROM v, q
   WHERE v.vec_id IN (SELECT id FROM approx)
 )

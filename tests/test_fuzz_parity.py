@@ -110,3 +110,81 @@ def test_gates_parity_on_hostile_corpus(spark, texts):
         if problems:
             failures.append(f"{gate}: " + "; ".join(problems))
     assert not failures, f"on {texts!r}:\n" + "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# Hostile embeddings: zero vectors (norm 0 → unguarded cosine throws under
+# Spark ANSI and sorts as NaN-above-everything in DuckDB), constant vectors
+# (span 0 in quantization), duplicates, tiny corpora
+# ---------------------------------------------------------------------------
+
+EMB_GATES = [
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "dedup_embedding_pairs",
+    "dedup_semantic_pairs",
+    "emb_quantize_int8",
+    "emb_label_centroids",
+]
+
+_DIM = 64
+
+
+def _vec(seed: int, kind: str) -> list[float]:
+    if kind == "zero":
+        return [0.0] * _DIM
+    if kind == "const":
+        return [0.25] * _DIM
+    # deterministic pseudo-random floats, float32-representable
+    return [(((seed * 31 + i) * 37) % 19 - 9) / 16.0 for i in range(_DIM)]
+
+
+_VK = st.sampled_from(["zero", "const", "rand", "rand2"])
+
+
+def _write_embeddings(kinds: list[str]) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="fuzz_emb_")
+    vecs = [
+        np.array(_vec(i if k != "rand2" else i + 1000, k), dtype=np.float32)
+        for i, k in enumerate(kinds)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(kinds)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array([i % 4 for i in range(len(kinds))], type=pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    for name in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        src = f"/root/testdata/sf0.001/{name}.parquet"
+        dst = os.path.join(d, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    return d
+
+
+@given(kinds=st.lists(_VK, min_size=2, max_size=10))
+@settings(**_SETTINGS)
+def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
+    sf_dir = _write_embeddings(kinds)
+    failures = []
+    for gate in EMB_GATES:
+        fn, sql = REGISTRY[gate]
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(f"{gate}: SPARK RAISED {type(e).__name__}: {str(e)[:160]}")
+            continue
+        oracle_pdf = run_oracle(sql, sf_dir)
+        problems = compare(spark_pdf, oracle_pdf)
+        if problems:
+            failures.append(f"{gate}: " + "; ".join(problems))
+    assert not failures, f"on {kinds!r}:\n" + "\n".join(failures)
