@@ -23,8 +23,9 @@ from parity import compare, run_oracle
 
 from egraphdb_spark.queries import REGISTRY
 
+# FUZZ_EXAMPLES=50 for a deep sweep (CI default keeps wall-time sane)
 _SETTINGS = dict(
-    max_examples=6,
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES", "6")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -188,3 +189,85 @@ def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
         if problems:
             failures.append(f"{gate}: " + "; ".join(problems))
     assert not failures, f"on {kinds!r}:\n" + "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# Hostile events: duplicate timestamps per user (total-order discipline of
+# every window/lead/session query), zero/negative values, degenerate props
+# ---------------------------------------------------------------------------
+
+EVT_GATES = [
+    "evt_session_window",
+    "evt_props_json",
+    "evt_rollup_cascade",
+    "evt_funnel",
+    "evt_transitions",
+    "evt_retention",
+    "evt_spikes",
+    "skew_salted_topn",
+]
+
+_ETYPES = ["view", "click", "purchase", "signup", "error"]
+_VALUES = [-5.0, 0.0, 1.25, 185.22]
+_PROPS = ['{}', '{"k": 0}', '{"k": -3}', '{"k": 87}']
+
+# minute offsets drawn from a SMALL pool so exact-duplicate timestamps are
+# common; a few large offsets create session breaks and week boundaries
+_EVT = st.tuples(
+    st.integers(min_value=0, max_value=2),            # user_id
+    st.sampled_from([0, 1, 1, 5, 5, 40, 40, 200, 20160]),  # minute offset
+    st.integers(min_value=0, max_value=len(_ETYPES) - 1),
+    st.integers(min_value=0, max_value=len(_VALUES) - 1),
+    st.integers(min_value=0, max_value=len(_PROPS) - 1),
+)
+
+
+def _write_events(rows) -> str:
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="fuzz_evt_")
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(minutes=m) for (_, m, _, _, _) in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for (u, _, _, _, _) in rows], type=pa.int64()),
+            "event_type": pa.array([_ETYPES[e] for (_, _, e, _, _) in rows]),
+            "value": pa.array([_VALUES[v] for (_, _, _, v, _) in rows], type=pa.float64()),
+            "props": pa.array([_PROPS[p] for (_, _, _, _, p) in rows]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    for name in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        src = f"/root/testdata/sf0.001/{name}.parquet"
+        dst = os.path.join(d, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+    return d
+
+
+@given(rows=st.lists(_EVT, min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_event_gates_parity_on_tied_timestamps(spark, rows):
+    sf_dir = _write_events(rows)
+    failures = []
+    for gate in EVT_GATES:
+        fn, sql = REGISTRY[gate]
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(f"{gate}: SPARK RAISED {type(e).__name__}: {str(e)[:160]}")
+            continue
+        oracle_pdf = run_oracle(sql, sf_dir)
+        problems = compare(spark_pdf, oracle_pdf)
+        if problems:
+            failures.append(f"{gate}: " + "; ".join(problems))
+    assert not failures, f"on {rows!r}:\n" + "\n".join(failures)
