@@ -258,3 +258,162 @@ def test_token_count_matches_python_split(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == (len(t.split()), t.split()), repr(t)
+
+
+# ---------------------------------------------------------------------------
+# Graph algorithms vs pure-Python references on random graphs
+# (self-loops, duplicate edges, isolated subgraphs, multi-edges)
+# ---------------------------------------------------------------------------
+
+_RAND_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+)
+
+
+def _kv(i: int) -> str:
+    return f"n:{i}"
+
+
+@given(pairs=st.lists(_RAND_EDGE, min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import connected_components
+
+    edges = spark.createDataFrame(
+        [(_kv(a), _kv(b)) for a, b in pairs], "src_key string, dst_key string"
+    ).select("src_key", "dst_key", F.lit("{}").alias("details"))
+    got = {
+        r["key"]: r["component"]
+        for r in connected_components(edges, max_iter=30).collect()
+    }
+
+    # union-find reference (undirected semantics, min-key representative)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(_kv(a)), find(_kv(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {}
+    for a, b in pairs:
+        for n in (_kv(a), _kv(b)):
+            ref[n] = find(n)
+    # canonicalize: representative = min member of each class
+    groups = {}
+    for n, r in ref.items():
+        groups.setdefault(find(r), set()).add(n)
+    ref = {n: min(g) for g in groups.values() for n in g}
+    assert got == ref
+
+
+@given(pairs=st.lists(_RAND_EDGE, min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_bfs_levels_matches_python_bfs(spark, pairs):
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import bfs_levels
+
+    src = _kv(pairs[0][0])
+    edges = spark.createDataFrame(
+        [(_kv(a), _kv(b)) for a, b in pairs], "src_key string, dst_key string"
+    ).select("src_key", "dst_key", F.lit("{}").alias("details"))
+    got = {r["key"]: r["level"] for r in bfs_levels(edges, src, max_depth=10).collect()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(_kv(a), set()).add(_kv(b))  # directed, as implemented
+    ref = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        if ref[u] >= 10:
+            continue
+        for v in adj.get(u, ()):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
+
+
+@given(pairs=st.lists(_RAND_EDGE, min_size=1, max_size=20), k=st.integers(2, 3))
+@settings(**_SETTINGS)
+def test_kcore_matches_python_peel(spark, pairs, k):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(_kv(a), _kv(b)) for a, b in pairs], "src_key string, dst_key string"
+    ).select(
+        F.xxhash64("src_key").alias("src"),
+        F.xxhash64("dst_key").alias("dst"),
+        "src_key",
+        "dst_key",
+    )
+    rounds = 8
+    got = {r["key"]: r["degree"] for r in kcore_peel(edges, k=k, rounds=rounds).collect()}
+
+    # python peel on the undirected distinct edge set, same fixed rounds
+    und = {frozenset((_kv(a), _kv(b))) for a, b in pairs if a != b}
+    # self-loops: Spark's undirected distinct (a,b)+(b,a) keeps (x,x) once
+    loops = {_kv(a) for a, b in pairs if a == b}
+    adj = {}
+    for e in und:
+        x, y = tuple(e)
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    for x in loops:
+        adj.setdefault(x, set()).add(x)
+    nodes = set(adj)
+    for _ in range(rounds):
+        deg = {n: len(adj.get(n, set()) & nodes) for n in nodes}
+        alive = {n for n in nodes if deg[n] >= k}
+        if alive == nodes:
+            break
+        nodes = alive
+    ref = {}
+    for n in nodes:
+        d = len(adj.get(n, set()) & nodes)
+        if d > 0:
+            ref[n] = d
+    assert got == ref
+
+
+@given(pairs=st.lists(_RAND_EDGE, min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_pagerank_scaled_matches_python_fixed_point(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.graph_algos import pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [(_kv(a), _kv(b)) for a, b in pairs], "src_key string, dst_key string"
+    ).select("src_key", "dst_key", F.lit("{}").alias("details"))
+    got = {r["key"]: r["pr"] for r in pagerank_scaled(edges, iters=3).collect()}
+
+    # integer fixed-point reference mirroring the operator exactly:
+    # multi-edges contribute once per edge ROW, out-degree counts rows
+    scale = 10**12
+    nodes = sorted({_kv(a) for a, _ in pairs} | {_kv(b) for _, b in pairs})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in pairs:
+        outdeg[_kv(a)] = outdeg.get(_kv(a), 0) + 1
+    base = (15 * scale) // (100 * n)
+    pr = {k: scale // n for k in nodes}
+    for _ in range(3):
+        s = {}
+        for a, b in pairs:
+            s[_kv(b)] = s.get(_kv(b), 0) + pr[_kv(a)] // outdeg[_kv(a)]
+        pr = {k: base + (85 * s.get(k, 0)) // 100 for k in nodes}
+    assert got == pr
