@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "reindex_status",
     "txt_unigram_nll",
     "pipe_shard_manifest",
+    "pipe_length_buckets",
+    "sample_weighted",
+    "evt_active_users_7d",
 ]
 
 

@@ -310,3 +310,79 @@ def shard_manifest(
         )
         .orderBy("shard_id")
     )
+
+
+DEFAULT_LENGTH_BUCKETS: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_buckets(
+    df: DataFrame,
+    token_col: str,
+    buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
+) -> DataFrame:
+    """Padding-waste analysis for length-grouped batching.
+
+    Dynamic-padding training batches pad every sequence in a batch to the
+    batch max; grouping sequences into power-of-two length buckets bounds
+    that waste.  This reports, per bucket (the smallest bucket length
+    >= n_tokens; longer docs are clamped to the largest bucket, i.e.
+    truncated by the batch builder): document count, kept tokens, padding
+    tokens, and waste in integer permille — the numbers that decide the
+    bucket ladder before a training run.
+
+    Bucket choice is a pure integer array lookup (no log2 floats — libm
+    rounding must never decide a bucket boundary), so the DuckDB oracle
+    matches exactly.  Scale: one narrow projection + an aggregate over
+    len(buckets) groups; map-side combine leaves ~9 rows per partition.
+    """
+    barr = F.array(*[F.lit(b) for b in buckets])
+    n = F.col(token_col).cast("long")
+    bucket = F.coalesce(
+        F.array_min(F.filter(barr, lambda b: b >= n)), F.lit(buckets[-1])
+    ).cast("long")
+    kept = F.least(n, bucket)
+    return (
+        df.select(
+            bucket.alias("bucket_len"),
+            kept.alias("__kept"),
+            (bucket - kept).alias("__pad"),
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__kept").alias("kept_tokens"),
+            F.sum("__pad").alias("pad_tokens"),
+        )
+        .withColumn(
+            "waste_permille",
+            F.expr("(pad_tokens * 1000) div (bucket_len * n_docs)").cast("long"),
+        )
+        .orderBy("bucket_len")
+    )
+
+
+def length_buckets_oracle_sql(
+    table: str,
+    tokens_expr: str,
+    buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
+) -> str:
+    """DuckDB mirror of :func:`length_buckets` (tokens_expr = SQL for the
+    per-row token count)."""
+    blist = "[" + ", ".join(str(b) for b in buckets) + "]"
+    return f"""
+WITH n AS (
+  SELECT CAST({tokens_expr} AS BIGINT) AS nt FROM {table}
+), b AS (
+  SELECT coalesce(list_min(list_filter({blist}, x -> x >= nt)), {buckets[-1]}) AS bucket_len,
+         least(nt, {buckets[-1]}) AS kept
+  FROM n
+), g AS (
+  SELECT CAST(bucket_len AS BIGINT) AS bucket_len, count(*) AS n_docs,
+         CAST(sum(least(kept, bucket_len)) AS BIGINT) AS kept_tokens,
+         CAST(sum(bucket_len - least(kept, bucket_len)) AS BIGINT) AS pad_tokens
+  FROM b GROUP BY bucket_len
+)
+SELECT bucket_len, n_docs, kept_tokens, pad_tokens,
+       CAST((pad_tokens * 1000) // (bucket_len * n_docs) AS BIGINT) AS waste_permille
+FROM g
+"""

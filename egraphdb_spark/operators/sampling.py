@@ -162,3 +162,65 @@ def token_budget_sample(
         df.withColumn("cum_tokens", F.sum(tok.cast("long")).over(w))
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
+
+    Each row draws a deterministic uniform u ∈ (0, 1] from its keyed
+    60-bit md5 hash and gets priority key −ln(u)/w (the exponential-race
+    form of u^(1/w)); the k smallest keys are the sample.  Inclusion
+    probability is proportional to weight, the draw is reproducible on any
+    engine with md5, and — unlike rand()-weighted reservoirs — re-running
+    on a grown corpus re-evaluates only the new rows' priorities.
+
+    The priority is quantized to integer micro-units (floor(key·1e6)) with
+    the raw key as tie-break, so cross-engine ranking compares integers;
+    ln and IEEE division on the same inputs are bit-identical (same trust
+    base as the BM25/unigram-NLL gates).  Rows with weight <= 0 are
+    excluded (zero weight ⇒ zero inclusion mass).
+
+    Scale: narrow projection + global ORDER BY LIMIT k — Spark's
+    TakeOrdered keeps k rows per partition and merges k·P on the driver;
+    no full sort, no wide shuffle.
+    """
+    u = (_u60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) + 1) / F.lit(
+        float(_SCALE)
+    )
+    w = F.col(weight_col).cast("double")
+    key_q = F.floor(-F.log(u) / w * F.lit(1_000_000.0)).cast("long")
+    return (
+        df.where(w > 0)
+        .withColumn("priority_q", key_q)
+        .orderBy("priority_q", key_col)
+        .limit(k)
+    )
+
+
+def weighted_priority_oracle_sql(
+    table: str,
+    key_col: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "wsample",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`weighted_priority_sample`."""
+    u = (
+        f"(CAST('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) + 1) / {float(_SCALE)!r}"
+    )
+    return f"""
+SELECT {select_cols},
+       CAST(floor(-ln({u}) / w * 1000000.0) AS BIGINT) AS priority_q
+FROM (SELECT {table}.*, CAST({weight_expr} AS DOUBLE) AS w FROM {table})
+WHERE w > 0
+ORDER BY priority_q, {key_col}
+LIMIT {k}
+"""

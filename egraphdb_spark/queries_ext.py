@@ -2011,6 +2011,49 @@ ORDER BY event_type, hour
 """
 
 
+def q_evt_active_users_7d(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (rolling WAU).
+
+    Spark windows cannot COUNT(DISTINCT) over a frame; the distributed
+    rewrite is the contribution explode: each distinct (user, day) pair
+    contributes to the 7 report days [day, day+6], then one
+    count(DISTINCT) per observed report day.  O(7·|pairs|) rows through
+    the shuffle — linear in activity, no per-day rescans, no range join;
+    the observed-day filter is a broadcast semi-join (|days| is tiny)."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = pairs.select(F.col("day").alias("report_day")).distinct()
+    cand = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("report_day"),
+    )
+    return (
+        cand.join(F.broadcast(days), "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("report_day")
+    )
+
+
+O_EVT_ACTIVE_USERS = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day AS report_day FROM pairs),
+cand AS (
+  SELECT user_id, day + to_days(CAST(t.d AS INT)) AS report_day
+  FROM pairs, unnest(range(0, 7)) AS t(d)
+)
+SELECT report_day, count(DISTINCT user_id) AS active_users
+FROM cand SEMI JOIN days USING (report_day)
+GROUP BY report_day ORDER BY report_day
+"""
+
+
 def q_evt_funnel(spark, sf_dir):
     """Event funnel (ClickHouse windowFunnel shape): users who did
     view → click → purchase in strict event-time order, completing within
@@ -2362,6 +2405,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_retention": (q_evt_retention, O_EVT_RETENTION),
     "s15_logtable_diff": (q_s15_logtable_diff, O_S15_LOGTABLE_DIFF),
     "evt_spikes": (q_evt_spikes, O_EVT_SPIKES),
+    "evt_active_users_7d": (q_evt_active_users_7d, O_EVT_ACTIVE_USERS),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),

@@ -1962,7 +1962,111 @@ FROM comp GROUP BY label, pos
 """
 
 
+def q_pipe_length_buckets(spark, sf_dir):
+    """Padding-waste ledger for length-grouped batching: power-of-two token
+    buckets with per-bucket doc/token/padding counts and integer-permille
+    waste — the numbers that pick a bucket ladder before a training run."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", text.token_count("text"))
+    return packing.length_buckets(docs, "n_tokens")
+
+
+O_LENGTH_BUCKETS = packing.length_buckets_oracle_sql("documents", f"len({_TOKS})")
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (A-ES exponential race),
+    inclusion mass ∝ document length — 'sample long docs more', stable
+    under corpus growth."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.weighted_priority_sample(docs, "doc_id", "n_chars", k=100).select(
+        "doc_id", "source", "n_chars", "priority_q"
+    )
+
+
+def _weighted_oracle():
+    from .operators.sampling import weighted_priority_oracle_sql
+
+    return weighted_priority_oracle_sql(
+        "documents", "doc_id", "n_chars", 100,
+        select_cols="doc_id, source, n_chars",
+    )
+
+
+O_SAMPLE_WEIGHTED = _weighted_oracle()
+
+
+def q_dedup_canonical_corpus(spark, sf_dir):
+    """Apply-dedup — the corpus AFTER near-duplicate collapse: LSH pairs →
+    connected components → keep only each group's canonical member (min
+    doc_id) plus every untouched document; report the surviving corpus per
+    source (docs, tokens, min id).  This is the step that actually shrinks
+    the training set; the cluster gate (dedup_near_clusters) only reports
+    group structure.  Scale: the non-canonical member set is tiny relative
+    to the corpus (duplicates only), so the final filter is a broadcast
+    anti-join against a small set, not a corpus-wide shuffle."""
+    from .operators.graph_algos import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        docs, "doc_id", "text", shingles=doc_shingles(spark, sf_dir)
+    )
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket_size=64)
+    edges = pairs.select(
+        F.lpad(F.col("id_a").cast("string"), 12, "0").alias("src_key"),
+        F.lpad(F.col("id_b").cast("string"), 12, "0").alias("dst_key"),
+    )
+    cc = connected_components(edges, undirected=True)
+    dropped = cc.where(F.col("key") != F.col("component")).select(
+        F.col("key").cast("long").alias("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(text.token_count("text")).alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
+O_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {_SIG_CTE},
+bands AS ({_band_sql()}),
+small AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 64
+),
+bb AS (SELECT bands.* FROM bands SEMI JOIN small USING (band, bucket)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION
+  SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u
+),
+lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+dropped AS (SELECT id FROM lbl WHERE id != lbl)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_id
+FROM documents ANTI JOIN dropped ON documents.doc_id = dropped.id
+GROUP BY source
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "pipe_length_buckets": (q_pipe_length_buckets, O_LENGTH_BUCKETS),
+    "sample_weighted": (q_sample_weighted, O_SAMPLE_WEIGHTED),
+    "dedup_canonical_corpus": (q_dedup_canonical_corpus, O_DEDUP_CANONICAL),
     "pipe_seq_pack": (q_pipe_seq_pack, O_PIPE_PACK),
     "pipe_mixture": (q_pipe_mixture, O_PIPE_MIXTURE),
     "pipe_chunking": (q_pipe_chunking, O_PIPE_CHUNK),

@@ -64,6 +64,9 @@ FUZZ_GATES = [
     "sample_hash_docs",
     "sample_token_budget",
     "sample_source_quota",
+    "sample_weighted",
+    "pipe_length_buckets",
+    "dedup_canonical_corpus",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

@@ -1,0 +1,105 @@
+"""Round-4 additions: length buckets, weighted sampling, WAU, apply-dedup.
+
+Edge-case laws the sf fixtures cannot exercise (clamping, zero weights,
+inclusion-probability ordering) plus invariants tying the apply-dedup
+corpus to the cluster report it must agree with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from egraphdb_spark.operators import packing, sampling
+from egraphdb_spark.queries import REGISTRY
+
+
+def test_length_buckets_clamps_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 16), (3, 17), (4, 5000), (5, 4096)],
+        "id long, n_tok long",
+    )
+    rows = {
+        r["bucket_len"]: r
+        for r in packing.length_buckets(df, "n_tok").collect()
+    }
+    # 0 and 1 and 16 tokens all land in the smallest bucket (16)
+    assert rows[16]["n_docs"] == 3
+    assert rows[16]["kept_tokens"] == 0 + 1 + 16
+    assert rows[16]["pad_tokens"] == 16 + 15 + 0
+    assert rows[32]["n_docs"] == 1  # 17 → 32
+    # 5000 > largest bucket: clamped (truncated), zero padding
+    assert rows[4096]["n_docs"] == 2
+    assert rows[4096]["kept_tokens"] == 4096 + 4096
+    assert rows[4096]["pad_tokens"] == 0
+    assert rows[4096]["waste_permille"] == 0
+    # permille is floor((pad*1000)/(bucket*docs))
+    assert rows[16]["waste_permille"] == (31 * 1000) // (16 * 3)
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([0, -3, 5, 5, 100, 1, 7])],
+        "id long, w long",
+    )
+    got = sampling.weighted_priority_sample(df, "id", "w", k=10)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [2, 3, 4, 5, 6]  # zero/negative weights never sampled
+    again = sorted(r["id"] for r in got.collect())
+    assert again == ids
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row carries ~99% of the mass; across many disjoint salts (fresh
+    # randomness each) it must be selected into a k=1 sample most of the
+    # time — a distribution-level check that priorities follow the weights
+    df = spark.createDataFrame(
+        [(0, 990)] + [(i, 1) for i in range(1, 11)], "id long, w long"
+    )
+    wins = 0
+    trials = 30
+    for t in range(trials):
+        top = sampling.weighted_priority_sample(
+            df, "id", "w", k=1, salt=f"trial{t}"
+        ).collect()
+        wins += top[0]["id"] == 0
+    assert wins >= trials * 2 // 3, f"heavy row won only {wins}/{trials}"
+
+
+def test_canonical_corpus_agrees_with_cluster_report(spark):
+    fn_corpus, _ = REGISTRY["dedup_canonical_corpus"]
+    fn_clusters, _ = REGISTRY["dedup_near_clusters"]
+    fn_docs_total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    total = fn_docs_total.count()
+    kept = (
+        fn_corpus(spark, SF_SMOKE).agg(F.sum("n_docs").alias("n")).collect()[0]["n"]
+    )
+    clusters = fn_clusters(spark, SF_SMOKE).collect()
+    # every multi-member group keeps exactly its representative
+    dropped = sum(r["n_members"] - 1 for r in clusters)
+    assert kept == total - dropped
+
+
+def test_wau_matches_bruteforce(spark):
+    fn, _ = REGISTRY["evt_active_users_7d"]
+    got = {
+        r["report_day"]: r["active_users"]
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    pairs = [
+        (r["user_id"], r["day"])
+        for r in ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+        .collect()
+    ]
+    days = sorted({d for _, d in pairs})
+    assert set(got) == set(days)
+    for d in days:
+        expect = len(
+            {u for u, pd_ in pairs if 0 <= (d - pd_).days <= 6}
+        )
+        assert got[d] == expect, f"day {d}"
