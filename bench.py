@@ -97,6 +97,19 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def steal_ticks() -> int:
+    """Cumulative CPU-steal ticks (USER_HZ=100) across all cores — the
+    hypervisor took the core while we were runnable.  This VM shows
+    multi-minute steal bursts (identical code has measured 3-9x apart);
+    sampling steal around each query separates engine cost from host
+    noise and tells the resample pass which timings to distrust."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from egraphdb_spark.queries import REGISTRY, fixture
@@ -140,23 +153,31 @@ def main() -> None:
     # files only where Spark would anyway (stage reuse is disabled across
     # jobs); min() reports the reproducible cost.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    run_steal0 = steal_ticks()
+    query_steal: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]
         best = float("inf")
+        min_steal = 1 << 62
         for _ in range(max(1, reps)):
+            s0 = steal_ticks()
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            min_steal = min(min_steal, steal_ticks() - s0)
         timings[name] = round(best, 3)
+        query_steal[name] = min_steal
 
     # Contention spikes on this host can outlast a back-to-back best-of-2
     # window (observed: a 1 s query sampling 40 s twice in a row, then 1 s
-    # again minutes later).  Re-sample the slow tail once more at the END of
-    # the run — temporal diversity is the only defense against a spike that
-    # covers both initial reps.
+    # again minutes later).  Re-sample once more at the END of the run —
+    # temporal diversity is the only defense against a spike that covers
+    # both initial reps.  Resample what looks slow AND anything whose best
+    # sample overlapped measurable steal (its timing is host noise, not
+    # engine cost, however small it looks).
     slow_ms = float(os.environ.get("SPARK_GRAFT_BENCH_RESAMPLE_SEC", "2.5"))
     for name in BENCH_QUERIES:
-        if timings[name] > slow_ms:
+        if timings[name] > slow_ms or query_steal[name] >= 50:
             fn, _ = REGISTRY[name]
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
@@ -177,6 +198,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # host-noise telemetry: hypervisor steal (seconds of CPU
+                # taken from this VM) during the whole run — when this is
+                # large, timings above are upper bounds on engine cost
+                "steal_cpu_sec": round((steal_ticks() - run_steal0) / 100.0, 1),
             }
         )
     )

@@ -68,6 +68,10 @@ PROBES = [
     "reindex_status",
     "txt_unigram_nll",
     "pipe_shard_manifest",
+    "pipe_length_buckets",
+    "sample_weighted",
+    "evt_active_users_7d",
+    "dedup_canonical_corpus",
 ]
 
 
