@@ -308,3 +308,28 @@ def test_index_store_partition_pruning(spark, graph, tmp_path):
     assert "PushedFilters" in p and "v_text" in p.split("PushedFilters")[1][:200]
     # pruning is only meaningful with multiple partitions present
     assert store.select("index_name").distinct().count() > 1
+
+
+def test_weighted_sample_is_pure_take_ordered(spark):
+    # A-ES sampling must be TakeOrdered (k per partition → driver merge),
+    # never a global sort + limit, and must not shuffle at all
+    p = plan_of(q(spark, "sample_weighted"))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_wau_broadcast_semi_join_no_range_join(spark):
+    # observed-days filter must broadcast (|days| tiny); the explode
+    # rewrite must not fall back to a sort-merge or nested-loop range join
+    p = plan_of(q(spark, "evt_active_users_7d"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_length_buckets_partial_aggregate(spark):
+    # map-side combine: the pre-shuffle HashAggregate must run partial
+    # count/sum (each task reduces to ≤9 ladder rows before the exchange)
+    p = plan_of(q(spark, "pipe_length_buckets"))
+    assert "partial_count" in p and "partial_sum" in p
+    assert "CartesianProduct" not in p
