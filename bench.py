@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "pipe_length_buckets",
     "sample_weighted",
     "evt_active_users_7d",
+    "evt_wau_hll",
 ]
 
 

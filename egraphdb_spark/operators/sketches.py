@@ -99,6 +99,128 @@ FROM s
 """
 
 
+def hll_sliding_distinct(
+    df: DataFrame, key_col: str, ts_col: str, p: int = 8, window_days: int = 7
+) -> DataFrame:
+    """Sliding-window distinct estimate per day via MERGED HLL registers —
+    the scale path for rolling WAU/MAU when the exact contribution
+    explode (7·|user-day pairs|) outgrows the shuffle.
+
+    Registers are mergeable by max, so the plan is: per-(day, bucket)
+    partial registers (≤ m rows per day, however many events or users);
+    each day's registers contribute to the ``window_days`` report days
+    they serve (explode over days×m rows TOTAL — independent of user
+    count); max-merge per report day; one estimate row per day.  Same
+    register/estimate math as :func:`hll_distinct`, so the DuckDB oracle
+    replicates it bit-for-bit (estimate rounded to 4 dp).
+
+    Exact-vs-sketch contract: `evt_active_users_7d` is the exact
+    operator; this one trades ~1.04/sqrt(m) error (~6.5% at p=8) for a
+    shuffle bounded by days×m rows.
+    """
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _h60(F.col(key_col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(cap)).otherwise(F.length(F.bin(w.bitwiseAND(-w))))
+    day = F.date_trunc("day", F.col(ts_col))
+    regs = (
+        df.select(
+            day.alias("day"),
+            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    days = regs.select(F.col("day").alias("report_day")).distinct()
+    contrib = regs.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("report_day"),
+        "bucket",
+        "mj",
+    )
+    merged = (
+        contrib.join(F.broadcast(days), "report_day", "left_semi")
+        .groupBy("report_day", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    scaled = F.expr(f"shiftleft(1L, {cap} - mj)")
+    agg = merged.groupBy("report_day").agg(
+        F.count("*").alias("present"), F.sum(scaled).alias("z")
+    )
+    s = F.col("z") + (F.lit(m) - F.col("present")) * F.lit(1 << cap).cast("long")
+    raw = F.lit(alpha * m * m * float(1 << cap)) / s.cast("double")
+    # Small-range (linear counting) correction: a 7-day active window can
+    # hold far fewer keys than m registers, where the raw estimate floors
+    # at ~alpha*m.  Unlike hll_distinct (which documents omitting it),
+    # this operator's whole point is per-window counts of every size —
+    # ln() is already in the cross-engine trust base (BM25, unigram-NLL,
+    # A-ES sampling), and the oracle applies the identical branch.
+    empty = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "report_day",
+        F.round(est, 4).alias("estimate"),
+        F.col("present").cast("long").alias("buckets_used"),
+    ).orderBy("report_day")
+
+
+def hll_sliding_oracle_sql(
+    table: str, key_col: str, ts_col: str, p: int = 8, window_days: int = 7
+) -> str:
+    """DuckDB mirror of :func:`hll_sliding_distinct`."""
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << cap))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', {ts_col}) AS day,
+         CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM {table}
+), r AS (
+  SELECT day, h & {m - 1} AS bucket,
+         max(CASE WHEN h >> {p} = 0 THEN {cap}
+                  ELSE length(bin((h >> {p}) & -(h >> {p}))) END) AS mj
+  FROM h GROUP BY day, bucket
+), days AS (SELECT DISTINCT day AS report_day FROM r),
+contrib AS (
+  SELECT day + to_days(CAST(t.d AS INT)) AS report_day, bucket, mj
+  FROM r, unnest(range(0, {window_days})) AS t(d)
+),
+merged AS (
+  SELECT report_day, bucket, max(mj) AS mj
+  FROM contrib SEMI JOIN days USING (report_day)
+  GROUP BY report_day, bucket
+),
+s AS (
+  SELECT report_day, count(*) AS present,
+         CAST(sum(1::BIGINT << ({cap} - mj)) AS BIGINT) AS z
+  FROM merged GROUP BY report_day
+),
+e AS (
+  SELECT report_day, present,
+         {num} / CAST(z + ({m} - present) * (1::BIGINT << {cap}) AS DOUBLE) AS raw
+  FROM s
+)
+SELECT report_day,
+       round(CASE WHEN raw <= {2.5 * m!r} AND present < {m}
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - present AS DOUBLE))
+                  ELSE raw END, 4) AS estimate,
+       CAST(present AS BIGINT) AS buckets_used
+FROM e ORDER BY report_day
+"""
+
+
 def histogram_quantiles(
     df: DataFrame, col: str, width: float, qs: list[float]
 ) -> DataFrame:

@@ -2054,6 +2054,26 @@ GROUP BY report_day ORDER BY report_day
 """
 
 
+def q_evt_wau_hll(spark, sf_dir):
+    """Sliding 7-day actives per day via merged HLL registers — the
+    sketch twin of `evt_active_users_7d`: per-day registers max-merge
+    across the window, so shuffle volume is days×256 rows regardless of
+    user count (the exact explode carries 7·|user-day pairs|)."""
+    from .operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_sliding_distinct(ev, "user_id", "ts", p=8, window_days=7)
+
+
+def _wau_hll_oracle():
+    from .operators.sketches import hll_sliding_oracle_sql
+
+    return hll_sliding_oracle_sql("events", "user_id", "ts", p=8, window_days=7)
+
+
+O_EVT_WAU_HLL = _wau_hll_oracle()
+
+
 def q_evt_funnel(spark, sf_dir):
     """Event funnel (ClickHouse windowFunnel shape): users who did
     view → click → purchase in strict event-time order, completing within
@@ -2406,6 +2426,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "s15_logtable_diff": (q_s15_logtable_diff, O_S15_LOGTABLE_DIFF),
     "evt_spikes": (q_evt_spikes, O_EVT_SPIKES),
     "evt_active_users_7d": (q_evt_active_users_7d, O_EVT_ACTIVE_USERS),
+    "evt_wau_hll": (q_evt_wau_hll, O_EVT_WAU_HLL),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),

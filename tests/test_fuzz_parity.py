@@ -207,6 +207,8 @@ EVT_GATES = [
     "evt_transitions",
     "evt_retention",
     "evt_spikes",
+    "evt_active_users_7d",
+    "evt_wau_hll",
     "skew_salted_topn",
 ]
 

@@ -103,3 +103,15 @@ def test_wau_matches_bruteforce(spark):
             {u for u, pd_ in pairs if 0 <= (d - pd_).days <= 6}
         )
         assert got[d] == expect, f"day {d}"
+
+
+def test_wau_hll_tracks_exact_wau(spark):
+    """The sketch twin must track the exact rolling distinct within HLL
+    error (~6.5% at p=8; assert 4 sigma + small-n slack)."""
+    exact_fn, _ = REGISTRY["evt_active_users_7d"]
+    hll_fn, _ = REGISTRY["evt_wau_hll"]
+    exact = {r["report_day"]: r["active_users"] for r in exact_fn(spark, SF_SMOKE).collect()}
+    est = {r["report_day"]: r["estimate"] for r in hll_fn(spark, SF_SMOKE).collect()}
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        assert abs(est[d] - n) <= max(0.3 * n, 10), (d, n, est[d])
