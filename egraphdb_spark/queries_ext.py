@@ -602,6 +602,59 @@ GROUP BY c_mktsegment
 """
 
 
+def q_s15_logtable_asof(spark, sf_dir):
+    """Time-travel read over the persistent logtable: the ``as_of=1``
+    snapshot (post-upsert, pre-delete) of the same base/upsert/tombstone
+    log as `s15_logtable_persisted` — the delete segment exists on disk
+    but is excluded by partition pruning on `seg`, so the aggregate must
+    reproduce the pre-delete state exactly.  Snapshot isolation is the
+    reference's versioned-read surface (egraph_detail_model.erl:574-588)
+    generalized to any historical _seq."""
+    import shutil
+
+    from .sources import logtable as lt
+
+    path = f"{_IO_ROOT}/logtable-asof-{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    lt.create(cust.where(F.col("c_custkey") % 3 != 0), path, ["c_custkey"])
+    lt.append_upsert(
+        cust.where(F.col("c_custkey") % 5 == 0).withColumn(
+            "bal", F.col("bal") + F.lit("100.50").cast("decimal(18,2)")
+        ),
+        path,
+    )
+    lt.append_delete(
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"), path
+    )
+    snap = lt.read_latest(spark, path, as_of=1)
+    return snap.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("bal").cast("double").alias("sum_bal"),
+        F.max(F.col("_seq").cast("long")).alias("max_seq"),
+    )
+
+
+O_S15_LOGTABLE_ASOF = """
+SELECT c_mktsegment, count(*) AS n,
+       cast(sum(bal) as double) AS sum_bal,
+       CAST(max(CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS max_seq
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0
+              THEN cast(c_acctbal as decimal(18,2)) + 100.50
+              ELSE cast(c_acctbal as decimal(18,2)) END AS bal
+  FROM customer
+  WHERE c_custkey % 3 <> 0 OR c_custkey % 5 = 0
+)
+GROUP BY c_mktsegment
+"""
+
+
 def q_s15_logtable_diff(spark, sf_dir):
     """CDC snapshot diff over the same base/upsert/tombstone log as
     `s15_logtable_persisted`: every key touched after the base segment,
@@ -2453,6 +2506,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "io_framedbin_roundtrip": (q_io_framedbin_roundtrip, _IO_DIGEST_ORACLE),
     "s15_upsert_version": (q_s15_upsert_version, O_S15_UPSERT),
     "s15_logtable_persisted": (q_s15_logtable_persisted, O_S15_LOGTABLE),
+    "s15_logtable_asof": (q_s15_logtable_asof, O_S15_LOGTABLE_ASOF),
     "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
     "reindex_status": (q_reindex_status, O_REINDEX_STATUS),
 }
