@@ -655,6 +655,63 @@ GROUP BY c_mktsegment
 """
 
 
+def q_s15_logtable_compact(spark, sf_dir):
+    """Compaction invariance, oracle-asserted: fold the base/upsert/
+    tombstone log into one fresh segment (read amplification back to 1 —
+    the maintenance op merge-on-read tables live or die by), then prove
+    readers see the identical merged state by aggregating the compacted
+    table against the same arithmetic oracle as the uncompacted read.
+    `n_segments` pins the physical evidence (exactly one segment left)."""
+    import shutil
+
+    from .sources import logtable as lt
+
+    path = f"{_IO_ROOT}/logtable-compact-{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(path, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    lt.create(cust.where(F.col("c_custkey") % 3 != 0), path, ["c_custkey"])
+    lt.append_upsert(
+        cust.where(F.col("c_custkey") % 5 == 0).withColumn(
+            "bal", F.col("bal") + F.lit("100.50").cast("decimal(18,2)")
+        ),
+        path,
+    )
+    lt.append_delete(
+        cust.where(F.col("c_custkey") % 7 == 0).select("c_custkey"), path
+    )
+    lt.compact(spark, path)
+    n_segments = len(lt._segments(path))
+    return (
+        lt.read_latest(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("bal").cast("double").alias("sum_bal"),
+        )
+        .withColumn("n_segments", F.lit(n_segments).cast("long"))
+    )
+
+
+O_S15_LOGTABLE_COMPACT = """
+SELECT c_mktsegment, count(*) AS n,
+       cast(sum(bal) as double) AS sum_bal,
+       CAST(1 AS BIGINT) AS n_segments
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 5 = 0
+              THEN cast(c_acctbal as decimal(18,2)) + 100.50
+              ELSE cast(c_acctbal as decimal(18,2)) END AS bal
+  FROM customer
+  WHERE (c_custkey % 3 <> 0 OR c_custkey % 5 = 0) AND c_custkey % 7 <> 0
+)
+GROUP BY c_mktsegment
+"""
+
+
 def q_s15_logtable_diff(spark, sf_dir):
     """CDC snapshot diff over the same base/upsert/tombstone log as
     `s15_logtable_persisted`: every key touched after the base segment,
@@ -2507,6 +2564,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "s15_upsert_version": (q_s15_upsert_version, O_S15_UPSERT),
     "s15_logtable_persisted": (q_s15_logtable_persisted, O_S15_LOGTABLE),
     "s15_logtable_asof": (q_s15_logtable_asof, O_S15_LOGTABLE_ASOF),
+    "s15_logtable_compact": (q_s15_logtable_compact, O_S15_LOGTABLE_COMPACT),
     "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
     "reindex_status": (q_reindex_status, O_REINDEX_STATUS),
 }
