@@ -153,21 +153,31 @@ def main() -> None:
     # conflates engine cost with host noise.  The second run reuses shuffle
     # files only where Spark would anyway (stage reuse is disabled across
     # jobs); min() reports the reproducible cost.
+    # Best-of-N as N full PASSES over the query list (not N back-to-back
+    # reps per query): this host's slowdowns oscillate on minute scales —
+    # and not all of them surface as steal (spot-checks show 3-6x drift
+    # with near-zero /proc/stat steal, likely frequency/IPC degradation) —
+    # so samples of the same query must be minutes apart to dodge a burst.
+    # Same total work as per-query best-of-N, strictly better diversity.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     run_steal0 = steal_ticks()
     query_steal: dict[str, int] = {}
-    for name in BENCH_QUERIES:
-        fn, _ = REGISTRY[name]
-        best = float("inf")
-        min_steal = 1 << 62
-        for _ in range(max(1, reps)):
+    best: dict[str, float] = {n: float("inf") for n in BENCH_QUERIES}
+    for _ in range(max(1, reps)):
+        for name in BENCH_QUERIES:
+            fn, _ = REGISTRY[name]
             s0 = steal_ticks()
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            min_steal = min(min_steal, steal_ticks() - s0)
-        timings[name] = round(best, 3)
-        query_steal[name] = min_steal
+            elapsed = time.perf_counter() - t0
+            ds = steal_ticks() - s0
+            if elapsed < best[name]:
+                best[name] = elapsed
+                query_steal[name] = ds
+            else:
+                query_steal[name] = min(query_steal[name], ds)
+    for name in BENCH_QUERIES:
+        timings[name] = round(best[name], 3)
 
     # Contention spikes on this host can outlast a back-to-back best-of-2
     # window (observed: a 1 s query sampling 40 s twice in a row, then 1 s
