@@ -118,19 +118,10 @@ def hll_sliding_distinct(
     operator; this one trades ~1.04/sqrt(m) error (~6.5% at p=8) for a
     shuffle bounded by days×m rows.
     """
-    m = 1 << p
-    cap = 61 - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = _h60(F.col(key_col))
-    w = F.shiftright(h, p)
-    rho = F.when(w == 0, F.lit(cap)).otherwise(F.length(F.bin(w.bitwiseAND(-w))))
+    bucket, rho = hll_register_cols(key_col, p)
     day = F.date_trunc("day", F.col(ts_col))
     regs = (
-        df.select(
-            day.alias("day"),
-            h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
-            rho.alias("rho"),
-        )
+        df.select(day.alias("day"), bucket, rho)
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("mj"))
     )
@@ -150,28 +141,57 @@ def hll_sliding_distinct(
         .groupBy("report_day", "bucket")
         .agg(F.max("mj").alias("mj"))
     )
+    return hll_estimate_registers(merged, ["report_day"], p=p).orderBy(
+        "report_day"
+    )
+
+
+def hll_estimate_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Estimate per group from (group_cols…, bucket, mj) register rows —
+    the merge-side half of every windowed/partitioned HLL: registers are
+    built wherever the data is (batch window, streaming sliding window,
+    per-shard partials), max-merged upstream, and this turns each group's
+    surviving registers into one (estimate, buckets_used) row.
+
+    Applies the small-range linear-counting branch: a per-window active
+    set can hold far fewer keys than m registers, where the raw estimate
+    floors at ~alpha·m.  Unlike hll_distinct (which documents omitting
+    it), windowed counts come in every size — ln() is already in the
+    cross-engine trust base (BM25, unigram-NLL, A-ES sampling), and the
+    SQL mirrors apply the identical branch.
+    """
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
     scaled = F.expr(f"shiftleft(1L, {cap} - mj)")
-    agg = merged.groupBy("report_day").agg(
+    agg = regs.groupBy(*group_cols).agg(
         F.count("*").alias("present"), F.sum(scaled).alias("z")
     )
     s = F.col("z") + (F.lit(m) - F.col("present")) * F.lit(1 << cap).cast("long")
     raw = F.lit(alpha * m * m * float(1 << cap)) / s.cast("double")
-    # Small-range (linear counting) correction: a 7-day active window can
-    # hold far fewer keys than m registers, where the raw estimate floors
-    # at ~alpha*m.  Unlike hll_distinct (which documents omitting it),
-    # this operator's whole point is per-window counts of every size —
-    # ln() is already in the cross-engine trust base (BM25, unigram-NLL,
-    # A-ES sampling), and the oracle applies the identical branch.
     empty = F.lit(m) - F.col("present")
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
     ).otherwise(raw)
     return agg.select(
-        "report_day",
+        *group_cols,
         F.round(est, 4).alias("estimate"),
         F.col("present").cast("long").alias("buckets_used"),
-    ).orderBy("report_day")
+    )
+
+
+def hll_register_cols(key_col: str, p: int = 8) -> tuple["F.Column", "F.Column"]:
+    """(bucket, rho) expressions for one key — the build-side half of a
+    windowed HLL (pair with :func:`hll_estimate_registers`)."""
+    m = 1 << p
+    cap = 61 - p
+    h = _h60(F.col(key_col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(cap)).otherwise(F.length(F.bin(w.bitwiseAND(-w))))
+    return h.bitwiseAND(F.lit(m - 1)).alias("bucket"), rho.alias("rho")
 
 
 def hll_sliding_oracle_sql(
@@ -442,3 +462,46 @@ def bloom_probe_summary(
         F.sum("bloom_hit").alias("n_bloom_hits"),
         F.sum(F.expr("bloom_hit * (1 - is_true)")).alias("n_false_pos"),
     )
+
+
+def hll_stream_oracle_sql(
+    table: str, key_col: str, ts_col: str, p: int = 8, window_days: int = 7
+) -> str:
+    """DuckDB mirror of the streaming sliding-register sketch
+    (streaming.sliding_hll_registers → hll_estimate_registers): Spark's
+    epoch-aligned sliding windows mean an event on day D belongs to the
+    windows ENDING on D+1 … D+window_days, each day-aligned."""
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << cap))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', {ts_col}) AS day,
+         CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM {table}
+), r AS (
+  SELECT day + to_days(CAST({window_days} - t.d AS INT)) AS window_end,
+         h & {m - 1} AS bucket,
+         max(CASE WHEN h >> {p} = 0 THEN {cap}
+                  ELSE length(bin((h >> {p}) & -(h >> {p}))) END) AS mj
+  FROM h, unnest(range(0, {window_days})) AS t(d)
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT window_end, count(*) AS present,
+         CAST(sum(1::BIGINT << ({cap} - mj)) AS BIGINT) AS z
+  FROM r GROUP BY window_end
+),
+e AS (
+  SELECT window_end, present,
+         {num} / CAST(z + ({m} - present) * (1::BIGINT << {cap}) AS DOUBLE) AS raw
+  FROM s
+)
+SELECT window_end,
+       round(CASE WHEN raw <= {2.5 * m!r} AND present < {m}
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - present AS DOUBLE))
+                  ELSE raw END, 4) AS estimate,
+       CAST(present AS BIGINT) AS buckets_used
+FROM e ORDER BY window_end
+"""

@@ -2184,6 +2184,32 @@ def _wau_hll_oracle():
 O_EVT_WAU_HLL = _wau_hll_oracle()
 
 
+def q_stream_wau_hll(spark, sf_dir):
+    """REAL streaming sliding-sketch execution: readStream → watermark →
+    7-day/1-day sliding window → per-(window, bucket) max-rho registers
+    (the ONE aggregation streaming allows; state = windows×256 rows,
+    bounded) → availableNow → memory sink; the finishing estimate runs as
+    a batch aggregate over the sink — the production split (registers in
+    the stream job, estimates in the serving query)."""
+    from .operators import sketches
+    from .streaming.stream import read_events_stream, run_to_memory, sliding_hll_registers
+
+    ev = read_events_stream(spark, sf_dir)
+    regs = run_to_memory(sliding_hll_registers(ev), "stream_wau_hll_tbl")
+    return sketches.hll_estimate_registers(regs, ["window_end"], p=8).orderBy(
+        "window_end"
+    )
+
+
+def _stream_wau_oracle():
+    from .operators.sketches import hll_stream_oracle_sql
+
+    return hll_stream_oracle_sql("events", "user_id", "ts", p=8, window_days=7)
+
+
+O_STREAM_WAU_HLL = _stream_wau_oracle()
+
+
 def q_evt_funnel(spark, sf_dir):
     """Event funnel (ClickHouse windowFunnel shape): users who did
     view → click → purchase in strict event-time order, completing within
@@ -2537,6 +2563,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_spikes": (q_evt_spikes, O_EVT_SPIKES),
     "evt_active_users_7d": (q_evt_active_users_7d, O_EVT_ACTIVE_USERS),
     "evt_wau_hll": (q_evt_wau_hll, O_EVT_WAU_HLL),
+    "stream_wau_hll": (q_stream_wau_hll, O_STREAM_WAU_HLL),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),

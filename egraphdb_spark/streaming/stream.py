@@ -419,3 +419,35 @@ def stream_into_logtable(events: DataFrame, path: str):
         .option("checkpointLocation", f"{path}/_stream_checkpoint")
         .start()
     )
+
+
+def sliding_hll_registers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    p: int = 8,
+    window_days: int = 7,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming half of a sliding distinct-actives sketch: per
+    (7-day-window sliding by 1 day, register bucket) max-rho registers.
+
+    Streaming permits ONE aggregation per query, so the register merge
+    runs under the watermark here (state = windows×m rows — bounded and
+    tiny, vs windows×users for exact distinct) and the finishing estimate
+    (sketches.hll_estimate_registers) runs as a batch aggregate over the
+    sink — the same split a production pipeline uses (registers in the
+    stream job, estimates in the serving query), and the same
+    stream-then-batch shape as `stream_dedup`'s post-aggregation.
+    """
+    from ..operators.sketches import hll_register_cols
+
+    bucket, rho = hll_register_cols(key_col, p)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.col("ts"), bucket, rho)
+        .groupBy(
+            F.window("ts", f"{window_days} days", "1 day").alias("w"), "bucket"
+        )
+        .agg(F.max("rho").alias("mj"))
+        .select(F.col("w.end").alias("window_end"), "bucket", "mj")
+    )

@@ -115,3 +115,25 @@ def test_wau_hll_tracks_exact_wau(spark):
     assert set(est) == set(exact)
     for d, n in exact.items():
         assert abs(est[d] - n) <= max(0.3 * n, 10), (d, n, est[d])
+
+
+def test_stream_wau_hll_matches_batch_sketch(spark):
+    """The streaming sliding-register path must agree with the batch
+    sketch wherever their windows coincide: the stream window ENDING at
+    day d+1 covers days [d-6, d] — exactly the batch gate's trailing
+    window for report day d."""
+    import datetime
+
+    batch_fn, _ = REGISTRY["evt_wau_hll"]
+    stream_fn, _ = REGISTRY["stream_wau_hll"]
+    batch = {
+        r["report_day"]: (r["estimate"], r["buckets_used"])
+        for r in batch_fn(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["window_end"]: (r["estimate"], r["buckets_used"])
+        for r in stream_fn(spark, SF_SMOKE).collect()
+    }
+    one_day = datetime.timedelta(days=1)
+    for d, v in batch.items():
+        assert stream[d + one_day] == v, d
