@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "sample_weighted",
     "evt_active_users_7d",
     "evt_wau_hll",
+    "stream_wau_hll",
+    "dedup_fuzzy_pairs",
+    "sketch_hll_overlap",
 ]
 
 
@@ -148,11 +151,6 @@ def main() -> None:
             f.result()
     timings["_prepare_graph"] = round(time.perf_counter() - t0, 3)
 
-    # Best-of-2 per query: this host shows multi-second CPU-steal spikes
-    # (identical code measured 3x apart across runs), so a single sample
-    # conflates engine cost with host noise.  The second run reuses shuffle
-    # files only where Spark would anyway (stage reuse is disabled across
-    # jobs); min() reports the reproducible cost.
     # Best-of-N as N full PASSES over the query list (not N back-to-back
     # reps per query): this host's slowdowns oscillate on minute scales —
     # and not all of them surface as steal (spot-checks show 3-6x drift

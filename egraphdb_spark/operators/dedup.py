@@ -704,3 +704,80 @@ def semantic_dedup_pairs(
         .select("cluster_id", "id_a", "id_b", c.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 8,
+    prefix_len: int = 16,
+    max_block_size: int = 64,
+) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs: (id_a, id_b, dist).
+
+    The approximate-string-join member of the dedup family: catches the
+    "same document, a few characters edited" class (boilerplate tweaks,
+    typo fixes, version bumps) that shingle Jaccard under-scores on short
+    docs and exact fingerprints miss entirely.
+
+    Entity-resolution-style prefix blocking: documents sharing the first
+    ``prefix_len`` characters of the normalized text form a block, and
+    only within-block pairs are scored.  Like the LSH/SimHash blockers
+    this is a high-recall approximation, not an exact all-pairs edit-
+    distance join (a pair whose edits touch the first ``prefix_len``
+    chars is missed); the SQL oracle replicates the identical blocking so
+    results stay engine-exact.
+
+    Cost shape, in order:
+      * blocks larger than ``max_block_size`` are dropped BEFORE the
+        self-join (the LSH guard: degenerate prefixes — e.g. a shared
+        boilerplate header — would otherwise go quadratic);
+      * the length prefilter |len_a − len_b| <= max_dist sits in the join
+        condition (an edit script cannot change length by more than its
+        number of edits), so hopeless pairs never reach the DP;
+      * the Levenshtein itself uses Spark's bounded form
+        (``levenshtein(l, r, threshold)``) — O(max_dist * n) banded DP
+        per survivor, not O(n^2), returning -1 above the bound, which the
+        <= max_dist filter removes (equivalent to the oracle's unbounded
+        distance filtered to the same bound).
+
+    At 100 TB: the shuffle key is the 16-char block prefix; one block per
+    document (single blocking key, unlike LSH's bands) means pairs are
+    born unique — no distinct.  Skewed prefixes are capped by the guard,
+    so the join is bounded by max_block_size^2 per block.
+    """
+    norm = df.select(F.col(id_col).alias("id"), normalize(text_col).alias("t"))
+    blocked = norm.select(
+        "id",
+        "t",
+        F.substring("t", 1, prefix_len).alias("blk"),
+        F.length("t").alias("ln"),
+    )
+    small = (
+        blocked.groupBy("blk")
+        .agg(F.count("*").alias("sz"))
+        .where(F.col("sz") <= max_block_size)
+        .select("blk")
+    )
+    blocked = blocked.join(small, "blk", "left_semi")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist)
+    # The distance bounds live IN the join condition, after the cheap
+    # predicates: join conditions short-circuit left-to-right, so the DP
+    # only runs on pairs that survived id</length pruning.  (Filtering a
+    # projected dist column instead lets Catalyst push the predicate back
+    # into the condition with the levenshtein FIRST — measured 10x slower
+    # at sf0.1: full-cost distances on every block pair.)
+    return a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+        & (dist >= 0)
+        & (dist <= max_dist),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        dist.cast("long").alias("dist"),
+    )

@@ -505,3 +505,115 @@ SELECT window_end,
        CAST(present AS BIGINT) AS buckets_used
 FROM e ORDER BY window_end
 """
+
+
+def hll_overlap(
+    df: DataFrame,
+    key_col: str,
+    set_col: str,
+    set_a: str,
+    set_b: str,
+    p: int = 8,
+) -> DataFrame:
+    """Sketch set algebra: distinct-key overlap of two tagged sets in one
+    pass — |A|, |B|, |A∪B| from HLL registers, |A∩B| by inclusion-
+    exclusion.  One row out: (set_a, set_b, est_a, est_b, est_union,
+    est_intersect).
+
+    Registers are mergeable by max, which is what makes the union free:
+    the same per-(tag, bucket) partials that estimate each set are
+    max-merged across tags for the union — no second scan, no exact
+    distinct.  Intersection is est_a + est_b − est_union, clamped at 0
+    (inclusion-exclusion error can dip negative for tiny overlaps).
+
+    Shuffle is ≤ 2m register rows regardless of input size; the estimate
+    math (with the small-range linear-counting branch) is exactly
+    :func:`hll_estimate_registers`, so the DuckDB oracle replicates the
+    result bit-for-bit.  Relative error on the intersection compounds to
+    ~1.04/sqrt(m) · (|A|+|B|+|A∪B|)/|A∩B| — fine for overlap triage
+    (contamination-rate dashboards, cross-source audience overlap),
+    wrong tool below ~10% overlap (use the exact semi-join then).
+    """
+    bucket, rho = hll_register_cols(key_col, p)
+    regs = (
+        df.where(F.col(set_col).isin(set_a, set_b))
+        .select(F.col(set_col).alias("tag"), bucket, rho)
+        .groupBy("tag", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.lit("__union__").alias("tag"), "bucket", "mj")
+    )
+    est = hll_estimate_registers(regs.unionByName(union_regs), ["tag"], p=p)
+
+    def pick(tag: str):
+        return F.max(F.when(F.col("tag") == tag, F.col("estimate")))
+
+    out = est.agg(
+        pick(set_a).alias("est_a"),
+        pick(set_b).alias("est_b"),
+        pick("__union__").alias("est_union"),
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return out.select(
+        F.lit(set_a).alias("set_a"),
+        F.lit(set_b).alias("set_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        F.round(inter, 4).alias("est_intersect"),
+    )
+
+
+def hll_overlap_oracle_sql(
+    src_cte: str, set_a: str, set_b: str, p: int = 8
+) -> str:
+    """DuckDB mirror of :func:`hll_overlap`.  ``src_cte`` must be a CTE
+    body yielding (tag, key) rows already filtered to the two tags."""
+    m = 1 << p
+    cap = 61 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << cap))
+    return f"""
+WITH src AS ({src_cte}),
+h AS (
+  SELECT tag,
+         CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM src
+), r AS (
+  SELECT tag, h & {m - 1} AS bucket,
+         max(CASE WHEN h >> {p} = 0 THEN {cap}
+                  ELSE length(bin((h >> {p}) & -(h >> {p}))) END) AS mj
+  FROM h GROUP BY tag, bucket
+), ru AS (
+  SELECT tag, bucket, mj FROM r
+  UNION ALL
+  SELECT '__union__' AS tag, bucket, max(mj) AS mj FROM r GROUP BY bucket
+), s AS (
+  SELECT tag, count(*) AS present,
+         CAST(sum(1::BIGINT << ({cap} - mj)) AS BIGINT) AS z
+  FROM ru GROUP BY tag
+), e AS (
+  SELECT tag, present,
+         {num} / CAST(z + ({m} - present) * (1::BIGINT << {cap}) AS DOUBLE) AS raw
+  FROM s
+), est AS (
+  SELECT tag,
+         round(CASE WHEN raw <= {2.5 * m!r} AND present < {m}
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - present AS DOUBLE))
+                    ELSE raw END, 4) AS estimate
+  FROM e
+), piv AS (
+  SELECT max(CASE WHEN tag = '{set_a}' THEN estimate END) AS est_a,
+         max(CASE WHEN tag = '{set_b}' THEN estimate END) AS est_b,
+         max(CASE WHEN tag = '__union__' THEN estimate END) AS est_union
+  FROM est
+)
+SELECT '{set_a}' AS set_a, '{set_b}' AS set_b, est_a, est_b, est_union,
+       round(greatest(0.0, est_a + est_b - est_union), 4) AS est_intersect
+FROM piv
+"""

@@ -2063,7 +2063,70 @@ GROUP BY source
 """
 
 
+def q_dedup_fuzzy_pairs(spark, sf_dir):
+    """Blocked edit-distance near-dup pairs over documents — the
+    approximate-string-join member of the dedup ladder (prefix blocking
+    + length prefilter + bounded Levenshtein; see dedup.fuzzy_pairs)."""
+    return dedup.fuzzy_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_dist=8,
+        prefix_len=16,
+        max_block_size=64,
+    ).orderBy("id_a", "id_b")
+
+
+O_DEDUP_FUZZY = f"""
+WITH norm AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+b AS (SELECT id, t, substr(t, 1, 16) AS blk, length(t) AS ln FROM norm),
+ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 64),
+s AS (SELECT b.* FROM b SEMI JOIN ok USING (blk))
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(levenshtein(a.t, c.t) AS BIGINT) AS dist
+FROM s a JOIN s c
+  ON a.blk = c.blk AND a.id < c.id AND abs(a.ln - c.ln) <= 8
+WHERE levenshtein(a.t, c.t) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+def q_sketch_hll_overlap(spark, sf_dir):
+    """HLL set algebra — distinct user-day overlap between 'click' and
+    'purchase' activity, |A∩B| by inclusion-exclusion over max-merged
+    registers (see sketches.hll_overlap).  The key is the integer
+    user_id·2^16 + epoch-day (no strftime in the trust base)."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.withColumn(
+        "user_day",
+        (
+            F.col("user_id") * 65536
+            + F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        ).cast("long"),
+    )
+    return sketches.hll_overlap(
+        keyed, "user_day", "event_type", "click", "purchase", p=8
+    )
+
+
+def _hll_overlap_oracle() -> str:
+    from .operators.sketches import hll_overlap_oracle_sql
+
+    src = (
+        "SELECT event_type AS tag,\n"
+        "       user_id * 65536 + datediff('day', DATE '1970-01-01',"
+        " CAST(ts AS DATE)) AS key\n"
+        "FROM events WHERE event_type IN ('click', 'purchase')"
+    )
+    return hll_overlap_oracle_sql(src, "click", "purchase", p=8)
+
+
+O_SKETCH_HLL_OVERLAP = _hll_overlap_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "dedup_fuzzy_pairs": (q_dedup_fuzzy_pairs, O_DEDUP_FUZZY),
+    "sketch_hll_overlap": (q_sketch_hll_overlap, O_SKETCH_HLL_OVERLAP),
     "pipe_length_buckets": (q_pipe_length_buckets, O_LENGTH_BUCKETS),
     "sample_weighted": (q_sample_weighted, O_SAMPLE_WEIGHTED),
     "dedup_canonical_corpus": (q_dedup_canonical_corpus, O_DEDUP_CANONICAL),

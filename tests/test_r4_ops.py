@@ -137,3 +137,86 @@ def test_stream_wau_hll_matches_batch_sketch(spark):
     one_day = datetime.timedelta(days=1)
     for d, v in batch.items():
         assert stream[d + one_day] == v, d
+
+
+def _lev(a: str, b: str) -> int:
+    # plain reference DP, small strings only
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_blocking_and_guards(spark):
+    """fuzzy_pairs: exact dup -> dist 0; small edit past the prefix ->
+    true distance; differing prefix -> blocked out; length gap > max_dist
+    -> prefiltered; oversized block -> dropped by the guard."""
+    from egraphdb_spark.operators.dedup import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup of 1
+        (3, base[:-5] + "dgo xx"),              # few edits at the tail
+        (4, "zzz " + base),                     # different prefix: blocked away
+        (5, base + " " + "pad " * 20),          # same block, huge length gap
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs(df, "id", "t", max_dist=8).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == got[(2, 3)] == _lev(base, base[:-5] + "dgo xx")
+    assert not any(4 in p for p in got)          # prefix block differs
+    assert not any(5 in p for p in got)          # length prefilter
+    # guard: a block larger than max_block_size yields nothing
+    many = spark.createDataFrame([(i, base) for i in range(10)], ["id", "t"])
+    assert fuzzy_pairs(many, "id", "t", max_block_size=4).count() == 0
+    # ...but the same corpus pairs fully when the guard allows it
+    assert fuzzy_pairs(many, "id", "t", max_block_size=16).count() == 45
+
+
+def test_hll_overlap_tracks_exact_intersection(spark):
+    """Inclusion-exclusion sketch overlap must track the exact distinct
+    intersection within compounded HLL error; identical sets must give
+    intersect == each side's estimate exactly (same registers)."""
+    from egraphdb_spark.operators.sketches import hll_overlap
+
+    from egraphdb_spark.graph import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    keyed = ev.withColumn(
+        "user_day",
+        (
+            F.col("user_id") * 65536
+            + F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        ).cast("long"),
+    )
+    row = hll_overlap(keyed, "user_day", "event_type", "click", "view").collect()[0]
+    kd = keyed.select("event_type", "user_day")
+    a = {
+        r["user_day"]
+        for r in kd.where(F.col("event_type") == "click").distinct().collect()
+    }
+    b = {
+        r["user_day"]
+        for r in kd.where(F.col("event_type") == "view").distinct().collect()
+    }
+    inter = len(a & b)
+    assert abs(row["est_a"] - len(a)) <= max(0.25 * len(a), 10)
+    assert abs(row["est_intersect"] - inter) <= max(0.5 * inter, 25)
+    # identical sets: A == B == A∪B, so intersect == est_a == est_b
+    same = hll_overlap(
+        keyed.withColumn("event_type", F.lit("x")).unionByName(
+            keyed.withColumn("event_type", F.lit("y"))
+        ),
+        "user_day",
+        "event_type",
+        "x",
+        "y",
+    ).collect()[0]
+    assert same["est_a"] == same["est_b"] == same["est_union"] == same["est_intersect"]

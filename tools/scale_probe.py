@@ -72,6 +72,8 @@ PROBES = [
     "sample_weighted",
     "evt_active_users_7d",
     "dedup_canonical_corpus",
+    "dedup_fuzzy_pairs",
+    "sketch_hll_overlap",
 ]
 
 
