@@ -59,6 +59,35 @@ def train_test_split(
     )
 
 
+def group_split(
+    df: DataFrame, group_col: str, test_fraction: float, salt: str = "gsplit"
+) -> DataFrame:
+    """Leakage-safe train/test split: hash the GROUP key, not the row key.
+
+    Near-duplicate documents cluster within a source/domain/dedup-cluster;
+    a per-row split (``train_test_split``) puts some of each cluster in
+    train and some in eval, leaking training text into the benchmark.  The
+    group-aware split assigns the WHOLE group to one side — the standard
+    leakage control for pretraining eval sets (split by domain / by
+    near-dup cluster), and the grouped analogue of scikit-learn's
+    GroupShuffleSplit.
+
+    Membership is a pure function of the group value (stable under corpus
+    growth: new rows of an existing group inherit its side; new groups
+    draw fresh uniforms).  Still a narrow projection — the hash is
+    computed per row from the group column already present, so there is
+    NO join against a group table and no shuffle; Catalyst evaluates the
+    CASE inside the scan stage.
+    """
+    u = _u60(F.concat(F.lit(salt + ":"), F.col(group_col).cast("string")))
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(_threshold(test_fraction)), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float]
 ) -> DataFrame:

@@ -690,6 +690,26 @@ def q_sample_train_test(spark, sf_dir):
     )
 
 
+def q_sample_group_split(spark, sf_dir):
+    """Leakage-safe split: every document of a source lands on ONE side
+    (hash of the source, not the doc), so near-dups concentrated within a
+    source can never straddle train/eval.  Output is the per-(split,
+    source) ledger — one row per source proves the no-straddle invariant
+    (a straddling source would emit two rows and break the count)."""
+    from .operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sampling.group_split(docs, "source", 0.25)
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Per-language keep-rates (downsample the dominant stratum) — the
     balanced-corpus construction every pretraining pipeline runs."""
@@ -890,6 +910,21 @@ GROUP BY lang ORDER BY lang
 
 
 O_SAMPLE_HASH, O_SAMPLE_TT, O_SAMPLE_STRAT = _sample_oracles()
+
+
+def _group_split_oracle() -> str:
+    from .operators.sampling import _threshold
+
+    return f"""
+SELECT CASE WHEN CAST('0x' || substr(md5('gsplit:' || CAST(source AS VARCHAR)), 1, 15)
+                 AS BIGINT) < {_threshold(0.25)}
+            THEN 'test' ELSE 'train' END AS split,
+       source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY split, source ORDER BY split, source
+"""
+
+
+O_SAMPLE_GROUP_SPLIT = _group_split_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -2190,6 +2225,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),
     "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
+    "sample_group_split": (q_sample_group_split, O_SAMPLE_GROUP_SPLIT),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
     "mm_resize_features": (q_mm_resize_features, O_MM_RESIZE_FEATURES),

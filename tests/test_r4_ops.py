@@ -220,3 +220,34 @@ def test_hll_overlap_tracks_exact_intersection(spark):
         "y",
     ).collect()[0]
     assert same["est_a"] == same["est_b"] == same["est_union"] == same["est_intersect"]
+
+
+def test_group_split_never_straddles_and_is_growth_stable(spark):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(200)], "id long, source string"
+    )
+    out = sampling.group_split(df, "source", 0.5)
+    sides = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in sides)  # a group never straddles
+    before = {
+        (r["source"], r["split"])
+        for r in out.select("source", "split").distinct().collect()
+    }
+    # corpus growth: new rows of existing groups inherit the group's side
+    grown = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(400)], "id long, source string"
+    )
+    after = {
+        (r["source"], r["split"])
+        for r in sampling.group_split(grown, "source", 0.5)
+        .select("source", "split")
+        .distinct()
+        .collect()
+    }
+    assert before == after
+    # both sides are actually populated at this fraction/salt
+    assert len({s for _, s in before}) == 2
