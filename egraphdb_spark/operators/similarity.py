@@ -199,6 +199,78 @@ def lsh_topk(
     )
 
 
+def probe_assign(
+    emb: DataFrame, id_col: str, vec_col: str, anchors: DataFrame, n_probe: int
+) -> DataFrame:
+    """Top-``n_probe`` anchor assignment per vector: (id, vec, anchor_id).
+
+    The query-side of multi-probe IVF — each vector lists the clusters it
+    will search, not just the one it lives in.  Scoring is a map-side
+    broadcast join (anchors are small); the top-n_probe cut is a window,
+    but the input is pre-partitioned by id so the broadcast join PRESERVES
+    that partitioning and the window adds NO second exchange — the only
+    shuffle is the n-row repartition, never the n·m scored rows
+    (asserted in tests/test_plans.py).
+    """
+    a = anchors.select(F.col("anchor_id"), _as_double("vec").alias("avec"))
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).repartition("id")
+    scored = base.join(F.broadcast(a)).withColumn(
+        "cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("cos_a").desc(), F.col("anchor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select("id", "vec", "anchor_id")
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchors: DataFrame,
+    k: int,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Batch ANN kNN graph: every vector's top-``k`` neighbors at once.
+
+    The whole-corpus analogue of the per-query top-k ladder — the building
+    block for embedding-space graph ops (SemDeDup cluster seeds, graph
+    dedup, label propagation over neighbors, diversity sampling).  An
+    exact kNN graph is an n² join; the IVF-blocked form joins each
+    vector's top-``n_probe`` probe clusters against the cluster members
+    only, so candidate work is n·n_probe·cluster_size — LINEAR when the
+    anchor count scales with the corpus (constant target cluster size,
+    same discipline as SemDeDup; a fixed anchor count would be quadratic).
+
+    Shuffles: candidates hash by anchor_id (probe side n·n_probe rows,
+    index side n rows), then the per-source top-k window hashes the
+    candidate edges by id — both linear in candidates.  Directed output
+    (id, nbr, cosine 6dp, rank 1..k); ties break on smaller nbr.
+    """
+    from pyspark.sql import Window
+
+    probes = probe_assign(emb, id_col, vec_col, anchors, n_probe)
+    assigned = ivf_assign(emb, id_col, vec_col, anchors).select(
+        F.col("id").alias("nbr"), F.col("vec").alias("nvec"), F.col("anchor_id")
+    )
+    cand = probes.join(assigned, "anchor_id").where(F.col("id") != F.col("nbr"))
+    wk = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("nbr"))
+    return (
+        cand.select(
+            "id", "nbr", F.round(cosine(F.col("vec"), F.col("nvec")), 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("id", "rank")
+    )
+
+
 def prefix_anchors(emb: DataFrame, id_col: str, vec_col: str, n: int) -> DataFrame:
     """Deterministic anchor set: the ``n`` smallest-id vectors.
 

@@ -512,6 +512,52 @@ ORDER BY cosine DESC, id LIMIT 5
 """
 
 
+def q_sim_knn_graph(spark, sf_dir):
+    """Whole-corpus ANN kNN graph (k=3, 2-probe IVF blocking): candidate
+    work is n·n_probe·cluster_size with the anchor count scaling like
+    SemDeDup's — linear, never the exact n² join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_anchors = max(_N_ANCHORS, emb.count() // _SEM_CLUSTER)
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", n_anchors)
+    return similarity.knn_graph(
+        emb, "vec_id", "embedding", anchors, k=3, n_probe=2
+    )
+
+
+O_KNN_GRAPH = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id
+  LIMIT greatest({_N_ANCHORS}, (SELECT count(*) FROM v) // {_SEM_CLUSTER})
+),
+scored AS (
+  SELECT v.vec_id AS id, v.vec, a.anchor_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY {_cos_sql('v.vec', 'a.avec', 9)} DESC, a.anchor_id
+         ) AS rn
+  FROM v CROSS JOIN anchors a
+),
+probes AS (SELECT id, vec, anchor_id FROM scored WHERE rn <= 2),
+assigned AS (SELECT id AS nbr, vec AS nvec, anchor_id FROM scored WHERE rn = 1),
+cand AS (
+  SELECT p.id, t.nbr, {_cos_sql('p.vec', 't.nvec', 6)} AS cosine
+  FROM probes p JOIN assigned t USING (anchor_id)
+  WHERE p.id <> t.nbr
+)
+SELECT id, nbr, cosine, rank FROM (
+  SELECT id, nbr, cosine,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr)
+              AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= 3
+ORDER BY id, rank
+"""
+
+
 _KM_ANCHORS = 4
 _KM_ITERS = 2
 _KM_DIM = 64
@@ -2180,6 +2226,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_pq_codes": (q_sim_pq_codes, O_SIM_PQ),
     "sim_pq_topk": (q_sim_pq_topk, O_SIM_PQ_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
+    "sim_knn_graph": (q_sim_knn_graph, O_KNN_GRAPH),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
     "txt_bpe_tokens": (q_txt_bpe_tokens, O_TXT_BPE),
     "txt_bpe_pair_counts": (q_txt_bpe_pair_counts, O_TXT_BPE_PAIRS),

@@ -333,3 +333,23 @@ def test_length_buckets_partial_aggregate(spark):
     p = plan_of(q(spark, "pipe_length_buckets"))
     assert "partial_count" in p and "partial_sum" in p
     assert "CartesianProduct" not in p
+
+
+def test_knn_graph_probe_side_single_exchange(spark):
+    # probe_assign's window must reuse the n-row repartition(id) through the
+    # broadcast scoring join — a second exchange would shuffle n·m scored
+    # rows (quadratic when anchors scale with the corpus)
+    from egraphdb_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", 8)
+    probes = similarity.probe_assign(emb, "vec_id", "embedding", anchors, 2)
+    p = plan_of(probes)
+    # exactly one shuffle exchange (the repartition); BroadcastExchange is fine
+    assert p.count(") Exchange") == 1, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # top-n_probe is rank-limited BEFORE the full window (per-group early cut)
+    assert "WindowGroupLimit" in p
+    # the full graph: no cartesian anywhere, anchors broadcast on both sides
+    g = plan_of(q(spark, "sim_knn_graph"))
+    assert "CartesianProduct" not in g

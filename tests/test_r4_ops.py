@@ -7,6 +7,7 @@ corpus to the cluster report it must agree with.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
@@ -251,3 +252,59 @@ def test_group_split_never_straddles_and_is_growth_stable(spark):
     assert before == after
     # both sides are actually populated at this fraction/salt
     assert len({s for _, s in before}) == 2
+
+
+def test_knn_graph_full_probe_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    from egraphdb_spark.operators import similarity
+
+    vecs = {
+        i: [((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(8)] for i in range(24)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", 4)
+    # probing EVERY cluster makes the blocked graph exact
+    got = similarity.knn_graph(emb, "vec_id", "embedding", anchors, k=3, n_probe=4)
+    rows = got.collect()
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return 0.0 if na * nb == 0 else dot / (na * nb)
+
+    want = {}
+    for i in vecs:
+        nbrs = sorted(
+            ((round(cos(vecs[i], vecs[j]), 6), -j) for j in vecs if j != i),
+            reverse=True,
+        )[:3]
+        want[i] = [(-nj, c) for c, nj in nbrs]
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["rank"], r["nbr"], r["cosine"]))
+    assert set(by_id) == set(want)
+    for i, lst in by_id.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3]
+        assert [(n, c) for _, n, c in lst] == [
+            (n, pytest.approx(c, abs=1e-6)) for n, c in want[i]
+        ]
+
+
+def test_knn_graph_partial_probe_invariants(spark):
+    from egraphdb_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", 8)
+    got = similarity.knn_graph(emb, "vec_id", "embedding", anchors, k=3, n_probe=2)
+    df = got.toPandas()
+    assert (df["id"] != df["nbr"]).all()
+    for _, g in df.groupby("id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["cosine"].diff().dropna() <= 1e-9).all()  # non-increasing
