@@ -236,3 +236,136 @@ ranked AS (
 )
 SELECT id, term, score, kw_rank FROM ranked WHERE kw_rank <= {top_n}
 """
+
+
+# Quantization for sparse TF-IDF weights: floor(tf·idf·1e4).  Integer
+# weights make every downstream sum (dot products, squared norms)
+# order-independent and engine-exact — a double dot product over an
+# unordered term set would differ in the last ULP between engines and
+# flip 6dp rounding.  1e4 keeps the worst-case Σ(w²) far inside int64:
+# w ≤ tf·idf·1e4 ≈ 2e7 even on pathological repeated-token docs, so a
+# 1e3-term doc's norm is ≤ 4e17 < 2^63.
+TFIDF_Q = 10_000
+
+
+def tfidf_sim_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_df: int,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs via an inverted-index self-join.
+
+    The lexical near-dup / related-document finder for text that has no
+    embeddings: documents sharing weighted vocabulary score cosine over
+    their tf-idf vectors.  The naive form is an n² comparison; the
+    inverted-index form joins documents ONLY through shared terms, and
+    terms with df > ``max_df`` are pruned first — the classic stop-term
+    cut that bounds every posting list, so candidate work is
+    Σ_kept df² ≤ max_df · Σ df (linear in the corpus for a fixed cap;
+    high-df terms carry near-zero idf weight, so the cut costs almost no
+    signal).  The same guard discipline as the LSH bucket cap.
+
+    Arithmetic: weights are integer-quantized (see ``TFIDF_Q``); the pair
+    dot product and both norms are integer sums, the single
+    sqrt/divide/round per surviving pair is engine-exact.  Zero-norm
+    documents (every kept weight quantized to 0) get cosine 0.0 by the
+    same convention as ``similarity.cosine``.
+
+    Shuffles: tf groupBy (doc, term) with map-side combine; df groupBy
+    term; the self-join shuffles posting lists by term (bounded by
+    max_df); the pair aggregation shuffles (id_a, id_b) partial sums.
+    Output: (id_a, id_b, cosine) with cosine ≥ threshold, 6 dp.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = base.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    idf = F.expr("ln(1 + (n_docs - df + 0.5) / (df + 0.5))")
+    index = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "id",
+            F.floor(F.col("tf") * idf * F.lit(TFIDF_Q)).cast("long").alias("wq"),
+        )
+    )
+    norms = index.groupBy("id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    a = index.select(F.col("term"), F.col("id").alias("id_a"), F.col("wq").alias("wa"))
+    b = index.select(F.col("term"), F.col("id").alias("id_b"), F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_q"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nq").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nq").alias("nb"))
+    den = F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    cosine = F.round(
+        F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.col("dot_q").cast("double") / den
+        ),
+        6,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def tfidf_sim_oracle_sql(
+    table: str, id_col: str, text_col: str, threshold: float, max_df_expr: str
+) -> str:
+    """DuckDB mirror of :func:`tfidf_sim_pairs` (same quantized integers)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                t -> t <> '')) AS term
+  FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM base GROUP BY id, term),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) <= ({max_df_expr})
+),
+idx AS (
+  SELECT term, id,
+         CAST(floor(tf * ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * {TFIDF_Q})
+              AS BIGINT) AS wq
+  FROM tf JOIN dfq USING (term), n
+),
+norms AS (SELECT id, sum(wq * wq) AS nq FROM idx GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.wq * b.wq) AS dot_q
+  FROM idx a JOIN idx b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         round(CASE WHEN sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)) = 0
+                    THEN 0.0
+                    ELSE CAST(dot_q AS DOUBLE)
+                         / (sqrt(CAST(na.nq AS DOUBLE)) * sqrt(CAST(nb.nq AS DOUBLE)))
+               END, 6) AS cosine
+  FROM dots
+  JOIN norms na ON dots.id_a = na.id
+  JOIN norms nb ON dots.id_b = nb.id
+)
+WHERE cosine >= {threshold}
+ORDER BY id_a, id_b
+"""

@@ -1641,6 +1641,26 @@ def q_txt_tfidf_keywords(spark, sf_dir):
 O_TXT_TFIDF = ranking.tfidf_oracle_sql("documents", "doc_id", "text", top_n=3)
 
 
+def q_txt_tfidf_sim_pairs(spark, sf_dir):
+    """Sparse lexical near-dup pairs: tf-idf cosine ≥ 0.30 over an
+    inverted-index self-join, stop terms (df > n/20) pruned to bound the
+    posting lists — the no-embeddings member of the similarity ladder.
+    The count() is one column-pruned scan (data-dependent df cap, same
+    convention as the SemDeDup anchor count)."""
+    docs = _t(spark, sf_dir, "documents")
+    cap = max(2, docs.count() // 20)
+    return ranking.tfidf_sim_pairs(docs, "doc_id", "text", 0.30, max_df=cap)
+
+
+O_TXT_TFIDF_SIM = ranking.tfidf_sim_oracle_sql(
+    "documents",
+    "doc_id",
+    "text",
+    0.30,
+    "SELECT greatest(2, count(*) // 20) FROM documents",
+)
+
+
 def q_pipe_assemble(spark, sf_dir):
     """End-to-end training-data ASSEMBLY as one plan: token-count floor →
     exact dedup (min-id per fingerprint) → sliding-window chunking →
@@ -2218,6 +2238,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_bm25_topk": (q_txt_bm25_topk, O_TXT_BM25),
     "rag_hybrid_rrf": (q_rag_hybrid_rrf, O_RAG_RRF),
     "txt_tfidf_keywords": (q_txt_tfidf_keywords, O_TXT_TFIDF),
+    "txt_tfidf_sim_pairs": (q_txt_tfidf_sim_pairs, O_TXT_TFIDF_SIM),
     "sample_source_quota": (q_sample_source_quota, O_SAMPLE_QUOTA),
     "dedup_repeated_spans": (q_dedup_repeated_spans, O_REPEATED_SPANS),
     "dedup_incremental_lsh": (q_dedup_incremental_lsh, O_INCREMENTAL_LSH),

@@ -57,6 +57,7 @@ FUZZ_GATES = [
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_fuzzy_pairs",
+    "txt_tfidf_sim_pairs",
     "pipe_chunking",
     "pipe_shard_manifest",
     "pipe_seq_pack",

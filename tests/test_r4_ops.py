@@ -308,3 +308,32 @@ def test_knn_graph_partial_probe_invariants(spark):
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(1, len(g) + 1))
         assert (g["cosine"].diff().dropna() <= 1e-9).all()  # non-increasing
+
+
+def test_tfidf_sim_pairs_finds_dup_and_prunes_stop_terms(spark):
+    from egraphdb_spark.operators import ranking
+
+    rows = [
+        (0, "the quick brown fox jumps over lazy dog"),
+        (1, "the quick brown fox jumps over lazy dog"),  # exact dup of 0
+        (2, "the slow green turtle walks under busy cat"),
+        (3, "completely different vocabulary entirely here now"),
+        # 'the' appears in 3/5 docs -> pruned at max_df=2
+        (4, "the assorted words share nothing else common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in ranking.tfidf_sim_pairs(
+            df, "doc_id", "text", threshold=0.9, max_df=2
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0}
+    # with no threshold, docs sharing ONLY the pruned stop term never pair
+    allp = {
+        (r["id_a"], r["id_b"])
+        for r in ranking.tfidf_sim_pairs(
+            df, "doc_id", "text", threshold=0.0, max_df=2
+        ).collect()
+    }
+    assert (2, 4) not in allp and (0, 4) not in allp
