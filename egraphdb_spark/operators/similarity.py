@@ -236,6 +236,7 @@ def knn_graph(
     anchors: DataFrame,
     k: int,
     n_probe: int = 2,
+    n_super: int | None = None,
 ) -> DataFrame:
     """Batch ANN kNN graph: every vector's top-``k`` neighbors at once.
 
@@ -248,6 +249,17 @@ def knn_graph(
     anchor count scales with the corpus (constant target cluster size,
     same discipline as SemDeDup; a fixed anchor count would be quadratic).
 
+    With anchors ∝ n, brute-force ASSIGNMENT (score every anchor) is
+    itself n·m = n²/cluster — pass ``n_super`` (≈ √m) to route it through
+    a coarse quantizer, the standard two-level IVF shape: anchors map to
+    their max-cosine super-anchor once (m·s work), each vector shortlists
+    its top-``n_probe`` coarse cells (n·s) and scores only the anchors
+    inside them (n·n_probe·m/s) — O(n·√m) total, measured 2.5× at 10×
+    data where single-level was 13.6× (SCALE_PROBE.md).  One scored table
+    yields both the probe list (rn ≤ n_probe) and the primary assignment
+    (rn = 1), so nothing is scored twice; with ``n_super=None`` the
+    single-level scoring is identical to probe_assign + ivf_assign.
+
     Shuffles: candidates hash by anchor_id (probe side n·n_probe rows,
     index side n rows), then the per-source top-k window hashes the
     candidate edges by id — both linear in candidates.  Directed output
@@ -255,16 +267,81 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    probes = probe_assign(emb, id_col, vec_col, anchors, n_probe)
-    assigned = ivf_assign(emb, id_col, vec_col, anchors).select(
-        F.col("id").alias("nbr"), F.col("vec").alias("nvec"), F.col("anchor_id")
+    a = anchors.select(F.col("anchor_id"), _as_double("vec").alias("avec"))
+    base = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).repartition("id")
+
+    if n_super is None:
+        scored = base.join(F.broadcast(a)).withColumn(
+            "cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9)
+        )
+    else:
+        sup = (
+            a.orderBy("anchor_id")
+            .limit(n_super)
+            .select(F.col("anchor_id").alias("super_id"), F.col("avec").alias("svec"))
+        )
+        # level 1: anchor → coarse cell (argmax over s supers; m·s work)
+        best_s = F.max(
+            F.struct(F.col("cos_s"), (-F.col("super_id")).alias("neg_super"))
+        )
+        a2s = (
+            a.join(F.broadcast(sup))
+            .withColumn("cos_s", F.round(cosine(F.col("avec"), F.col("svec")), 9))
+            .groupBy("anchor_id")
+            .agg(F.first("avec").alias("avec"), best_s.alias("b"))
+            .select("anchor_id", "avec", (-F.col("b.neg_super")).alias("super_id"))
+        )
+        # level 2: vector → top-n_probe coarse cells (n·s work)
+        w_s = Window.partitionBy("id").orderBy(
+            F.col("cos_s").desc(), F.col("super_id")
+        )
+        v2s = (
+            base.join(F.broadcast(sup))
+            .withColumn("cos_s", F.round(cosine(F.col("vec"), F.col("svec")), 9))
+            .withColumn("rn_s", F.row_number().over(w_s))
+            .where(F.col("rn_s") <= n_probe)
+            .select("id", "vec", "super_id")
+        )
+        # level 3: score only the anchors inside the shortlisted cells
+        scored = v2s.join(F.broadcast(a2s), "super_id").withColumn(
+            "cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9)
+        )
+
+    w_a = Window.partitionBy("id").orderBy(F.col("cos_a").desc(), F.col("anchor_id"))
+    # norms are hoisted to one column per row (n·n_probe rows) so the
+    # candidate loop evaluates only the dot product — the norm lambda is
+    # the same double expression, computed once instead of per pair
+    # (identical value, so the 6dp round and the oracle are unchanged)
+    nrm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    cand = probes.join(assigned, "anchor_id").where(F.col("id") != F.col("nbr"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w_a))
+        .where(F.col("rn") <= n_probe)
+        .select("id", "vec", "anchor_id", "rn", nrm(F.col("vec")).alias("na"))
+    )
+    probes = assignments
+    primary = assignments.where(F.col("rn") == 1).select(
+        F.col("id").alias("nbr"),
+        F.col("vec").alias("nvec"),
+        F.col("anchor_id"),
+        F.col("na").alias("nb"),
+    )
+    cand = probes.join(primary, "anchor_id").where(F.col("id") != F.col("nbr"))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("nvec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.col("na") * F.col("nb")
+    cos = F.round(
+        F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(dot / den), 6
+    )
     wk = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("nbr"))
     return (
-        cand.select(
-            "id", "nbr", F.round(cosine(F.col("vec"), F.col("nvec")), 6).alias("cosine")
-        )
+        cand.select("id", "nbr", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(wk).cast("long"))
         .where(F.col("rank") <= k)
         .orderBy("id", "rank")

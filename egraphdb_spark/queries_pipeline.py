@@ -512,17 +512,32 @@ ORDER BY cosine DESC, id LIMIT 5
 """
 
 
+# kNN-graph target cluster size — smaller than SemDeDup's: the graph only
+# needs k≈3 neighbors per point, so tight clusters (candidate work
+# n·n_probe·128) buy a ~2× cut over the dedup setting at the same recall
+# regime; both engines compute the same data-dependent anchor count.
+_KNN_CLUSTER = 128
+
+
 def q_sim_knn_graph(spark, sf_dir):
-    """Whole-corpus ANN kNN graph (k=3, 2-probe IVF blocking): candidate
-    work is n·n_probe·cluster_size with the anchor count scaling like
-    SemDeDup's — linear, never the exact n² join."""
+    """Whole-corpus ANN kNN graph (k=3, 2-probe IVF blocking, √m coarse
+    quantizer): candidate work is n·n_probe·cluster_size and assignment is
+    O(n·√m) — linear end-to-end, never the exact n² join."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings")
-    n_anchors = max(_N_ANCHORS, emb.count() // _SEM_CLUSTER)
+    n_anchors = max(_N_ANCHORS, emb.count() // _KNN_CLUSTER)
     anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", n_anchors)
     return similarity.knn_graph(
-        emb, "vec_id", "embedding", anchors, k=3, n_probe=2
+        emb, "vec_id", "embedding", anchors, k=3, n_probe=2,
+        n_super=max(2, math.isqrt(n_anchors)),
     )
 
+
+# anchor count m and coarse-cell count s=⌊√m⌋, replicated data-dependently
+# (floor(sqrt) of an exact small integer double equals Python isqrt)
+_KNN_M = f"greatest({_N_ANCHORS}, (SELECT count(*) FROM v) // {_KNN_CLUSTER})"
+_KNN_S = f"greatest(2, CAST(floor(sqrt({_KNN_M})) AS BIGINT))"
 
 O_KNN_GRAPH = f"""
 WITH v AS (
@@ -531,15 +546,39 @@ WITH v AS (
 ),
 anchors AS (
   SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id
-  LIMIT greatest({_N_ANCHORS}, (SELECT count(*) FROM v) // {_SEM_CLUSTER})
+  LIMIT {_KNN_M}
+),
+supers AS (
+  SELECT anchor_id AS super_id, avec AS svec FROM anchors ORDER BY anchor_id
+  LIMIT {_KNN_S}
+),
+a2s AS (
+  SELECT anchor_id, avec, super_id FROM (
+    SELECT a.anchor_id, a.avec, s.super_id,
+           row_number() OVER (
+             PARTITION BY a.anchor_id
+             ORDER BY {_cos_sql('a.avec', 's.svec', 9)} DESC, s.super_id
+           ) AS rn_s
+    FROM anchors a CROSS JOIN supers s
+  ) WHERE rn_s = 1
+),
+v2s AS (
+  SELECT id, vec, super_id FROM (
+    SELECT v.vec_id AS id, v.vec, s.super_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.vec', 's.svec', 9)} DESC, s.super_id
+           ) AS rn_s
+    FROM v CROSS JOIN supers s
+  ) WHERE rn_s <= 2
 ),
 scored AS (
-  SELECT v.vec_id AS id, v.vec, a.anchor_id,
+  SELECT p.id, p.vec, a.anchor_id,
          row_number() OVER (
-           PARTITION BY v.vec_id
-           ORDER BY {_cos_sql('v.vec', 'a.avec', 9)} DESC, a.anchor_id
+           PARTITION BY p.id
+           ORDER BY {_cos_sql('p.vec', 'a.avec', 9)} DESC, a.anchor_id
          ) AS rn
-  FROM v CROSS JOIN anchors a
+  FROM v2s p JOIN a2s a USING (super_id)
 ),
 probes AS (SELECT id, vec, anchor_id FROM scored WHERE rn <= 2),
 assigned AS (SELECT id AS nbr, vec AS nvec, anchor_id FROM scored WHERE rn = 1),

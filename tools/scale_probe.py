@@ -74,6 +74,9 @@ PROBES = [
     "dedup_canonical_corpus",
     "dedup_fuzzy_pairs",
     "sketch_hll_overlap",
+    "sample_group_split",
+    "sim_knn_graph",
+    "txt_tfidf_sim_pairs",
 ]
 
 
