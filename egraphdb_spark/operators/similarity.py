@@ -599,6 +599,41 @@ def pq_codes(
     )
 
 
+def _pq_query_lut(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    n_subspaces: int,
+    n_centroids: int,
+) -> DataFrame:
+    """Query-side ADC lookup table: (m, code, qd) — fixed-point squared-L2
+    from each query subvector to each codebook subvector.  M·K rows,
+    driver-built (the codebook prefix is a bounded collect) and broadcast.
+    Fixed-point recipe matches pq_codes: HALF-UP round 9dp (builtin round
+    is half-even and diverges on dyadic ties, e.g. 1/1024), then an exact
+    exponent shift+floor."""
+    sd = len(query_vec) // n_subspaces
+    prefix = (
+        emb.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
+        .collect()
+    )
+    lut_rows = []
+    for m in range(n_subspaces):
+        qs = query_vec[m * sd : (m + 1) * sd]
+        for r in prefix:
+            cv = [float(x) for x in r["v"][m * sd : (m + 1) * sd]]
+            d = 0.0
+            for a, b in zip(qs, cv):
+                d = d + (a - b) * (a - b)
+            lut_rows.append(
+                (m, int(r["cid"]), int(math.floor(_round_half_up(d, 9) * _CENTROID_Q)))
+            )
+    return emb.sparkSession.createDataFrame(lut_rows, "m long, code long, qd long")
+
+
 def pq_topk(
     emb: DataFrame,
     id_col: str,
@@ -623,31 +658,8 @@ def pq_topk(
     Scale: the LUT (M·K ints) broadcasts; candidate generation is one
     groupBy(id) over M rows/vector; re-rank is a semi-join-pruned scan.
     """
-    sd = len(query_vec) // n_subspaces
     codes = pq_codes(emb, id_col, vec_col, n_subspaces, n_centroids)
-
-    prefix = (
-        emb.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
-        .collect()
-    )
-    lut_rows = []
-    for m in range(n_subspaces):
-        qs = query_vec[m * sd : (m + 1) * sd]
-        for r in prefix:
-            cv = [float(x) for x in r["v"][m * sd : (m + 1) * sd]]
-            d = 0.0
-            for a, b in zip(qs, cv):
-                d = d + (a - b) * (a - b)
-            # same fixed-point recipe as pq_codes: HALF-UP round 9dp
-            # (builtin round is half-even and diverges on dyadic ties,
-            # e.g. 1/1024), then an exact exponent shift+floor
-            lut_rows.append(
-                (m, int(r["cid"]), int(math.floor(_round_half_up(d, 9) * _CENTROID_Q)))
-            )
-    spark = emb.sparkSession
-    lut = spark.createDataFrame(lut_rows, "m long, code long, qd long")
+    lut = _pq_query_lut(emb, id_col, vec_col, query_vec, n_subspaces, n_centroids)
 
     approx = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -657,6 +669,62 @@ def pq_topk(
         .limit(n_candidates)
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    cand = emb.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    ).join(F.broadcast(approx.select("id")), "id", "left_semi")
+    c = F.round(cosine(F.col("vec"), q), 6)
+    return (
+        cand.select("id", c.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    n_candidates: int = 32,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF+PQ top-k — the production billion-vector ANN composition
+    (FAISS IVFPQ; Jégou et al. 2011 §IV): the inverted file restricts the
+    scan to the query's ``n_probe`` buckets, PQ asymmetric distance scores
+    those buckets' CODES (4 B/vector) with integer LUT sums, and only the
+    best ``n_candidates`` are re-ranked with exact cosine on full vectors.
+
+    Composes the two already-proven stages: bucket restriction from
+    ``ivf_topk`` (probed fraction ≈ n_probe/n_anchors) and ADC scoring
+    from ``pq_topk``.  Here the bucket cut is a join against the
+    assignment (shuffle by id, linear); at scale the codes table is
+    PERSISTED partitioned by anchor_id, so the probe becomes partition
+    pruning — the scan reads n_probe/n_anchors of a 4 B/vector file, the
+    smallest possible I/O for the recall.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    probe = (
+        anchors.select("anchor_id", _as_double("vec").alias("avec"))
+        .select("anchor_id", F.round(cosine(F.col("avec"), q), 9).alias("cos_q"))
+        .orderBy(F.col("cos_q").desc(), F.col("anchor_id"))
+        .limit(n_probe)
+        .select("anchor_id")
+    )
+    assigned = ivf_assign(emb, id_col, vec_col, anchors).select("id", "anchor_id")
+    codes = pq_codes(emb, id_col, vec_col, n_subspaces, n_centroids)
+    bucket_codes = codes.join(assigned, "id").join(F.broadcast(probe), "anchor_id")
+    lut = _pq_query_lut(emb, id_col, vec_col, query_vec, n_subspaces, n_centroids)
+    approx = (
+        bucket_codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("id")
+        .agg(F.sum("qd").alias("approx_d"))
+        .orderBy("approx_d", "id")
+        .limit(n_candidates)
+    )
     cand = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).join(F.broadcast(approx.select("id")), "id", "left_semi")

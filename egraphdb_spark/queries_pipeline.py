@@ -2081,6 +2081,84 @@ SELECT id, cosine FROM rerank ORDER BY cosine DESC, id LIMIT 10
 """
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ composition (FAISS IVFPQ shape): 2-probe bucket restriction,
+    integer ADC over 4-bit codes within the buckets, exact cosine re-rank
+    of the top 32 — the memory- AND I/O-scale ANN path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", _N_ANCHORS)
+    return similarity.ivfpq_topk(
+        emb, "vec_id", "embedding", anchors, QUERY_VEC,
+        k=10, n_probe=2, n_candidates=32,
+    )
+
+
+O_SIM_IVFPQ = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id LIMIT {_N_ANCHORS}
+),
+q AS (SELECT {_QV_SQL} AS qv),
+probe AS (
+  SELECT anchor_id FROM anchors, q
+  ORDER BY {_cos_sql('avec', 'qv', 9)} DESC, anchor_id
+  LIMIT 2
+),
+assigned AS (
+  SELECT id, anchor_id FROM (
+    SELECT v.vec_id AS id, a.anchor_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.vec', 'a.avec', 9)} DESC, a.anchor_id
+           ) AS rn
+    FROM v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+pref AS (SELECT vec_id AS cid, vec FROM v ORDER BY vec_id LIMIT 16),
+codebook AS (
+  SELECT CAST(t.m AS INT) AS m, cid,
+         vec[CAST(t.m * 8 + 1 AS INT) : CAST(t.m * 8 + 8 AS INT)] AS cvec
+  FROM pref, unnest(range(0, 8)) AS t(m)
+),
+subs AS (
+  SELECT vec_id AS id, CAST(t.m AS INT) AS m,
+         vec[CAST(t.m * 8 + 1 AS INT) : CAST(t.m * 8 + 8 AS INT)] AS sv
+  FROM v, unnest(range(0, 8)) AS t(m)
+),
+scored AS (
+  SELECT id, m, cid,
+         round(list_sum(list_transform(range(1, 9),
+               i -> (sv[CAST(i AS INT)] - cvec[CAST(i AS INT)])
+                    * (sv[CAST(i AS INT)] - cvec[CAST(i AS INT)]))), 9) AS d2
+  FROM subs JOIN codebook USING (m)
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+  FROM scored
+),
+codes AS (SELECT id, m, cid AS code FROM best WHERE rn = 1),
+bucket_codes AS (
+  SELECT codes.id, m, code
+  FROM codes JOIN assigned USING (id) SEMI JOIN probe USING (anchor_id)
+),
+lut AS {_pq_lut_sql().split('lut AS', 1)[1]},
+approx AS (
+  SELECT id, sum(qd) AS approx_d
+  FROM bucket_codes JOIN lut USING (m, code)
+  GROUP BY id ORDER BY approx_d, id LIMIT 32
+),
+rerank AS (
+  SELECT v.vec_id AS id, {_cos_sql('vec', 'qv', 6)} AS cosine
+  FROM v, q
+  WHERE v.vec_id IN (SELECT id FROM approx)
+)
+SELECT id, cosine FROM rerank ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
 def q_emb_label_centroids(spark, sf_dir):
     """Per-label embedding centroids in floor(val·2^20) fixed point —
     integer-exact class profiles of the labeled embedding table."""
@@ -2285,6 +2363,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "emb_label_centroids": (q_emb_label_centroids, O_LABEL_CENTROIDS),
     "sim_pq_codes": (q_sim_pq_codes, O_SIM_PQ),
     "sim_pq_topk": (q_sim_pq_topk, O_SIM_PQ_TOPK),
+    "sim_ivfpq_topk": (q_sim_ivfpq_topk, O_SIM_IVFPQ),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "sim_knn_graph": (q_sim_knn_graph, O_KNN_GRAPH),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),

@@ -337,3 +337,29 @@ def test_tfidf_sim_pairs_finds_dup_and_prunes_stop_terms(spark):
         ).collect()
     }
     assert (2, 4) not in allp and (0, 4) not in allp
+
+
+def test_ivfpq_full_probe_equals_pq_and_restriction_binds(spark):
+    from egraphdb_spark.operators import similarity
+    from egraphdb_spark.queries_pipeline import QUERY_VEC
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", 8)
+    # probing every bucket makes IVF+PQ identical to plain PQ search
+    full = similarity.ivfpq_topk(
+        emb, "vec_id", "embedding", anchors, QUERY_VEC, k=10, n_probe=8
+    ).collect()
+    plain = similarity.pq_topk(
+        emb, "vec_id", "embedding", QUERY_VEC, k=10, n_candidates=32
+    ).collect()
+    assert [(r["id"], r["cosine"]) for r in full] == [
+        (r["id"], r["cosine"]) for r in plain
+    ]
+    # a 1-probe search only ever returns ids assigned to the probed bucket
+    one = similarity.ivfpq_topk(
+        emb, "vec_id", "embedding", anchors, QUERY_VEC, k=10, n_probe=1
+    ).collect()
+    assigned = similarity.ivf_assign(emb, "vec_id", "embedding", anchors)
+    bucket_of = {r["id"]: r["anchor_id"] for r in assigned.collect()}
+    probed = {bucket_of[r["id"]] for r in one}
+    assert len(probed) == 1
