@@ -407,3 +407,79 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int, undirected: bool = True
+) -> DataFrame:
+    """Synchronous mode-label propagation (LPA community detection).
+
+    Raghavan et al. 2007, made deterministic: each round EVERY node adopts
+    the most frequent label among its neighbors (ties → smallest label),
+    all updates applied simultaneously; isolated nodes keep their label.
+    Label identity is the portable 60-bit md5 key hash (the engine-neutral
+    id every sampler here uses — xxhash64 differs across engines), so the
+    mode argmax is `max(struct(count, -label))` — a MAP-SIDE-COMBINABLE
+    aggregate, one row per (dst, partition) on the shuffle, never a
+    window sort over the full message stream.  Output maps the final hash
+    back to its owner: (key, community) with community = representative
+    node key.
+
+    Scale per round: one edge-sized message join (co-located when edges
+    are bucketed by src) + two partial aggregates; labels localCheckpoint
+    per round so lineage stays linear in rounds.  A fixed round count
+    (unrolled identically by the SQL oracle) keeps parity exact whether or
+    not the labels have converged — same discipline as kcore/pagerank.
+    """
+    from .sampling import _u60
+
+    e = edges.select("src_key", "dst_key")
+    if undirected:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
+    e = e.distinct()
+    nodes = (
+        e.select(F.col("src_key").alias("key"))
+        .union(e.select("dst_key"))
+        .distinct()
+    )
+    m = nodes.select("key", _u60(F.col("key")).alias("h")).localCheckpoint(
+        eager=True
+    )
+    eh = (
+        e.join(
+            m.select(F.col("key").alias("src_key"), F.col("h").alias("src_h")),
+            "src_key",
+        )
+        .join(
+            m.select(F.col("key").alias("dst_key"), F.col("h").alias("dst_h")),
+            "dst_key",
+        )
+        .select("src_h", "dst_h")
+        .localCheckpoint(eager=True)
+    )
+    labels = m.select(F.col("h").alias("node"), F.col("h").alias("lbl"))
+    for _ in range(rounds):
+        msgs = eh.join(
+            labels.select(F.col("node").alias("src_h"), "lbl"), "src_h"
+        ).select(F.col("dst_h").alias("node"), "lbl")
+        counts = msgs.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        best = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("b"))
+            .select("node", (-F.col("b.neg")).alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    rep = m.select(F.col("h").alias("lbl"), F.col("key").alias("community"))
+    return (
+        labels.join(m.select(F.col("h").alias("node"), "key"), "node")
+        .join(rep, "lbl")
+        .select("key", "community")
+    )

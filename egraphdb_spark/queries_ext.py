@@ -1698,6 +1698,64 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
 O_GRAPH_PAGERANK = _pagerank_oracle()
 
 
+def q_graph_lpa(spark, sf_dir):
+    """3-round deterministic mode-label propagation (community detection)
+    on the part↔supplier bipartite subgraph; the oracle unrolls the
+    identical synchronized rounds."""
+    from .operators.graph_algos import label_propagation
+
+    g = _fixture(spark, sf_dir)
+    supplied = g.edges.where(
+        F.get_json_object("details", "$.rel") == "supplied_by"
+    )
+    return label_propagation(supplied, rounds=3)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous LPA over the same subgraph: per round, every
+    node adopts its neighbors' modal label (ties → smallest 60-bit md5
+    label hash — the engine-portable id)."""
+    h = "CAST('0x' || substr(md5(key), 1, 15) AS BIGINT)"
+    cte = [
+        "e0 AS (SELECT DISTINCT 'part:' || l_partkey AS src_key,"
+        " 'supplier:' || l_suppkey AS dst_key FROM lineitem)",
+        "e AS (SELECT src_key, dst_key FROM e0"
+        " UNION SELECT dst_key, src_key FROM e0)",
+        "nodes AS (SELECT DISTINCT src_key AS key FROM e)",
+        f"m AS (SELECT key, {h} AS h FROM nodes)",
+        "eh AS (SELECT ms.h AS src_h, md.h AS dst_h FROM e"
+        " JOIN m ms ON ms.key = e.src_key JOIN m md ON md.key = e.dst_key)",
+        "l0 AS (SELECT h AS node, h AS lbl FROM m)",
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        cte.append(
+            f"c{i} AS (SELECT eh.dst_h AS node, l.lbl, count(*) AS c"
+            f" FROM eh JOIN {prev} l ON eh.src_h = l.node GROUP BY eh.dst_h, l.lbl)"
+        )
+        cte.append(
+            f"b{i} AS (SELECT node, lbl AS new_lbl FROM ("
+            f"SELECT node, lbl, row_number() OVER"
+            f" (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+        cte.append(
+            f"l{i} AS (SELECT p.node, COALESCE(b{i}.new_lbl, p.lbl) AS lbl"
+            f" FROM {prev} p LEFT JOIN b{i} ON b{i}.node = p.node)"
+        )
+        prev = f"l{i}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT mk.key AS key, mr.key AS community
+FROM {prev} l JOIN m mk ON mk.h = l.node JOIN m mr ON mr.h = l.lbl
+"""
+    )
+
+
+O_GRAPH_LPA = _lpa_oracle()
+
+
 # --------------------------------------------------------------------------
 # Skew utilities — salted results must equal the plain-operator oracle
 # --------------------------------------------------------------------------
@@ -2536,6 +2594,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "skew_salted_join": (q_skew_salted_join, O_SKEW_JOIN),
     "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
+    "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC),
     "stream_stream_join": (q_stream_stream_join, O_STREAM_STREAM),
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),

@@ -90,3 +90,62 @@ def test_kcore_peel_converges_on_fixture(graph):
     assert r4.exceptAll(r5).count() == 0 and r5.exceptAll(r4).count() == 0
     # every survivor has degree >= k by definition of the fixpoint
     assert r4.where(F.col("degree") < 2).count() == 0
+
+
+def _lpa_python(pairs, rounds):
+    """Pure-Python synchronous LPA mirror: mode of neighbor labels, ties →
+    smallest 60-bit md5 hash, all updates simultaneous."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    def h(k):
+        return int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    hmap = {n: h(n) for n in nodes}
+    rev = {v: k for k, v in hmap.items()}
+    lbl = dict(hmap)
+    for _ in range(rounds):
+        nxt = {}
+        for n in nodes:
+            cnt = Counter(lbl[m] for m in adj[n])
+            if cnt:
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            else:
+                nxt[n] = lbl[n]
+        lbl = nxt
+    return {n: rev[lbl[n]] for n in nodes}
+
+
+def test_lpa_matches_python_reference_on_barbell(spark):
+    from egraphdb_spark.operators.graph_algos import label_propagation
+
+    # two triangles joined by one bridge edge — classic two-community shape
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ("a1", "b1"),
+    ]
+    for rounds in (1, 2, 3):
+        got = {
+            r["key"]: r["community"]
+            for r in label_propagation(_edges(spark, pairs), rounds=rounds).collect()
+        }
+        assert got == _lpa_python(pairs, rounds), f"rounds={rounds}"
+
+
+def test_lpa_isolated_node_keeps_own_label(spark):
+    from egraphdb_spark.operators.graph_algos import label_propagation
+
+    # self-loop-only node: its single neighbor is itself, label stable
+    pairs = [("solo", "solo"), ("x", "y")]
+    got = {
+        r["key"]: r["community"]
+        for r in label_propagation(_edges(spark, pairs), rounds=2).collect()
+    }
+    assert got["solo"] == "solo"
