@@ -32,6 +32,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     right[right_ts] <= left[left_ts] and equal ``on`` key (nulls if none).
@@ -47,7 +48,18 @@ def asof_join(
     than the tolerance at the left row's timestamp reverts to null —
     "most recent state, but only if fresh enough".  Same single-window
     plan; the age check is a row-local column expression.
+
+    ``direction`` (pandas merge_asof semantics):
+      * ``"backward"`` (default): latest right row with right_ts ≤ left_ts
+      * ``"forward"``: earliest right row with right_ts ≥ left_ts (the
+        "next scheduled event" join)
+      * ``"nearest"``: whichever of the two is closer in time; exact ties
+        prefer backward.  Both carries run over the SAME partition
+        exchange (two sort orders, one shuffle); the choice is a
+        row-local comparison of the two carried match timestamps.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -57,6 +69,9 @@ def asof_join(
             f"asof_join: right columns {clash} collide with left columns; "
             "rename or pass right_cols explicitly"
         )
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    need_ts = tolerance_seconds is not None or direction == "nearest"
     lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt = right.select(
         F.col(on),
@@ -70,42 +85,75 @@ def asof_join(
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
     unioned = lt.unionByName(rt.select(*lt.columns))
-    # right rows (__tag 0) sort before left rows at equal ts → visible to them
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__tag"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     carry_cols = list(right_cols)
-    if tolerance_seconds is not None:
+    if need_ts:
         # carry the matched right timestamp too, to age-check per left row
         unioned = unioned.withColumn(
             "__r___mts", F.when(F.col("__tag") == 0, F.col("__ts"))
         )
         carry_cols = carry_cols + ["__mts"]
-    carried = unioned.select(
-        *[c for c in unioned.columns if not c.startswith("__r_")],
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in carry_cols
-        ],
+    # backward: right rows (__tag 0) sort BEFORE left rows at equal ts →
+    # visible to them (≤ semantics); forward mirrors with tag desc so
+    # equal-ts right rows fall inside the following frame (≥ semantics)
+    w_b = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = carried.where(F.col("__tag") == 1)
-    if tolerance_seconds is not None:
-        # ntz casts to long only via timestamp; value-preserving under the
-        # UTC sessions this engine and the driver run
-        def _secs(c):
-            return F.col(c).cast("timestamp").cast("long")
+    w_f = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts"), F.col("__tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sel = [c for c in unioned.columns if not c.startswith("__r_")]
+    if need_b:
+        sel += [
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_b).alias(f"__b_{c}")
+            for c in carry_cols
+        ]
+    if need_f:
+        sel += [
+            F.first(F.col(f"__r_{c}"), ignorenulls=True).over(w_f).alias(f"__f_{c}")
+            for c in carry_cols
+        ]
+    out = unioned.select(*sel).where(F.col("__tag") == 1)
 
-        stale = _secs("__ts") - _secs("__r___mts") > tolerance_seconds
+    # ntz casts to long only via timestamp; value-preserving under the
+    # UTC sessions this engine and the driver run
+    def _secs(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    if direction == "nearest":
+        b_age = _secs("__ts") - _secs("__b___mts")
+        f_age = _secs("__f___mts") - _secs("__ts")
+        b_ok = F.col("__b___mts").isNotNull()
+        f_ok = F.col("__f___mts").isNotNull()
+        if tolerance_seconds is not None:
+            b_ok = b_ok & (b_age <= tolerance_seconds)
+            f_ok = f_ok & (f_age <= tolerance_seconds)
+        use_b = b_ok & (~f_ok | (b_age <= f_age))
         for c in right_cols:
             out = out.withColumn(
-                f"__r_{c}", F.when(~stale, F.col(f"__r_{c}"))
+                f"__o_{c}",
+                F.when(use_b, F.col(f"__b_{c}")).when(f_ok, F.col(f"__f_{c}")),
             )
-        out = out.drop("__r___mts")
-    out = out.drop("__tag", "__ts")
-    for c in right_cols:
-        out = out.withColumnRenamed(f"__r_{c}", c)
+    else:
+        side = "b" if direction == "backward" else "f"
+        for c in right_cols:
+            val = F.col(f"__{side}_{c}")
+            if tolerance_seconds is not None:
+                age = (
+                    _secs("__ts") - _secs("__b___mts")
+                    if side == "b"
+                    else _secs("__f___mts") - _secs("__ts")
+                )
+                val = F.when(age <= tolerance_seconds, val)
+            out = out.withColumn(f"__o_{c}", val)
+    keep = [c for c in out.columns if not c.startswith(("__b_", "__f_", "__o_"))]
+    out = out.select(
+        *[c for c in keep if c not in ("__tag", "__ts")],
+        *[F.col(f"__o_{c}").alias(c) for c in right_cols],
+    )
     return out
 
 

@@ -1238,6 +1238,66 @@ FROM events e ASOF LEFT JOIN r1
 """
 
 
+def q_join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    each event attributed to the same user's CLOSEST purchase within ±2 h,
+    past or future, exact ties preferring the past one — both carries run
+    over one partition exchange."""
+    from pyspark.sql import Window as W
+
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    )
+    r1 = (
+        purchases.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return asof_join(
+        ev,
+        r1,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["purchase_id", "purchase_value"],
+        tolerance_seconds=2 * 3600,
+        direction="nearest",
+    ).select("event_id", "user_id", "purchase_id", "purchase_value")
+
+
+O_JOIN_ASOF_NEAREST = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS purchase_id, value AS purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r1 AS (SELECT user_id, p_ts, purchase_id, purchase_value FROM p WHERE rn = 1),
+cand AS (
+  SELECT e.event_id, e.user_id, r1.purchase_id, r1.purchase_value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(r1.p_ts) AS BIGINT)),
+                    CASE WHEN r1.p_ts <= e.ts THEN 0 ELSE 1 END
+         ) AS rn
+  FROM events e LEFT JOIN r1
+    ON r1.user_id = e.user_id
+   AND abs(CAST(epoch(e.ts) AS BIGINT) - CAST(epoch(r1.p_ts) AS BIGINT)) <= 7200
+)
+SELECT event_id, user_id, purchase_id, purchase_value FROM cand WHERE rn = 1
+"""
+
+
 _PRICE_BANDS = [(0, "cheap", 900.0, 950.0), (1, "mid", 950.0, 980.0), (2, "high", 980.0, 1000.0)]
 
 
@@ -2611,6 +2671,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "agg_above_segment_avg": (q_agg_above_segment_avg, O_ABOVE_SEG_AVG),
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_asof_tolerance": (q_join_asof_tolerance, O_JOIN_ASOF_TOL),
+    "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),

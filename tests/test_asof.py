@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from egraphdb_spark.operators.asof import asof_join, range_join
 
 
@@ -52,3 +54,53 @@ def test_range_join_overlapping_intervals(spark):
     )
     bands = {r["band"] for r in range_join(left, "v", right, "lo", "hi", 10.0).collect()}
     assert bands == {"x", "y"}  # overlapping intervals both match, no dup rows
+
+
+def test_asof_forward_and_nearest_directions(spark):
+    from egraphdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 205), (3, "k", 320), (4, "x", 50)],
+        "id long, k string, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", 100, "a"), ("k", 210, "b"), ("k", 300, "c")],
+        "k string, rts long, val string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    def run(**kw):
+        return {
+            r["id"]: r["val"]
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                right_cols=["val"], **kw
+            ).collect()
+        }
+
+    # backward: latest rts <= ts (equal counts)
+    assert run() == {1: "a", 2: "a", 3: "c", 4: None}
+    # forward: earliest rts >= ts (equal counts)
+    assert run(direction="forward") == {1: "a", 2: "b", 3: None, 4: None}
+    # nearest: id2 at 205 → backward 'a' is 105s away, forward 'b' is 5s → b;
+    # id3 at 320 → only backward exists
+    assert run(direction="nearest") == {1: "a", 2: "b", 3: "c", 4: None}
+    # nearest + tolerance 10s: id2 keeps b (5s), id1 keeps a (0s), id3 drops
+    assert run(direction="nearest", tolerance_seconds=10) == {
+        1: "a", 2: "b", 3: None, 4: None,
+    }
+
+
+def test_asof_nearest_exact_tie_prefers_backward(spark):
+    from egraphdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 200)], "id long, k string, ts long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", 150, "past"), ("k", 250, "future")],
+        "k string, rts long, val string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    got = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["val"], direction="nearest",
+    ).collect()
+    assert got[0]["val"] == "past"
