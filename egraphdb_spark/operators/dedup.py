@@ -335,6 +335,62 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_shingle_df: int = 100,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — quote/subset-duplicate
+    detection: C(A→B) = |A∩B| / |A|.
+
+    Jaccard structurally under-scores a short document embedded inside a
+    long one (J = |A|/|B| → 0 as B grows while C(A→B) stays 1), so
+    boilerplate inclusion, quoted articles, and prefix-truncated dumps
+    slip every symmetric-similarity net.  Emits one row per unordered
+    pair with BOTH directed scores when either reaches ``threshold``.
+
+    Same physical shape (and stop-shingle guard, applied identically to
+    sizes and intersection on both engines) as :func:`jaccard_pairs`, and
+    shares its materialized shingle table — the extra scores are two
+    row-local divisions on the already-aggregated pair counts.
+    """
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    ex = shingles.select("id", "shingle")
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    ex = ex.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ca = F.col("common") / F.col("sz_a")
+    cb = F.col("common") / F.col("sz_b")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 6).alias("contain_a_in_b"),
+            F.round(cb, 6).alias("contain_b_in_a"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str,

@@ -318,6 +318,38 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
+def q_dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment ≥ 0.8 pairs (quote/subset duplicates that
+    symmetric Jaccard under-scores); shares the materialized shingle
+    table and the stop-shingle guard with the Jaccard gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
+        shingles=doc_shingles(spark, sf_dir),
+    )
+
+
+O_CONTAINMENT_PAIRS = f"""
+WITH {_SH_CTE},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+ex AS (SELECT sh.id, sh.shingle FROM sh SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(common AS DOUBLE) / sa.sz, 6) AS contain_a_in_b,
+       round(CAST(common AS DOUBLE) / sb.sz, 6) AS contain_b_in_a
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE greatest(CAST(common AS DOUBLE) / sa.sz,
+               CAST(common AS DOUBLE) / sb.sz) >= 0.8
+"""
+
+
 def q_dedup_embedding_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.40)
@@ -2385,6 +2417,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, O_SIMHASH_PAIRS),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, O_JACCARD_PAIRS),
+    "dedup_containment_pairs": (q_dedup_containment_pairs, O_CONTAINMENT_PAIRS),
     "dedup_embedding_pairs": (q_dedup_embedding_pairs, O_EMB_PAIRS),
     "dedup_semantic_pairs": (q_dedup_semantic_pairs, O_SEMANTIC_PAIRS),
     "dedup_contamination": (q_dedup_contamination, O_CONTAMINATION),

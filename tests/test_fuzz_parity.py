@@ -56,6 +56,7 @@ FUZZ_GATES = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_jaccard_pairs",
+    "dedup_containment_pairs",
     "dedup_fuzzy_pairs",
     "txt_tfidf_sim_pairs",
     "pipe_chunking",

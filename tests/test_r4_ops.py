@@ -363,3 +363,30 @@ def test_ivfpq_full_probe_equals_pq_and_restriction_binds(spark):
     bucket_of = {r["id"]: r["anchor_id"] for r in assigned.collect()}
     probed = {bucket_of[r["id"]] for r in one}
     assert len(probed) == 1
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from egraphdb_spark.operators import dedup
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i:03d} x{i:03d}" for i in range(60))
+    rows = [
+        (0, quote),                      # the short original
+        (1, quote + " " + filler),       # quotes doc 0 inside a long doc
+        (2, "totally unrelated words here with nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): (r["contain_a_in_b"], r["contain_b_in_a"])
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)][0] == 1.0  # doc0 fully contained
+    assert cont[(0, 1)][1] < 0.5                       # but not vice versa
+    assert (0, 1) not in jac                           # jaccard misses it
+    assert not any(2 in p for p in cont)
