@@ -617,3 +617,55 @@ SELECT '{set_a}' AS set_a, '{set_b}' AS set_b, est_a, est_b, est_union,
        round(greatest(0.0, est_a + est_b - est_union), 4) AS est_intersect
 FROM piv
 """
+
+
+def cm_estimate_registers(
+    grid: DataFrame, candidates: DataFrame, group_col: str = "window_end"
+) -> DataFrame:
+    """Finish a per-window count-min grid (``group_col``, row, bucket,
+    cnt) into per-(window, key) point estimates for ``candidates``.
+
+    est = min over sketch rows of the key's cell, with an ABSENT cell
+    counting 0 (a key that never hashed into a window estimates 0, not
+    the collision floor).  The candidate probe is |keys|·CM_DEPTH rows —
+    broadcast; the grid is windows×depth×width cells.  Overestimates
+    only, same guarantee as the batch `cm_estimate`.
+    """
+    cname = candidates.columns[0]
+    probes = []
+    for d in range(CM_DEPTH):
+        hd = F.conv(
+            F.substring(F.md5(F.col(cname).cast("string")), 1 + 6 * d, 6), 16, 10
+        ).cast("long")
+        probes.append(
+            candidates.select(
+                F.col(cname).cast("string").alias("key"),
+                F.lit(d).alias("row"),
+                (hd % CM_WIDTH).cast("int").alias("bucket"),
+            )
+        )
+    p = probes[0]
+    for r in probes[1:]:
+        p = p.unionByName(r)
+    # wins derives from grid, so the probe side would carry the SAME
+    # attribute ids as the grid side of the join (a memory-sink view
+    # defeats Spark's self-join dedup); project the grid through renamed
+    # columns so the right side gets fresh attributes
+    wins = grid.select(group_col).distinct()
+    cells = wins.join(F.broadcast(p))
+    g = grid.select(
+        F.col(group_col).alias("__gw"),
+        F.col("row").alias("__grow"),
+        F.col("bucket").alias("__gbucket"),
+        F.col("cnt").alias("__gcnt"),
+    )
+    on = (
+        (F.col(group_col) == F.col("__gw"))
+        & (F.col("row") == F.col("__grow"))
+        & (F.col("bucket") == F.col("__gbucket"))
+    )
+    return (
+        cells.join(g, on, "left")
+        .groupBy(group_col, "key")
+        .agg(F.min(F.coalesce(F.col("__gcnt"), F.lit(0))).cast("long").alias("est"))
+    )

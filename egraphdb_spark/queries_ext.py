@@ -2328,6 +2328,70 @@ def _stream_wau_oracle():
 O_STREAM_WAU_HLL = _stream_wau_oracle()
 
 
+def q_stream_cm_heavy(spark, sf_dir):
+    """REAL streaming windowed count-min: readStream → watermark → each
+    event explodes to its depth×1 cells → per-(1-day window, row, bucket)
+    counts (state = windows×3×64 cells, bounded however many keys) →
+    availableNow → memory sink; the heavy-hitter probe over the observed
+    key set runs as a batch aggregate over the sink — count-min's
+    mergeability is what makes the split exact."""
+    from .operators import sketches
+    from .streaming.stream import (
+        read_events_stream,
+        run_to_memory,
+        windowed_cm_registers,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    grid = run_to_memory(windowed_cm_registers(ev), "stream_cm_heavy_tbl")
+    cand = _t(spark, sf_dir, "events").select("event_type").distinct()
+    return sketches.cm_estimate_registers(grid, cand).orderBy(
+        "window_end", "key"
+    )
+
+
+def _stream_cm_oracle() -> str:
+    from .operators.sketches import CM_DEPTH
+    from .queries_pipeline import _cm_hash_sql
+
+    g = "\n  UNION ALL ".join(
+        f"SELECT window_end, {d} AS row, {_cm_hash_sql('k', d)} AS bucket FROM src"
+        for d in range(CM_DEPTH)
+    )
+    pr = "\n  UNION ALL ".join(
+        f"SELECT key, {d} AS row, {_cm_hash_sql('CAST(key AS VARCHAR)', d)} AS bucket"
+        " FROM cand"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+WITH src AS (
+  SELECT date_trunc('day', ts) + to_days(1) AS window_end,
+         CAST(event_type AS VARCHAR) AS k
+  FROM events
+),
+g AS (
+  {g}
+),
+grid AS (SELECT window_end, row, bucket, count(*) AS cnt FROM g
+         GROUP BY window_end, row, bucket),
+cand AS (SELECT DISTINCT event_type AS key FROM events),
+wins AS (SELECT DISTINCT window_end FROM grid),
+probe AS (
+  {pr}
+),
+cells AS (SELECT w.window_end, p.key, p.row, p.bucket FROM wins w CROSS JOIN probe p)
+SELECT cells.window_end, key, CAST(min(COALESCE(grid.cnt, 0)) AS BIGINT) AS est
+FROM cells LEFT JOIN grid
+  ON grid.window_end = cells.window_end
+ AND grid.row = cells.row AND grid.bucket = cells.bucket
+GROUP BY cells.window_end, key
+ORDER BY cells.window_end, key
+"""
+
+
+O_STREAM_CM_HEAVY = _stream_cm_oracle()
+
+
 def q_evt_funnel(spark, sf_dir):
     """Event funnel (ClickHouse windowFunnel shape): users who did
     view → click → purchase in strict event-time order, completing within
@@ -2684,6 +2748,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_active_users_7d": (q_evt_active_users_7d, O_EVT_ACTIVE_USERS),
     "evt_wau_hll": (q_evt_wau_hll, O_EVT_WAU_HLL),
     "stream_wau_hll": (q_stream_wau_hll, O_STREAM_WAU_HLL),
+    "stream_cm_heavy": (q_stream_cm_heavy, O_STREAM_CM_HEAVY),
     "graph_bfs_levels": (q_graph_bfs_levels, O_GRAPH_BFS),
     "s9_geo_exact": (q_s9_geo_exact, O_S9),
     "j2_adjacency_details": (q_j2_adjacency_details, O_J2),

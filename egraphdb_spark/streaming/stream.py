@@ -451,3 +451,52 @@ def sliding_hll_registers(
         .agg(F.max("rho").alias("mj"))
         .select(F.col("w.end").alias("window_end"), "bucket", "mj")
     )
+
+
+def windowed_cm_registers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming half of a windowed count-min sketch: per (tumbling
+    window, sketch row, bucket) cell counts under the watermark.
+
+    The heavy-hitters-over-time primitive: state is windows×depth×width
+    cells — bounded and tiny regardless of key cardinality (an exact
+    per-key count would hold windows×keys rows).  Each event explodes to
+    its CM_DEPTH cells BEFORE the one aggregation streaming permits; the
+    finishing probe (sketches.cm_estimate_registers) runs as a batch
+    aggregate over the sink — the same stream-then-batch split as
+    `sliding_hll_registers`.
+    """
+    from ..operators.sketches import CM_DEPTH, CM_WIDTH
+
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                (
+                    F.conv(F.substring(F.md5(key), 1 + 6 * d, 6), 16, 10).cast(
+                        "long"
+                    )
+                    % CM_WIDTH
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.explode(cells).alias("c"))
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("c.row").alias("row"),
+            F.col("c.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").alias("window_end"), "row", "bucket", "cnt")
+    )

@@ -390,3 +390,23 @@ def test_containment_catches_subset_that_jaccard_misses(spark):
     assert cont[(0, 1)][1] < 0.5                       # but not vice versa
     assert (0, 1) not in jac                           # jaccard misses it
     assert not any(2 in p for p in cont)
+
+
+def test_stream_cm_heavy_overestimates_only_and_is_exact_when_collision_free(spark):
+    got = REGISTRY["stream_cm_heavy"][0](spark, SF_SMOKE).collect()
+    exact = {
+        (r["window_end"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(
+            (F.date_trunc("day", F.col("ts").cast("timestamp")) + F.expr("interval 1 day")).alias("window_end"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got, "stream produced no windows"
+    for r in got:
+        true_n = exact.get((r["window_end"], r["key"]), 0)
+        assert r["est"] >= true_n  # count-min never undercounts
+    # 4 keys in a 3x64 grid: collision-free on this fixture → exact
+    assert all(r["est"] == exact.get((r["window_end"], r["key"]), 0) for r in got)
