@@ -916,6 +916,68 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+_PIVOT_PRI = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_agg_pivot(spark, sf_dir):
+    """Order counts per month PIVOTED by priority (wide columns).  The
+    pivot values are EXPLICIT — no extra distinct-collect job, a stable
+    output schema, and the plan stays one partial-aggregated groupBy
+    (each priority becomes a conditional count — the same physical shape
+    as the oracle's FILTER aggregates)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .pivot("o_orderpriority", _PIVOT_PRI)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "month",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"n_{p[0]}")
+            for p in _PIVOT_PRI
+        ],
+    ).orderBy("month")
+
+
+O_AGG_PIVOT = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def q_win_ntile(spark, sf_dir):
+    """Quartile assignment of customers by account balance within each
+    market segment (ntile(4), custkey tie-break) — the bucketing step of
+    quantile-stratified analyses."""
+    from pyspark.sql import Window as W
+
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+O_WIN_NTILE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+"""
+
+
 def q_agg_count_distinct(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     return cust.groupBy("c_mktsegment").agg(
@@ -2756,6 +2818,8 @@ EXT_REGISTRY: dict[str, tuple] = {
     "p5_keytype_rawhex": (q_p5_keytype_rawhex, O_P5),
     "agg_q6_forecast_revenue": (q_agg_q6_forecast_revenue, O_AGG_Q6),
     "agg_cube": (q_agg_cube, O_AGG_CUBE),
+    "agg_pivot": (q_agg_pivot, O_AGG_PIVOT),
+    "win_ntile": (q_win_ntile, O_WIN_NTILE),
     "agg_count_distinct": (q_agg_count_distinct, O_AGG_CNTD),
     "win_running_sum": (q_win_running_sum, O_WIN_RUNNING),
     "win_frames": (q_win_frames, O_WIN_FRAMES),
