@@ -77,6 +77,10 @@ PROBES = [
     "sample_group_split",
     "sim_knn_graph",
     "txt_tfidf_sim_pairs",
+    "sim_ivfpq_topk",
+    "graph_lpa",
+    "dedup_containment_pairs",
+    "join_asof_nearest",
 ]
 
 
