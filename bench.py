@@ -94,6 +94,17 @@ BENCH_QUERIES = [
     "stream_wau_hll",
     "dedup_fuzzy_pairs",
     "sketch_hll_overlap",
+    # round-4 continuation
+    "sample_group_split",
+    "txt_tfidf_sim_pairs",
+    "sim_knn_graph",
+    "sim_ivfpq_topk",
+    "graph_lpa",
+    "dedup_containment_pairs",
+    "join_asof_nearest",
+    "stream_cm_heavy",
+    "agg_pivot",
+    "win_ntile",
 ]
 
 

@@ -415,15 +415,13 @@ def label_propagation(
     """Synchronous mode-label propagation (LPA community detection).
 
     Raghavan et al. 2007, made deterministic: each round EVERY node adopts
-    the most frequent label among its neighbors (ties → smallest label),
-    all updates applied simultaneously; isolated nodes keep their label.
-    Label identity is the portable 60-bit md5 key hash (the engine-neutral
-    id every sampler here uses — xxhash64 differs across engines), so the
-    mode argmax is `max(struct(count, -label))` — a MAP-SIDE-COMBINABLE
-    aggregate, one row per (dst, partition) on the shuffle, never a
-    window sort over the full message stream.  Output maps the final hash
-    back to its owner: (key, community) with community = representative
-    node key.
+    the most frequent label among its neighbors (ties → lexicographically
+    smallest label), all updates applied simultaneously; isolated nodes
+    keep their label.  Labels are node KEYS (strings) end-to-end — the
+    module's engine-portable convention — and the mode argmax is
+    `min_by(lbl, struct(-count, lbl))`, a MAP-SIDE-COMBINABLE aggregate:
+    one row per (dst, partition) on the shuffle, never a window sort over
+    the full message stream, and no integer-id mapping joins.
 
     Scale per round: one edge-sized message join (co-located when edges
     are bucketed by src) + two partial aggregates; labels localCheckpoint
@@ -431,8 +429,6 @@ def label_propagation(
     (unrolled identically by the SQL oracle) keeps parity exact whether or
     not the labels have converged — same discipline as kcore/pagerank.
     """
-    from .sampling import _u60
-
     e = edges.select("src_key", "dst_key")
     if undirected:
         e = e.unionByName(
@@ -440,46 +436,29 @@ def label_propagation(
                 F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
             )
         )
-    e = e.distinct()
-    nodes = (
+    e = e.distinct().localCheckpoint(eager=True)
+    labels = (
         e.select(F.col("src_key").alias("key"))
         .union(e.select("dst_key"))
         .distinct()
+        .select("key", F.col("key").alias("lbl"))
     )
-    m = nodes.select("key", _u60(F.col("key")).alias("h")).localCheckpoint(
-        eager=True
-    )
-    eh = (
-        e.join(
-            m.select(F.col("key").alias("src_key"), F.col("h").alias("src_h")),
-            "src_key",
-        )
-        .join(
-            m.select(F.col("key").alias("dst_key"), F.col("h").alias("dst_h")),
-            "dst_key",
-        )
-        .select("src_h", "dst_h")
-        .localCheckpoint(eager=True)
-    )
-    labels = m.select(F.col("h").alias("node"), F.col("h").alias("lbl"))
     for _ in range(rounds):
-        msgs = eh.join(
-            labels.select(F.col("node").alias("src_h"), "lbl"), "src_h"
-        ).select(F.col("dst_h").alias("node"), "lbl")
-        counts = msgs.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        msgs = e.join(
+            labels.select(F.col("key").alias("src_key"), "lbl"), "src_key"
+        ).select(F.col("dst_key").alias("key"), "lbl")
+        counts = msgs.groupBy("key", "lbl").agg(F.count("*").alias("c"))
         best = (
-            counts.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("b"))
-            .select("node", (-F.col("b.neg")).alias("new_lbl"))
+            counts.groupBy("key")
+            .agg(
+                F.min_by(
+                    "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                ).alias("new_lbl")
+            )
         )
         labels = (
-            labels.join(best, "node", "left")
-            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            labels.join(best, "key", "left")
+            .select("key", F.coalesce("new_lbl", "lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-    rep = m.select(F.col("h").alias("lbl"), F.col("key").alias("community"))
-    return (
-        labels.join(m.select(F.col("h").alias("node"), "key"), "node")
-        .join(rep, "lbl")
-        .select("key", "community")
-    )
+    return labels.select("key", F.col("lbl").alias("community"))

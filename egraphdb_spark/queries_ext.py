@@ -1835,43 +1835,35 @@ def q_graph_lpa(spark, sf_dir):
 
 def _lpa_oracle(rounds: int = 3) -> str:
     """Unrolled synchronous LPA over the same subgraph: per round, every
-    node adopts its neighbors' modal label (ties → smallest 60-bit md5
-    label hash — the engine-portable id)."""
-    h = "CAST('0x' || substr(md5(key), 1, 15) AS BIGINT)"
+    node adopts its neighbors' modal label (ties → lexicographically
+    smallest label string — labels are keys end-to-end)."""
     cte = [
         "e0 AS (SELECT DISTINCT 'part:' || l_partkey AS src_key,"
         " 'supplier:' || l_suppkey AS dst_key FROM lineitem)",
         "e AS (SELECT src_key, dst_key FROM e0"
         " UNION SELECT dst_key, src_key FROM e0)",
-        "nodes AS (SELECT DISTINCT src_key AS key FROM e)",
-        f"m AS (SELECT key, {h} AS h FROM nodes)",
-        "eh AS (SELECT ms.h AS src_h, md.h AS dst_h FROM e"
-        " JOIN m ms ON ms.key = e.src_key JOIN m md ON md.key = e.dst_key)",
-        "l0 AS (SELECT h AS node, h AS lbl FROM m)",
+        "l0 AS (SELECT DISTINCT src_key AS key, src_key AS lbl FROM e)",
     ]
     prev = "l0"
     for i in range(1, rounds + 1):
         cte.append(
-            f"c{i} AS (SELECT eh.dst_h AS node, l.lbl, count(*) AS c"
-            f" FROM eh JOIN {prev} l ON eh.src_h = l.node GROUP BY eh.dst_h, l.lbl)"
+            f"c{i} AS (SELECT e.dst_key AS key, l.lbl, count(*) AS c"
+            f" FROM e JOIN {prev} l ON e.src_key = l.key GROUP BY e.dst_key, l.lbl)"
         )
         cte.append(
-            f"b{i} AS (SELECT node, lbl AS new_lbl FROM ("
-            f"SELECT node, lbl, row_number() OVER"
-            f" (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c{i}) WHERE rn = 1)"
+            f"b{i} AS (SELECT key, lbl AS new_lbl FROM ("
+            f"SELECT key, lbl, row_number() OVER"
+            f" (PARTITION BY key ORDER BY c DESC, lbl) AS rn FROM c{i}) WHERE rn = 1)"
         )
         cte.append(
-            f"l{i} AS (SELECT p.node, COALESCE(b{i}.new_lbl, p.lbl) AS lbl"
-            f" FROM {prev} p LEFT JOIN b{i} ON b{i}.node = p.node)"
+            f"l{i} AS (SELECT p.key, COALESCE(b{i}.new_lbl, p.lbl) AS lbl"
+            f" FROM {prev} p LEFT JOIN b{i} ON b{i}.key = p.key)"
         )
         prev = f"l{i}"
     return (
         "WITH "
         + ",\n".join(cte)
-        + f"""
-SELECT mk.key AS key, mr.key AS community
-FROM {prev} l JOIN m mk ON mk.h = l.node JOIN m mr ON mr.h = l.lbl
-"""
+        + f"\nSELECT key, lbl AS community FROM {prev}"
     )
 
 

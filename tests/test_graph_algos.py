@@ -94,32 +94,25 @@ def test_kcore_peel_converges_on_fixture(graph):
 
 def _lpa_python(pairs, rounds):
     """Pure-Python synchronous LPA mirror: mode of neighbor labels, ties →
-    smallest 60-bit md5 hash, all updates simultaneous."""
-    import hashlib
+    lexicographically smallest label, all updates simultaneous."""
     from collections import Counter, defaultdict
-
-    def h(k):
-        return int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
 
     adj = defaultdict(set)
     for a, b in pairs:
         adj[a].add(b)
         adj[b].add(a)
     nodes = sorted(adj)
-    hmap = {n: h(n) for n in nodes}
-    rev = {v: k for k, v in hmap.items()}
-    lbl = dict(hmap)
+    lbl = {n: n for n in nodes}
     for _ in range(rounds):
         nxt = {}
         for n in nodes:
             cnt = Counter(lbl[m] for m in adj[n])
             if cnt:
-                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
-                nxt[n] = best[0]
+                nxt[n] = min(cnt, key=lambda k: (-cnt[k], k))
             else:
                 nxt[n] = lbl[n]
         lbl = nxt
-    return {n: rev[lbl[n]] for n in nodes}
+    return lbl
 
 
 def test_lpa_matches_python_reference_on_barbell(spark):
