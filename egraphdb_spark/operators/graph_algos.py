@@ -462,3 +462,69 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("key", F.col("lbl").alias("community"))
+
+
+def neighbor_jaccard_pairs(
+    edges: DataFrame,
+    threshold: float,
+    max_degree: int = 100,
+    undirected: bool = True,
+) -> DataFrame:
+    """Node-similarity / link-prediction pairs: Jaccard over NEIGHBOR sets.
+
+    (a, b, jaccard) for node pairs sharing ≥ 1 neighbor, J = |N(a)∩N(b)|
+    / |N(a)∪N(b)| ≥ threshold — the structural-equivalence score behind
+    "users who interact with the same things", co-purchase similarity,
+    and graph-side dedup.  The pair generator joins THROUGH the shared
+    neighbor (the graph twin of the shingle inverted index), so hub
+    nodes explode candidate pairs quadratically; neighbors with degree >
+    ``max_degree`` are excluded from BOTH the pair generation and the
+    degree/intersection counts (identically on both engines — results
+    stay exact over the reduced neighbor universe, the same stop-shingle
+    discipline as dedup.jaccard_pairs).
+
+    Shuffles: degree aggregate, pair-count aggregate on (a, b), two
+    id-keyed degree joins — all linear in the guarded candidate set.
+    """
+    e = edges.select("src_key", "dst_key")
+    if undirected:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
+    # adjacency as (node, neighbor), deduped; guard drops HUB NEIGHBORS
+    adj = e.select(
+        F.col("src_key").alias("node"), F.col("dst_key").alias("nbr")
+    ).distinct()
+    small = (
+        adj.groupBy("nbr")
+        .agg(F.count("*").alias("nbr_deg"))
+        .where(F.col("nbr_deg") <= max_degree)
+        .select("nbr")
+    )
+    adj = adj.join(small, "nbr", "left_semi").localCheckpoint(eager=True)
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a, b = adj.alias("a"), adj.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("na"), F.col("b.node").alias("nb"))
+        .agg(F.count("*").alias("common"))
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("nb"), F.col("deg").alias("deg_b"))
+    jac = F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+    return (
+        common.join(da, "na")
+        .join(db, "nb")
+        .where(jac >= threshold)
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -1870,6 +1870,48 @@ def _lpa_oracle(rounds: int = 3) -> str:
 O_GRAPH_LPA = _lpa_oracle()
 
 
+def q_graph_neighbor_jaccard(spark, sf_dir):
+    """Node-similarity pairs: Jaccard of neighbor sets ≥ 0.75 (structural
+    equivalence / link prediction) over the SIGNIFICANT-supply subgraph
+    (bulk line items, quantity ≥ 48 — the tiny dimension tables make the
+    full bipartite graph degenerate-dense); hub neighbors (degree > 100)
+    excluded from the pair generator and the counts identically on both
+    engines."""
+    from .operators.graph_algos import neighbor_jaccard_pairs
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    bulk = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("src_key"),
+        F.concat(F.lit("supplier:"), F.col("l_suppkey")).alias("dst_key"),
+    ).distinct()
+    return neighbor_jaccard_pairs(bulk, threshold=0.75, max_degree=100)
+
+
+O_GRAPH_NBR_JACCARD = """
+WITH e0 AS (
+  SELECT DISTINCT 'part:' || l_partkey AS src_key,
+         'supplier:' || l_suppkey AS dst_key
+  FROM lineitem WHERE l_quantity >= 48
+),
+e AS (SELECT src_key, dst_key FROM e0 UNION SELECT dst_key, src_key FROM e0),
+adj AS (SELECT DISTINCT src_key AS node, dst_key AS nbr FROM e),
+small AS (SELECT nbr FROM adj GROUP BY nbr HAVING count(*) <= 100),
+adj2 AS (SELECT node, nbr FROM adj SEMI JOIN small USING (nbr)),
+deg AS (SELECT node, count(*) AS deg FROM adj2 GROUP BY node),
+common AS (
+  SELECT a.node AS na, b.node AS nb, count(*) AS common
+  FROM adj2 a JOIN adj2 b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY a.node, b.node
+)
+SELECT na AS node_a, nb AS node_b,
+       round(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 6) AS jaccard
+FROM common
+JOIN deg da ON da.node = na
+JOIN deg db ON db.node = nb
+WHERE CAST(common AS DOUBLE) / (da.deg + db.deg - common) >= 0.75
+"""
+
+
 # --------------------------------------------------------------------------
 # Skew utilities — salted results must equal the plain-operator oracle
 # --------------------------------------------------------------------------
@@ -2773,6 +2815,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_sssp_weighted": (q_graph_sssp_weighted, O_GRAPH_SSSP),
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
     "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
+    "graph_neighbor_jaccard": (q_graph_neighbor_jaccard, O_GRAPH_NBR_JACCARD),
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC),
     "stream_stream_join": (q_stream_stream_join, O_STREAM_STREAM),
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),

@@ -142,3 +142,27 @@ def test_lpa_isolated_node_keeps_own_label(spark):
         for r in label_propagation(_edges(spark, pairs), rounds=2).collect()
     }
     assert got["solo"] == "solo"
+
+
+def test_neighbor_jaccard_hub_guard_and_exact_scores(spark):
+    from egraphdb_spark.operators.graph_algos import neighbor_jaccard_pairs
+
+    # a,b share both neighbors (J=1); a,c share one of two (J=1/3);
+    # hub connects to everyone — degree 5 > max_degree=4 → excluded
+    pairs = [
+        ("a", "n1"), ("a", "n2"),
+        ("b", "n1"), ("b", "n2"),
+        ("c", "n1"), ("c", "n3"),
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("n1", "hub"), ("n3", "hub"),
+    ]
+    got = {
+        (r["node_a"], r["node_b"]): r["jaccard"]
+        for r in neighbor_jaccard_pairs(
+            _edges(spark, pairs), threshold=0.0, max_degree=4
+        ).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert abs(got[("a", "c")] - round(1 / 3, 6)) < 1e-9
+    # without the hub every pair among {a,b,c,n1,n3} via hub would appear;
+    # guard removes hub as a NEIGHBOR, so e.g. (n2, n3) never pairs
+    assert ("n2", "n3") not in got
