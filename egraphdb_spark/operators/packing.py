@@ -197,6 +197,92 @@ FROM counted, LATERAL (SELECT unnest(range(0, __n)) AS copy) t
 """
 
 
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    token_count: "F.Column",
+    budget_tokens: int,
+) -> DataFrame:
+    """Temperature-scaled source sampling weights (α = 0.5) — the
+    multilingual/multi-domain rebalancing step (mBERT/XLM-R style
+    ``p_s ∝ n_s^α``): raw proportional sampling starves small sources,
+    uniform sampling over-repeats them; a fractional power interpolates.
+
+    α is fixed at 0.5 so the power is ``sqrt`` — the ONE libm power
+    function IEEE 754 requires to be correctly rounded, hence bit-identical
+    across engines (general ``pow`` carries no such guarantee and would be
+    a cross-engine hazard).  Each source's score is quantized to integer
+    micro-units (``floor(sqrt(n_tokens)·10⁶)``) BEFORE the normalizing
+    sum, so weights, token allocations, and epoch counts are pure integer
+    arithmetic downstream.
+
+    Output per source: ``n_docs``, ``n_tokens``, ``weight_ppm`` (sampling
+    weight, parts-per-million), ``alloc_tokens`` (share of
+    ``budget_tokens``), ``epochs_permille`` (alloc/n_tokens — >1000 means
+    the source repeats).  Scale: one map-side-combined aggregate to
+    |sources| rows, one broadcast of a 1-row total — the corpus is
+    scanned once, nothing wide.
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count).alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "score_q",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+    )
+    tot = per.agg(F.sum("score_q").alias("score_tot"))
+    b = F.lit(int(budget_tokens)).cast("long")
+    # nullif guards: a zero-token source (whitespace-only docs) or an
+    # all-empty corpus must yield NULL, not a DIVIDE_BY_ZERO throw under
+    # Spark 4's ANSI `div` (DuckDB's `// 0` errors identically).
+    alloc = F.expr("budget * score_q div nullif(score_tot, 0)")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("budget", b)
+        .select(
+            F.col(domain_col),
+            "n_docs",
+            "n_tokens",
+            F.expr("score_q * 1000000 div nullif(score_tot, 0)").alias("weight_ppm"),
+            alloc.alias("alloc_tokens"),
+            (alloc * F.lit(1000).cast("long"))
+            .cast("long")
+            .alias("_a1000"),
+        )
+        .withColumn("epochs_permille", F.expr("_a1000 div nullif(n_tokens, 0)"))
+        .drop("_a1000")
+    )
+
+
+def temperature_mixture_oracle_sql(
+    table: str, domain_col: str, token_expr: str, budget_tokens: int
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture` (same quantize-then-
+    normalize integer pipeline; sqrt is correctly rounded in both engines)."""
+    return f"""
+WITH per AS (
+  SELECT {domain_col}, count(*) AS n_docs,
+         CAST(sum({token_expr}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY {domain_col}
+),
+scored AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS score_q
+  FROM per
+),
+tot AS (SELECT CAST(sum(score_q) AS BIGINT) AS score_tot FROM scored)
+SELECT {domain_col}, n_docs, n_tokens,
+       CAST(score_q * 1000000 // nullif(score_tot, 0) AS BIGINT) AS weight_ppm,
+       CAST({int(budget_tokens)} * score_q // nullif(score_tot, 0) AS BIGINT)
+         AS alloc_tokens,
+       CAST(({int(budget_tokens)} * score_q // nullif(score_tot, 0)) * 1000
+            // nullif(n_tokens, 0) AS BIGINT) AS epochs_permille
+FROM scored, tot
+"""
+
+
 # --------------------------------------------------------------------------
 # Sliding-window document chunking — context-window preparation
 # --------------------------------------------------------------------------

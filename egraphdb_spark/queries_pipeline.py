@@ -2374,7 +2374,23 @@ def _hll_overlap_oracle() -> str:
 O_SKETCH_HLL_OVERLAP = _hll_overlap_oracle()
 
 
+def q_pipe_temperature_mix(spark, sf_dir):
+    """Temperature-scaled (α=0.5) source sampling weights with a 10M-token
+    budget: p_s ∝ sqrt(n_tokens_s), quantized to integer micro-units before
+    normalization so every downstream number is exact integer arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.temperature_mixture(
+        docs, "source", text.token_count("text"), budget_tokens=10_000_000
+    )
+
+
+O_PIPE_TEMPERATURE = packing.temperature_mixture_oracle_sql(
+    "documents", "source", f"len({_TOKS})", budget_tokens=10_000_000
+)
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "dedup_fuzzy_pairs": (q_dedup_fuzzy_pairs, O_DEDUP_FUZZY),
     "sketch_hll_overlap": (q_sketch_hll_overlap, O_SKETCH_HLL_OVERLAP),
     "pipe_length_buckets": (q_pipe_length_buckets, O_LENGTH_BUCKETS),

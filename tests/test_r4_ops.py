@@ -410,3 +410,44 @@ def test_stream_cm_heavy_overestimates_only_and_is_exact_when_collision_free(spa
         assert r["est"] >= true_n  # count-min never undercounts
     # 4 keys in a 3x64 grid: collision-free on this fixture → exact
     assert all(r["est"] == exact.get((r["window_end"], r["key"]), 0) for r in got)
+
+
+def test_temperature_mixture_interpolates_and_is_integer_exact(spark):
+    # sources with 100 / 10,000 token mass: proportional share would be
+    # ~1%/99%; sqrt-temperature pulls the small source up to ~9%.
+    rows = [(i, "small", 1) for i in range(100)] + [
+        (i + 100, "big", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id long, source string, n_tok long")
+    out = {
+        r["source"]: r
+        for r in packing.temperature_mixture(
+            df, "source", F.col("n_tok"), budget_tokens=1_000_000
+        ).collect()
+    }
+    assert out["small"]["n_tokens"] == 100 and out["big"]["n_tokens"] == 10_000
+    # sqrt weights: 10 vs 100 → 1/11 vs 10/11 of the budget
+    assert abs(out["small"]["weight_ppm"] - 1_000_000 // 11) <= 1
+    assert out["small"]["weight_ppm"] + out["big"]["weight_ppm"] >= 999_998
+    # allocation follows weights; epochs: small source repeats ~909x
+    assert out["small"]["alloc_tokens"] == pytest.approx(1_000_000 / 11, rel=1e-3)
+    assert out["small"]["epochs_permille"] > out["big"]["epochs_permille"]
+    assert out["small"]["epochs_permille"] == out["small"]["alloc_tokens"] * 1000 // 100
+
+
+def test_temperature_mixture_zero_token_source_yields_null_epochs(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 50), (1, "empty", 0)], "id long, source string, n_tok long"
+    )
+    out = {
+        r["source"]: r
+        for r in packing.temperature_mixture(
+            df, "source", F.col("n_tok"), budget_tokens=1000
+        ).collect()
+    }
+    # no DIVIDE_BY_ZERO throw under ANSI; zero-mass source gets 0 weight,
+    # NULL epochs (0/0 is undefined, not 0)
+    assert out["empty"]["weight_ppm"] == 0
+    assert out["empty"]["alloc_tokens"] == 0
+    assert out["empty"]["epochs_permille"] is None
+    assert out["a"]["weight_ppm"] == 1_000_000
