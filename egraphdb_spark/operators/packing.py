@@ -283,6 +283,59 @@ FROM scored, tot
 """
 
 
+def curriculum_interleave(
+    df: DataFrame, id_col: str, domain_col: str, k: int
+) -> DataFrame:
+    """Deterministic round-robin source interleave — the shard-write order
+    that keeps every training batch source-diverse (a source-sorted corpus
+    gives the optimizer hour-long single-domain streaks; random shuffles
+    aren't reproducible across engines).
+
+    Each document gets a per-source ordinal (``epoch_rn``); the global
+    order is (epoch_rn, source, id) — i.e. one document from every source,
+    then the next from every source, ….  Returns the first ``k`` rows with
+    their global ``position``.
+
+    Scale: the per-source ``row_number`` partitions by source (parallel
+    windows); the global ordering is ORDER BY + LIMIT — Spark's
+    TakeOrdered, k rows per partition merged on the driver, no full sort.
+    The position stamp runs over the already-limited k-row set, so its
+    single-partition window is bounded by k, not the corpus.
+    """
+    w = Window.partitionBy(domain_col).orderBy(id_col)
+    ranked = df.select(
+        F.col(id_col), F.col(domain_col), F.row_number().over(w).alias("epoch_rn")
+    )
+    top = ranked.orderBy("epoch_rn", domain_col, id_col).limit(k)
+    pos_w = Window.orderBy("epoch_rn", domain_col, id_col)
+    return top.select(
+        F.row_number().over(pos_w).cast("long").alias("position"),
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("epoch_rn").cast("long").alias("epoch_rn"),
+    )
+
+
+def curriculum_interleave_oracle_sql(
+    table: str, id_col: str, domain_col: str, k: int
+) -> str:
+    """DuckDB mirror of :func:`curriculum_interleave`."""
+    return f"""
+WITH ranked AS (
+  SELECT {id_col}, {domain_col},
+         row_number() OVER (PARTITION BY {domain_col} ORDER BY {id_col}) AS epoch_rn
+  FROM {table}
+),
+top AS (
+  SELECT * FROM ranked ORDER BY epoch_rn, {domain_col}, {id_col} LIMIT {int(k)}
+)
+SELECT CAST(row_number() OVER (ORDER BY epoch_rn, {domain_col}, {id_col}) AS BIGINT)
+         AS position,
+       {id_col}, {domain_col}, CAST(epoch_rn AS BIGINT) AS epoch_rn
+FROM top
+"""
+
+
 # --------------------------------------------------------------------------
 # Sliding-window document chunking — context-window preparation
 # --------------------------------------------------------------------------

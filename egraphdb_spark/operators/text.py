@@ -252,6 +252,76 @@ def unigram_nll(
     )
 
 
+def hashed_tf_embedding(
+    docs: "DataFrame", id_col: str, text_col: str, dim: int = 32, salt: str = "hashtf"
+) -> "DataFrame":
+    """Feature-hashed (signed hashing-trick) term-frequency embedding —
+    the model-free bridge from text to vector space (Weinberger et al.
+    2009): term → slot = h(term) mod dim, sign = bit of the same hash,
+    value = Σ sign over the document's tokens.  Integer-exact end to end
+    (counts of ±1), so any engine reproduces it bit-for-bit — unlike
+    learned embeddings there is no model artifact to ship.
+
+    Output (sparse long format — the natural distributed layout):
+    ``(id, slot, val)`` with zero-sum slots dropped.  Downstream cosine /
+    ANN operators consume it exactly like the embeddings table after a
+    group-to-array.
+
+    Scale: one token explode (linear) + one map-side-combined
+    groupBy(id, slot); output bounded by dim·n_docs.  No joins, no
+    vocabulary table, no driver state — the whole point of the hashing
+    trick at 100 TB is that the feature map needs zero coordination.
+    """
+    c = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.lower(c))).alias("term")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("term"))), 1, 15), 16, 10
+    ).cast("long")
+    sl = toks.select(
+        "id",
+        (h % F.lit(dim)).cast("long").alias("slot"),
+        F.when((h.bitwiseAND(F.lit(dim))) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        sl.groupBy("id", "slot")
+        .agg(F.sum("sign").alias("val"))
+        .where(F.col("val") != 0)
+    )
+
+
+def hashed_tf_oracle_sql(
+    source_cte: str, dim: int = 32, salt: str = "hashtf"
+) -> str:
+    """DuckDB mirror of :func:`hashed_tf_embedding` over CTE ``src`` with
+    columns (id, text).  ``dim`` must be a power of two (the sign bit is
+    ``h & dim``, the bit just above the slot mask)."""
+    return rf"""
+WITH {source_cte},
+toks AS (
+  SELECT id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM src
+),
+h AS (
+  SELECT id,
+         CAST(('0x' || substr(md5('{salt}:' || term), 1, 15)) AS BIGINT) AS hv
+  FROM toks
+),
+sl AS (
+  SELECT id, hv % {int(dim)} AS slot,
+         CASE WHEN (hv & {int(dim)}) = 0 THEN 1 ELSE -1 END AS sign
+  FROM h
+)
+SELECT id, CAST(slot AS BIGINT) AS slot, CAST(sum(sign) AS BIGINT) AS val
+FROM sl GROUP BY id, slot HAVING sum(sign) <> 0
+"""
+
+
 def rolling_hash64(text: str | Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the normalized text: h = Σ c·B^i mod p.
 

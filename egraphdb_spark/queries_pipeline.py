@@ -2389,8 +2389,35 @@ O_PIPE_TEMPERATURE = packing.temperature_mixture_oracle_sql(
 )
 
 
+def q_pipe_interleave(spark, sf_dir):
+    """Round-robin source interleave: the deterministic shard-write order
+    that keeps every training batch source-diverse.  First 120 positions."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.curriculum_interleave(docs, "doc_id", "source", k=120)
+
+
+O_PIPE_INTERLEAVE = packing.curriculum_interleave_oracle_sql(
+    "documents", "doc_id", "source", k=120
+)
+
+
+def q_txt_hash_embedding(spark, sf_dir):
+    """Feature-hashed signed TF embeddings (dim 32, hashing trick) for the
+    first 400 documents — sparse (id, slot, val) long format, integer-exact.
+    The filter prunes at the scan; the operator itself is corpus-wide."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    return text.hashed_tf_embedding(docs, "doc_id", "text", dim=32)
+
+
+O_TXT_HASH_EMB = text.hashed_tf_oracle_sql(
+    "src AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 400)", dim=32
+)
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
+    "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),
+    "txt_hash_embedding": (q_txt_hash_embedding, O_TXT_HASH_EMB),
     "dedup_fuzzy_pairs": (q_dedup_fuzzy_pairs, O_DEDUP_FUZZY),
     "sketch_hll_overlap": (q_sketch_hll_overlap, O_SKETCH_HLL_OVERLAP),
     "pipe_length_buckets": (q_pipe_length_buckets, O_LENGTH_BUCKETS),

@@ -451,3 +451,39 @@ def test_temperature_mixture_zero_token_source_yields_null_epochs(spark):
     assert out["empty"]["alloc_tokens"] == 0
     assert out["empty"]["epochs_permille"] is None
     assert out["a"]["weight_ppm"] == 1_000_000
+
+
+def test_curriculum_interleave_round_robins_until_exhaustion(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (10, "b"), (20, "c")],
+        "id long, src string",
+    )
+    rows = packing.curriculum_interleave(df, "id", "src", k=10).collect()
+    order = [(r["id"], r["src"]) for r in sorted(rows, key=lambda r: r["position"])]
+    # round 1 takes one doc per source (source-alphabetical), then 'a' alone
+    assert order == [(1, "a"), (10, "b"), (20, "c"), (2, "a"), (3, "a")]
+    assert [r["position"] for r in sorted(rows, key=lambda r: r["position"])] == [
+        1, 2, 3, 4, 5,
+    ]
+
+
+def test_hashed_tf_embedding_is_content_determined(spark):
+    from egraphdb_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, "alpha beta beta"), (2, "   "), (3, "ALPHA")],
+        "doc_id long, text string",
+    )
+    out = T.hashed_tf_embedding(df, "doc_id", "text", dim=32)
+    rows = out.collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["slot"]] = r["val"]
+    # identical content -> identical sparse vector; whitespace-only -> empty
+    assert by_doc[0] == by_doc[1]
+    assert 2 not in by_doc
+    # case-folded: 'ALPHA' hashes like 'alpha', one signed unit
+    assert sum(abs(v) for v in by_doc[3].values()) == 1
+    # L1 mass bounded by token count (cancellation can only shrink it)
+    assert sum(abs(v) for v in by_doc[0].values()) <= 3
+    assert all(0 <= s < 32 for d in by_doc.values() for s in d)
