@@ -61,6 +61,77 @@ def profile_columns(
     return flat.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
+def mad_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Robust per-group outlier detection: flag values whose absolute
+    deviation from the group MEDIAN exceeds ``k`` × the median absolute
+    deviation (MAD).  Mean/stddev z-scores break down exactly when you
+    need them (the outliers drag the mean); median/MAD have a 50%
+    breakdown point — this is the ANALYZE-stage anomaly scan for metric
+    streams and corrupt-row hunting.
+
+    One summary row per group: n_events, med_micro / mad_micro /
+    max_dev_micro (floor(·10⁶) BIGINT), n_outliers.
+
+    Determinism: both medians ride the exact interpolated ``percentile``
+    (≡ DuckDB ``quantile_cont``, bit-verified by the agg_percentile gate);
+    dev = abs(v − med) is one IEEE op; the flag compares dev > k·mad with
+    one multiply.  NULL values are excluded up front (Spark and DuckDB
+    disagree on NULL sort placement, so they must never reach a rank).
+
+    Scale: two scans of the (cached) group stream + two broadcast joins of
+    |groups|-row stat tables; exact percentile buffers per-group values —
+    at 100 TB swap ``approx_percentile`` (same shape, bounded error).
+    """
+    v = F.col(value_col)
+    base = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("v")
+    )
+    med = base.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    dev = base.join(F.broadcast(med), "g").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("g").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    kf = F.lit(float(k))
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.min("med") * F.lit(1_000_000.0)).cast("long").alias("med_micro"),
+            F.floor(F.min("mad") * F.lit(1_000_000.0)).cast("long").alias("mad_micro"),
+            F.sum((F.col("dev") > kf * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.floor(F.max("dev") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("max_dev_micro"),
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
+def mad_outliers_oracle_sql(
+    table: str, group_col: str, value_col: str, k: float = 3.0
+) -> str:
+    """DuckDB mirror of :func:`mad_outliers` (quantile_cont ≡ percentile)."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, {value_col} AS v FROM {table}
+  WHERE {value_col} IS NOT NULL
+),
+med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM base GROUP BY g),
+dev AS (SELECT base.g, v, med, abs(v - med) AS dev FROM base JOIN med USING (g)),
+mad AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY g)
+SELECT g AS {group_col}, count(*) AS n_events,
+       CAST(floor(min(med) * 1000000.0) AS BIGINT) AS med_micro,
+       CAST(floor(min(mad) * 1000000.0) AS BIGINT) AS mad_micro,
+       CAST(sum(CASE WHEN dev > {float(k)!r} * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(floor(max(dev) * 1000000.0) AS BIGINT) AS max_dev_micro
+FROM dev JOIN mad USING (g) GROUP BY g
+"""
+
+
 def winsorize_stats(
     df: DataFrame, col: str, lo: float = 0.01, hi: float = 0.99
 ) -> DataFrame:

@@ -252,6 +252,103 @@ def unigram_nll(
     )
 
 
+def bigram_nll(docs: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Per-document NLL under an interpolated bigram LM trained on the
+    corpus itself — the next fidelity step past :func:`unigram_nll`
+    (catches word-salad that unigram frequency alone scores as fluent).
+
+    p(w₂|w₁) = ½·c(w₁w₂)/c₁(w₁) + ½·p_uni(w₂), where c₁ is w₁'s
+    bigram-start count (so the conditional sums to 1 exactly) and p_uni is
+    the same add-one-smoothed unigram the NLL gate uses.  Only bigram
+    positions are scored (docs need ≥ 2 tokens).
+
+    Determinism: each probability is two single IEEE divisions, two ×0.5
+    (exact powers of two) and one addition, composed in the SAME textual
+    order in the SQL mirror; the one ln call is the BM25/unigram trust
+    base.  Per-token −ln p is quantized to integer micro-lognats BEFORE
+    the per-doc sum.
+
+    Scale: one guarded bigram explode (linear), two vocabulary-sized count
+    tables joined back on their keys (shuffle bounded by the bigram
+    stream; both count tables are broadcastable for natural-language
+    vocabularies), one map-side-combined per-doc integer sum.
+    """
+    c = F.col(text_col)
+    base = docs.select(F.col(id_col).alias("id"), tokens(F.lower(c)).alias("t"))
+    pairs = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))"
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    start_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    toks = base.select("id", F.explode("t").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c2"))
+    corpus = uni.agg(F.sum("c2").alias("T"), F.count("*").alias("V"))
+    scored = (
+        pairs.join(bg_counts, ["w1", "w2"])
+        .join(start_counts, "w1")
+        .join(uni.withColumnRenamed("term", "w2"), "w2")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "nll_micro_tok",
+            F.expr(
+                "cast(floor(-ln(0.5 * (c12 / c1) + 0.5 * ((c2 + 1) / (T + V)))"
+                " * 1000000) as bigint)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("nll_micro_tok").alias("nll2_micro"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "nll2_micro",
+            F.expr("nll2_micro div n_bigrams").alias("avg_nll2_micro"),
+        )
+    )
+
+
+BIGRAM_NLL_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT id, t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+  FROM base, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+bg_counts AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+start_counts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg_counts GROUP BY w1),
+toks AS (SELECT id, unnest(t) AS term FROM base),
+uni AS (SELECT term, count(*) AS c2 FROM toks GROUP BY term),
+corpus AS (SELECT CAST(sum(c2) AS BIGINT) AS T, count(*) AS V FROM uni),
+scored AS (
+  SELECT id,
+         CAST(floor(-ln(0.5 * (c12 / c1) + 0.5 * ((c2 + 1) / (T + V)))
+              * 1000000) AS BIGINT) AS nll_micro_tok
+  FROM pairs
+  JOIN bg_counts USING (w1, w2)
+  JOIN start_counts USING (w1)
+  JOIN uni ON uni.term = pairs.w2, corpus
+)
+SELECT id, count(*) AS n_bigrams,
+       CAST(sum(nll_micro_tok) AS BIGINT) AS nll2_micro,
+       CAST(sum(nll_micro_tok) // count(*) AS BIGINT) AS avg_nll2_micro
+FROM scored GROUP BY id
+"""
+
+
 def hashed_tf_embedding(
     docs: "DataFrame", id_col: str, text_col: str, dim: int = 32, salt: str = "hashtf"
 ) -> "DataFrame":
@@ -319,6 +416,120 @@ sl AS (
 )
 SELECT id, CAST(slot AS BIGINT) AS slot, CAST(sum(sign) AS BIGINT) AS val
 FROM sl GROUP BY id, slot HAVING sum(sign) <> 0
+"""
+
+
+def source_jsd(
+    docs: "DataFrame", domain_col: str, text_col: str, top_v: int = 500
+) -> "DataFrame":
+    """Per-source token-distribution drift vs the corpus: Jensen-Shannon
+    divergence JSD(P_s ‖ Q) = ½KL(P_s‖M) + ½KL(Q‖M), M = (P_s+Q)/2 —
+    the corpus-monitoring number that flags a source whose language shifted
+    (scraper broke, domain drifted, new spam template) before it trains in.
+
+    Distributions live on the corpus's top ``top_v`` terms (deterministic
+    (count desc, term) order) plus an OTHER bucket (the single-space key —
+    unreachable by tokenization, which splits on \\s+) holding the tail
+    mass, so probabilities stay exact without a renormalizing pass and the
+    per-source term grid is vocabulary-bounded at ANY corpus size.
+
+    Determinism: p, q, m are each one IEEE op from integer counts; the one
+    ln is the BM25/NLL trust base; each term's contribution is quantized
+    to integer NANO-nats (floor(·10⁹)) before the per-source sum.  Output:
+    (source, n_tokens, n_terms, jsd_nano).
+
+    Scale: one token explode + map-side-combined counts; the top-V table
+    and per-source totals broadcast; the scored grid is |sources|·(V+1)
+    rows.  The corpus is scanned once.
+    """
+    c = F.col(text_col)
+    toks = docs.select(
+        F.col(domain_col).alias("g"), F.explode(tokens(F.lower(c))).alias("term")
+    )
+    corpus_counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    kept = corpus_counts.orderBy(F.desc("c"), "term").limit(top_v).select("term")
+    mapped = toks.join(
+        F.broadcast(kept.withColumn("_keep", F.lit(1))), "term", "left"
+    ).select(
+        "g",
+        F.when(F.col("_keep").isNotNull(), F.col("term"))
+        .otherwise(F.lit(" "))
+        .alias("t2"),
+    )
+    src_counts = mapped.groupBy("g", "t2").agg(F.count("*").alias("c_st"))
+    src_tot = src_counts.groupBy("g").agg(F.sum("c_st").alias("ts"))
+    corp2 = mapped.groupBy("t2").agg(F.count("*").alias("c_t"))
+    corp_tot = corp2.agg(F.sum("c_t").alias("t"))
+    grid = (
+        src_tot.crossJoin(F.broadcast(corp2))
+        .crossJoin(F.broadcast(corp_tot))
+        .join(src_counts, ["g", "t2"], "left")
+        .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0).cast("long")))
+    )
+    scored = (
+        grid.withColumn("p", F.expr("c_st / ts"))
+        .withColumn("q", F.expr("c_t / t"))
+        .withColumn("m", F.expr("(p + q) / 2"))
+        .withColumn(
+            "contrib_nano",
+            F.expr(
+                "cast(floor((0.5 * (CASE WHEN c_st > 0 THEN p * ln(p / m)"
+                " ELSE 0.0 END) + 0.5 * (q * ln(q / m))) * 1000000000) as bigint)"
+            ),
+        )
+    )
+    return scored.groupBy("g").agg(
+        F.min("ts").alias("n_tokens"),
+        F.sum((F.col("c_st") > 0).cast("long")).alias("n_terms"),
+        F.sum("contrib_nano").alias("jsd_nano"),
+    ).withColumnRenamed("g", domain_col)
+
+
+def source_jsd_oracle_sql(
+    table: str, domain_col: str, text_col: str, top_v: int = 500
+) -> str:
+    """DuckDB mirror of :func:`source_jsd` — identical op graph (p, q, m
+    staged as columns so both engines compose the same single IEEE ops)."""
+    return rf"""
+WITH toks AS (
+  SELECT {domain_col} AS g,
+         unnest(list_filter(string_split_regex(lower({text_col}), '\s+'),
+                t -> t <> '')) AS term
+  FROM {table}
+),
+corpus_counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+kept AS (SELECT term FROM corpus_counts ORDER BY c DESC, term LIMIT {int(top_v)}),
+mapped AS (
+  SELECT g, CASE WHEN k.term IS NULL THEN ' ' ELSE toks.term END AS t2
+  FROM toks LEFT JOIN kept k ON toks.term = k.term
+),
+src_counts AS (SELECT g, t2, count(*) AS c_st FROM mapped GROUP BY g, t2),
+src_tot AS (SELECT g, CAST(sum(c_st) AS BIGINT) AS ts FROM src_counts GROUP BY g),
+corp2 AS (SELECT t2, count(*) AS c_t FROM mapped GROUP BY t2),
+corp_tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t FROM corp2),
+grid AS (
+  SELECT st.g, c2.t2, st.ts, c2.c_t, ct.t,
+         coalesce(sc.c_st, 0) AS c_st
+  FROM src_tot st
+  CROSS JOIN corp2 c2
+  CROSS JOIN corp_tot ct
+  LEFT JOIN src_counts sc ON sc.g = st.g AND sc.t2 = c2.t2
+),
+staged AS (
+  SELECT *, c_st / ts AS p, c_t / t AS q FROM grid
+),
+staged2 AS (SELECT *, (p + q) / 2 AS m FROM staged),
+scored AS (
+  SELECT g, ts, c_st,
+         CAST(floor((0.5 * (CASE WHEN c_st > 0 THEN p * ln(p / m)
+              ELSE 0.0 END) + 0.5 * (q * ln(q / m))) * 1000000000) AS BIGINT)
+           AS contrib_nano
+  FROM staged2
+)
+SELECT g AS {domain_col}, CAST(min(ts) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c_st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+       CAST(sum(contrib_nano) AS BIGINT) AS jsd_nano
+FROM scored GROUP BY g
 """
 
 

@@ -2804,7 +2804,27 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q_evt_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust outlier scan per event type: values deviating
+    more than 3×MAD from the type median, one summary row per type with
+    micro-quantized robust stats and the outlier count."""
+    from .operators.profiling import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+def _mad_oracle():
+    from .operators.profiling import mad_outliers_oracle_sql
+
+    return mad_outliers_oracle_sql("events", "event_type", "value", k=3.0)
+
+
+O_EVT_ANOMALY_MAD = _mad_oracle()
+
+
 EXT_REGISTRY: dict[str, tuple] = {
+    "evt_anomaly_mad": (q_evt_anomaly_mad, O_EVT_ANOMALY_MAD),
     "agg_q7_nation_volume": (q_agg_q7_nation_volume, O_AGG_Q7),
     "agg_q13_order_histogram": (q_agg_q13_order_histogram, O_AGG_Q13),
     "agg_q18_large_orders": (q_agg_q18_large_orders, O_AGG_Q18),

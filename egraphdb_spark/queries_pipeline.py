@@ -2414,10 +2414,30 @@ O_TXT_HASH_EMB = text.hashed_tf_oracle_sql(
 )
 
 
+def q_txt_bigram_nll(spark, sf_dir):
+    """Interpolated bigram-LM perplexity filter: per-document NLL under
+    p(w2|w1) = half conditional bigram + half add-one unigram, integer
+    micro-lognats quantized per token before the doc sum."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_nll(docs, "doc_id", "text")
+
+
+def q_txt_source_jsd(spark, sf_dir):
+    """Source-vs-corpus token-distribution drift: Jensen-Shannon divergence
+    on the top-500 vocabulary + OTHER bucket, nano-nat integer sums."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.source_jsd(docs, "source", "text", top_v=500)
+
+
+O_TXT_SOURCE_JSD = text.source_jsd_oracle_sql("documents", "source", "text", top_v=500)
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),
     "txt_hash_embedding": (q_txt_hash_embedding, O_TXT_HASH_EMB),
+    "txt_bigram_nll": (q_txt_bigram_nll, text.BIGRAM_NLL_ORACLE),
+    "txt_source_jsd": (q_txt_source_jsd, O_TXT_SOURCE_JSD),
     "dedup_fuzzy_pairs": (q_dedup_fuzzy_pairs, O_DEDUP_FUZZY),
     "sketch_hll_overlap": (q_sketch_hll_overlap, O_SKETCH_HLL_OVERLAP),
     "pipe_length_buckets": (q_pipe_length_buckets, O_LENGTH_BUCKETS),

@@ -70,6 +70,11 @@ FUZZ_GATES = [
     "sample_weighted",
     "pipe_length_buckets",
     "dedup_canonical_corpus",
+    "pipe_temperature_mix",
+    "pipe_interleave",
+    "txt_hash_embedding",
+    "txt_bigram_nll",
+    "txt_source_jsd",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

@@ -487,3 +487,62 @@ def test_hashed_tf_embedding_is_content_determined(spark):
     # L1 mass bounded by token count (cancellation can only shrink it)
     assert sum(abs(v) for v in by_doc[0].values()) <= 3
     assert all(0 <= s < 32 for d in by_doc.values() for s in d)
+
+
+def test_bigram_nll_scores_common_sequences_lower(spark):
+    from egraphdb_spark.operators import text as T
+    import math
+
+    rows = [(i, "a b") for i in range(9)] + [(9, "a c"), (10, "z"), (11, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in T.bigram_nll(df, "doc_id", "text").collect()}
+    # <2-token docs score no bigrams and emit no row
+    assert 10 not in out and 11 not in out
+    assert out[0]["n_bigrams"] == 1
+    # 'a b' (9/10 of a-starts) must be far cheaper than 'a c' (1/10)
+    assert out[0]["nll2_micro"] < out[9]["nll2_micro"]
+    # exact value check against the closed form: T=21, V=4 (a,b,c,z)
+    # p(b|a) = .5*(9/10) + .5*((9+1)/(21+4))
+    exp = -math.log(0.5 * (9 / 10) + 0.5 * ((9 + 1) / (21 + 4)))
+    assert out[0]["nll2_micro"] == math.floor(exp * 1e6)
+    assert out[0]["avg_nll2_micro"] == out[0]["nll2_micro"]
+
+
+def test_mad_outliers_flags_only_true_spikes(spark):
+    from egraphdb_spark.operators.profiling import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)] + [(99, "u", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = {r["event_type"]: r for r in mad_outliers(df, "event_type", "value").collect()}
+    t = out["t"]
+    # median of sorted [10..14,1000] = 12.5; MAD of devs [2.5,1.5,.5,.5,1.5,987.5] = 1.5
+    assert t["med_micro"] == 12_500_000
+    assert t["mad_micro"] == 1_500_000
+    # only the 1000.0 spike exceeds 3*MAD=4.5; the mean-based z-score would
+    # have been dragged to ~176 and flagged nothing
+    assert t["n_outliers"] == 1
+    # single-value group: MAD 0, no outliers (dev 0 is not > 0)
+    assert out["u"]["n_outliers"] == 0 and out["u"]["mad_micro"] == 0
+
+
+def test_source_jsd_orders_drift_and_bounds(spark):
+    from egraphdb_spark.operators import text as T
+    import math
+
+    rows = (
+        [(i, "alpha beta gamma", "base") for i in range(10)]
+        + [(100 + i, "alpha beta gamma", "same") for i in range(5)]
+        + [(200 + i, "zebra quux xylo", "drift") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in T.source_jsd(df, "source", "text", top_v=500).collect()}
+    # identical distributions diverge identically; the disjoint source most
+    assert out["same"]["jsd_nano"] == out["base"]["jsd_nano"]
+    assert out["base"]["jsd_nano"] < out["drift"]["jsd_nano"]
+    # JSD is bounded by ln 2 (quantization only subtracts < n_terms nanonats)
+    for r in out.values():
+        assert -10 <= r["jsd_nano"] <= math.log(2) * 1e9
+    assert out["base"]["n_tokens"] == 30 and out["drift"]["n_terms"] == 3
