@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     "stream_cm_heavy",
     "agg_pivot",
     "win_ntile",
+    # round-4 final session
+    "pipe_temperature_mix",
+    "pipe_interleave",
+    "txt_hash_embedding",
+    "txt_bigram_nll",
+    "evt_anomaly_mad",
+    "txt_source_jsd",
 ]
 
 

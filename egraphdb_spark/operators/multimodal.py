@@ -234,3 +234,44 @@ def payload_dedup(media: DataFrame, id_col: str = "id") -> DataFrame:
         .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") >= 2)
     )
+
+
+def payload_simhash_pairs(
+    media: DataFrame, id_col: str = "id", max_hamming: int = 3
+) -> DataFrame:
+    """NEAR-duplicate media pairs by byte-level SimHash — the perceptual-
+    hash slot :func:`payload_dedup` reserves, realized content-type-
+    agnostically: non-overlapping 4-byte grams of the payload (8 hex
+    chars) vote per fingerprint bit exactly like text shingles, then the
+    same pigeonhole byte-blocking finds pairs within Hamming ≤ 3.  Catches
+    re-muxed/retagged binaries whose bulk bytes match (a format-aware
+    pHash would decode first — that hook is the stubbed codec line in
+    :func:`extract_features`; the Spark shape is identical).
+
+    Reuses dedup.simhash/simhash_pairs verbatim over the gram table, so
+    scale behavior is the proven one: the shuffle carries 32-bit gram
+    hashes (never payloads), the fingerprint aggregate is map-side
+    combined, and the pair join is byte-block-bucketed.  Empty payloads
+    (< 4 bytes) emit no grams and join nothing.
+    """
+    from .dedup import simhash, simhash_pairs
+
+    grams = (
+        media.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    "if(length(hex(payload)) < 8, array(),"
+                    " transform(sequence(0, length(hex(payload)) div 8 - 1),"
+                    " k -> substring(hex(payload), 1 + 8 * k, 8)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .select(
+            "id",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    sh = simhash(media, id_col, "payload", shingles=grams)
+    return simhash_pairs(sh, max_hamming=max_hamming)

@@ -336,6 +336,106 @@ FROM top
 """
 
 
+def pack_pairs(
+    df: DataFrame, id_col: str, token_count_col: str, seq_len: int
+) -> DataFrame:
+    """Rank-pairing sequence packer: sort documents by length descending and
+    pair rank i with rank n+1−i (longest with shortest) — the classic
+    deterministic approximation of best-fit packing that cuts padding
+    versus naive concatenation, without bin-packing's sequential state.
+
+    The global length rank is computed WITHOUT a global sort via the same
+    two-level trick as :func:`pack_offsets`, but keyed on the length
+    HISTOGRAM: per-length counts (a tiny table — lengths are small
+    integers) take a single-partition window to yield "docs longer than
+    L", and each doc adds its within-length ``row_number`` (partitioned by
+    length — parallel).  rank = n_longer + within-length ordinal, a total
+    order by (length desc, id).
+
+    Output one row per pair (pair_id = the long side's rank): ids and
+    token counts of both members, ``pair_tokens``, and ``fits`` =
+    pair_tokens ≤ seq_len.  Odd corpus: the median doc pairs with nobody
+    (short columns NULL).
+
+    Scale: one scan + a histogram-sized window + one shuffle on rank for
+    the pairing self-join.  Nothing global touches more rows than the
+    length histogram.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(token_count_col).cast("long").alias("nt")
+    )
+    hist = base.groupBy("nt").agg(F.count("*").alias("cnt"))
+    hw = (
+        Window.orderBy(F.desc("nt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn("n_longer", F.coalesce(F.sum("cnt").over(hw), F.lit(0)))
+    iw = Window.partitionBy("nt").orderBy("id")
+    ranked = base.join(F.broadcast(hist.select("nt", "n_longer")), "nt").select(
+        "id", "nt", (F.col("n_longer") + F.row_number().over(iw)).alias("rank")
+    )
+    tot = ranked.agg(F.count("*").alias("n"))
+    left = ranked.crossJoin(F.broadcast(tot)).where(
+        F.col("rank") * 2 <= F.col("n") + 1
+    )
+    right = ranked.select(
+        F.col("id").alias("short_id"),
+        F.col("nt").alias("short_tokens"),
+        F.col("rank").alias("short_rank"),
+    )
+    # short_rank = n+1-rank ≥ rank for every kept left row, so the join
+    # always matches; "left" is belt-and-braces for the empty frame.
+    paired = left.join(
+        right,
+        left["n"] + 1 - left["rank"] == right["short_rank"],
+        "left",
+    )
+    return paired.select(
+        F.col("rank").alias("pair_id"),
+        F.col("id").alias("long_id"),
+        F.col("nt").alias("long_tokens"),
+        F.when(F.col("short_rank") == F.col("rank"), F.lit(None).cast("long"))
+        .otherwise(F.col("short_id"))
+        .alias("short_id"),
+        F.when(F.col("short_rank") == F.col("rank"), F.lit(None).cast("long"))
+        .otherwise(F.col("short_tokens"))
+        .alias("short_tokens"),
+        (
+            F.col("nt")
+            + F.when(
+                F.col("short_rank") == F.col("rank"), F.lit(0).cast("long")
+            ).otherwise(F.coalesce(F.col("short_tokens"), F.lit(0).cast("long")))
+        ).alias("pair_tokens"),
+    ).withColumn("fits", (F.col("pair_tokens") <= F.lit(int(seq_len))).cast("boolean"))
+
+
+def pack_pairs_oracle_sql(
+    table: str, id_col: str, token_expr: str, seq_len: int
+) -> str:
+    """DuckDB mirror of :func:`pack_pairs` (direct global row_number — the
+    naive formulation the two-level rank must equal)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, CAST({token_expr} AS BIGINT) AS nt FROM {table}
+),
+ranked AS (
+  SELECT id, nt, row_number() OVER (ORDER BY nt DESC, id) AS rank FROM base
+),
+tot AS (SELECT count(*) AS n FROM ranked)
+SELECT l.rank AS pair_id, l.id AS long_id, l.nt AS long_tokens,
+       CASE WHEN r.rank = l.rank THEN NULL ELSE r.id END AS short_id,
+       CASE WHEN r.rank = l.rank THEN NULL ELSE r.nt END AS short_tokens,
+       CAST(l.nt + CASE WHEN r.rank = l.rank THEN 0 ELSE coalesce(r.nt, 0) END
+            AS BIGINT) AS pair_tokens,
+       (l.nt + CASE WHEN r.rank = l.rank THEN 0 ELSE coalesce(r.nt, 0) END)
+         <= {int(seq_len)} AS fits
+FROM ranked l
+CROSS JOIN tot
+LEFT JOIN ranked r ON r.rank = tot.n + 1 - l.rank
+WHERE l.rank * 2 <= tot.n + 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Sliding-window document chunking — context-window preparation
 # --------------------------------------------------------------------------

@@ -533,6 +533,68 @@ FROM scored GROUP BY g
 """
 
 
+def char_entropy(docs: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Per-document character-level Shannon entropy — the cheap gibberish
+    detector: base64 blobs and minified junk sit near the ~6-bit ceiling,
+    single-character spam near 0, natural language in a narrow band
+    (~4.0–4.5 bits ≈ 2.8–3.1 nats).  A standard feature in quality
+    classifiers next to the token-level stats.
+
+    H = Σ −(c/n)·ln(c/n) over the doc's codepoint histogram, each class's
+    contribution quantized to integer nano-nats before the per-doc sum
+    (one division, one ln — the standard trust base — one multiply).
+    Empty docs emit no row (entropy of nothing is undefined, not 0).
+
+    Output: (id, n_chars, n_distinct, ent_nano).  Scale: the codepoint
+    explode is linear in corpus bytes; both aggregates are map-side
+    combined and keyed by id — no global state at all.
+    """
+    c = F.col(text_col)
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))).alias("ch"),
+    )
+    cc = chars.groupBy("id", "ch").agg(F.count("*").alias("c"))
+    tot = cc.groupBy("id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    return (
+        cc.join(tot, "id")
+        .withColumn(
+            "contrib_nano",
+            F.expr("cast(floor(-(c / n) * ln(c / n) * 1000000000) as bigint)"),
+        )
+        .groupBy("id")
+        .agg(
+            F.min("n").alias("n_chars"),
+            F.min("n_distinct").alias("n_distinct"),
+            F.sum("contrib_nano").alias("ent_nano"),
+        )
+    )
+
+
+CHAR_ENTROPY_ORACLE = r"""
+WITH chars AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(text, ''), ch -> ch <> '')) AS ch
+  FROM documents
+),
+cc AS (SELECT id, ch, count(*) AS c FROM chars GROUP BY id, ch),
+tot AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+  FROM cc GROUP BY id
+),
+scored AS (
+  SELECT cc.id, n, n_distinct,
+         CAST(floor(-(c / n) * ln(c / n) * 1000000000) AS BIGINT) AS contrib_nano
+  FROM cc JOIN tot USING (id)
+)
+SELECT id, min(n) AS n_chars, min(n_distinct) AS n_distinct,
+       CAST(sum(contrib_nano) AS BIGINT) AS ent_nano
+FROM scored GROUP BY id
+"""
+
+
 def rolling_hash64(text: str | Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the normalized text: h = Σ c·B^i mod p.
 

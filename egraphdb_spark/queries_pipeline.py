@@ -2432,7 +2432,77 @@ def q_txt_source_jsd(spark, sf_dir):
 O_TXT_SOURCE_JSD = text.source_jsd_oracle_sql("documents", "source", "text", top_v=500)
 
 
+def q_pipe_pack_pairs(spark, sf_dir):
+    """Rank-pairing packer: longest doc with shortest (global length rank
+    via the histogram two-level trick — no global sort), pair fill vs a
+    128-token window."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("n_tokens", text.token_count("text"))
+    return packing.pack_pairs(docs, "doc_id", "n_tokens", seq_len=128)
+
+
+O_PIPE_PACK_PAIRS = packing.pack_pairs_oracle_sql(
+    "documents", "doc_id", f"len({_TOKS})", seq_len=128
+)
+
+
+def q_txt_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (nano-nat integer
+    sums) — the cheap gibberish/base64-junk detector."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.char_entropy(docs, "doc_id", "text")
+
+
+def q_mm_simhash_pairs(spark, sf_dir):
+    """Near-duplicate media pairs by byte-gram SimHash (Hamming ≤ 3 over
+    the 32-bit fingerprint) — the perceptual-hash shape over opaque
+    payloads, on the same planted re-upload corpus as mm_payload_dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synth_media(docs)
+    reupload = multimodal.synth_media(
+        docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return multimodal.payload_simhash_pairs(
+        media.unionByName(reupload), max_hamming=3
+    )
+
+
+O_MM_SIMHASH_PAIRS = f"""
+WITH media AS (
+  SELECT doc_id AS id, hex(encode(text)) AS hx FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, hex(encode(text)) FROM documents WHERE doc_id % 10 = 0
+),
+grams AS (
+  SELECT DISTINCT id, substr(hx, CAST(1 + 8 * k AS INT), 8) AS gram
+  FROM media, unnest(range(0, len(hx) // 8)) AS t(k)
+),
+hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h FROM grams
+),
+sums AS (
+  SELECT id,
+         {_SIMHASH_SUMS}
+  FROM hashed GROUP BY id
+),
+simh AS (SELECT id, {_SIMHASH_FP} AS simhash FROM sums),
+blk AS (
+  SELECT id, simhash, t.b AS blk, (simhash >> CAST(t.b * 8 AS INT)) & 255 AS val
+  FROM simh, (SELECT unnest(range(0, 4)) AS b) t
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
+    "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
+    "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),
     "txt_hash_embedding": (q_txt_hash_embedding, O_TXT_HASH_EMB),

@@ -75,6 +75,9 @@ FUZZ_GATES = [
     "txt_hash_embedding",
     "txt_bigram_nll",
     "txt_source_jsd",
+    "pipe_pack_pairs",
+    "txt_char_entropy",
+    "mm_simhash_pairs",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

@@ -546,3 +546,64 @@ def test_source_jsd_orders_drift_and_bounds(spark):
     for r in out.values():
         assert -10 <= r["jsd_nano"] <= math.log(2) * 1e9
     assert out["base"]["n_tokens"] == 30 and out["drift"]["n_terms"] == 3
+
+
+def test_pack_pairs_pairs_extremes_and_handles_odd_n(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 90), (3, 50), (4, 10), (5, 5)],
+        "id long, nt long",
+    )
+    rows = {r["pair_id"]: r for r in packing.pack_pairs(df, "id", "nt", 128).collect()}
+    # ranks: 1->100, 2->90, 3->50, 4->10, 5->5; pairs (1,5),(2,4), middle 3 alone
+    assert len(rows) == 3
+    assert (rows[1]["long_id"], rows[1]["short_id"]) == (1, 5)
+    assert rows[1]["pair_tokens"] == 105 and bool(rows[1]["fits"])
+    assert (rows[2]["long_id"], rows[2]["short_id"]) == (2, 4)
+    assert rows[3]["short_id"] is None and rows[3]["pair_tokens"] == 50
+    # equal lengths tie-break by id: determinism law
+    df2 = spark.createDataFrame([(7, 10), (3, 10), (5, 10)], "id long, nt long")
+    r2 = {r["pair_id"]: r for r in packing.pack_pairs(df2, "id", "nt", 128).collect()}
+    assert (r2[1]["long_id"], r2[1]["short_id"]) == (3, 7)
+    assert r2[2]["short_id"] is None and r2[2]["long_id"] == 5
+
+
+def test_char_entropy_laws(spark):
+    import math
+
+    from egraphdb_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "abab"), (2, "abcd"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in T.char_entropy(df, "doc_id", "text").collect()}
+    # single-symbol doc: zero entropy; uniform doc: ln(k) exactly
+    assert out[0]["ent_nano"] == 0 and out[0]["n_distinct"] == 1
+    assert out[1]["ent_nano"] == pytest.approx(math.log(2) * 1e9, abs=5)
+    assert out[2]["ent_nano"] == pytest.approx(math.log(4) * 1e9, abs=5)
+    assert out[2]["n_chars"] == 4 and out[2]["n_distinct"] == 4
+    # empty doc emits no row
+    assert 3 not in out
+    # monotone: more uniform spread -> higher entropy
+    assert out[0]["ent_nano"] < out[1]["ent_nano"] < out[2]["ent_nano"]
+
+
+def test_payload_simhash_finds_exact_and_near_dups(spark):
+    from egraphdb_spark.operators import multimodal as MM
+
+    base = "x" * 40 + "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base[:-4] + "DIFF"), (4, "zzz completely other payload " * 5)],
+        "doc_id long, text string",
+    )
+    media = MM.synth_media(docs)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in MM.payload_simhash_pairs(media).collect()
+    }
+    # byte-identical payloads -> hamming 0
+    assert pairs[(1, 2)] == 0
+    # tail-edited near-dup is found (most 4-byte grams shared)
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    # unrelated payload pairs with nobody
+    assert not any(4 in p for p in pairs)

@@ -81,6 +81,14 @@ PROBES = [
     "graph_lpa",
     "dedup_containment_pairs",
     "join_asof_nearest",
+    # round-4 final session
+    "pipe_temperature_mix",
+    "pipe_interleave",
+    "txt_hash_embedding",
+    "txt_bigram_nll",
+    "evt_anomaly_mad",
+    "txt_source_jsd",
+    "pipe_pack_pairs",
 ]
 
 
