@@ -734,3 +734,190 @@ def ivfpq_topk(
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# PCA by integer power iteration — dimensionality analysis for embeddings
+# --------------------------------------------------------------------------
+
+_PCA_Q = 1 << 20  # fixed-point scale for moments, covariance, and vectors
+
+
+def pca_power(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+) -> DataFrame:
+    """Dominant principal component of the embedding table by fixed-point
+    power iteration — the analysis step before whitening / anisotropy
+    diagnosis ("is this embedding space collapsing to one direction?").
+
+    Distributed part (the only O(n) work): one scan aggregating the d×d
+    second-moment matrix and the d means, every per-row product quantized
+    floor(x_i·x_j·2²⁰) BEFORE summation — integer-exact under any
+    aggregation order.  The d×d covariance then iterates v ← C·v entirely
+    in BIGINT arithmetic (matvec, rescale `div 2²⁰`, L2-normalize back to
+    the 2²⁰ scale with one correctly-rounded sqrt per round), so every
+    engine — and the unrolled SQL oracle — lands on bit-identical
+    components.  Truncating division (`div` ≡ DuckDB `//`) is part of the
+    contract; quantization noise is ~2⁻²⁰ per entry, irrelevant to the
+    direction (pytest ties it to numpy's eigh within 1e-3).
+
+    Output: (i, v_q, last_norm) — component i of the dominant eigenvector
+    in 2²⁰ fixed point, plus the final pre-normalization norm (≈ the
+    dominant eigenvalue in the same scale, since ‖v‖ is kept at 2²⁰).
+
+    Scale: the moment aggregate explodes d·(d+1)/2 products per vector —
+    at 100 TB you'd swap the explode for per-partition BLAS Gram matrices
+    via mapInPandas (same quantize-then-sum contract); the iteration
+    itself touches only d² rows regardless of corpus size.
+    """
+    S = _PCA_Q
+    d = dim
+    v = _as_double(vec_col)
+    # dimension guard: ANSI element_at THROWS on short vectors (DuckDB
+    # yields NULL) — malformed rows must be excluded, not crash the scan
+    base = emb.select(v.alias("x")).where(F.size("x") == d)
+    # upper-triangle second moments, mirrored to the full grid
+    tri = base.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {d - 1}), i ->"
+                f" transform(sequence(i, {d - 1}), j -> struct(i AS i, j AS j,"
+                f" cast(floor(element_at(x, i + 1) * element_at(x, j + 1)"
+                f" * {float(S)!r}) as bigint) AS q))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.q")
+    sm_up = tri.groupBy("i", "j").agg(
+        F.sum("q").alias("s_xy"), F.count("*").alias("n")
+    )
+    sm = sm_up.unionByName(
+        sm_up.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            F.col("s_xy"), F.col("n"),
+        )
+    )
+    means = base.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {d - 1}), i -> struct(i AS i,"
+                f" cast(floor(element_at(x, i + 1) * {float(S)!r}) as bigint) AS q))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.q").groupBy("i").agg(F.sum("q").alias("s_x"))
+    # n is constant; fold it into the mean tables via a broadcast 1-row agg
+    nrow = sm_up.agg(F.max("n").alias("n"))
+    mi = means.crossJoin(F.broadcast(nrow)).select(
+        F.col("i").alias("_mi"), F.expr("s_x div n").alias("m_i")
+    )
+    mj = means.crossJoin(F.broadcast(nrow)).select(
+        F.col("i").alias("_mj"), F.expr("s_x div n").alias("m_j")
+    )
+    cov = (
+        sm.join(F.broadcast(mi), F.col("i") == F.col("_mi"))
+        .join(F.broadcast(mj), F.col("j") == F.col("_mj"))
+        .select(
+            "i",
+            "j",
+            F.expr(f"s_xy div n - (m_i * m_j) div {S}").alias("c_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # v0 = ones at scale S; iterate v <- normalize(C·v)
+    spark = emb.sparkSession
+    vcur = spark.range(d).select(
+        F.col("id").cast("int").alias("vi"), F.lit(S).cast("long").alias("v_q")
+    )
+    last_norm = None
+    for _ in range(iters):
+        mv = (
+            cov.join(F.broadcast(vcur), F.col("j") == F.col("vi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("c_q") * F.col("v_q")).alias("acc"))
+            .select("i", F.expr(f"acc div {S}").alias("w"))
+        )
+        norm = mv.agg(
+            F.floor(F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")))
+            .cast("long")
+            .alias("nv")
+        )
+        vcur = (
+            mv.crossJoin(F.broadcast(norm))
+            .select(
+                F.col("i").alias("vi"),
+                F.expr(f"(w * {S}) div nullif(nv, 0)").cast("long").alias("v_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        last_norm = norm
+    return (
+        vcur.crossJoin(F.broadcast(last_norm))
+        .select(
+            F.col("vi").cast("long").alias("i"),
+            F.col("v_q"),
+            F.col("nv").alias("last_norm"),
+        )
+    )
+
+
+def pca_power_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+) -> str:
+    """Unrolled SQL mirror of :func:`pca_power` (same fixed point, same
+    truncating division, same per-round sqrt)."""
+    S = _PCA_Q
+    d = dim
+    head = f"""
+WITH base AS (
+  SELECT list_transform({vec_col}, e -> CAST(e AS DOUBLE)) AS x FROM {table}
+  WHERE len({vec_col}) = {dim}
+),
+tri AS (
+  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+         CAST(floor(x[CAST(t.i + 1 AS INT)] * x[CAST(u.j + 1 AS INT)]
+              * {float(S)!r}) AS BIGINT) AS q
+  FROM base, unnest(range(0, {d})) AS t(i), unnest(range(t.i, {d})) AS u(j)
+),
+sm_up AS (SELECT i, j, CAST(sum(q) AS BIGINT) AS s_xy, count(*) AS n FROM tri GROUP BY i, j),
+sm AS (
+  SELECT i, j, s_xy, n FROM sm_up
+  UNION ALL
+  SELECT j, i, s_xy, n FROM sm_up WHERE i <> j
+),
+means AS (
+  SELECT CAST(t.i AS INT) AS i,
+         CAST(sum(CAST(floor(x[CAST(t.i + 1 AS INT)] * {float(S)!r}) AS BIGINT))
+              AS BIGINT) AS s_x
+  FROM base, unnest(range(0, {d})) AS t(i) GROUP BY t.i
+),
+nrow AS (SELECT max(n) AS n FROM sm_up),
+m AS (SELECT i, s_x // n AS mu FROM means, nrow),
+cov AS (
+  SELECT sm.i, sm.j, s_xy // sm.n - (a.mu * b.mu) // {S} AS c_q
+  FROM sm JOIN m a ON a.i = sm.i JOIN m b ON b.i = sm.j
+),
+v0 AS (SELECT CAST(t.i AS INT) AS vi, CAST({S} AS BIGINT) AS v_q FROM unnest(range(0, {d})) AS t(i))"""
+    body = ""
+    prev = "v0"
+    for r in range(iters):
+        body += f""",
+mv{r} AS (
+  SELECT cov.i, CAST(sum(c_q * v_q) AS BIGINT) // {S} AS w
+  FROM cov JOIN {prev} ON {prev}.vi = cov.j GROUP BY cov.i
+),
+nm{r} AS (SELECT CAST(floor(sqrt(CAST(sum(w * w) AS DOUBLE))) AS BIGINT) AS nv FROM mv{r}),
+v{r + 1} AS (
+  SELECT i AS vi, CAST((w * {S}) // nullif(nv, 0) AS BIGINT) AS v_q
+  FROM mv{r}, nm{r}
+)"""
+        prev = f"v{r + 1}"
+    tail = f"""
+SELECT CAST(vi AS BIGINT) AS i, v_q, nv AS last_norm
+FROM {prev}, nm{iters - 1}
+"""
+    return head + body + tail

@@ -2499,9 +2499,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_emb_pca_power(spark, sf_dir):
+    """Dominant principal component of the embedding table — distributed
+    quantized Gram aggregate + 4 rounds of integer power iteration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pca_power(emb, "embedding", dim=64, iters=4)
+
+
+O_EMB_PCA = similarity.pca_power_oracle_sql("embeddings", "embedding", 64, 4)
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
+    "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),
     "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),

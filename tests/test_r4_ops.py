@@ -607,3 +607,39 @@ def test_payload_simhash_finds_exact_and_near_dups(spark):
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     # unrelated payload pairs with nobody
     assert not any(4 in p for p in pairs)
+
+
+def test_pca_power_matches_numpy_direction(spark):
+    import numpy as np
+
+    from egraphdb_spark.operators.similarity import pca_power
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction u with 10x the variance
+    u = rng.randn(64); u /= np.linalg.norm(u)
+    noise = rng.randn(400, 64)
+    data = np.outer(rng.randn(400) * 10.0, u) + noise
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = pca_power(df, "embedding", dim=64, iters=6).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["i"]] = r["v_q"]
+    v /= np.linalg.norm(v)
+    # numpy reference on the float64 covariance of the same (float32) data
+    d32 = data.astype(np.float32).astype(np.float64)
+    cov = np.cov(d32, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.999, "direction off numpy's top eigvec"
+    # eigenvalue estimate: last_norm approximates lambda in 2^20 scale
+    lam = rows[0]["last_norm"] / (1 << 20)
+    assert lam == pytest.approx(w[-1], rel=0.05)
+    # malformed (short) vectors are excluded, not fatal
+    bad = spark.createDataFrame(
+        [(1000, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    rows2 = pca_power(df.unionByName(bad), "embedding", dim=64, iters=2).collect()
+    assert len(rows2) == 64
