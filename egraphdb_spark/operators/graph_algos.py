@@ -528,3 +528,82 @@ def neighbor_jaccard_pairs(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFrame:
+    """(key, hub, auth) — HITS hub/authority scores in integer fixed point
+    (Kleinberg '99), the directed-graph complement of PageRank: a node is a
+    good AUTHORITY if good hubs point at it, a good HUB if it points at
+    good authorities (reference semantics target: the same adjacency
+    tables g1/g2 traverse, models/egraph_*_model.erl edge storage).
+
+    Per round (classic update order): a(v) ← Σ_{u→v} h(u), L∞-normalized
+    to the 10⁶ scale, THEN h(u) ← Σ_{u→v} a(v) with the fresh a.  The
+    normalizing multiply bounds at max_degree·scale², so 10⁶ holds
+    overflow-free to ~9·10⁶ in-degree (BIGINT errors loudly past it, in
+    both engines, rather than wrapping).  L∞ (max)
+    normalization replaces the float L2 norm so every engine lands on
+    identical integers — a 1-row max broadcast instead of a sqrt; the
+    dominant hub/authority pins to exactly `scale`.
+
+    Scale behavior = pagerank_scaled's: per round one scatter join + one
+    gather aggregate each direction (aggregateMessages shape), node-sized
+    frames localCheckpointed so the plan stays linear in rounds.
+    """
+    e = edges.select("src_key", "dst_key").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src_key").alias("key"))
+        .unionByName(e.select(F.col("dst_key").alias("key")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("key", F.lit(scale).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e["src_key"] == hub["key"])
+            .groupBy("dst_key")
+            .agg(F.sum("h").alias("s"))
+        )
+        a_max = a_raw.agg(F.max("s").alias("mx"))
+        auth = (
+            nodes.join(a_raw, nodes["key"] == a_raw["dst_key"], "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "key",
+                F.coalesce(
+                    _intdiv(
+                        F.coalesce(F.col("s"), F.lit(0)) * F.lit(scale),
+                        F.nullif(F.col("mx"), F.lit(0)),
+                    ),
+                    F.lit(0),
+                ).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auth, e["dst_key"] == auth["key"])
+            .groupBy("src_key")
+            .agg(F.sum("a").alias("s"))
+        )
+        h_max = h_raw.agg(F.max("s").alias("mx"))
+        hub = (
+            nodes.join(h_raw, nodes["key"] == h_raw["src_key"], "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "key",
+                F.coalesce(
+                    _intdiv(
+                        F.coalesce(F.col("s"), F.lit(0)) * F.lit(scale),
+                        F.nullif(F.col("mx"), F.lit(0)),
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(hub, "key")
+        .join(auth, "key")
+        .select("key", F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )

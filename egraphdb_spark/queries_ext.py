@@ -2823,8 +2823,67 @@ def _mad_oracle():
 O_EVT_ANOMALY_MAD = _mad_oracle()
 
 
+def q_graph_hits(spark, sf_dir):
+    """Integer fixed-point HITS (3 rounds, L∞ normalization) on the
+    part→supplier bipartite subgraph: parts are hubs, suppliers
+    authorities."""
+    from .operators.graph_algos import hits_scaled
+
+    g = _fixture(spark, sf_dir)
+    supplied = g.edges.where(
+        F.get_json_object("details", "$.rel") == "supplied_by"
+    )
+    return hits_scaled(supplied, iters=3)
+
+
+def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
+    """Unrolled fixed-point HITS over the same subgraph (same truncating
+    division, same L∞ normalization, same a-then-h update order)."""
+    cte = [
+        "e AS (SELECT DISTINCT 'part:' || l_partkey AS src_key,"
+        " 'supplier:' || l_suppkey AS dst_key FROM lineitem)",
+        "nodes AS (SELECT src_key AS key FROM e UNION SELECT dst_key FROM e)",
+        f"h0 AS (SELECT key, CAST({scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    ph = "h0"
+    for i in range(1, iters + 1):
+        cte.append(
+            f"ar{i} AS (SELECT e.dst_key AS key, CAST(sum({ph}.h) AS BIGINT) AS s"
+            f" FROM e JOIN {ph} ON e.src_key = {ph}.key GROUP BY e.dst_key)"
+        )
+        cte.append(f"am{i} AS (SELECT max(s) AS mx FROM ar{i})")
+        cte.append(
+            f"a{i} AS (SELECT nodes.key,"
+            f" COALESCE((COALESCE(ar{i}.s, 0) * {scale}) // nullif(am{i}.mx, 0), 0) AS a"
+            f" FROM nodes CROSS JOIN am{i}"
+            f" LEFT JOIN ar{i} ON ar{i}.key = nodes.key)"
+        )
+        cte.append(
+            f"hr{i} AS (SELECT e.src_key AS key, CAST(sum(a{i}.a) AS BIGINT) AS s"
+            f" FROM e JOIN a{i} ON e.dst_key = a{i}.key GROUP BY e.src_key)"
+        )
+        cte.append(f"hm{i} AS (SELECT max(s) AS mx FROM hr{i})")
+        cte.append(
+            f"h{i} AS (SELECT nodes.key,"
+            f" COALESCE((COALESCE(hr{i}.s, 0) * {scale}) // nullif(hm{i}.mx, 0), 0) AS h"
+            f" FROM nodes CROSS JOIN hm{i}"
+            f" LEFT JOIN hr{i} ON hr{i}.key = nodes.key)"
+        )
+        ph = f"h{i}"
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT nodes.key, h{iters}.h AS hub, a{iters}.a AS auth"
+        f"\nFROM nodes JOIN h{iters} ON h{iters}.key = nodes.key"
+        f" JOIN a{iters} ON a{iters}.key = nodes.key"
+    )
+
+
+O_GRAPH_HITS = _hits_oracle()
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_anomaly_mad": (q_evt_anomaly_mad, O_EVT_ANOMALY_MAD),
+    "graph_hits": (q_graph_hits, O_GRAPH_HITS),
     "agg_q7_nation_volume": (q_agg_q7_nation_volume, O_AGG_Q7),
     "agg_q13_order_histogram": (q_agg_q13_order_histogram, O_AGG_Q13),
     "agg_q18_large_orders": (q_agg_q18_large_orders, O_AGG_Q18),

@@ -166,3 +166,25 @@ def test_neighbor_jaccard_hub_guard_and_exact_scores(spark):
     # without the hub every pair among {a,b,c,n1,n3} via hub would appear;
     # guard removes hub as a NEIGHBOR, so e.g. (n2, n3) never pairs
     assert ("n2", "n3") not in got
+
+
+def test_hits_ranks_hubs_and_authorities(spark):
+    from egraphdb_spark.operators.graph_algos import hits_scaled
+
+    # h1 -> {A, B}, h2 -> {A}: A out-ranks B as authority (two hubs vs
+    # one), h1 out-ranks h2 as hub (points at more authority mass)
+    edges = spark.createDataFrame(
+        [("h1", "A"), ("h1", "B"), ("h2", "A")], "src_key string, dst_key string"
+    )
+    out = {r["key"]: r for r in hits_scaled(edges, iters=3).collect()}
+    assert out["A"]["auth"] == 10**6          # dominant authority pins to scale
+    assert out["B"]["auth"] < out["A"]["auth"]
+    assert out["h1"]["hub"] == 10**6          # dominant hub pins to scale
+    assert out["h2"]["hub"] < out["h1"]["hub"]
+    # pure hubs have zero authority, pure authorities zero hub
+    assert out["h1"]["auth"] == 0 and out["A"]["hub"] == 0
+    # deterministic across runs
+    again = {r["key"]: r for r in hits_scaled(edges, iters=3).collect()}
+    assert {k: (v["hub"], v["auth"]) for k, v in out.items()} == {
+        k: (v["hub"], v["auth"]) for k, v in again.items()
+    }
