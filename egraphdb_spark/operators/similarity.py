@@ -862,14 +862,15 @@ def pca_power(
     )
 
 
-def pca_power_oracle_sql(
+def _pca_oracle_ctes(
     table: str = "embeddings",
     vec_col: str = "embedding",
     dim: int = 64,
     iters: int = 4,
-) -> str:
-    """Unrolled SQL mirror of :func:`pca_power` (same fixed point, same
-    truncating division, same per-round sqrt)."""
+) -> tuple[str, str, str]:
+    """The unrolled CTE chain shared by the PCA oracle and compositions on
+    top of it (ABTT projection).  Returns (cte_text_without_WITH,
+    final_vector_cte, final_norm_cte)."""
     S = _PCA_Q
     d = dim
     head = f"""
@@ -916,8 +917,93 @@ v{r + 1} AS (
   FROM mv{r}, nm{r}
 )"""
         prev = f"v{r + 1}"
-    tail = f"""
+    return head.lstrip("\n").removeprefix("WITH ") + body, prev, f"nm{iters - 1}"
+
+
+def pca_power_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+) -> str:
+    """Unrolled SQL mirror of :func:`pca_power` (same fixed point, same
+    truncating division, same per-round sqrt)."""
+    ctes, vfin, nfin = _pca_oracle_ctes(table, vec_col, dim, iters)
+    return f"""
+WITH {ctes}
 SELECT CAST(vi AS BIGINT) AS i, v_q, nv AS last_norm
-FROM {prev}, nm{iters - 1}
+FROM {vfin}, {nfin}
 """
-    return head + body + tail
+
+
+def abtt_project(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+    k: int = 50,
+) -> DataFrame:
+    """All-But-The-Top diagnosis (Mu & Viswanath '18): project every
+    embedding onto the corpus's dominant principal component and surface
+    the ``k`` most-affected vectors — the rows you'd correct (x − c·v) to
+    undo anisotropy before cosine retrieval.
+
+    Composes :func:`pca_power`: the 64-row fixed-point component v_q
+    broadcasts against a posexplode of the table; each term floor(x_i·v_q,i)
+    is one IEEE multiply (long→double promotion is exact below 2⁵³) and the
+    per-vector sum is integer — bit-identical to the SQL oracle's identical
+    composition.  Output: (id, c_q, proj_abs) for the top-k by |projection|
+    (2²⁰-scaled fixed point).
+
+    Scale: the projection pass is one narrow explode + map-side-combined
+    sum keyed by id (linear); the component itself is d rows regardless of
+    corpus size; top-k is TakeOrdered.
+    """
+    v = pca_power(emb, vec_col, dim=dim, iters=iters).select("i", "v_q")
+    comps = emb.where(F.size(_as_double(vec_col)) == dim).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_as_double(vec_col)).alias("pos", "xi"),
+    )
+    proj = (
+        comps.join(F.broadcast(v), comps["pos"] == v["i"])
+        .groupBy("id")
+        .agg(
+            F.sum(F.floor(F.col("xi") * F.col("v_q")).cast("long")).alias("c_q")
+        )
+    )
+    return (
+        proj.select("id", "c_q", F.abs("c_q").alias("proj_abs"))
+        .orderBy(F.desc("proj_abs"), "id")
+        .limit(k)
+    )
+
+
+def abtt_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 4,
+    k: int = 50,
+) -> str:
+    """DuckDB mirror of :func:`abtt_project` — the PCA CTE chain plus the
+    identical projection composition."""
+    ctes, vfin, _ = _pca_oracle_ctes(table, vec_col, dim, iters)
+    return f"""
+WITH {ctes},
+base_id AS (
+  SELECT {id_col} AS id, list_transform({vec_col}, e -> CAST(e AS DOUBLE)) AS x
+  FROM {table} WHERE len({vec_col}) = {dim}
+),
+comps AS (
+  SELECT id, CAST(t.i AS INT) AS pos, x[CAST(t.i + 1 AS INT)] AS xi
+  FROM base_id, unnest(range(0, {dim})) AS t(i)
+),
+proj AS (
+  SELECT id, CAST(sum(CAST(floor(xi * v_q) AS BIGINT)) AS BIGINT) AS c_q
+  FROM comps JOIN {vfin} ON {vfin}.vi = comps.pos GROUP BY id
+)
+SELECT id, c_q, abs(c_q) AS proj_abs
+FROM proj ORDER BY proj_abs DESC, id LIMIT {int(k)}
+"""

@@ -2499,6 +2499,17 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_emb_abtt_topk(spark, sf_dir):
+    """All-But-The-Top diagnosis: the 50 embeddings with the largest
+    projection onto the corpus's dominant principal component — the rows
+    an anisotropy correction (x − c·v) moves most."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.abtt_project(emb, "vec_id", "embedding", dim=64, iters=4, k=50)
+
+
+O_EMB_ABTT = similarity.abtt_oracle_sql("embeddings", "vec_id", "embedding", 64, 4, 50)
+
+
 def q_emb_pca_power(spark, sf_dir):
     """Dominant principal component of the embedding table — distributed
     quantized Gram aggregate + 4 rounds of integer power iteration."""
@@ -2513,6 +2524,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
     "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),
+    "emb_abtt_topk": (q_emb_abtt_topk, O_EMB_ABTT),
     "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),

@@ -141,6 +141,7 @@ EMB_GATES = [
     "dedup_semantic_pairs",
     "emb_quantize_int8",
     "emb_label_centroids",
+    "emb_pca_power",
 ]
 
 _DIM = 64
@@ -221,6 +222,7 @@ EVT_GATES = [
     "evt_active_users_7d",
     "evt_wau_hll",
     "skew_salted_topn",
+    "evt_anomaly_mad",
 ]
 
 _ETYPES = ["view", "click", "purchase", "signup", "error"]

@@ -643,3 +643,24 @@ def test_pca_power_matches_numpy_direction(spark):
     )
     rows2 = pca_power(df.unionByName(bad), "embedding", dim=64, iters=2).collect()
     assert len(rows2) == 64
+
+
+def test_abtt_projection_identifies_dominant_direction_rows(spark):
+    import numpy as np
+
+    from egraphdb_spark.operators.similarity import abtt_project
+
+    rng = np.random.RandomState(3)
+    u = np.zeros(64); u[5] = 1.0
+    rows = []
+    # 200 isotropic rows, 5 rows pushed hard along u
+    for i in range(200):
+        rows.append((i, [float(x) for x in rng.randn(64) * 0.1]))
+    for i in range(5):
+        rows.append((1000 + i, [float(x) for x in (u * (20 + i) + rng.randn(64) * 0.1)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = abtt_project(df, "vec_id", "embedding", dim=64, iters=6, k=5).collect()
+    assert sorted(r["id"] for r in got) == [1000, 1001, 1002, 1003, 1004]
+    # ordered by |projection| descending: the hardest-pushed row leads
+    assert got[0]["id"] == 1004
+    assert all(r["proj_abs"] == abs(r["c_q"]) for r in got)
