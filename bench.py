@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "txt_bigram_nll",
     "evt_anomaly_mad",
     "txt_source_jsd",
+    "pipe_pack_pairs",
+    "txt_char_entropy",
+    "mm_simhash_pairs",
+    "emb_pca_power",
+    "emb_abtt_topk",
+    "graph_hits",
 ]
 
 

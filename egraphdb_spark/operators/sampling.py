@@ -253,3 +253,69 @@ WHERE w > 0
 ORDER BY priority_q, {key_col}
 LIMIT {k}
 """
+
+
+def class_balance(
+    df: DataFrame, key_col: str, label_col: str, salt: str = "balance"
+) -> DataFrame:
+    """Balanced-class downsample: every label keeps exactly min-class-count
+    rows (the ML-prep step before training a classifier on skewed labels —
+    fine-tune mixes, quality-classifier training sets).
+
+    Selection within each label is the deterministic keyed-hash order the
+    sampling family uses (re-running on a grown corpus keeps prior picks
+    unless new rows hash earlier — no rand()).  Summary output per label:
+    (label, n_orig, n_kept, sum_kept_ids) — n_kept is constant by
+    construction and sum_kept_ids pins the exact membership.
+
+    Scale: one count aggregate, a 1-row min broadcast, one per-label
+    window (parallel across labels; if one label dominates the corpus its
+    partition sort is the cost — pre-filter with a hash band when
+    min-count ≪ label size).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label_col).agg(F.count("*").alias("n_orig"))
+    m = counts.agg(F.min("n_orig").alias("m"))
+    u = _u60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(label_col).orderBy(u, F.col(key_col))
+    kept = (
+        df.select(F.col(label_col), F.col(key_col))
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .where(F.col("rn") <= F.col("m"))
+    )
+    return (
+        kept.groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(key_col).alias("sum_kept_ids"),
+        )
+        .join(counts, label_col)
+        .select(label_col, "n_orig", "n_kept", "sum_kept_ids")
+    )
+
+
+def class_balance_oracle_sql(
+    table: str, key_col: str, label_col: str, salt: str = "balance"
+) -> str:
+    """DuckDB mirror of :func:`class_balance`."""
+    u = (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 15))"
+        f" AS BIGINT)"
+    )
+    return f"""
+WITH counts AS (SELECT {label_col}, count(*) AS n_orig FROM {table} GROUP BY {label_col}),
+m AS (SELECT min(n_orig) AS m FROM counts),
+ranked AS (
+  SELECT {label_col}, {key_col},
+         row_number() OVER (PARTITION BY {label_col}
+                            ORDER BY {u}, {key_col}) AS rn
+  FROM {table}
+),
+kept AS (SELECT {label_col}, {key_col} FROM ranked, m WHERE rn <= m.m)
+SELECT kept.{label_col}, n_orig, count(*) AS n_kept,
+       CAST(sum({key_col}) AS BIGINT) AS sum_kept_ids
+FROM kept JOIN counts ON counts.{label_col} = kept.{label_col}
+GROUP BY kept.{label_col}, n_orig
+"""

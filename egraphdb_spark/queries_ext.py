@@ -2881,9 +2881,130 @@ def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
 O_GRAPH_HITS = _hits_oracle()
 
 
+def q_agg_corr_regr(spark, sf_dir):
+    """Pearson correlation + OLS slope/intercept of (quantity, whole-dollar
+    price) per return flag — the statistical-aggregate surface (corr/covar/
+    regr_*) computed from EXACT integer component sums (n, Σx, Σy, Σxy,
+    Σx², Σy²), so the one final double formula is identical on any engine.
+    Whole-dollar y (cents div 100) keeps Σy² far from BIGINT overflow at
+    any SF.  Zero-variance groups yield NULL, not a divide crash."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint) div 100").alias("y"),
+    )
+    comps = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return (
+        comps.withColumn(
+            "vx", F.expr("cast(n as double) * sxx - cast(sx as double) * sx")
+        )
+        .withColumn("vy", F.expr("cast(n as double) * syy - cast(sy as double) * sy"))
+        .withColumn(
+            "cnum", F.expr("cast(n as double) * sxy - cast(sx as double) * sy")
+        )
+        .select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            F.expr(
+                "CASE WHEN vx > 0 AND vy > 0 THEN"
+                " cast(floor(cnum / sqrt(vx * vy) * 1000000) as bigint)"
+                " ELSE NULL END"
+            ).alias("corr_micro"),
+            F.expr(
+                "CASE WHEN vx > 0 THEN"
+                " cast(floor(cnum / vx * 1000000) as bigint) ELSE NULL END"
+            ).alias("slope_micro"),
+            F.expr(
+                "CASE WHEN vx > 0 THEN"
+                " cast(floor((sy - cnum / vx * sx) / n * 1000000) as bigint)"
+                " ELSE NULL END"
+            ).alias("icept_micro"),
+        )
+    )
+
+
+O_AGG_CORR = """
+WITH base AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+  FROM lineitem
+),
+comps AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY l_returnflag
+),
+staged AS (
+  SELECT *,
+         CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+         CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cnum
+  FROM comps
+)
+SELECT l_returnflag, n AS n_rows,
+       CASE WHEN vx > 0 AND vy > 0 THEN
+         CAST(floor(cnum / sqrt(vx * vy) * 1000000) AS BIGINT) ELSE NULL END
+         AS corr_micro,
+       CASE WHEN vx > 0 THEN
+         CAST(floor(cnum / vx * 1000000) AS BIGINT) ELSE NULL END AS slope_micro,
+       CASE WHEN vx > 0 THEN
+         CAST(floor((sy - cnum / vx * sx) / n * 1000000) AS BIGINT) ELSE NULL END
+         AS icept_micro
+FROM staged
+"""
+
+
+def q_win_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist per order priority over a deterministic
+    1-in-97 order sample (micro-quantized: both are exact small rationals
+    from one division, identical on any engine).  Completes the ranking-
+    window surface next to rank/ntile."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.expr("cast(round(o_totalprice * 100) as bigint)"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.floor(F.percent_rank().over(w) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("pr_micro"),
+        F.floor(F.cume_dist().over(w) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("cd_micro"),
+    )
+
+
+O_WIN_PERCENT_RANK = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pr_micro,
+       CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT) AS cd_micro
+FROM orders WHERE o_orderkey % 97 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_anomaly_mad": (q_evt_anomaly_mad, O_EVT_ANOMALY_MAD),
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
+    "agg_corr_regr": (q_agg_corr_regr, O_AGG_CORR),
+    "win_percent_rank": (q_win_percent_rank, O_WIN_PERCENT_RANK),
     "agg_q7_nation_volume": (q_agg_q7_nation_volume, O_AGG_Q7),
     "agg_q13_order_histogram": (q_agg_q13_order_histogram, O_AGG_Q13),
     "agg_q18_large_orders": (q_agg_q18_large_orders, O_AGG_Q18),

@@ -2499,6 +2499,25 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_sample_class_balance(spark, sf_dir):
+    """Balanced-class downsample of the labeled embedding table: every
+    label keeps exactly min-class-count rows, membership pinned by the
+    deterministic keyed-hash order."""
+    from .operators import sampling
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sampling.class_balance(emb, "vec_id", "label")
+
+
+def _class_balance_oracle():
+    from .operators.sampling import class_balance_oracle_sql
+
+    return class_balance_oracle_sql("embeddings", "vec_id", "label")
+
+
+O_CLASS_BALANCE = _class_balance_oracle()
+
+
 def q_emb_abtt_topk(spark, sf_dir):
     """All-But-The-Top diagnosis: the 50 embeddings with the largest
     projection onto the corpus's dominant principal component — the rows
@@ -2525,6 +2544,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
     "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),
     "emb_abtt_topk": (q_emb_abtt_topk, O_EMB_ABTT),
+    "sample_class_balance": (q_sample_class_balance, O_CLASS_BALANCE),
     "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),

@@ -664,3 +664,57 @@ def test_abtt_projection_identifies_dominant_direction_rows(spark):
     # ordered by |projection| descending: the hardest-pushed row leads
     assert got[0]["id"] == 1004
     assert all(r["proj_abs"] == abs(r["c_q"]) for r in got)
+
+
+def test_class_balance_equalizes_and_is_deterministic(spark):
+    rows = [(i, 0) for i in range(20)] + [(100 + i, 1) for i in range(5)] + [
+        (200 + i, 2) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int")
+    out = {r["label"]: r for r in sampling.class_balance(df, "vec_id", "label").collect()}
+    assert all(out[l]["n_kept"] == 5 for l in (0, 1, 2))
+    assert out[0]["n_orig"] == 20 and out[2]["n_orig"] == 11
+    # the min class keeps everything -> its sum is the full-class sum
+    assert out[1]["sum_kept_ids"] == sum(range(100, 105))
+    again = {r["label"]: r["sum_kept_ids"] for r in sampling.class_balance(df, "vec_id", "label").collect()}
+    assert again == {l: out[l]["sum_kept_ids"] for l in out}
+
+
+def test_corr_regr_recovers_known_line(spark):
+    # exact line y = 3x + 7 -> corr 1, slope 3, intercept 7; constant
+    # group -> NULLs (zero variance), no divide crash
+    rows = [("L", float(x), float(3 * x + 7)) for x in range(1, 30)] + [
+        ("C", 5.0, 11.0) for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double, l_extendedprice double")
+    from egraphdb_spark.queries_ext import q_agg_corr_regr  # noqa: F401  (shape only)
+    from pyspark.sql import functions as FF
+
+    base = df.select(
+        "l_returnflag",
+        FF.col("l_quantity").cast("long").alias("x"),
+        FF.expr("cast(round(l_extendedprice * 100) as bigint) div 100").alias("y"),
+    )
+    comps = base.groupBy("l_returnflag").agg(
+        FF.count("*").alias("n"), FF.sum("x").alias("sx"), FF.sum("y").alias("sy"),
+        FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
+        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
+        FF.sum(FF.col("y") * FF.col("y")).alias("syy"),
+    )
+    out = {
+        r["l_returnflag"]: r
+        for r in comps.withColumn("vx", FF.expr("cast(n as double) * sxx - cast(sx as double) * sx"))
+        .withColumn("vy", FF.expr("cast(n as double) * syy - cast(sy as double) * sy"))
+        .withColumn("cnum", FF.expr("cast(n as double) * sxy - cast(sx as double) * sy"))
+        .select(
+            "l_returnflag",
+            FF.expr("CASE WHEN vx > 0 AND vy > 0 THEN cast(floor(cnum / sqrt(vx * vy) * 1000000) as bigint) ELSE NULL END").alias("corr_micro"),
+            FF.expr("CASE WHEN vx > 0 THEN cast(floor(cnum / vx * 1000000) as bigint) ELSE NULL END").alias("slope_micro"),
+            FF.expr("CASE WHEN vx > 0 THEN cast(floor((sy - cnum / vx * sx) / n * 1000000) as bigint) ELSE NULL END").alias("icept_micro"),
+        )
+        .collect()
+    }
+    assert out["L"]["corr_micro"] in (999999, 1000000)   # floor of 1.0 - eps
+    assert out["L"]["slope_micro"] in (2999999, 3000000)
+    assert out["L"]["icept_micro"] in (6999999, 7000000)
+    assert out["C"]["corr_micro"] is None and out["C"]["slope_micro"] is None

@@ -89,6 +89,11 @@ PROBES = [
     "evt_anomaly_mad",
     "txt_source_jsd",
     "pipe_pack_pairs",
+    "txt_char_entropy",
+    "mm_simhash_pairs",
+    "emb_pca_power",
+    "emb_abtt_topk",
+    "graph_hits",
 ]
 
 
