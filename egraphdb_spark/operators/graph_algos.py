@@ -557,8 +557,18 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
         .distinct()
         .localCheckpoint(eager=True)
     )
-    hub = nodes.select("key", F.lit(scale).cast("long").alias("h"))
+    # Inner-only propagation: a node whose score is 0 contributes nothing
+    # to the next gather, so the per-round frames carry ONLY scored nodes
+    # (sources for hubs, sinks for authorities) — the nodes-outer-join +
+    # coalesce(0) happens exactly once, on the final output.  Same values
+    # as the all-nodes formulation (the SQL oracle), half the joins.
+    hub = e.select(F.col("src_key").alias("key")).distinct().select(
+        "key", F.lit(scale).cast("long").alias("h")
+    )
     auth = None
+    norm = lambda s_col, mx: F.coalesce(  # noqa: E731 — round-local helper
+        _intdiv(s_col * F.lit(scale), F.nullif(mx, F.lit(0))), F.lit(0)
+    )
     for _ in range(iters):
         a_raw = (
             e.join(hub, e["src_key"] == hub["key"])
@@ -567,19 +577,13 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
         )
         a_max = a_raw.agg(F.max("s").alias("mx"))
         auth = (
-            nodes.join(a_raw, nodes["key"] == a_raw["dst_key"], "left")
-            .crossJoin(F.broadcast(a_max))
+            a_raw.crossJoin(F.broadcast(a_max))
             .select(
-                "key",
-                F.coalesce(
-                    _intdiv(
-                        F.coalesce(F.col("s"), F.lit(0)) * F.lit(scale),
-                        F.nullif(F.col("mx"), F.lit(0)),
-                    ),
-                    F.lit(0),
-                ).alias("a"),
+                F.col("dst_key").alias("key"),
+                norm(F.col("s"), F.col("mx")).alias("a"),
             )
-            .localCheckpoint(eager=True)
+            # no checkpoint: consumed once by h_raw (the final select
+            # re-derives only the last round)
         )
         h_raw = (
             e.join(auth, e["dst_key"] == auth["key"])
@@ -588,22 +592,19 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
         )
         h_max = h_raw.agg(F.max("s").alias("mx"))
         hub = (
-            nodes.join(h_raw, nodes["key"] == h_raw["src_key"], "left")
-            .crossJoin(F.broadcast(h_max))
+            h_raw.crossJoin(F.broadcast(h_max))
             .select(
-                "key",
-                F.coalesce(
-                    _intdiv(
-                        F.coalesce(F.col("s"), F.lit(0)) * F.lit(scale),
-                        F.nullif(F.col("mx"), F.lit(0)),
-                    ),
-                    F.lit(0),
-                ).alias("h"),
+                F.col("src_key").alias("key"),
+                norm(F.col("s"), F.col("mx")).alias("h"),
             )
             .localCheckpoint(eager=True)
         )
     return (
-        nodes.join(hub, "key")
-        .join(auth, "key")
-        .select("key", F.col("h").alias("hub"), F.col("a").alias("auth"))
+        nodes.join(hub, "key", "left")
+        .join(auth.withColumnRenamed("key", "akey"), nodes["key"] == F.col("akey"), "left")
+        .select(
+            "key",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+        )
     )
