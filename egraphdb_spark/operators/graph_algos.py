@@ -135,10 +135,20 @@ def shortest_paths_weighted(
 
 
 def _intdiv(a: "F.Column", d: "F.Column | int"):
-    """Exact integer floor-div for non-negative longs via (a - a%d)/d —
-    the double division is exact because the numerator is a multiple of d."""
+    """Exact integer div for non-negative longs.
+
+    (a - a%d)/d makes the numerator an exact multiple of d, but the
+    double-division path still rounds once the multiple exceeds 2⁵³
+    (numerator rounds to the nearest double BEFORE the divide), drifting
+    the quotient by ±1 for quotients past ~10¹³.  The two integer-exact
+    comparison corrections below restore the true quotient for every
+    |error| ≤ 1 case, i.e. quotients up to ~10¹⁶ — beyond every caller's
+    range (scales ≤ 10¹²).  Callers needing full-range exactness use the
+    SQL `div` operator via F.expr (JVM long division, no double path)."""
     dd = F.lit(d) if isinstance(d, int) else d
-    return ((a - (a % dd)) / dd).cast("long")
+    q = ((a - (a % dd)) / dd).cast("long")
+    q = F.when((q + 1) * dd <= a, q + 1).otherwise(q)
+    return F.when(q * dd > a, q - 1).otherwise(q)
 
 
 def pagerank_scaled(
@@ -562,12 +572,16 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
     # (sources for hubs, sinks for authorities) — the nodes-outer-join +
     # coalesce(0) happens exactly once, on the final output.  Same values
     # as the all-nodes formulation (the SQL oracle), half the joins.
+    if iters < 1:
+        raise ValueError(f"hits_scaled needs iters >= 1, got {iters}")
     hub = e.select(F.col("src_key").alias("key")).distinct().select(
         "key", F.lit(scale).cast("long").alias("h")
     )
     auth = None
-    norm = lambda s_col, mx: F.coalesce(  # noqa: E731 — round-local helper
-        _intdiv(s_col * F.lit(scale), F.nullif(mx, F.lit(0))), F.lit(0)
+    # SQL `div` (JVM long division) — exact at ANY magnitude below the
+    # overflow bound, unlike the double-path _intdiv which drifts past 2^53
+    norm_expr = F.expr(
+        f"cast(coalesce((s * {int(scale)}) div nullif(mx, 0), 0) as bigint)"
     )
     for _ in range(iters):
         a_raw = (
@@ -580,7 +594,7 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
             a_raw.crossJoin(F.broadcast(a_max))
             .select(
                 F.col("dst_key").alias("key"),
-                norm(F.col("s"), F.col("mx")).alias("a"),
+                norm_expr.alias("a"),
             )
             # no checkpoint: consumed once by h_raw (the final select
             # re-derives only the last round)
@@ -595,7 +609,7 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
             h_raw.crossJoin(F.broadcast(h_max))
             .select(
                 F.col("src_key").alias("key"),
-                norm(F.col("s"), F.col("mx")).alias("h"),
+                norm_expr.alias("h"),
             )
             .localCheckpoint(eager=True)
         )

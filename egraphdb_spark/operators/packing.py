@@ -238,22 +238,26 @@ def temperature_mixture(
     # nullif guards: a zero-token source (whitespace-only docs) or an
     # all-empty corpus must yield NULL, not a DIVIDE_BY_ZERO throw under
     # Spark 4's ANSI `div` (DuckDB's `// 0` errors identically).
-    alloc = F.expr("budget * score_q div nullif(score_tot, 0)")
+    # alloc derives from weight_ppm (not budget·score_q directly): the
+    # direct product overflows BIGINT once a source holds ~10¹² tokens,
+    # while budget·weight_ppm is bounded by budget·10⁶ at any corpus size.
     return (
         per.crossJoin(F.broadcast(tot))
         .withColumn("budget", b)
+        .withColumn(
+            "weight_ppm", F.expr("score_q * 1000000 div nullif(score_tot, 0)")
+        )
+        .withColumn("alloc_tokens", F.expr("budget * weight_ppm div 1000000"))
         .select(
             F.col(domain_col),
             "n_docs",
             "n_tokens",
-            F.expr("score_q * 1000000 div nullif(score_tot, 0)").alias("weight_ppm"),
-            alloc.alias("alloc_tokens"),
-            (alloc * F.lit(1000).cast("long"))
-            .cast("long")
-            .alias("_a1000"),
+            "weight_ppm",
+            "alloc_tokens",
+            F.expr("alloc_tokens * 1000 div nullif(n_tokens, 0)").alias(
+                "epochs_permille"
+            ),
         )
-        .withColumn("epochs_permille", F.expr("_a1000 div nullif(n_tokens, 0)"))
-        .drop("_a1000")
     )
 
 
@@ -273,13 +277,14 @@ scored AS (
   FROM per
 ),
 tot AS (SELECT CAST(sum(score_q) AS BIGINT) AS score_tot FROM scored)
-SELECT {domain_col}, n_docs, n_tokens,
-       CAST(score_q * 1000000 // nullif(score_tot, 0) AS BIGINT) AS weight_ppm,
-       CAST({int(budget_tokens)} * score_q // nullif(score_tot, 0) AS BIGINT)
-         AS alloc_tokens,
-       CAST(({int(budget_tokens)} * score_q // nullif(score_tot, 0)) * 1000
+SELECT {domain_col}, n_docs, n_tokens, weight_ppm,
+       CAST({int(budget_tokens)} * weight_ppm // 1000000 AS BIGINT) AS alloc_tokens,
+       CAST(({int(budget_tokens)} * weight_ppm // 1000000) * 1000
             // nullif(n_tokens, 0) AS BIGINT) AS epochs_permille
-FROM scored, tot
+FROM (
+  SELECT *, CAST(score_q * 1000000 // nullif(score_tot, 0) AS BIGINT) AS weight_ppm
+  FROM scored, tot
+)
 """
 
 
@@ -394,7 +399,8 @@ def pack_pairs(
         F.col("rank").alias("pair_id"),
         F.col("id").alias("long_id"),
         F.col("nt").alias("long_tokens"),
-        F.when(F.col("short_rank") == F.col("rank"), F.lit(None).cast("long"))
+        # untyped NULL: the id column may be any type (string uuids etc.)
+        F.when(F.col("short_rank") == F.col("rank"), F.lit(None))
         .otherwise(F.col("short_id"))
         .alias("short_id"),
         F.when(F.col("short_rank") == F.col("rank"), F.lit(None).cast("long"))

@@ -80,17 +80,26 @@ def mad_outliers(
     one multiply.  NULL values are excluded up front (Spark and DuckDB
     disagree on NULL sort placement, so they must never reach a rank).
 
-    Scale: two scans of the (cached) group stream + two broadcast joins of
-    |groups|-row stat tables; exact percentile buffers per-group values —
-    at 100 TB swap ``approx_percentile`` (same shape, bounded error).
+    Scale: the source is read ONCE (the projected stream and the
+    deviation stream are each materialized and re-read, not re-derived)
+    plus two broadcast joins of |groups|-row stat tables; exact
+    percentile buffers per-group values — at 100 TB swap
+    ``approx_percentile`` (same shape, bounded error).
     """
     v = F.col(value_col)
-    base = df.where(v.isNotNull()).select(
-        F.col(group_col).alias("g"), v.alias("v")
+    # base feeds the median pass AND the deviation pass, dev feeds the MAD
+    # pass AND the final flag scan — materialize each once so the source
+    # is read a single time, as the cost model below promises
+    base = (
+        df.where(v.isNotNull())
+        .select(F.col(group_col).alias("g"), v.alias("v"))
+        .localCheckpoint(eager=True)
     )
     med = base.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("med"))
-    dev = base.join(F.broadcast(med), "g").withColumn(
-        "dev", F.abs(F.col("v") - F.col("med"))
+    dev = (
+        base.join(F.broadcast(med), "g")
+        .withColumn("dev", F.abs(F.col("v") - F.col("med")))
+        .localCheckpoint(eager=True)
     )
     mad = dev.groupBy("g").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
     kf = F.lit(float(k))
@@ -155,5 +164,54 @@ def winsorize_stats(
             F.sum(F.expr(f"cast(round(100 * (CASE WHEN {col} < p_lo THEN p_lo WHEN {col} > p_hi THEN p_hi ELSE {col} END)) as bigint)")).alias("sum_clipped_cents"),
             F.round(F.min("p_lo"), 6).alias("p_lo"),
             F.round(F.min("p_hi"), 6).alias("p_hi"),
+        )
+    )
+
+
+def corr_regr_stats(df: DataFrame, group_col: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept per group from EXACT
+    integer component sums.  ``df`` must carry BIGINT columns ``x`` and
+    ``y`` (the caller owns quantization — e.g. whole-dollar money so Σy²
+    stays far below the BIGINT ceiling at any SF).
+
+    The six component sums (n, Σx, Σy, Σxy, Σx², Σy²) are integers —
+    order-free exact under partial aggregation; the closing formulas are
+    one fixed double-expression tree over those integers, identical on
+    any engine.  Zero-variance groups yield NULL (not a divide crash).
+    Output: (group, n_rows, corr_micro, slope_micro, icept_micro).
+    """
+    comps = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return (
+        comps.withColumn(
+            "vx", F.expr("cast(n as double) * sxx - cast(sx as double) * sx")
+        )
+        .withColumn("vy", F.expr("cast(n as double) * syy - cast(sy as double) * sy"))
+        .withColumn(
+            "cnum", F.expr("cast(n as double) * sxy - cast(sx as double) * sy")
+        )
+        .select(
+            group_col,
+            F.col("n").alias("n_rows"),
+            F.expr(
+                "CASE WHEN vx > 0 AND vy > 0 THEN"
+                " cast(floor(cnum / sqrt(vx * vy) * 1000000) as bigint)"
+                " ELSE NULL END"
+            ).alias("corr_micro"),
+            F.expr(
+                "CASE WHEN vx > 0 THEN"
+                " cast(floor(cnum / vx * 1000000) as bigint) ELSE NULL END"
+            ).alias("slope_micro"),
+            F.expr(
+                "CASE WHEN vx > 0 THEN"
+                " cast(floor((sy - cnum / vx * sx) / n * 1000000) as bigint)"
+                " ELSE NULL END"
+            ).alias("icept_micro"),
         )
     )

@@ -369,6 +369,11 @@ def hashed_tf_embedding(
     vocabulary table, no driver state — the whole point of the hashing
     trick at 100 TB is that the feature map needs zero coordination.
     """
+    if dim < 2 or dim & (dim - 1):
+        # the sign bit is `h & dim` — the bit just above the slot mask.
+        # A non-power-of-two dim silently correlates sign with slot and
+        # breaks the hashing trick's cancellation property; fail loudly.
+        raise ValueError(f"dim must be a power of two >= 2, got {dim}")
     c = F.col(text_col)
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.lower(c))).alias("term")
@@ -438,9 +443,12 @@ def source_jsd(
     to integer NANO-nats (floor(·10⁹)) before the per-source sum.  Output:
     (source, n_tokens, n_terms, jsd_nano).
 
-    Scale: one token explode + map-side-combined counts; the top-V table
-    and per-source totals broadcast; the scored grid is |sources|·(V+1)
-    rows.  The corpus is scanned once.
+    Scale: two corpus scans — one for the vocabulary cut, one for the
+    bucketed counts (every later table derives from the single
+    ``src_counts`` aggregate); the top-V table and per-source totals
+    broadcast; the scored grid is |sources|·(V+1) rows.  To make it one
+    scan, persist the exploded token stream — a memory-for-IO trade the
+    caller owns, not this operator.
     """
     c = F.col(text_col)
     toks = docs.select(
@@ -456,9 +464,12 @@ def source_jsd(
         .otherwise(F.lit(" "))
         .alias("t2"),
     )
+    # every downstream table derives from src_counts (corpus-per-term =
+    # Σ over sources), so the mapped token stream aggregates exactly once;
+    # the |sources|·(V+1)-row result is cheap to re-derive from
     src_counts = mapped.groupBy("g", "t2").agg(F.count("*").alias("c_st"))
     src_tot = src_counts.groupBy("g").agg(F.sum("c_st").alias("ts"))
-    corp2 = mapped.groupBy("t2").agg(F.count("*").alias("c_t"))
+    corp2 = src_counts.groupBy("t2").agg(F.sum("c_st").alias("c_t"))
     corp_tot = corp2.agg(F.sum("c_t").alias("t"))
     grid = (
         src_tot.crossJoin(F.broadcast(corp2))

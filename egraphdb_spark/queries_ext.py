@@ -2888,47 +2888,15 @@ def q_agg_corr_regr(spark, sf_dir):
     Σx², Σy²), so the one final double formula is identical on any engine.
     Whole-dollar y (cents div 100) keeps Σy² far from BIGINT overflow at
     any SF.  Zero-variance groups yield NULL, not a divide crash."""
+    from .operators.profiling import corr_regr_stats
+
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         F.expr("cast(round(l_extendedprice * 100) as bigint) div 100").alias("y"),
     )
-    comps = base.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    return (
-        comps.withColumn(
-            "vx", F.expr("cast(n as double) * sxx - cast(sx as double) * sx")
-        )
-        .withColumn("vy", F.expr("cast(n as double) * syy - cast(sy as double) * sy"))
-        .withColumn(
-            "cnum", F.expr("cast(n as double) * sxy - cast(sx as double) * sy")
-        )
-        .select(
-            "l_returnflag",
-            F.col("n").alias("n_rows"),
-            F.expr(
-                "CASE WHEN vx > 0 AND vy > 0 THEN"
-                " cast(floor(cnum / sqrt(vx * vy) * 1000000) as bigint)"
-                " ELSE NULL END"
-            ).alias("corr_micro"),
-            F.expr(
-                "CASE WHEN vx > 0 THEN"
-                " cast(floor(cnum / vx * 1000000) as bigint) ELSE NULL END"
-            ).alias("slope_micro"),
-            F.expr(
-                "CASE WHEN vx > 0 THEN"
-                " cast(floor((sy - cnum / vx * sx) / n * 1000000) as bigint)"
-                " ELSE NULL END"
-            ).alias("icept_micro"),
-        )
-    )
+    return corr_regr_stats(base, "l_returnflag")
 
 
 O_AGG_CORR = """

@@ -687,33 +687,16 @@ def test_corr_regr_recovers_known_line(spark):
         ("C", 5.0, 11.0) for _ in range(4)
     ]
     df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double, l_extendedprice double")
-    from egraphdb_spark.queries_ext import q_agg_corr_regr  # noqa: F401  (shape only)
+    from egraphdb_spark.operators.profiling import corr_regr_stats
     from pyspark.sql import functions as FF
 
+    # the same production helper the agg_corr_regr gate runs
     base = df.select(
         "l_returnflag",
         FF.col("l_quantity").cast("long").alias("x"),
         FF.expr("cast(round(l_extendedprice * 100) as bigint) div 100").alias("y"),
     )
-    comps = base.groupBy("l_returnflag").agg(
-        FF.count("*").alias("n"), FF.sum("x").alias("sx"), FF.sum("y").alias("sy"),
-        FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
-        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
-        FF.sum(FF.col("y") * FF.col("y")).alias("syy"),
-    )
-    out = {
-        r["l_returnflag"]: r
-        for r in comps.withColumn("vx", FF.expr("cast(n as double) * sxx - cast(sx as double) * sx"))
-        .withColumn("vy", FF.expr("cast(n as double) * syy - cast(sy as double) * sy"))
-        .withColumn("cnum", FF.expr("cast(n as double) * sxy - cast(sx as double) * sy"))
-        .select(
-            "l_returnflag",
-            FF.expr("CASE WHEN vx > 0 AND vy > 0 THEN cast(floor(cnum / sqrt(vx * vy) * 1000000) as bigint) ELSE NULL END").alias("corr_micro"),
-            FF.expr("CASE WHEN vx > 0 THEN cast(floor(cnum / vx * 1000000) as bigint) ELSE NULL END").alias("slope_micro"),
-            FF.expr("CASE WHEN vx > 0 THEN cast(floor((sy - cnum / vx * sx) / n * 1000000) as bigint) ELSE NULL END").alias("icept_micro"),
-        )
-        .collect()
-    }
+    out = {r["l_returnflag"]: r for r in corr_regr_stats(base, "l_returnflag").collect()}
     assert out["L"]["corr_micro"] in (999999, 1000000)   # floor of 1.0 - eps
     assert out["L"]["slope_micro"] in (2999999, 3000000)
     assert out["L"]["icept_micro"] in (6999999, 7000000)
