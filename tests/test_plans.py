@@ -353,3 +353,36 @@ def test_knn_graph_probe_side_single_exchange(spark):
     # the full graph: no cartesian anywhere, anchors broadcast on both sides
     g = plan_of(q(spark, "sim_knn_graph"))
     assert "CartesianProduct" not in g
+
+
+def test_temperature_mixture_is_one_aggregate_no_window(spark):
+    """The mixture table is a map-side-combined aggregate + a 1-row
+    broadcast — no Window, no sort of the corpus."""
+    p = plan_of(q(spark, "pipe_temperature_mix"))
+    assert "Window" not in p
+    assert "partial_count" in p or "HashAggregate" in p  # partial agg present
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_interleave_topk_never_full_sorts(spark):
+    """Global order is ORDER BY + LIMIT: TakeOrdered, not a global Sort."""
+    p = plan_of(q(spark, "pipe_interleave"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hashed_tf_prunes_scan_and_never_sorts(spark):
+    """The documents scan reads only (doc_id, text) — the doc_id filter and
+    projection reach parquet; no Window/Sort anywhere (pure explode+agg)."""
+    p = plan_of(q(spark, "txt_hash_embedding"))
+    rs = p.split("ReadSchema")[1][:200]
+    assert "doc_id" in rs and "text" in rs and "lang" not in rs
+    assert "PushedFilters" in p and "doc_id" in p.split("PushedFilters")[1][:120]
+    assert "Window" not in p and "TakeOrdered" not in p
+
+
+def test_abtt_topk_take_ordered_and_broadcast_component(spark):
+    """The d-row component broadcasts against the posexploded corpus; the
+    top-k is TakeOrdered, not a global sort."""
+    p = plan_of(q(spark, "emb_abtt_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
