@@ -85,3 +85,47 @@ def salted_join(
     small_rep = small.select("*", salts)
     big_s = big.withColumn("__salt", _salt(n_salt))
     return big_s.join(small_rep, on + ["__salt"], how).drop("__salt")
+
+
+def bloom_prefilter_join(
+    probe: "DataFrame",
+    probe_key: str,
+    build: "DataFrame",
+    build_key: str,
+) -> "DataFrame":
+    """Inner join with an explicit Bloom runtime filter: build the ≤8 KB
+    sketch over the build side's keys, embed it as a literal map in a
+    probe-side expression, and drop non-members BEFORE the probe side
+    shuffles.  Result is IDENTICAL to the plain inner join — Bloom has no
+    false negatives, and the exact join removes the false positives — but
+    the shuffle carries only rows that can match (at 100 TB, with a
+    selective build side, that is the difference between shuffling the
+    full fact table and shuffling the matching slice).
+
+    This is Spark's own runtime row-filter made explicit, persistent-able
+    (bloom_build rows merge by bit_or), and engine-portable.  The sketch
+    collect is bounded at 1024 (word, bits) rows — the same bounded-
+    driver-artifact class as the k-means centroid refresh.
+
+    The ORACLE for any gate over this operator is the plain join — the
+    equivalence IS the contract being checked.
+    """
+    from .sketches import _bloom_pos, bloom_build
+
+    words = bloom_build(build.select(F.col(build_key)), build_key).collect()
+    entries: list = []
+    for r in words:
+        entries += [F.lit(int(r["word"])), F.lit(int(r["bits"]))]
+    wmap = F.create_map(*entries) if entries else F.create_map()
+    key = F.col(probe_key)
+    member = None
+    for pos in _bloom_pos(key):
+        # pos < 2^16, so the double division is exact; cast truncates.
+        # try_element_at: NULL (not an ANSI throw) on absent words
+        word_bits = F.coalesce(
+            F.try_element_at(wmap, (pos / 64).cast("long")), F.lit(0)
+        )
+        hit = F.bit_get(word_bits.cast("long"), (pos % 64).cast("int")) == 1
+        member = hit if member is None else (member & hit)
+    pruned = probe.where(member)
+    return pruned.join(build, pruned[probe_key] == build[build_key])

@@ -2933,6 +2933,117 @@ FROM staged
 """
 
 
+def q_evt_rfm_segments(spark, sf_dir):
+    """RFM user segmentation (recency / frequency / monetary quartiles):
+    per-user stats in exact integers (days, counts, cents), quartile
+    boundaries via the exact-percentile trust base broadcast back — NO
+    global ntile window (a single-partition sort at corpus scale); the
+    segment grid is ≤64 rows."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("amax"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+            F.count("*").alias("n_ev"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("rec_days", F.datediff(F.col("amax"), F.col("last_d")))
+    )
+    q = per.agg(
+        *[
+            F.expr(f"percentile(cast({c} as double), {p})").alias(f"{c}_q{i}")
+            for c in ("rec_days", "n_ev", "cents")
+            for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    def _score(c):
+        return F.expr(
+            f"CASE WHEN {c} <= {c}_q1 THEN 1 WHEN {c} <= {c}_q2 THEN 2"
+            f" WHEN {c} <= {c}_q3 THEN 3 ELSE 4 END"
+        ).cast("long")
+
+    scored = per.crossJoin(F.broadcast(q)).select(
+        _score("rec_days").alias("r_score"),
+        _score("n_ev").alias("f_score"),
+        _score("cents").alias("m_score"),
+        "cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+O_EVT_RFM = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS amax FROM events),
+per AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_d, count(*) AS n_ev,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+per2 AS (
+  SELECT per.*, CAST(amax - last_d AS BIGINT) AS rec_days FROM per, anchor
+),
+q AS (
+  SELECT quantile_cont(CAST(rec_days AS DOUBLE), 0.25) AS rec_days_q1,
+         quantile_cont(CAST(rec_days AS DOUBLE), 0.5)  AS rec_days_q2,
+         quantile_cont(CAST(rec_days AS DOUBLE), 0.75) AS rec_days_q3,
+         quantile_cont(CAST(n_ev AS DOUBLE), 0.25) AS n_ev_q1,
+         quantile_cont(CAST(n_ev AS DOUBLE), 0.5)  AS n_ev_q2,
+         quantile_cont(CAST(n_ev AS DOUBLE), 0.75) AS n_ev_q3,
+         quantile_cont(CAST(cents AS DOUBLE), 0.25) AS cents_q1,
+         quantile_cont(CAST(cents AS DOUBLE), 0.5)  AS cents_q2,
+         quantile_cont(CAST(cents AS DOUBLE), 0.75) AS cents_q3
+  FROM per2
+),
+scored AS (
+  SELECT CAST(CASE WHEN rec_days <= rec_days_q1 THEN 1
+              WHEN rec_days <= rec_days_q2 THEN 2
+              WHEN rec_days <= rec_days_q3 THEN 3 ELSE 4 END AS BIGINT) AS r_score,
+         CAST(CASE WHEN n_ev <= n_ev_q1 THEN 1 WHEN n_ev <= n_ev_q2 THEN 2
+              WHEN n_ev <= n_ev_q3 THEN 3 ELSE 4 END AS BIGINT) AS f_score,
+         CAST(CASE WHEN cents <= cents_q1 THEN 1 WHEN cents <= cents_q2 THEN 2
+              WHEN cents <= cents_q3 THEN 3 ELSE 4 END AS BIGINT) AS m_score,
+         cents
+  FROM per2, q
+)
+SELECT r_score, f_score, m_score, count(*) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+def q_join_bloom_prefilter(spark, sf_dir):
+    """Explicit Bloom runtime-filter join: lineitem rows are dropped by an
+    8 KB broadcast sketch of the urgent-order keys BEFORE the join
+    shuffle; the oracle is the PLAIN join — the equivalence (no false
+    negatives, exact join removes false positives) is the contract."""
+    from .operators.skew import bloom_prefilter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom_prefilter_join(li, "l_orderkey", urgent, "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+O_JOIN_BLOOM = """
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 def q_win_percent_rank(spark, sf_dir):
     """percent_rank + cume_dist per order priority over a deterministic
     1-in-97 order sample (micro-quantized: both are exact small rationals
@@ -2973,6 +3084,8 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
     "agg_corr_regr": (q_agg_corr_regr, O_AGG_CORR),
     "win_percent_rank": (q_win_percent_rank, O_WIN_PERCENT_RANK),
+    "join_bloom_prefilter": (q_join_bloom_prefilter, O_JOIN_BLOOM),
+    "evt_rfm_segments": (q_evt_rfm_segments, O_EVT_RFM),
     "agg_q7_nation_volume": (q_agg_q7_nation_volume, O_AGG_Q7),
     "agg_q13_order_histogram": (q_agg_q13_order_histogram, O_AGG_Q13),
     "agg_q18_large_orders": (q_agg_q18_large_orders, O_AGG_Q18),

@@ -323,3 +323,16 @@ def test_user_profile_tws_requires_protobuf(spark):
         }
 
     assert final(tws) == final(compat)
+
+
+def test_rfm_segments_cover_all_users_and_score_range(spark):
+    from egraphdb_spark.queries import REGISTRY
+    from conftest import SF_SMOKE
+
+    fn, _ = REGISTRY["evt_rfm_segments"]
+    rows = fn(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4 and 1 <= r["f_score"] <= 4 and 1 <= r["m_score"] <= 4

@@ -223,6 +223,7 @@ EVT_GATES = [
     "evt_wau_hll",
     "skew_salted_topn",
     "evt_anomaly_mad",
+    "evt_rfm_segments",
 ]
 
 _ETYPES = ["view", "click", "purchase", "signup", "error"]
