@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "emb_pca_power",
     "emb_abtt_topk",
     "graph_hits",
+    "join_bloom_prefilter",
+    "evt_rfm_segments",
 ]
 
 

@@ -94,6 +94,8 @@ PROBES = [
     "emb_pca_power",
     "emb_abtt_topk",
     "graph_hits",
+    "join_bloom_prefilter",
+    "evt_rfm_segments",
 ]
 
 
