@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "graph_hits",
     "join_bloom_prefilter",
     "evt_rfm_segments",
+    "emb_label_outliers",
 ]
 
 

@@ -1007,3 +1007,51 @@ proj AS (
 SELECT id, c_q, abs(c_q) AS proj_abs
 FROM proj ORDER BY proj_abs DESC, id LIMIT {int(k)}
 """
+
+
+def label_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 20,
+) -> DataFrame:
+    """Suspected label errors: the ``k`` embeddings FARTHEST from their own
+    class centroid — the standard first-pass mislabel/contamination scan
+    over a labeled embedding table (confident-learning's cheap cousin;
+    rows surfaced here go to re-annotation).
+
+    Composes :func:`label_centroids`: the labels×dim integer centroid
+    table broadcasts against a posexplode of the vectors; each term is
+    ``floor((x_i − mean_q/2²⁰)²·2²⁰)`` — ``mean_q/2²⁰`` is a dyadic
+    rational (exact in binary), the difference and square are single IEEE
+    ops, and the per-vector distance is an integer sum: bit-identical on
+    any engine.  Output: (id, label, dist_q) for the top-k by
+    (dist_q desc, id).
+
+    Scale: one narrow explode + a broadcast join + a map-side-combined
+    sum per vector; top-k is TakeOrdered.  The centroid table is
+    |labels|·dim rows regardless of corpus size.
+    """
+    cent = label_centroids(emb, id_col, vec_col, label_col).select(
+        F.col("label").alias("_cl"), "pos", "mean_q"
+    )
+    comps = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("pos", "xi"),
+    )
+    S = float(_CENTROID_Q)
+    scored = comps.join(
+        F.broadcast(cent),
+        (comps["label"] == cent["_cl"]) & (comps["pos"] == cent["pos"]),
+    ).withColumn(
+        "contrib_q",
+        F.expr(f"cast(floor((xi - mean_q / {S!r}) * (xi - mean_q / {S!r}) * {S!r}) as bigint)"),
+    )
+    return (
+        scored.groupBy("id", "label")
+        .agg(F.sum("contrib_q").alias("dist_q"))
+        .orderBy(F.desc("dist_q"), "id")
+        .limit(k)
+    )

@@ -2499,6 +2499,38 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_emb_label_outliers(spark, sf_dir):
+    """Suspected label errors: the 20 embeddings farthest from their own
+    class centroid (integer fixed-point distances) — the first-pass
+    mislabel scan before a labeled set trains anything."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_outliers(emb, "vec_id", "embedding", "label", k=20)
+
+
+O_EMB_LABEL_OUTLIERS = """
+WITH comp AS (
+  SELECT vec_id AS id, label, CAST(i - 1 AS BIGINT) AS pos,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi,
+         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576.0)
+              AS BIGINT) AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, pos,
+         CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q
+  FROM comp GROUP BY label, pos
+),
+scored AS (
+  SELECT id, comp.label,
+         CAST(floor((xi - mean_q / 1048576.0) * (xi - mean_q / 1048576.0)
+              * 1048576.0) AS BIGINT) AS contrib_q
+  FROM comp JOIN cent ON cent.label = comp.label AND cent.pos = comp.pos
+)
+SELECT id, label, CAST(sum(contrib_q) AS BIGINT) AS dist_q
+FROM scored GROUP BY id, label ORDER BY dist_q DESC, id LIMIT 20
+"""
+
+
 def q_sample_class_balance(spark, sf_dir):
     """Balanced-class downsample of the labeled embedding table: every
     label keeps exactly min-class-count rows, membership pinned by the
@@ -2545,6 +2577,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),
     "emb_abtt_topk": (q_emb_abtt_topk, O_EMB_ABTT),
     "sample_class_balance": (q_sample_class_balance, O_CLASS_BALANCE),
+    "emb_label_outliers": (q_emb_label_outliers, O_EMB_LABEL_OUTLIERS),
     "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),

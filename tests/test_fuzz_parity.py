@@ -142,6 +142,7 @@ EMB_GATES = [
     "emb_quantize_int8",
     "emb_label_centroids",
     "emb_pca_power",
+    "emb_label_outliers",
 ]
 
 _DIM = 64

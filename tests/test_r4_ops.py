@@ -701,3 +701,26 @@ def test_corr_regr_recovers_known_line(spark):
     assert out["L"]["slope_micro"] in (2999999, 3000000)
     assert out["L"]["icept_micro"] in (6999999, 7000000)
     assert out["C"]["corr_micro"] is None and out["C"]["slope_micro"] is None
+
+
+def test_label_outliers_finds_planted_mislabel(spark):
+    import numpy as np
+
+    from egraphdb_spark.operators.similarity import label_outliers
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # two tight clusters at +e0 and -e0; 3 planted rows carry the WRONG label
+    for i in range(60):
+        v = rng.randn(64) * 0.05; v[0] += 1.0
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(60, 120):
+        v = rng.randn(64) * 0.05; v[0] -= 1.0
+        rows.append((i, [float(x) for x in v], 1))
+    for j, i in enumerate([500, 501, 502]):
+        v = rng.randn(64) * 0.05; v[0] -= 1.0     # lives in cluster 1...
+        rows.append((i, [float(x) for x in v], 0))  # ...labeled 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    top = label_outliers(df, "vec_id", "embedding", "label", k=3).collect()
+    assert sorted(r["id"] for r in top) == [500, 501, 502]
+    assert all(r["label"] == 0 and r["dist_q"] > 0 for r in top)

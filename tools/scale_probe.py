@@ -96,6 +96,7 @@ PROBES = [
     "graph_hits",
     "join_bloom_prefilter",
     "evt_rfm_segments",
+    "emb_label_outliers",
 ]
 
 
