@@ -622,3 +622,39 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
         )
     )
+
+
+def bipartite_projection(
+    edges: DataFrame, max_fanout: int = 64
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite graph: for every pair of
+    DST nodes sharing a SRC neighbor, an edge (a, b, w) with w = number of
+    shared neighbors — the "co-purchase" / "co-supply" primitive behind
+    recommendation graphs and co-occurrence analytics.
+
+    Pair generation is the LSH-bucket discipline: a src node with more
+    than ``max_fanout`` dst neighbors is a hub whose |N|² pair explosion
+    would dominate the job, so it is dropped BEFORE the self-join (same
+    guard, same rationale, same oracle-replicated semantics as
+    dedup.lsh_candidate_pairs and neighbor-Jaccard).  Output pairs are
+    canonical (a < b).
+
+    Scale: one fanout aggregate + a semi-join to drop hubs + a self-join
+    on src (co-partitioned by the join key) + a map-side-combined count.
+    Work is Σ|N(src)|² over kept nodes — bounded by max_fanout·|E|.
+    """
+    e = edges.select("src_key", "dst_key").distinct()
+    small = (
+        e.groupBy("src_key")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") <= max_fanout)
+        .select("src_key")
+    )
+    ee = e.join(small, "src_key", "left_semi")
+    a = ee.select("src_key", F.col("dst_key").alias("a"))
+    b = ee.select(F.col("src_key").alias("sk2"), F.col("dst_key").alias("b"))
+    return (
+        a.join(b, (a["src_key"] == b["sk2"]) & (a["a"] < b["b"]))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )

@@ -2933,6 +2933,157 @@ FROM staged
 """
 
 
+def q_graph_bipartite_proj(spark, sf_dir):
+    """Weighted supplier co-supply graph: one-mode projection of the
+    part→supplier bipartite subgraph (w = shared parts), hub parts with
+    fanout > 8 dropped before the pair self-join (LSH-bucket discipline)."""
+    from .operators.graph_algos import bipartite_projection
+
+    g = _fixture(spark, sf_dir)
+    supplied = g.edges.where(
+        F.get_json_object("details", "$.rel") == "supplied_by"
+    )
+    return bipartite_projection(supplied, max_fanout=8)
+
+
+O_GRAPH_BIPROJ = """
+WITH e AS (
+  SELECT DISTINCT 'part:' || l_partkey AS src_key,
+         'supplier:' || l_suppkey AS dst_key
+  FROM lineitem
+),
+small AS (
+  SELECT src_key FROM e GROUP BY src_key HAVING count(*) <= 8
+),
+ee AS (SELECT e.* FROM e SEMI JOIN small USING (src_key))
+SELECT a.dst_key AS a, b.dst_key AS b, count(*) AS w
+FROM ee a JOIN ee b ON a.src_key = b.src_key AND a.dst_key < b.dst_key
+GROUP BY a.dst_key, b.dst_key
+"""
+
+
+def q_agg_skew_kurtosis(spark, sf_dir):
+    """Skewness and excess kurtosis of order quantity per return flag from
+    EXACT integer moment sums (Σx..Σx⁴ — quantity ≤ 50, so x⁴ is far from
+    the BIGINT ceiling at any SF); the closing formulas are one fixed
+    double-expression tree, micro-quantized."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select("l_returnflag", F.col("l_quantity").cast("long").alias("x"))
+    m = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.expr("x * x")).alias("s2"),
+        F.sum(F.expr("x * x * x")).alias("s3"),
+        F.sum(F.expr("x * x * x * x")).alias("s4"),
+    )
+    staged = (
+        m.withColumn("mu", F.expr("cast(s1 as double) / n"))
+        .withColumn("m2", F.expr("cast(s2 as double) / n - mu * mu"))
+        .withColumn(
+            "m3",
+            F.expr("cast(s3 as double) / n - 3 * mu * (cast(s2 as double) / n)"
+                   " + 2 * mu * mu * mu"),
+        )
+        .withColumn(
+            "m4",
+            F.expr(
+                "cast(s4 as double) / n - 4 * mu * (cast(s3 as double) / n)"
+                " + 6 * mu * mu * (cast(s2 as double) / n) - 3 * mu * mu * mu * mu"
+            ),
+        )
+    )
+    return staged.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.expr(
+            "CASE WHEN m2 > 0 THEN cast(floor(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))"
+            " * 1000000) as bigint) ELSE NULL END"
+        ).alias("skew_micro"),
+        F.expr(
+            "CASE WHEN m2 > 0 THEN cast(floor((m4 / (m2 * m2) - 3) * 1000000)"
+            " as bigint) ELSE NULL END"
+        ).alias("kurt_micro"),
+    )
+
+
+O_AGG_SKEWKURT = """
+WITH base AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS s1, CAST(sum(x * x) AS BIGINT) AS s2,
+         CAST(sum(x * x * x) AS BIGINT) AS s3,
+         CAST(sum(x * x * x * x) AS BIGINT) AS s4
+  FROM base GROUP BY l_returnflag
+),
+staged AS (
+  SELECT *, CAST(s1 AS DOUBLE) / n AS mu FROM m
+),
+staged2 AS (
+  SELECT *,
+         CAST(s2 AS DOUBLE) / n - mu * mu AS m2,
+         CAST(s3 AS DOUBLE) / n - 3 * mu * (CAST(s2 AS DOUBLE) / n)
+           + 2 * mu * mu * mu AS m3,
+         CAST(s4 AS DOUBLE) / n - 4 * mu * (CAST(s3 AS DOUBLE) / n)
+           + 6 * mu * mu * (CAST(s2 AS DOUBLE) / n) - 3 * mu * mu * mu * mu AS m4
+  FROM staged
+)
+SELECT l_returnflag, n AS n_rows,
+       CASE WHEN m2 > 0 THEN CAST(floor(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+            * 1000000) AS BIGINT) ELSE NULL END AS skew_micro,
+       CASE WHEN m2 > 0 THEN CAST(floor((m4 / (m2 * m2) - 3) * 1000000)
+            AS BIGINT) ELSE NULL END AS kurt_micro
+FROM staged2
+"""
+
+
+def q_win_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over each customer's order
+    history (full-partition frame) — the remaining ranking-window surface:
+    first order date, latest order cents, second order key per customer,
+    one row per customer (1-in-31 sample)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 31 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    enriched = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value(F.col("o_orderdate")).over(w).alias("first_date"),
+        F.last_value(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+        .over(w)
+        .alias("last_cents"),
+        F.nth_value(F.col("o_orderkey"), 2).over(w).alias("second_order"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("rn"),
+    )
+    return enriched.where(F.col("rn") == 1).drop("rn")
+
+
+O_WIN_FIRST_LAST = """
+WITH base AS (SELECT * FROM orders WHERE o_custkey % 31 = 0),
+enriched AS (
+  SELECT o_custkey, o_orderkey,
+         first_value(o_orderdate) OVER w AS first_date,
+         last_value(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS last_cents,
+         nth_value(o_orderkey, 2) OVER w AS second_order,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, o_orderkey, first_date, last_cents, second_order
+FROM enriched WHERE rn = 1
+"""
+
+
 def q_evt_rfm_segments(spark, sf_dir):
     """RFM user segmentation (recency / frequency / monetary quartiles):
     per-user stats in exact integers (days, counts, cents), quartile
@@ -3086,6 +3237,9 @@ EXT_REGISTRY: dict[str, tuple] = {
     "win_percent_rank": (q_win_percent_rank, O_WIN_PERCENT_RANK),
     "join_bloom_prefilter": (q_join_bloom_prefilter, O_JOIN_BLOOM),
     "evt_rfm_segments": (q_evt_rfm_segments, O_EVT_RFM),
+    "graph_bipartite_proj": (q_graph_bipartite_proj, O_GRAPH_BIPROJ),
+    "agg_skew_kurtosis": (q_agg_skew_kurtosis, O_AGG_SKEWKURT),
+    "win_first_last": (q_win_first_last, O_WIN_FIRST_LAST),
     "agg_q7_nation_volume": (q_agg_q7_nation_volume, O_AGG_Q7),
     "agg_q13_order_histogram": (q_agg_q13_order_histogram, O_AGG_Q13),
     "agg_q18_large_orders": (q_agg_q18_large_orders, O_AGG_Q18),

@@ -188,3 +188,21 @@ def test_hits_ranks_hubs_and_authorities(spark):
     assert {k: (v["hub"], v["auth"]) for k, v in out.items()} == {
         k: (v["hub"], v["auth"]) for k, v in again.items()
     }
+
+
+def test_bipartite_projection_weights_and_hub_guard(spark):
+    from egraphdb_spark.operators.graph_algos import bipartite_projection
+
+    edges = spark.createDataFrame(
+        [("p1", "s1"), ("p1", "s2"), ("p2", "s1"), ("p2", "s2"), ("p3", "s2"), ("p3", "s3")],
+        "src_key string, dst_key string",
+    )
+    got = {(r["a"], r["b"]): r["w"] for r in bipartite_projection(edges).collect()}
+    # s1,s2 share p1 and p2 (w=2); s2,s3 share p3 (w=1); s1,s3 share nothing
+    assert got == {("s1", "s2"): 2, ("s2", "s3"): 1}
+    # hub guard: a src with fanout > max_fanout contributes no pairs
+    hub = spark.createDataFrame(
+        [("h", f"s{i}") for i in range(10)], "src_key string, dst_key string"
+    )
+    assert bipartite_projection(hub, max_fanout=4).count() == 0
+    assert bipartite_projection(hub, max_fanout=16).count() == 45
