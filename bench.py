@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "join_bloom_prefilter",
     "evt_rfm_segments",
     "emb_label_outliers",
+    "graph_bipartite_proj",
+    "agg_skew_kurtosis",
+    "win_first_last",
 ]
 
 
