@@ -1,0 +1,251 @@
+"""Hostile-graph parity: Spark graph operators vs pure-Python references.
+
+The driver fixture derives its graph from TPC-H foreign keys, which is
+structurally tame: no self-loops, no duplicate edge rows, no isolated
+self-loop-only nodes, bounded skew.  Real graphs have all of these, and
+iterative Spark loops (checkpointed frontiers, semi-join peels, integer
+fixed-point updates) are exactly the code most likely to diverge on them.
+Each operator here is replayed on a battery of adversarial graphs against
+an independent pure-Python reference implementing the documented
+semantics (duplicate-row handling included — pagerank deliberately counts
+duplicate edges, triangle/CC/projection deliberately collapse them).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from egraphdb_spark.operators.graph_algos import (
+    bfs_levels,
+    bipartite_projection,
+    connected_components,
+    kcore_peel,
+    pagerank_scaled,
+    triangle_stats,
+)
+
+
+# ---------------------------------------------------------------- graphs
+def _rand_graph(seed: int, n: int, m: int) -> list[tuple[str, str]]:
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(m):
+        a, b = rng.randrange(n), rng.randrange(n)
+        pairs.append((f"n{a:02d}", f"n{b:02d}"))
+        if rng.random() < 0.2:  # duplicate edge rows are common in logs
+            pairs.append((f"n{a:02d}", f"n{b:02d}"))
+    pairs.append((f"n{rng.randrange(n):02d}",) * 2)  # self-loop
+    return pairs
+
+
+GRAPHS: dict[str, list[tuple[str, str]]] = {
+    # hub star with a duplicate row, a reverse edge, and a self-loop
+    "hub": [("hub", f"s{i}") for i in range(9)]
+    + [("hub", "s0"), ("s3", "hub"), ("hub", "hub")],
+    # directed chain into a 3-cycle plus a detached self-loop-only node
+    "chain_cycle": [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c4"),
+        ("c4", "c5"), ("c5", "c3"), ("iso", "iso"),
+    ],
+    # two triangles bridged by one edge; one triangle doubled
+    "bridged": [
+        ("a0", "a1"), ("a1", "a2"), ("a2", "a0"), ("a0", "a1"),
+        ("b0", "b1"), ("b1", "b2"), ("b2", "b0"), ("a2", "b0"),
+    ],
+    "random": _rand_graph(42, 16, 40),
+}
+
+
+def _edges(spark, pairs):
+    keys = sorted({k for p in pairs for k in p})
+    nid = {k: i for i, k in enumerate(keys)}
+    rows = [(s, d, nid[s], nid[d]) for s, d in pairs]
+    return spark.createDataFrame(
+        rows, "src_key string, dst_key string, src long, dst long"
+    ).select("src_key", "dst_key", "src", "dst", F.lit("{}").alias("details"))
+
+
+# ------------------------------------------------------------ references
+def _und_adj(pairs):
+    adj: dict[str, set[str]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, set())
+        adj.setdefault(d, set())
+        adj[s].add(d)
+        adj[d].add(s)
+    return adj
+
+
+def cc_ref(pairs):
+    adj = _und_adj(pairs)
+    out, seen = {}, set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        label = min(comp)
+        for v in comp:
+            out[v] = label
+    return out
+
+
+def pagerank_ref(pairs, iters=3, scale=10**12):
+    # duplicates COUNT: the operator folds out-degree over edge rows
+    nodes = sorted({k for p in pairs for k in p})
+    n = len(nodes)
+    outdeg: dict[str, int] = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (15 * scale) // (100 * n)
+    pr = {k: scale // n for k in nodes}
+    for _ in range(iters):
+        s: dict[str, int] = {k: 0 for k in nodes}
+        for a, b in pairs:
+            s[b] += pr[a] // outdeg[a]
+        pr = {k: base + (85 * s[k]) // 100 for k in nodes}
+    return pr
+
+
+def bfs_ref(pairs, src, max_depth):
+    fwd: dict[str, set[str]] = {}
+    for s, d in pairs:
+        fwd.setdefault(s, set()).add(d)
+    level = {src: 0}
+    frontier = [src]
+    for depth in range(1, max_depth + 1):
+        nxt = []
+        for v in frontier:
+            for w in fwd.get(v, ()):
+                if w not in level:
+                    level[w] = depth
+                    nxt.append(w)
+        if not nxt:
+            break
+        frontier = nxt
+    return level
+
+
+def tri_ref(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in und) // 3
+    w2 = sum(d * (d - 1) for d in deg.values())
+    return {
+        "n_vertices": len(deg),
+        "n_edges": len(und),
+        "n_wedges": w2 // 2,
+        "n_triangles": tri,
+        "clustering_millionths": (tri * 6_000_000) // w2 if w2 > 0 else 0,
+    }
+
+
+def kcore_ref(pairs, k, rounds):
+    # mirror the operator: undirected distinct pairs INCLUDING self-loops
+    # (a self-loop contributes one neighbor entry a→a)
+    und = set()
+    for a, b in pairs:
+        und.add((a, b))
+        und.add((b, a))
+    e = und
+    prev = None
+    for _ in range(rounds):
+        deg: dict[str, int] = {}
+        for a, _b in e:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {a for a, d in deg.items() if d >= k}
+        e = {(a, b) for a, b in e if a in alive and b in alive}
+        if len(e) == prev:
+            break
+        prev = len(e)
+    deg = {}
+    for a, _b in e:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def biproj_ref(pairs, max_fanout):
+    nbrs: dict[str, set[str]] = {}
+    for s, d in pairs:
+        nbrs.setdefault(s, set()).add(d)
+    w: dict[tuple[str, str], int] = {}
+    for _, ds in nbrs.items():
+        if len(ds) > max_fanout:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                w[(ds[i], ds[j])] = w.get((ds[i], ds[j]), 0) + 1
+    return w
+
+
+# ----------------------------------------------------------------- tests
+def test_cc_matches_union_find_on_hostile_graphs(spark):
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["key"]: r["component"]
+            for r in connected_components(_edges(spark, pairs), max_iter=30).collect()
+        }
+        assert got == cc_ref(pairs), name
+
+
+def test_pagerank_matches_integer_reference(spark):
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["key"]: r["pr"]
+            for r in pagerank_scaled(_edges(spark, pairs), iters=3).collect()
+        }
+        assert got == pagerank_ref(pairs), name
+
+
+def test_bfs_levels_match_reference(spark):
+    for name, pairs in GRAPHS.items():
+        src = sorted({k for p in pairs for k in p})[0]
+        got = {
+            r["key"]: r["level"]
+            for r in bfs_levels(_edges(spark, pairs), src, max_depth=4).collect()
+        }
+        assert got == bfs_ref(pairs, src, 4), name
+
+
+def test_triangle_census_matches_reference_both_orientations(spark):
+    for name, pairs in GRAPHS.items():
+        want = tri_ref(pairs)
+        for orient in ("degree", "id"):
+            row = triangle_stats(_edges(spark, pairs), orientation=orient).collect()[0]
+            assert row.asDict() == want, (name, orient)
+
+
+def test_kcore_peel_matches_reference(spark):
+    for name, pairs in GRAPHS.items():
+        for k in (2, 3):
+            got = {
+                r["key"]: r["degree"]
+                for r in kcore_peel(_edges(spark, pairs), k=k, rounds=3).collect()
+            }
+            assert got == kcore_ref(pairs, k, 3), (name, k)
+
+
+def test_bipartite_projection_matches_reference(spark):
+    for name, pairs in GRAPHS.items():
+        got = {
+            (r["a"], r["b"]): r["w"]
+            for r in bipartite_projection(_edges(spark, pairs), max_fanout=4).collect()
+        }
+        assert got == biproj_ref(pairs, 4), name
