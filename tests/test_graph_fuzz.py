@@ -249,3 +249,79 @@ def test_bipartite_projection_matches_reference(spark):
             for r in bipartite_projection(_edges(spark, pairs), max_fanout=4).collect()
         }
         assert got == biproj_ref(pairs, 4), name
+
+
+def _weighted(pairs):
+    # deterministic per-endpoint weights; duplicate rows share the weight
+    def w(s, d):
+        return ((len(s) * 7 + len(d) * 3 + ord(s[-1]) + ord(d[-1])) % 5 + 1) * 0.25
+
+    return [(s, d, w(s, d)) for s, d in pairs]
+
+
+def sssp_ref(wpairs, src, max_iter):
+    dist = {src: 0.0}
+    frontier = {src}
+    for _ in range(max_iter):
+        relaxed: dict[str, float] = {}
+        for s, d, w in wpairs:
+            if s in frontier:
+                cand = dist[s] + w
+                if d not in relaxed or cand < relaxed[d]:
+                    relaxed[d] = cand
+        frontier = {
+            k for k, v in relaxed.items() if k not in dist or v < dist[k]
+        }
+        for k in frontier:
+            dist[k] = relaxed[k]
+        if not frontier:
+            break
+    return dist
+
+
+def hits_ref(pairs, iters=3, scale=10**6):
+    e = sorted(set(pairs))
+    nodes = sorted({k for p in pairs for k in p})
+    hub = {s: scale for s in {a for a, _ in e}}
+    auth: dict[str, int] = {}
+    for _ in range(iters):
+        a_raw: dict[str, int] = {}
+        for u, v in e:
+            if u in hub:
+                a_raw[v] = a_raw.get(v, 0) + hub[u]
+        mx = max(a_raw.values())
+        auth = {v: (s * scale) // mx for v, s in a_raw.items()}
+        h_raw: dict[str, int] = {}
+        for u, v in e:
+            if v in auth:
+                h_raw[u] = h_raw.get(u, 0) + auth[v]
+        mx = max(h_raw.values())
+        hub = {u: (s * scale) // mx for u, s in h_raw.items()}
+    return {k: (hub.get(k, 0), auth.get(k, 0)) for k in nodes}
+
+
+def test_sssp_matches_bellman_ford_reference(spark):
+    from egraphdb_spark.operators.graph_algos import shortest_paths_weighted
+
+    for name, pairs in GRAPHS.items():
+        wpairs = _weighted(pairs)
+        src = sorted({k for p in pairs for k in p})[0]
+        e = spark.createDataFrame(
+            wpairs, "src_key string, dst_key string, w double"
+        )
+        got = {
+            r["key"]: r["dist"]
+            for r in shortest_paths_weighted(e, src, F.col("w"), max_iter=6).collect()
+        }
+        assert got == sssp_ref(wpairs, src, 6), name
+
+
+def test_hits_matches_integer_reference(spark):
+    from egraphdb_spark.operators.graph_algos import hits_scaled
+
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["key"]: (r["hub"], r["auth"])
+            for r in hits_scaled(_edges(spark, pairs), iters=3).collect()
+        }
+        assert got == hits_ref(pairs), name
