@@ -325,3 +325,107 @@ def test_hits_matches_integer_reference(spark):
             for r in hits_scaled(_edges(spark, pairs), iters=3).collect()
         }
         assert got == hits_ref(pairs), name
+
+
+def lpa_ref(pairs, rounds):
+    e = set()
+    for s, d in pairs:
+        e.add((s, d))
+        e.add((d, s))
+    nodes = sorted({k for p in pairs for k in p})
+    inc: dict[str, list[str]] = {}
+    for u, v in e:
+        inc.setdefault(v, []).append(u)
+    lbl = {k: k for k in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for v in nodes:
+            if v not in inc:
+                nxt[v] = lbl[v]
+                continue
+            counts: dict[str, int] = {}
+            for u in inc[v]:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        lbl = nxt
+    return lbl
+
+
+def njac_ref(pairs, threshold, max_degree):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    adj = set()
+    for s, d in pairs:
+        adj.add((s, d))
+        adj.add((d, s))
+    nbr_deg: dict[str, int] = {}
+    for _n, b in adj:
+        nbr_deg[b] = nbr_deg.get(b, 0) + 1
+    adj = {(n, b) for n, b in adj if nbr_deg[b] <= max_degree}
+    nbrs: dict[str, set[str]] = {}
+    for n, b in adj:
+        nbrs.setdefault(n, set()).add(b)
+    out = {}
+    ns = sorted(nbrs)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1 :]:
+            common = len(nbrs[a] & nbrs[b])
+            if not common:
+                continue
+            j = common / (len(nbrs[a]) + len(nbrs[b]) - common)
+            if j >= threshold:
+                out[(a, b)] = float(
+                    Decimal(repr(j)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+                )
+    return out
+
+
+def degstats_ref(pairs):
+    und = set()
+    for s, d in pairs:
+        und.add((s, d))
+        und.add((d, s))
+    deg: dict[str, int] = {}
+    for a, _b in und:
+        deg[a] = deg.get(a, 0) + 1
+    buckets: dict[int, list[int]] = {}
+    for d in deg.values():
+        buckets.setdefault(d.bit_length() - 1, []).append(d)
+    return {
+        bk: (len(v), min(v), max(v)) for bk, v in buckets.items()
+    }
+
+
+def test_lpa_matches_reference(spark):
+    from egraphdb_spark.operators.graph_algos import label_propagation
+
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["key"]: r["community"]
+            for r in label_propagation(_edges(spark, pairs), rounds=3).collect()
+        }
+        assert got == lpa_ref(pairs, 3), name
+
+
+def test_neighbor_jaccard_matches_reference(spark):
+    from egraphdb_spark.operators.graph_algos import neighbor_jaccard_pairs
+
+    for name, pairs in GRAPHS.items():
+        got = {
+            (r["node_a"], r["node_b"]): r["jaccard"]
+            for r in neighbor_jaccard_pairs(
+                _edges(spark, pairs), threshold=0.2, max_degree=6
+            ).collect()
+        }
+        assert got == njac_ref(pairs, 0.2, 6), name
+
+
+def test_degree_stats_matches_reference(spark):
+    from egraphdb_spark.operators.graph_algos import degree_stats
+
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["bucket"]: (r["n_vertices"], r["min_deg"], r["max_deg"])
+            for r in degree_stats(_edges(spark, pairs)).collect()
+        }
+        assert got == degstats_ref(pairs), name
