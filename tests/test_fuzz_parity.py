@@ -78,6 +78,15 @@ FUZZ_GATES = [
     "pipe_pack_pairs",
     "txt_char_entropy",
     "mm_simhash_pairs",
+    "dedup_contamination",
+    "dedup_incremental_lsh",
+    "dedup_near_clusters",
+    "dedup_simhash_pairs",
+    "pipe_corpus_clean",
+    "txt_bm25_topk",
+    "txt_tfidf_keywords",
+    "sample_stratified",
+    "sample_train_test",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]
@@ -143,6 +152,13 @@ EMB_GATES = [
     "emb_label_centroids",
     "emb_pca_power",
     "emb_label_outliers",
+    "emb_abtt_topk",
+    "sample_class_balance",
+    "sim_kmeans_topk",
+    "sim_knn_graph",
+    "sim_ivfpq_topk",
+    "sim_pq_codes",
+    "sim_pq_topk",
 ]
 
 _DIM = 64
@@ -225,6 +241,12 @@ EVT_GATES = [
     "skew_salted_topn",
     "evt_anomaly_mad",
     "evt_rfm_segments",
+    "evt_window_hourly",
+    "sketch_cm_heavy",
+    "sketch_hll_overlap",
+    "skew_salted_join",
+    "join_asof_nearest",
+    "join_asof_tolerance",
 ]
 
 _ETYPES = ["view", "click", "purchase", "signup", "error"]

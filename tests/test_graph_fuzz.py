@@ -429,3 +429,33 @@ def test_degree_stats_matches_reference(spark):
             for r in degree_stats(_edges(spark, pairs)).collect()
         }
         assert got == degstats_ref(pairs), name
+
+
+def cc_directed_ref(pairs):
+    # fixpoint of min-label propagation along DIRECTED edges:
+    # label(v) = min key over {v} ∪ ancestors(v)
+    fwd: dict[str, set[str]] = {}
+    nodes = sorted({k for p in pairs for k in p})
+    for s, d in pairs:
+        fwd.setdefault(s, set()).add(d)
+    lbl = {k: k for k in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for u, vs in fwd.items():
+            for v in vs:
+                if lbl[u] < lbl[v]:
+                    lbl[v] = lbl[u]
+                    changed = True
+    return lbl
+
+
+def test_cc_directed_mode_matches_reference(spark):
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["key"]: r["component"]
+            for r in connected_components(
+                _edges(spark, pairs), max_iter=30, undirected=False
+            ).collect()
+        }
+        assert got == cc_directed_ref(pairs), name
