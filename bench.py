@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "graph_bipartite_proj",
     "agg_skew_kurtosis",
     "win_first_last",
+    "dedup_line_corpus",
 ]
 
 

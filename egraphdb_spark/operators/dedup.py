@@ -837,3 +837,69 @@ def fuzzy_pairs(
         F.col("b.id").alias("id_b"),
         dist.cast("long").alias("dist"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 2,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Line-level boilerplate REMOVAL — C4/MassiveText-style cleaning:
+    delete every line whose exact content appears in more than
+    ``max_line_df`` distinct documents (nav bars, cookie banners, license
+    headers), keeping the rest of each document intact and in order.
+
+    Complements :func:`repeated_spans`, which only *reports* cross-document
+    spans — this is the transform that rewrites the corpus, the step
+    between span detection and whole-document dedup in a cleaning
+    pipeline.  Lines shorter than ``min_line_chars`` after trim are never
+    dropped: empty/short lines ('', '---') are ubiquitous, and deleting
+    them would rewrite nearly every document while freeing no meaningful
+    tokens.  Eligibility is a pure function of line content, so the
+    duplicated-line set contains only eligible lines and one anti-join
+    covers both cases.
+
+    Output: (id, clean_text, n_kept, n_dropped) — one row per input
+    document; clean_text = surviving lines joined by newline in original
+    order ('' when every line was dropped).
+
+    Scale: one explode (bounded by lines/doc), one distinct-count
+    aggregate keyed on the line string (at 100 TB key on xxhash64(line)
+    and drop the string through the shuffle), one anti-join against the
+    duplicated-line set (small: only lines with df > threshold), one
+    per-document re-aggregate.  No corpus-wide window; reassembly sorts
+    only within each document's own line array.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    )
+    dup = (
+        lines.where(F.length(F.trim(F.col("ln"))) >= min_line_chars)
+        .groupBy("ln")
+        .agg(F.count_distinct(F.col("id")).alias("line_df"))
+        .where(F.col("line_df") > max_line_df)
+        .select("ln")
+    )
+    kept = lines.join(dup, "ln", "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ln"))),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    total = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return total.join(agg, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )

@@ -2571,6 +2571,64 @@ def q_emb_pca_power(spark, sf_dir):
 O_EMB_PCA = similarity.pca_power_oracle_sql("embeddings", "embedding", 64, 4)
 
 
+
+
+def q_dedup_line_corpus(spark, sf_dir):
+    """Line-level boilerplate removal (C4/MassiveText discipline): drop
+    every line appearing verbatim in > 1 distinct document (min 5 chars
+    after trim — short separators are never dropped), reassemble each
+    document in original line order, report kept/dropped counts.  The
+    fixture corpus is all-unique single-line docs, so every 7th document
+    is re-inserted under a shifted id (both engines): those lines then
+    occur in two distinct documents and must be dropped from BOTH copies
+    while every other document survives verbatim — the gate exercises
+    the drop path and the keep path on the driver's own data."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.line_dedup(
+        corpus, "doc_id", "text", max_line_df=1, min_line_chars=5
+    )
+
+
+O_LINE_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+),
+lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, ls[CAST(i AS INT)] AS ln
+  FROM base, unnest(range(1, len(ls) + 1)) AS t(i)
+),
+dup AS (
+  SELECT ln FROM lines WHERE length(trim(ln)) >= 5
+  GROUP BY ln HAVING count(DISTINCT doc_id) > 1
+),
+kept AS (
+  SELECT lines.* FROM lines ANTI JOIN dup ON lines.ln = dup.ln
+),
+agg AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+total AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT total.doc_id AS id, COALESCE(clean_text, '') AS clean_text,
+       COALESCE(n_kept, 0) AS n_kept,
+       total.n_lines - COALESCE(n_kept, 0) AS n_dropped
+FROM total LEFT JOIN agg ON total.doc_id = agg.doc_id
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
@@ -2578,6 +2636,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "emb_abtt_topk": (q_emb_abtt_topk, O_EMB_ABTT),
     "sample_class_balance": (q_sample_class_balance, O_CLASS_BALANCE),
     "emb_label_outliers": (q_emb_label_outliers, O_EMB_LABEL_OUTLIERS),
+    "dedup_line_corpus": (q_dedup_line_corpus, O_LINE_DEDUP),
     "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),

@@ -87,6 +87,7 @@ FUZZ_GATES = [
     "txt_tfidf_keywords",
     "sample_stratified",
     "sample_train_test",
+    "dedup_line_corpus",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

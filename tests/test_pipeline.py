@@ -476,3 +476,53 @@ def test_resize_media_downsamples_and_composes(spark):
     assert feats[1]["n_bytes"] == 3 and feats[1]["first_byte"] == ord("a")
     assert feats[1]["last_byte"] == ord("i")
     assert feats[3]["n_bytes"] == 0 and feats[3]["first_byte"] == -1
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    from egraphdb_spark.operators.dedup import line_dedup
+
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha first\n{banner}\nalpha last"),
+            (2, f"{banner}\nbeta only line"),
+            (3, f"gamma one\ngamma two\n{banner}"),
+            (4, banner),                      # every line dropped -> ''
+            (5, "---\n---\nunique body"),     # short separator lines immune
+            (6, "---\n---\n---"),             # short-only doc: all kept
+            (7, "trailing newline\n"),        # split keeps the '' tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in line_dedup(docs, "doc_id", "text", max_line_df=1, min_line_chars=5).collect()
+    }
+    assert out[1]["clean_text"] == "alpha first\nalpha last"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[2]["clean_text"] == "beta only line"
+    assert out[3]["clean_text"] == "gamma one\ngamma two"
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0 and out[4]["n_dropped"] == 1
+    # '---' is 3 chars < min_line_chars: occurs in 2 docs but never dropped
+    assert out[5]["clean_text"] == "---\n---\nunique body"
+    assert out[6]["clean_text"] == "---\n---\n---" and out[6]["n_dropped"] == 0
+    assert out[7]["clean_text"] == "trailing newline\n" and out[7]["n_kept"] == 2
+
+
+def test_line_dedup_df_threshold_counts_distinct_docs(spark):
+    from egraphdb_spark.operators.dedup import line_dedup
+
+    # the same line TWICE in one doc counts as ONE distinct document —
+    # with max_line_df=1 it survives until a second doc carries it
+    docs = spark.createDataFrame(
+        [(1, "repeat me twice\nrepeat me twice"), (2, "something else entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in line_dedup(docs, "doc_id", "text", 1, 5).collect()}
+    assert out[1]["n_dropped"] == 0
+    docs2 = spark.createDataFrame(
+        [(1, "repeat me twice\nrepeat me twice"), (2, "repeat me twice")],
+        "doc_id long, text string",
+    )
+    out2 = {r["id"]: r for r in line_dedup(docs2, "doc_id", "text", 1, 5).collect()}
+    assert out2[1]["n_dropped"] == 2 and out2[2]["clean_text"] == ""

@@ -100,6 +100,7 @@ PROBES = [
     "graph_bipartite_proj",
     "agg_skew_kurtosis",
     "win_first_last",
+    "dedup_line_corpus",
 ]
 
 
