@@ -2826,14 +2826,31 @@ O_EVT_ANOMALY_MAD = _mad_oracle()
 def q_graph_hits(spark, sf_dir):
     """Integer fixed-point HITS (3 rounds, L∞ normalization) on the
     part→supplier bipartite subgraph: parts are hubs, suppliers
-    authorities."""
+    authorities.  The iteration runs on the fixture's 8-byte integer
+    node ids (same discipline as kcore: every per-round shuffle carries
+    16 B/edge instead of two key strings); the id→key map joins back
+    once on the final node-sized frame.  Score values are identical —
+    HITS arithmetic never looks at the key."""
     from .operators.graph_algos import hits_scaled
 
     g = _fixture(spark, sf_dir)
     supplied = g.edges.where(
         F.get_json_object("details", "$.rel") == "supplied_by"
     )
-    return hits_scaled(supplied, iters=3)
+    scores = hits_scaled(
+        supplied.select(
+            F.col("src").alias("src_key"), F.col("dst").alias("dst_key")
+        ),
+        iters=3,
+    ).withColumnRenamed("key", "nid")
+    keymap = (
+        supplied.select(F.col("src").alias("nid"), F.col("src_key").alias("key"))
+        .unionByName(
+            supplied.select(F.col("dst").alias("nid"), F.col("dst_key").alias("key"))
+        )
+        .distinct()
+    )
+    return scores.join(keymap, "nid").select("key", "hub", "auth")
 
 
 def _hits_oracle(iters: int = 3, scale: int = 10**6) -> str:
