@@ -386,3 +386,16 @@ def test_abtt_topk_take_ordered_and_broadcast_component(spark):
     p = plan_of(q(spark, "emb_abtt_topk"))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastExchange" in p
+
+
+def test_line_dedup_no_window_prunes_scan(spark):
+    p = plan_of(q(spark, "dedup_line_corpus"))
+    # reassembly sorts only within each doc's own collected array — never a
+    # corpus-wide Window or global Sort
+    assert "Window" not in p
+    # the documents scan reads only (doc_id, text), not lang/source/n_chars
+    rs = p.split("ReadSchema")[1][:300]
+    assert "doc_id" in rs and "text" in rs
+    assert "n_chars" not in rs and "source" not in rs
+    # the duplicated-line set prunes via anti join, not a filter-after-join
+    assert "LeftAnti" in p
