@@ -526,3 +526,24 @@ def test_line_dedup_df_threshold_counts_distinct_docs(spark):
     )
     out2 = {r["id"]: r for r in line_dedup(docs2, "doc_id", "text", 1, 5).collect()}
     assert out2[1]["n_dropped"] == 2 and out2[2]["clean_text"] == ""
+
+
+def test_line_dedup_is_idempotent(spark):
+    from egraphdb_spark.operators.dedup import line_dedup
+
+    banner = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [(i, f"body {i} first\n{banner}\nbody {i} last") for i in range(4)]
+        + [(9, "standalone document body")],
+        "doc_id long, text string",
+    )
+    once = line_dedup(docs, "doc_id", "text", 1, 5).select(
+        "id", F.col("clean_text").alias("text")
+    )
+    twice = line_dedup(once, "id", "text", 1, 5).collect()
+    # after removal every surviving eligible line has df <= threshold, so a
+    # second pass must change nothing
+    assert all(r["n_dropped"] == 0 for r in twice)
+    assert {r["id"]: r["clean_text"] for r in twice} == {
+        r["id"]: r["text"] for r in once.collect()
+    }
