@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "agg_skew_kurtosis",
     "win_first_last",
     "dedup_line_corpus",
+    "dedup_source_overlap",
 ]
 
 

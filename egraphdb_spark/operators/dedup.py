@@ -903,3 +903,98 @@ def line_dedup(
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Dataset-level overlap between SOURCES: per-source MinHash union
+    signatures plus the exact shingle-set Jaccard for every source pair —
+    the corpus-governance question ("how much of source A is already in
+    source B?") that doc-pair dedup and benchmark contamination don't
+    answer.
+
+    The union signature is the elementwise min over every shingle hash in
+    the source — an associative, commutative, map-side-combinable
+    aggregate, so per-source signatures MERGE: shard signatures combine
+    by elementwise min with no rescan (the mergeable-sketch property that
+    makes this a one-scan operator at 100 TB; signature agreement
+    fraction estimates Jaccard per Broder '97).  The exact check joins
+    the distinct (source, h) table on h — linear in the shingle table,
+    only feasible because sources are few; the estimate column is the
+    part that survives when they aren't.  Set elements are the 32-bit
+    shingle hashes on BOTH engines, so hash collisions conflate
+    identically and parity is exact.
+
+    Output: one row per unordered source pair (src_a < src_b) —
+    (src_a, src_b, n_agree, est_jaccard_micro, exact_jaccard_micro),
+    all counts BIGINT, jaccards in integer millionths (truncating div).
+    """
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    hs = (
+        shingles.join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(source_col).alias("source")
+            ),
+            "id",
+        )
+        .select("source", "h")
+        .distinct()
+    )
+    h = F.col("h")
+    sig = hs.groupBy("source").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+            ).alias(f"m{j}")
+            for j in range(NUM_PERM)
+        ]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        (F.col(f"a.m{j}") == F.col(f"b.m{j}")).cast("long")
+        for j in range(NUM_PERM)
+    )
+    est = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        agree.alias("n_agree"),
+    )
+    sizes = hs.groupBy("source").agg(F.count("*").alias("n"))
+    sa, sb = hs.alias("sa"), hs.alias("sb")
+    inter = (
+        sa.join(
+            sb,
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.source") < F.col("sb.source")),
+        )
+        .groupBy(
+            F.col("sa.source").alias("src_a"), F.col("sb.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    pairs = na.join(nb, F.col("na.source") < F.col("nb.source")).select(
+        F.col("na.source").alias("src_a"),
+        F.col("nb.source").alias("src_b"),
+        F.col("na.n").alias("n_a"),
+        F.col("nb.n").alias("n_b"),
+    )
+    return (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .join(est, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "n_agree",
+            F.expr(f"n_agree * 1000000 div {NUM_PERM}").alias("est_jaccard_micro"),
+            F.expr(
+                "coalesce(inter, 0) * 1000000 div (n_a + n_b - coalesce(inter, 0))"
+            ).alias("exact_jaccard_micro"),
+        )
+    )

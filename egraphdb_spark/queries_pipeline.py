@@ -2629,6 +2629,70 @@ FROM total LEFT JOIN agg ON total.doc_id = agg.doc_id
 """
 
 
+
+
+def q_dedup_source_overlap(spark, sf_dir):
+    """Dataset-level source overlap: per-source MinHash union signatures
+    (mergeable elementwise-min sketch) + exact shingle-set Jaccard per
+    source pair — "how much of source A is already in source B", the
+    corpus-governance scan doc-pair dedup doesn't answer.  Shares the
+    memoized shingle table with the rest of the dedup ladder."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.source_overlap(
+        docs, "doc_id", "text", "source", shingles=doc_shingles(spark, sf_dir)
+    ).orderBy("src_a", "src_b")
+
+
+O_SOURCE_OVERLAP = f"""
+WITH {_SH_CTE},
+srcmap AS (SELECT doc_id AS id, source FROM documents),
+hs AS (SELECT DISTINCT source, h FROM hashed JOIN srcmap USING (id)),
+sig AS (
+  SELECT source,
+         min((636127 * h + 911159) % 4294967311) AS m0,
+         min((407559 * h + 183269) % 4294967311) AS m1,
+         min((963343 * h + 749117) % 4294967311) AS m2,
+         min((856929 * h + 525161) % 4294967311) AS m3,
+         min((328913 * h + 64613) % 4294967311) AS m4,
+         min((708155 * h + 277441) % 4294967311) AS m5,
+         min((286111 * h + 438887) % 4294967311) AS m6,
+         min((474469 * h + 990589) % 4294967311) AS m7,
+         min((125629 * h + 350899) % 4294967311) AS m8,
+         min((556783 * h + 668701) % 4294967311) AS m9,
+         min((943801 * h + 84631) % 4294967311) AS m10,
+         min((613027 * h + 817613) % 4294967311) AS m11,
+         min((781351 * h + 232037) % 4294967311) AS m12,
+         min((199019 * h + 573259) % 4294967311) AS m13,
+         min((870359 * h + 721499) % 4294967311) AS m14,
+         min((342437 * h + 135089) % 4294967311) AS m15
+  FROM hs GROUP BY source
+),
+est AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4 = b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5 = b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6 = b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7 = b.m7 THEN 1 ELSE 0 END) + (CASE WHEN a.m8 = b.m8 THEN 1 ELSE 0 END) + (CASE WHEN a.m9 = b.m9 THEN 1 ELSE 0 END) + (CASE WHEN a.m10 = b.m10 THEN 1 ELSE 0 END) + (CASE WHEN a.m11 = b.m11 THEN 1 ELSE 0 END) + (CASE WHEN a.m12 = b.m12 THEN 1 ELSE 0 END) + (CASE WHEN a.m13 = b.m13 THEN 1 ELSE 0 END) + (CASE WHEN a.m14 = b.m14 THEN 1 ELSE 0 END) + (CASE WHEN a.m15 = b.m15 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM sig a JOIN sig b ON a.source < b.source
+),
+sizes AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+inter AS (
+  SELECT sa.source AS src_a, sb.source AS src_b, count(*) AS inter
+  FROM hs sa JOIN hs sb ON sa.h = sb.h AND sa.source < sb.source
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT na.source AS src_a, nb.source AS src_b, na.n AS n_a, nb.n AS n_b
+  FROM sizes na JOIN sizes nb ON na.source < nb.source
+)
+SELECT pairs.src_a, pairs.src_b, n_agree,
+       CAST(n_agree * 1000000 // 16 AS BIGINT) AS est_jaccard_micro,
+       CAST(COALESCE(inter, 0) * 1000000
+            // (n_a + n_b - COALESCE(inter, 0)) AS BIGINT) AS exact_jaccard_micro
+FROM pairs
+LEFT JOIN inter ON pairs.src_a = inter.src_a AND pairs.src_b = inter.src_b
+JOIN est ON pairs.src_a = est.src_a AND pairs.src_b = est.src_b
+ORDER BY pairs.src_a, pairs.src_b
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
@@ -2637,6 +2701,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_class_balance": (q_sample_class_balance, O_CLASS_BALANCE),
     "emb_label_outliers": (q_emb_label_outliers, O_EMB_LABEL_OUTLIERS),
     "dedup_line_corpus": (q_dedup_line_corpus, O_LINE_DEDUP),
+    "dedup_source_overlap": (q_dedup_source_overlap, O_SOURCE_OVERLAP),
     "txt_char_entropy": (q_txt_char_entropy, text.CHAR_ENTROPY_ORACLE),
     "pipe_temperature_mix": (q_pipe_temperature_mix, O_PIPE_TEMPERATURE),
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),

@@ -88,6 +88,7 @@ FUZZ_GATES = [
     "sample_stratified",
     "sample_train_test",
     "dedup_line_corpus",
+    "dedup_source_overlap",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

@@ -547,3 +547,45 @@ def test_line_dedup_is_idempotent(spark):
     assert {r["id"]: r["clean_text"] for r in twice} == {
         r["id"]: r["text"] for r in once.collect()
     }
+
+
+def test_source_overlap_identical_disjoint_and_merge_property(spark):
+    from egraphdb_spark.operators.dedup import NUM_PERM, source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "A"),
+            (2, "alpha beta gamma delta epsilon", "B"),   # B == A exactly
+            (3, "zq xw vr ut sp on ml kj ih gf", "C"),    # C disjoint from A
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(docs, "doc_id", "text", "source").collect()
+    }
+    ab = out[("A", "B")]
+    # identical shingle sets: every permutation min agrees, jaccard 1.0
+    assert ab["n_agree"] == NUM_PERM
+    assert ab["est_jaccard_micro"] == 1_000_000
+    assert ab["exact_jaccard_micro"] == 1_000_000
+    ac = out[("A", "C")]
+    assert ac["exact_jaccard_micro"] == 0
+    # set semantics: duplicating a document WITHIN a source changes
+    # neither the union signature nor the exact jaccard (distinct h-set)
+    docs2 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "A"),
+            (4, "alpha beta gamma delta epsilon", "A"),  # dup inside A
+            (2, "alpha beta gamma delta epsilon", "B"),
+            (3, "zq xw vr ut sp on ml kj ih gf", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out2 = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(docs2, "doc_id", "text", "source").collect()
+    }
+    for pair in out:
+        for c in ("n_agree", "est_jaccard_micro", "exact_jaccard_micro"):
+            assert out2[pair][c] == out[pair][c], (pair, c)

@@ -101,6 +101,7 @@ PROBES = [
     "agg_skew_kurtosis",
     "win_first_last",
     "dedup_line_corpus",
+    "dedup_source_overlap",
 ]
 
 
