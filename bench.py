@@ -126,6 +126,13 @@ BENCH_QUERIES = [
     "win_first_last",
     "dedup_line_corpus",
     "dedup_source_overlap",
+    "evt_ohlc",
+    "evt_gapfill_locf",
+    "graph_adamic_adar",
+    "txt_readability",
+    "evt_changepoint",
+    "pipe_dataset_card",
+    "io_orc_roundtrip",
 ]
 
 

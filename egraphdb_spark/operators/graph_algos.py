@@ -540,6 +540,80 @@ def neighbor_jaccard_pairs(
     )
 
 
+def adamic_adar_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_degree: int = 100,
+    undirected: bool = True,
+) -> DataFrame:
+    """Link-prediction pairs scored by Adamic–Adar: AA(a,b) =
+    Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) (Adamic & Adar '03) — common neighbors
+    weighted inversely by how promiscuous they are, so a shared rare
+    neighbor says more than a shared hub.  The complement of
+    ``neighbor_jaccard_pairs``: Jaccard normalizes by set size, AA by
+    per-witness informativeness.
+
+    Determinism: each witness contributes floor(10⁹/ln(deg)) integer
+    nano-units, computed BEFORE the pair aggregation, so the per-pair
+    score is an order-exact BIGINT sum (ln and IEEE double division are
+    in the cross-engine trust base; floor freezes the value).
+
+    Scale: the same guarded wedge-enumeration shape as neighbor Jaccard —
+    shared neighbors with degree > ``max_degree`` are excluded from the
+    pair generator (hub wedges are quadratic; identical exclusion in the
+    oracle keeps results exact over the reduced universe), degree-1
+    neighbors are excluded before the division (they cannot witness a
+    pair; ln(1) = 0 would throw under ANSI).  Shuffles: one degree
+    aggregate, one id-keyed contribution join, one pair aggregate — all
+    linear in the guarded wedge count.
+
+    Output: (node_a, node_b, common, aa_nano) with node_a < node_b.
+    """
+    e = edges.select("src_key", "dst_key")
+    if undirected:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
+    adj = e.select(
+        F.col("src_key").alias("node"), F.col("dst_key").alias("nbr")
+    ).distinct()
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    contrib = (
+        adj.join(
+            deg.where((F.col("d") >= 2) & (F.col("d") <= max_degree)).select(
+                F.col("node").alias("nbr"), "d"
+            ),
+            "nbr",
+        )
+        .select(
+            "node",
+            "nbr",
+            F.floor(F.lit(1_000_000_000.0) / F.log(F.col("d")))
+            .cast("long")
+            .alias("contrib"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = contrib.alias("a"), contrib.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(
+            F.col("a.node").alias("node_a"), F.col("b.node").alias("node_b")
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.col("a.contrib")).alias("aa_nano"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+
+
 def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFrame:
     """(key, hub, auth) — HITS hub/authority scores in integer fixed point
     (Kleinberg '99), the directed-graph complement of PageRank: a node is a

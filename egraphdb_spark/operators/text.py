@@ -737,3 +737,67 @@ def pii_counts(text: str | Column) -> list[Column]:
         F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
         for name, pat, _ in PII_PATTERNS
     ]
+
+
+def readability_stats(docs: "DataFrame", id_col: str, text_col: str) -> "DataFrame":
+    """Per-document Flesch-style readability — the classic quality signal
+    complementing :func:`quality_millionths` (length/stopword mix) and
+    :func:`unigram_nll` (LM fluency): long sentences and polysyllabic
+    words lower the score.
+
+    Heuristic syllable counter: maximal ``[aeiouy]+`` runs per lowercased
+    word, floored at 1 (the standard dictionary-free approximation;
+    vowel-less tokens — digits, CJK, punctuation — count 1).  Sentences =
+    ``[.!?]+`` terminator runs, floored at 1 so fragments still score.
+
+    Every ratio is integer-quantized BEFORE the linear combination so the
+    score is engine-exact: wps_milli = words·1000 div sentences,
+    spw_milli = syllables·1000 div words, and
+    flesch_micro = 206 835 000 − 1015·wps_milli − 84 600·spw_milli
+    (the Flesch reading-ease formula ×10⁶ on the milli-ratios).  Empty
+    docs emit NULL spw/flesch (no word to divide by) on both engines.
+
+    Scale: a narrow per-row projection — no shuffle, no UDF, whole-stage
+    codegen end to end; column pruning reaches the scan.
+    """
+    c = F.col(text_col)
+    t = tokens(c)
+    syllables = F.aggregate(
+        F.transform(
+            t,
+            lambda w: F.greatest(
+                F.size(
+                    F.filter(
+                        F.split(F.lower(w), r"[^aeiouy]+"),
+                        lambda s: s != F.lit(""),
+                    )
+                ),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("words"),
+        F.greatest(F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1))
+        .cast("long")
+        .alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    ratios = base.select(
+        "*",
+        F.expr("(words * 1000) div sentences").alias("wps_milli"),
+        F.expr("(syllables * 1000) div nullif(words, 0)").alias("spw_milli"),
+    )
+    return ratios.select(
+        "*",
+        (
+            F.lit(206_835_000)
+            - F.lit(1015) * F.col("wps_milli")
+            - F.lit(84_600) * F.col("spw_milli")
+        )
+        .cast("long")
+        .alias("flesch_micro"),
+    )

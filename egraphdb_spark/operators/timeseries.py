@@ -1,0 +1,125 @@
+"""Hypertable-style time-series rollups: OHLC bucketing and gap-filling.
+
+The reference stores timestamped rows and serves time-range scans
+(src/egraph_kv_util.erl time-partitioned tables; the S4 time-range surface),
+but has no continuous-aggregate layer.  These operators add the two
+rollups every time-series store front-ends with: per-bucket OHLC candles
+(TimescaleDB ``time_bucket`` + continuous aggregates, InfluxDB windowed
+``first/last/max/min``) and dense-grid gap filling with
+last-observation-carried-forward (``time_bucket_gapfill`` + ``locf``).
+
+Determinism contract: all monetary values are quantized to integer cents
+(``round(value·100)`` — half-up in both engines) BEFORE any aggregation,
+so sums are order-exact integers; open/close are selected by the total
+order (ts, tiebreak_col) — unique because the tiebreaker is a unique id —
+via ``min_by``/``max_by`` over a struct key, which is a map-side-combinable
+aggregate (each partition keeps one candidate; merges compare the struct),
+NOT a window: one shuffle on the (key, bucket) grouping.
+
+Scale notes:
+- ``ohlc_rollup``: one PARTIAL aggregate (struct order keys make the
+  planner pick SortAggregate over HashAggregate — the map-side sort is on
+  (key, bucket), nearly free on time-clustered event data); the shuffle
+  carries one candle candidate per (key, bucket) per map partition, never
+  the raw events.  At 100 TB with hourly buckets the output is
+  |keys|·|hours| — trivially small next to the input; AQE coalesces the
+  post-shuffle partitions.  Plan asserted in tests/test_plans.py.
+- ``gapfill_locf``: the dense grid is |keys|·|days in span| rows (built by
+  a per-key ``sequence`` explode — no driver-side calendar), and the LOCF
+  window partitions by key, so the carry-forward sort is per-key and
+  parallel.  Grids start at each key's OWN first observation, so the
+  carry-forward is always defined (no leading NULL epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ohlc_rollup(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per (key, time-bucket) OHLC candle over integer cents.
+
+    Output: (key, bucket_ts, open_cents, high_cents, low_cents,
+    close_cents, n_events, vol_cents) — all value columns BIGINT.  Open and
+    close follow the (ts, tiebreak) total order; high/low/volume are plain
+    min/max/sum over the quantized cents.
+    """
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        events.select(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+            cents.alias("cents"),
+            ordk.alias("ordk"),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.min_by("cents", "ordk").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "ordk").alias("close_cents"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("vol_cents"),
+        )
+    )
+
+
+def gapfill_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense daily grid per key with last-observation-carried-forward.
+
+    Daily cents totals per key; each key's calendar spans its own
+    [first, last] observed day (``sequence`` explode — the grid never
+    routes through the driver); days with no observation carry the most
+    recent daily total forward and are flagged ``is_gap = 1``.
+
+    Output: (key, day, cents NULL-on-gap, filled_cents, is_gap) — BIGINT
+    values, TIMESTAMP day.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    daily = (
+        events.select(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            cents.alias("c"),
+        )
+        .groupBy(key_col, "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    grid = (
+        daily.groupBy(key_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, [key_col, "day"], "left").select(
+        F.col(key_col),
+        F.col("day"),
+        F.col("cents"),
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        F.when(F.col("cents").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_gap"),
+    )

@@ -396,6 +396,17 @@ def q_io_json_roundtrip(spark, sf_dir):
     return _digest(back)
 
 
+def q_io_orc_roundtrip(spark, sf_dir):
+    """ORC write → read → digest: the Hive/Trino-ecosystem columnar
+    format alongside the parquet sink (same splittable/pushdown
+    properties; Spark's ORC reader is vectorized like parquet's)."""
+    from .sources import io
+
+    path = f"{_IO_ROOT}/orc-{os.path.basename(sf_dir.rstrip('/'))}"
+    io.write_orc(_customer_slice(spark, sf_dir), path)
+    return _digest(io.read_orc(spark, path))
+
+
 def q_io_framedbin_roundtrip(spark, sf_dir):
     """S14/S17 — the reference's length-framed binary stream
     (src/egraph_api.erl:276-325, handlers/egraph_generic_handler.erl:184-213)
@@ -2398,6 +2409,226 @@ def _wau_hll_oracle():
 O_EVT_WAU_HLL = _wau_hll_oracle()
 
 
+def q_evt_ohlc(spark, sf_dir):
+    """Hourly OHLC candles per event type — the hypertable continuous-
+    aggregate rollup over the events stream (TimescaleDB time_bucket /
+    InfluxDB windowed first-last analogue).  Values quantized to integer
+    cents before aggregation; open/close picked by the (ts, event_id)
+    total order via min_by/max_by struct keys — one map-side-combinable
+    hash aggregate, no window, no per-bucket sort."""
+    from .operators.timeseries import ohlc_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return ohlc_rollup(
+        ev, "event_type", "ts", "value", "event_id", bucket="hour"
+    ).orderBy("event_type", "bucket_ts")
+
+
+O_EVT_OHLC = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+  FROM events
+), w AS (
+  SELECT event_type, bucket_ts, cents,
+         first_value(cents) OVER win AS o,
+         last_value(cents)  OVER win AS c
+  FROM b
+  WINDOW win AS (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_ts,
+       min(o) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       min(c) AS close_cents,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS vol_cents
+FROM w GROUP BY event_type, bucket_ts
+ORDER BY event_type, bucket_ts
+"""
+
+
+def q_evt_gapfill_locf(spark, sf_dir):
+    """Daily per-user spend on a DENSE calendar with last-observation-
+    carried-forward (time_bucket_gapfill + locf): each user's grid spans
+    their own [first, last] observed day via a sequence explode (no
+    driver calendar), gap days carry the latest daily total and are
+    flagged.  Per-user series are genuinely sparse at every SF (~12% gap
+    days on this corpus) so the carry-forward path is exercised; the
+    LOCF window partitions by user — per-key parallel at any scale.
+    The user_id % 7 probe subset keeps the gate fast; the operator is
+    linear in users either way."""
+    from .operators.timeseries import gapfill_locf
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    return gapfill_locf(ev, "user_id", "ts", "value").orderBy(
+        "user_id", "day"
+    )
+
+
+O_EVT_GAPFILL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(t.d AS TIMESTAMP) AS day
+  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)
+),
+j AS (
+  SELECT g.user_id, g.day, daily.cents
+  FROM grid g LEFT JOIN daily
+    ON daily.user_id = g.user_id AND daily.day = g.day
+)
+SELECT user_id, day, cents,
+       last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM j ORDER BY user_id, day
+"""
+
+
+def q_evt_changepoint(spark, sf_dir):
+    """CUSUM changepoint per event type over the daily count series: the
+    day where the cumulative deviation from the series mean peaks (Page
+    '54) — the standard level-shift detector complementing the local
+    spike scan (`evt_spikes` flags hours; CUSUM locates the structural
+    break).
+
+    All integer: mean_milli = (total·1000) div days, cusum_milli_d =
+    run_d·1000 − idx_d·mean_milli (running count sum vs expected), the
+    changepoint is argmax |cusum| with ties to the earliest day (both
+    engines pick via row_number ordered by (|cusum| DESC, day ASC) —
+    a per-type window over the tiny daily series, partition-parallel)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "day",
+        (F.sum("n").over(wrun) * 1000).alias("run_milli"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias(
+            "idx"
+        ),
+        F.expr("(sum(n) over (partition by event_type) * 1000)").alias("tot_milli"),
+        F.count("*").over(wall).alias("days"),
+    ).select(
+        "event_type",
+        "day",
+        "days",
+        F.expr("tot_milli div days").alias("mean_milli"),
+        (
+            F.col("run_milli") - F.col("idx") * F.expr("tot_milli div days")
+        ).alias("cusum_milli"),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_milli")).desc(), F.col("day").asc()
+    )
+    return (
+        c.select("*", F.row_number().over(wpick).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "cusum_milli",
+            "mean_milli",
+            "days",
+        )
+        .orderBy("event_type")
+    )
+
+
+O_EVT_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, day,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000
+              AS BIGINT) AS run_milli,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+         CAST(sum(n) OVER (PARTITION BY event_type) * 1000 AS BIGINT)
+           AS tot_milli,
+         count(*) OVER (PARTITION BY event_type) AS days
+  FROM daily
+),
+d AS (
+  SELECT event_type, day, days,
+         tot_milli // days AS mean_milli,
+         run_milli - idx * (tot_milli // days) AS cusum_milli
+  FROM c
+),
+p AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY abs(cusum_milli) DESC, day ASC) AS rn
+  FROM d
+)
+SELECT event_type, day AS cp_day, CAST(cusum_milli AS BIGINT) AS cusum_milli,
+       CAST(mean_milli AS BIGINT) AS mean_milli, days
+FROM p WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction over the same significant-supply
+    bipartite graph as the neighbor-Jaccard gate: common neighbors
+    weighted by 1/ln(degree), integer nano-unit contributions summed
+    exactly; hub witnesses (degree > 100) excluded identically on both
+    engines."""
+    from .operators.graph_algos import adamic_adar_pairs
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    bulk = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("src_key"),
+        F.concat(F.lit("supplier:"), F.col("l_suppkey")).alias("dst_key"),
+    ).distinct()
+    return adamic_adar_pairs(bulk, min_common=2, max_degree=100).orderBy(
+        "node_a", "node_b"
+    )
+
+
+O_GRAPH_ADAMIC_ADAR = """
+WITH e0 AS (
+  SELECT DISTINCT 'part:' || l_partkey AS src_key,
+         'supplier:' || l_suppkey AS dst_key
+  FROM lineitem WHERE l_quantity >= 48
+),
+e AS (SELECT src_key, dst_key FROM e0 UNION SELECT dst_key, src_key FROM e0),
+adj AS (SELECT DISTINCT src_key AS node, dst_key AS nbr FROM e),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+contrib AS (
+  SELECT a.node, a.nbr,
+         CAST(floor(1000000000.0 / ln(d.d)) AS BIGINT) AS contrib
+  FROM adj a JOIN deg d ON d.node = a.nbr
+  WHERE d.d BETWEEN 2 AND 100
+)
+SELECT a.node AS node_a, b.node AS node_b,
+       count(*) AS common,
+       CAST(sum(a.contrib) AS BIGINT) AS aa_nano
+FROM contrib a JOIN contrib b ON a.nbr = b.nbr AND a.node < b.node
+GROUP BY a.node, b.node
+HAVING count(*) >= 2
+ORDER BY node_a, node_b
+"""
+
+
 def q_stream_wau_hll(spark, sf_dir):
     """REAL streaming sliding-sketch execution: readStream → watermark →
     7-day/1-day sliding window → per-(window, bucket) max-rho registers
@@ -3248,6 +3479,9 @@ WINDOW w AS (PARTITION BY o_orderpriority
 
 
 EXT_REGISTRY: dict[str, tuple] = {
+    "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
+    "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
+    "graph_adamic_adar": (q_graph_adamic_adar, O_GRAPH_ADAMIC_ADAR),
     "evt_anomaly_mad": (q_evt_anomaly_mad, O_EVT_ANOMALY_MAD),
     "graph_hits": (q_graph_hits, O_GRAPH_HITS),
     "agg_corr_regr": (q_agg_corr_regr, O_AGG_CORR),
@@ -3320,6 +3554,8 @@ EXT_REGISTRY: dict[str, tuple] = {
     "fn_registry_udf": (q_fn_registry_udf, O_FN_REGISTRY),
     "fn_password_hash": (q_fn_password_hash, O_FN_PASSWORD),
     "fn_scalar_surface": (q_fn_scalar_surface, O_FN_SCALARS),
+    "io_orc_roundtrip": (q_io_orc_roundtrip, _IO_DIGEST_ORACLE),
+    "evt_changepoint": (q_evt_changepoint, O_EVT_CHANGEPOINT),
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),

@@ -2693,7 +2693,109 @@ ORDER BY pairs.src_a, pairs.src_b
 """
 
 
+def q_pipe_dataset_card(spark, sf_dir):
+    """Dataset card: the per-(source, lang) summary table a corpus release
+    ships with — volume (docs, tokens, median doc length), quality
+    (mean quality score), and integrity (exact-duplicate rate) in one
+    scan + one aggregate.  Composes the engine's own primitives: filtered
+    whitespace tokens, integer quality millionths, md5 fingerprints.
+    Median via percentile ≡ quantile_cont (proven bit-exact trust base);
+    every other statistic is exact integer arithmetic.
+
+    Scale: one narrow projection + one hash aggregate keyed on
+    (source, lang) — a tiny group universe; the only distinct is the
+    fingerprint count, map-side partially aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+        text.quality_millionths("text").alias("q_micro"),
+        text.fingerprint64("text").alias("fp"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+            F.expr("sum(q_micro) div count(*)").alias("mean_quality_micro"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .select(
+            "*",
+            F.expr("(n_docs - n_unique) * 1000 div n_docs").alias("dup_permille"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+O_PIPE_DATASET_CARD = f"""
+WITH per AS (
+  SELECT source, lang,
+         len({_TOKS}) AS n_tokens,
+         CAST(('0x' || substr(md5({_NORM}), 1, 15)) AS BIGINT) AS fp,
+         greatest(len({_TOKS}), 1) AS s,
+         COALESCE(list_sum(list_transform({_TOKS}, w -> len(w))), 0) AS total,
+         len(list_filter({_TOKS}, w -> list_contains({_SW_LIST}, w))) AS hits
+  FROM documents
+), q AS (
+  SELECT source, lang, n_tokens, fp,
+         CAST(4000 * least(n_tokens, 100)
+              + (300000 * least(total, 8 * s)) // (8 * s)
+              + (300000 * least(5 * hits, 2 * s)) // (2 * s) AS BIGINT)
+           AS q_micro
+  FROM per
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       quantile_cont(n_tokens, 0.5) AS p50_tokens,
+       CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_quality_micro,
+       count(DISTINCT fp) AS n_unique,
+       CAST((count(*) - count(DISTINCT fp)) * 1000 // count(*) AS BIGINT)
+         AS dup_permille
+FROM q GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+def q_txt_readability(spark, sf_dir):
+    """Flesch-style readability per document: vowel-run syllable heuristic,
+    terminator-run sentence count, integer milli-ratios and a micro-scaled
+    reading-ease score — all engine-exact integer arithmetic; empty docs
+    emit NULL score.  Narrow projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.readability_stats(docs, "doc_id", "text")
+
+
+O_TXT_READABILITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         len({_TOKS}) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         CAST(COALESCE(list_sum(list_transform({_TOKS},
+           w -> greatest(len(list_filter(
+                  string_split_regex(lower(w), '[^aeiouy]+'),
+                  s -> s <> '')), 1))), 0) AS BIGINT) AS syllables
+  FROM documents
+), ratios AS (
+  SELECT doc_id, words, sentences, syllables,
+         (words * 1000) // sentences AS wps_milli,
+         (syllables * 1000) // nullif(words, 0) AS spw_milli
+  FROM base
+)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences, syllables,
+       CAST(wps_milli AS BIGINT) AS wps_milli,
+       CAST(spw_milli AS BIGINT) AS spw_milli,
+       CAST(206835000 - 1015 * wps_milli - 84600 * spw_milli AS BIGINT)
+         AS flesch_micro
+FROM ratios
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
+    "txt_readability": (q_txt_readability, O_TXT_READABILITY),
+    "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
     "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),

@@ -63,6 +63,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the second columnar interchange format (Hive/Trino
+    ecosystems); same splittable/compressed/pushdown properties as the
+    parquet sink, so warehouses standardized on ORC can consume engine
+    output without a transcode step."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

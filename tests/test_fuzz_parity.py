@@ -41,6 +41,8 @@ _DOC = st.one_of(_TEXT, _CANNED)
 # gates whose inputs are only the documents table and whose semantics are
 # the text/dedup/packing families under test
 FUZZ_GATES = [
+    "pipe_dataset_card",
+    "txt_readability",
     "txt_stats",
     "txt_fingerprint",
     "txt_bpe_tokens",
@@ -231,6 +233,9 @@ def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
 # ---------------------------------------------------------------------------
 
 EVT_GATES = [
+    "evt_changepoint",
+    "evt_ohlc",
+    "evt_gapfill_locf",
     "evt_session_window",
     "evt_props_json",
     "evt_rollup_cascade",

@@ -459,3 +459,35 @@ def test_cc_directed_mode_matches_reference(spark):
             ).collect()
         }
         assert got == cc_directed_ref(pairs), name
+
+
+def aa_ref(pairs, min_common=2, max_degree=100):
+    import math
+
+    adj = _und_adj(pairs)
+    deg = {n: len(s) for n, s in adj.items()}
+    nodes = sorted(adj)
+    out = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            wit = [z for z in adj[a] & adj[b] if 2 <= deg[z] <= max_degree]
+            if len(wit) >= min_common:
+                out[(a, b)] = (
+                    len(wit),
+                    sum(math.floor(1e9 / math.log(deg[z])) for z in wit),
+                )
+    return out
+
+
+def test_adamic_adar_matches_reference(spark):
+    from egraphdb_spark.operators.graph_algos import adamic_adar_pairs
+
+    for name, pairs in GRAPHS.items():
+        for max_degree in (3, 100):
+            got = {
+                (r["node_a"], r["node_b"]): (r["common"], r["aa_nano"])
+                for r in adamic_adar_pairs(
+                    _edges(spark, pairs), min_common=2, max_degree=max_degree
+                ).collect()
+            }
+            assert got == aa_ref(pairs, 2, max_degree), (name, max_degree)

@@ -399,3 +399,49 @@ def test_line_dedup_no_window_prunes_scan(spark):
     assert "n_chars" not in rs and "source" not in rs
     # the duplicated-line set prunes via anti join, not a filter-after-join
     assert "LeftAnti" in p
+
+
+def test_ohlc_single_aggregate_no_window_pruned_scan(spark):
+    p = plan_of(q(spark, "evt_ohlc"))
+    # min_by/max_by over struct keys are AGGREGATES — a window here would
+    # mean a per-bucket sort that the candle shape never needs.  Struct
+    # order keys push the planner to SortAggregate; what matters at scale
+    # is that it is PARTIAL (map-side combine: the shuffle carries one
+    # candle candidate per map partition, not the raw events).
+    assert "Window" not in p
+    assert "partial_min_by" in p and "partial_max_by" in p
+    assert "Join" not in p
+    # exactly one data exchange: the final aggregate's hash partitioning
+    # (the trailing orderBy adds a rangepartitioning for output only)
+    assert p.count("hashpartitioning") >= 1
+    # scan reads only ts/event_type/value/event_id — props never leaves disk
+    read_schema = p.split("ReadSchema")[1][:300]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_gapfill_window_is_per_key_not_single_partition(spark):
+    p = plan_of(q(spark, "evt_gapfill_locf"))
+    # the LOCF carry-forward must partition by key; a SinglePartition
+    # window would serialize the whole grid through one task
+    assert "Window" in p
+    # the detail block shows the windowspecdefinition partitioned by key
+    win = p.split(") Window")[-1][:600]
+    assert "windowspecdefinition(user_id" in win
+    assert "Exchange SinglePartition" not in p
+    # the dense-grid dim join broadcasts; the LOCF window reuses the
+    # daily aggregate's user_id partitioning (no extra exchange)
+    assert "BroadcastHashJoin" in p
+
+
+def test_adamic_adar_no_cartesian_contrib_join_keyed(spark):
+    p = plan_of(q(spark, "graph_adamic_adar"))
+    assert "CartesianProduct" not in p
+    # the wedge self-join is keyed on the shared neighbor
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_readability_narrow_projection_no_shuffle(spark):
+    p = plan_of(q(spark, "txt_readability"))
+    assert "Exchange" not in p  # pure per-row projection
+    read_schema = p.split("ReadSchema")[1][:300]
+    assert "source" not in read_schema and "lang" not in read_schema

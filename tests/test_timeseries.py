@@ -1,0 +1,254 @@
+"""Unit tests: OHLC rollup, gap-fill/LOCF, Adamic–Adar, readability."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from egraphdb_spark.operators.timeseries import gapfill_locf, ohlc_rollup
+from egraphdb_spark.operators.graph_algos import adamic_adar_pairs
+from egraphdb_spark.operators.text import readability_stats
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+# ---------------------------------------------------------------- OHLC
+
+
+def test_ohlc_open_close_follow_total_order(spark):
+    # Two events share ts 10:05 — event_id breaks the tie for open.
+    rows = [
+        ("a", _ts(1, 10, 5), 2, 3.00),
+        ("a", _ts(1, 10, 5), 1, 1.00),  # open: same ts, lower id
+        ("a", _ts(1, 10, 40), 3, 9.99),  # close
+        ("a", _ts(1, 11, 0), 4, 5.00),  # next bucket
+        ("b", _ts(1, 10, 30), 5, -2.50),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "value"])
+    out = {
+        (r["k"], r["bucket_ts"]): r
+        for r in ohlc_rollup(df, "k", "ts", "value", "eid").collect()
+    }
+    a10 = out[("a", _ts(1, 10))]
+    assert a10["open_cents"] == 100
+    assert a10["close_cents"] == 999
+    assert a10["high_cents"] == 999
+    assert a10["low_cents"] == 100
+    assert a10["n_events"] == 3
+    assert a10["vol_cents"] == 100 + 300 + 999
+    assert out[("a", _ts(1, 11))]["open_cents"] == 500
+    b10 = out[("b", _ts(1, 10))]
+    assert b10["open_cents"] == b10["close_cents"] == -250
+
+
+def test_ohlc_single_event_bucket(spark):
+    df = spark.createDataFrame([("a", _ts(2, 3), 1, 7.0)], ["k", "ts", "eid", "value"])
+    [r] = ohlc_rollup(df, "k", "ts", "value", "eid").collect()
+    assert (
+        r["open_cents"]
+        == r["close_cents"]
+        == r["high_cents"]
+        == r["low_cents"]
+        == 700
+    )
+    assert r["n_events"] == 1 and r["vol_cents"] == 700
+
+
+# ------------------------------------------------------------- gapfill
+
+
+def test_gapfill_locf_carries_and_flags(spark):
+    rows = [
+        ("u1", _ts(1, 9), 1.00),
+        ("u1", _ts(1, 15), 2.00),  # same day -> summed
+        ("u1", _ts(4, 9), 5.00),  # days 2,3 are gaps
+        ("u2", _ts(2, 9), 9.00),  # single-day key: 1-row grid
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = gapfill_locf(df, "k", "ts", "value").orderBy("k", "day").collect()
+    u1 = [r for r in out if r["k"] == "u1"]
+    assert [r["day"].day for r in u1] == [1, 2, 3, 4]
+    assert [r["cents"] for r in u1] == [300, None, None, 500]
+    assert [r["filled_cents"] for r in u1] == [300, 300, 300, 500]
+    assert [r["is_gap"] for r in u1] == [0, 1, 1, 0]
+    u2 = [r for r in out if r["k"] == "u2"]
+    assert len(u2) == 1 and u2[0]["is_gap"] == 0 and u2[0]["filled_cents"] == 900
+
+
+def test_gapfill_first_day_always_observed(spark):
+    # Grid starts at each key's own first observation -> filled never NULL.
+    rows = [("u", _ts(d), float(d)) for d in (3, 9)]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = gapfill_locf(df, "k", "ts", "value").collect()
+    assert len(out) == 7
+    assert all(r["filled_cents"] is not None for r in out)
+
+
+# ---------------------------------------------------------- Adamic–Adar
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src_key", "dst_key"])
+
+
+def test_adamic_adar_hand_computed(spark):
+    import math
+
+    # a and b share witnesses z1 (deg 2) and z2 (deg 3).
+    e = _edges(
+        spark,
+        [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2"), ("c", "z2")],
+    )
+    out = adamic_adar_pairs(e, min_common=2).collect()
+    [r] = [r for r in out if {r["node_a"], r["node_b"]} == {"a", "b"}]
+    expected = math.floor(1e9 / math.log(2)) + math.floor(1e9 / math.log(3))
+    assert r["common"] == 2 and r["aa_nano"] == expected
+    # The only other >=2-witness pair is (z1, z2), witnessed by a and b
+    # (the graph is undirected); (a,c)/(b,c) share only z2.
+    [rz] = [r for r in out if {r["node_a"], r["node_b"]} == {"z1", "z2"}]
+    assert rz["aa_nano"] == 2 * math.floor(1e9 / math.log(2))
+    assert len(out) == 2
+
+
+def test_adamic_adar_hub_guard_drops_witness(spark):
+    # z is a 5-degree hub; with max_degree=4 it cannot witness any pair.
+    e = _edges(spark, [(n, "z") for n in "abcde"])
+    assert adamic_adar_pairs(e, min_common=1, max_degree=4).count() == 0
+    # Raising the cap restores the C(5,2) pairs.
+    assert adamic_adar_pairs(e, min_common=1, max_degree=5).count() == 10
+
+
+# ---------------------------------------------------------- readability
+
+
+def _read_rows(spark, docs):
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in readability_stats(df, "doc_id", "text").collect()}
+
+
+def test_readability_closed_form(spark):
+    out = _read_rows(spark, [(1, "Hello world. It is sunny!")])
+    r = out[1]
+    # hello->2 (e,o), world.->1 (o), it->1, is->1, sunny!->2 (u,y)
+    assert r["words"] == 5 and r["sentences"] == 2 and r["syllables"] == 7
+    assert r["wps_milli"] == 2500  # 5*1000 div 2
+    assert r["spw_milli"] == 1400  # 7*1000 div 5
+    assert r["flesch_micro"] == 206_835_000 - 1015 * 2500 - 84_600 * 1400
+
+
+def test_readability_empty_and_vowelless(spark):
+    out = _read_rows(spark, [(1, "   \n\t "), (2, "xyz 123"), (3, "no stop")])
+    r1 = out[1]
+    assert r1["words"] == 0 and r1["sentences"] == 1 and r1["syllables"] == 0
+    assert r1["spw_milli"] is None and r1["flesch_micro"] is None
+    assert r1["wps_milli"] == 0
+    r2 = out[2]  # vowel-less tokens count 1 syllable each ('xyz' has y!)
+    assert r2["words"] == 2 and r2["syllables"] == 2
+    r3 = out[3]  # no terminator -> 1 sentence
+    assert r3["sentences"] == 1
+
+
+def test_readability_long_sentences_score_lower(spark):
+    short = " ".join(["it is."] * 20)  # 2-word sentences
+    long = " ".join(["it"] * 39) + " is."  # one 40-word sentence
+    out = _read_rows(spark, [(1, short), (2, long)])
+    assert out[1]["flesch_micro"] > out[2]["flesch_micro"]
+
+
+# ---------------------------------------------------------- changepoint
+
+
+def _link_rest(d, have):
+    import os
+
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        dst = os.path.join(d, f"{name}.parquet")
+        if name not in have and not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.001/{name}.parquet", dst)
+
+
+def test_changepoint_locates_level_shift(spark):
+    from egraphdb_spark.queries import REGISTRY
+    import pyarrow as pa, pyarrow.parquet as pq, tempfile, os
+
+    # 10 days at ~2/day then 10 days at ~8/day: CUSUM |peak| at the shift
+    rows = []
+    eid = 0
+    for d in range(1, 21):
+        for k in range(2 if d <= 10 else 8):
+            rows.append((eid, dt.datetime(2024, 1, d, 8 + k), 1, "view", 1.0, "{}"))
+            eid += 1
+    d = tempfile.mkdtemp()
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    _link_rest(d, {"events"})
+    fn, _ = REGISTRY["evt_changepoint"]
+    [r] = fn(spark, d).collect()
+    # mean = 5/day; by day 10 cusum = 10*(2-5)*1000 = -30000, the extremum
+    assert r["cp_day"].day == 10
+    assert r["cusum_milli"] == -30_000
+    assert r["mean_milli"] == 5_000
+    assert r["days"] == 20
+
+
+# ------------------------------------------------------------- io / card
+
+
+def test_orc_roundtrip_preserves_types_and_partitions(spark, tmp_path):
+    from egraphdb_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "A", 1.5), (2, "B", -2.25), (3, "A", 0.0)], ["id", "seg", "bal"]
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p, partition_by=["seg"])
+    back = read_orc(spark, p)
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+    assert dict(back.dtypes)["id"] == "bigint" and dict(back.dtypes)["bal"] == "double"
+
+
+def test_dataset_card_dup_rate(spark, tmp_path):
+    import pyarrow as pa, pyarrow.parquet as pq, os
+    from egraphdb_spark.queries import REGISTRY
+
+    docs = [
+        (1, "alpha beta gamma.", "en", "web", 17),
+        (2, "alpha  beta\tgamma.", "en", "web", 18),  # ws-variant duplicate
+        (3, "unique doc here!", "en", "web", 16),
+        (4, "otro documento.", "es", "books", 15),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "lang": pa.array([d[2] for d in docs]),
+            "source": pa.array([d[3] for d in docs]),
+            "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    _link_rest(d, {"documents"})
+    fn, _ = REGISTRY["pipe_dataset_card"]
+    out = {(r["source"], r["lang"]): r for r in fn(spark, d).collect()}
+    web = out[("web", "en")]
+    assert web["n_docs"] == 3 and web["n_unique"] == 2
+    assert web["dup_permille"] == 333
+    assert web["total_tokens"] == 9
+    assert out[("books", "es")]["dup_permille"] == 0
