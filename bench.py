@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "evt_changepoint",
     "pipe_dataset_card",
     "io_orc_roundtrip",
+    "stream_ohlc",
+    "graph_walks",
+    "evt_ewma",
 ]
 
 

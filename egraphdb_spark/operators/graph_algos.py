@@ -540,6 +540,78 @@ def neighbor_jaccard_pairs(
     )
 
 
+def deterministic_walks(
+    edges: DataFrame,
+    steps: int = 4,
+    undirected: bool = True,
+) -> DataFrame:
+    """Hash-driven uniform random walks from every node — the node2vec /
+    DeepWalk sampling primitive (p = q = 1) made REPRODUCIBLE: at node v
+    on step t of the walk started at s, the next neighbor is
+    ``sorted_neighbors(v)[ h60(s:t:v) mod deg(v) ]`` with h60 the
+    engine's portable 60-bit md5 hash — so any engine (and any re-run)
+    derives the identical corpus of walks, which is what makes
+    walk-generated training data auditable.
+
+    Output: (walk_id, step, node) — walk_id is the start key, step 0 is
+    the start itself.  Directed dead-ends simply end the walk early.
+
+    Scale: per step one equi-join keyed on the current node against the
+    indexed adjacency (row_number-per-node neighbor ranks, one window
+    shuffle, materialized once) — T keyed joins total, each linear in
+    the walk count; no per-walk driver logic, no RNG state.
+    """
+    from pyspark.sql import Window
+
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    e = edges.select("src_key", "dst_key")
+    if undirected:
+        e = e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
+    adj = e.select(
+        F.col("src_key").alias("node"), F.col("dst_key").alias("nbr")
+    ).distinct()
+    w = Window.partitionBy("node").orderBy("nbr")
+    ai = adj.select(
+        "node",
+        "nbr",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("node")).alias("deg"),
+    ).localCheckpoint(eager=True)
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    frontier = ai.select("node").distinct().select(
+        F.col("node").alias("walk_id"),
+        F.col("node").alias("cur"),
+        F.lit(0).cast("long").alias("step"),
+    )
+    levels = [frontier]
+    for t in range(1, steps + 1):
+        pick = h60(
+            F.concat_ws(":", F.col("walk_id"), F.lit(str(t)), F.col("cur"))
+        ) % F.col("deg")
+        frontier = (
+            frontier.join(ai, frontier.cur == ai.node)
+            .where(F.col("idx") == pick)
+            .select(
+                "walk_id",
+                F.col("nbr").alias("cur"),
+                F.lit(t).cast("long").alias("step"),
+            )
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("walk_id", "step", F.col("cur").alias("node"))
+
+
 def adamic_adar_pairs(
     edges: DataFrame,
     min_common: int = 2,

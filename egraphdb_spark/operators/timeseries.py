@@ -123,3 +123,57 @@ def gapfill_locf(
         .cast("long")
         .alias("is_gap"),
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha_den: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average of the daily count series,
+    α = 1/alpha_den, in exact integer milli-units:
+
+        s₁ = n₁·1000;   sₜ = sₜ₋₁ + (nₜ·1000 − sₜ₋₁) div alpha_den
+
+    Exponential decay is a true recurrence — no window frame expresses it
+    — so this uses the bounded-series fold pattern: the daily series is
+    collected per key (sort_array over structs; bounded — a decade of
+    days is ~3 650 elements, independent of event volume) and folded with
+    ``aggregate`` into the running smoothed array, then re-exploded.
+    The integer ``div`` recurrence (truncation toward zero, verified
+    identical to DuckDB ``//``) keeps every engine bit-exact; the oracle
+    replays the same recurrence with a recursive CTE.
+
+    Scale: the heavy reduction (events → daily counts) is a plain hash
+    aggregate; the fold touches one array per key, partition-parallel —
+    the same shape as any per-key sketch finalization.
+
+    Output: (key, day, n, ewma_milli).
+    """
+    daily = events.groupBy(
+        F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n"))
+    folded = daily.groupBy(key_col).agg(
+        F.expr(
+            f"""
+            aggregate(
+              sort_array(collect_list(struct(day, n))),
+              cast(array() as array<struct<day:timestamp,n:bigint,s:bigint>>),
+              (acc, x) -> acc || array(named_struct(
+                'day', x.day, 'n', cast(x.n as bigint),
+                's', if(size(acc) = 0, x.n * 1000L,
+                        element_at(acc, -1).s
+                        + (x.n * 1000L - element_at(acc, -1).s) div {alpha_den})))
+            )
+            """
+        ).alias("series")
+    )
+    return folded.select(
+        F.col(key_col), F.explode("series").alias("e")
+    ).select(
+        key_col,
+        F.col("e.day").alias("day"),
+        F.col("e.n").alias("n"),
+        F.col("e.s").alias("ewma_milli"),
+    )

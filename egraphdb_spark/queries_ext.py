@@ -2494,6 +2494,138 @@ FROM j ORDER BY user_id, day
 """
 
 
+def q_evt_ewma(spark, sf_dir):
+    """EWMA (α = 1/8) of the daily count series per event type — the
+    smoothing recurrence no window frame expresses, via the bounded-
+    series fold pattern (collect-sort-fold per key, integer div
+    arithmetic); the oracle replays the identical recurrence with a
+    recursive CTE."""
+    from .operators.timeseries import ewma_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_daily(ev, "event_type", "ts", alpha_den=8).orderBy(
+        "event_type", "day"
+    )
+
+
+O_EVT_EWMA = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+r AS (
+  SELECT event_type, day, n, i, n * 1000 AS s FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.day, idx.n, idx.i,
+         r.s + (idx.n * 1000 - r.s) // 8
+  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+)
+SELECT event_type, day, n, CAST(s AS BIGINT) AS ewma_milli
+FROM r ORDER BY event_type, day
+"""
+
+
+def q_stream_ohlc(spark, sf_dir):
+    """REAL streaming OHLC: readStream → watermark → tumbling hourly
+    candles (min_by/max_by struct-key aggregates under watermark) →
+    availableNow → memory sink.  The oracle recomputes the candles in
+    batch SQL — epoch-aligned tumbling windows make stream ≡ batch."""
+    from .streaming.stream import read_events_stream, run_to_memory, windowed_ohlc
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(windowed_ohlc(ev, "1 hour"), "stream_ohlc_tbl").orderBy(
+        "event_type", "window_start"
+    )
+
+
+O_STREAM_OHLC = """
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+  FROM events
+), w AS (
+  SELECT event_type, window_start, cents,
+         first_value(cents) OVER win AS o,
+         last_value(cents)  OVER win AS c
+  FROM b
+  WINDOW win AS (PARTITION BY event_type, window_start ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT window_start, event_type,
+       min(o) AS open_cents,
+       max(cents) AS high_cents,
+       min(cents) AS low_cents,
+       min(c) AS close_cents,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS vol_cents
+FROM w GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+def _walk_hash_sql(t: int) -> str:
+    return (
+        "CAST(('0x' || substr(md5(walk_id || ':" + str(t) + ":' || cur), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+
+def q_graph_walks(spark, sf_dir):
+    """Deterministic uniform random walks (4 steps) from every node of the
+    significant-supply bipartite graph — reproducible node2vec/DeepWalk
+    sampling; next hop = sorted-neighbor[h60(start:step:node) mod deg]."""
+    from .operators.graph_algos import deterministic_walks
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    bulk = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey")).alias("src_key"),
+        F.concat(F.lit("supplier:"), F.col("l_suppkey")).alias("dst_key"),
+    ).distinct()
+    return deterministic_walks(bulk, steps=4).orderBy("walk_id", "step")
+
+
+def _graph_walks_oracle() -> str:
+    steps = []
+    for t in range(1, 5):
+        prev = f"s{t - 1}"
+        steps.append(
+            f"s{t} AS (SELECT walk_id, ai.nbr AS cur, CAST({t} AS BIGINT) AS step\n"
+            f"  FROM {prev} JOIN ai ON ai.node = {prev}.cur\n"
+            f"   AND ai.idx = {_walk_hash_sql(t)} % ai.deg)"
+        )
+    joined = ",\n".join(steps)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT 'part:' || l_partkey AS src_key,
+         'supplier:' || l_suppkey AS dst_key
+  FROM lineitem WHERE l_quantity >= 48
+),
+e AS (SELECT src_key, dst_key FROM e0 UNION SELECT dst_key, src_key FROM e0),
+adj AS (SELECT DISTINCT src_key AS node, dst_key AS nbr FROM e),
+ai AS (
+  SELECT node, nbr,
+         row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx,
+         count(*) OVER (PARTITION BY node) AS deg
+  FROM adj
+),
+s0 AS (SELECT DISTINCT node AS walk_id, node AS cur, CAST(0 AS BIGINT) AS step
+       FROM adj),
+{joined}
+SELECT walk_id, step, cur AS node
+FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+ORDER BY walk_id, step
+"""
+
+
+O_GRAPH_WALKS = _graph_walks_oracle()
+
+
 def q_evt_changepoint(spark, sf_dir):
     """CUSUM changepoint per event type over the daily count series: the
     day where the cumulative deviation from the series mean peaks (Page
@@ -3556,6 +3688,9 @@ EXT_REGISTRY: dict[str, tuple] = {
     "fn_scalar_surface": (q_fn_scalar_surface, O_FN_SCALARS),
     "io_orc_roundtrip": (q_io_orc_roundtrip, _IO_DIGEST_ORACLE),
     "evt_changepoint": (q_evt_changepoint, O_EVT_CHANGEPOINT),
+    "stream_ohlc": (q_stream_ohlc, O_STREAM_OHLC),
+    "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
+    "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),

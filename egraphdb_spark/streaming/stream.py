@@ -109,6 +109,43 @@ def windowed_counts(events: DataFrame, window: str = "30 minutes",
     )
 
 
+def windowed_ohlc(events: DataFrame, window: str = "1 hour",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming OHLC candles: tumbling-window open/high/low/close per
+    event_type under a bounded-state watermark — the streaming twin of
+    operators/timeseries.ohlc_rollup (same integer-cents quantization,
+    same (ts, event_id) total order via min_by/max_by struct keys, which
+    are ordinary declarative aggregates and therefore stream-legal).
+    State per window×type is one candle row however many events arrive."""
+    e = events.withWatermark("ts", watermark).select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.struct("ts", "event_id").alias("ordk"),
+    )
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("cents", "ordk").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "ordk").alias("close_cents"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("vol_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "vol_cents",
+        )
+    )
+
+
 def sessionized(events: DataFrame, gap: str = "30 minutes",
                 watermark: str = "1 hour") -> DataFrame:
     """Session windows per user: start, end (= last event + gap), count."""

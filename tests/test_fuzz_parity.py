@@ -233,6 +233,7 @@ def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
 # ---------------------------------------------------------------------------
 
 EVT_GATES = [
+    "evt_ewma",
     "evt_changepoint",
     "evt_ohlc",
     "evt_gapfill_locf",

@@ -491,3 +491,50 @@ def test_adamic_adar_matches_reference(spark):
                 ).collect()
             }
             assert got == aa_ref(pairs, 2, max_degree), (name, max_degree)
+
+
+def walks_ref(pairs, steps=4):
+    import hashlib
+
+    adj = _und_adj(pairs)
+    nbrs = {n: sorted(s) for n, s in adj.items()}
+    rows = set()
+    for s in nbrs:
+        cur = s
+        rows.add((s, 0, s))
+        for t in range(1, steps + 1):
+            h = int(hashlib.md5(f"{s}:{t}:{cur}".encode()).hexdigest()[:15], 16)
+            cur = nbrs[cur][h % len(nbrs[cur])]
+            rows.add((s, t, cur))
+    return rows
+
+
+def test_deterministic_walks_match_reference(spark):
+    from egraphdb_spark.operators.graph_algos import deterministic_walks
+
+    for name, pairs in GRAPHS.items():
+        got = {
+            (r["walk_id"], r["step"], r["node"])
+            for r in deterministic_walks(_edges(spark, pairs), steps=4).collect()
+        }
+        assert got == walks_ref(pairs), name
+
+
+def test_walks_are_reproducible_and_follow_edges(spark):
+    from egraphdb_spark.operators.graph_algos import deterministic_walks
+
+    pairs = GRAPHS["random"]
+    a = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in deterministic_walks(_edges(spark, pairs), steps=3).collect()
+    )
+    b = sorted(
+        (r["walk_id"], r["step"], r["node"])
+        for r in deterministic_walks(_edges(spark, pairs), steps=3).collect()
+    )
+    assert a == b
+    adj = _und_adj(pairs)
+    pos = {(w, s): n for w, s, n in a}
+    for (w, s), n in pos.items():
+        if s > 0:
+            assert n in adj[pos[(w, s - 1)]]

@@ -445,3 +445,17 @@ def test_readability_narrow_projection_no_shuffle(spark):
     assert "Exchange" not in p  # pure per-row projection
     read_schema = p.split("ReadSchema")[1][:300]
     assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_walks_joins_are_keyed_no_cartesian(spark):
+    p = plan_of(q(spark, "graph_walks"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ewma_fold_no_window_over_events(spark):
+    p = plan_of(q(spark, "evt_ewma"))
+    # the recurrence runs in the per-key array fold, not a Window over
+    # the event stream; sort_array does the in-group ordering
+    assert "Window" not in p
+    assert "sort_array" in p

@@ -252,3 +252,68 @@ def test_dataset_card_dup_rate(spark, tmp_path):
     assert web["dup_permille"] == 333
     assert web["total_tokens"] == 9
     assert out[("books", "es")]["dup_permille"] == 0
+
+
+# --------------------------------------------------------- stream OHLC
+
+
+def test_stream_ohlc_equals_batch_rollup(spark):
+    """The streaming candles (watermark + tumbling window) must equal the
+    batch rollup on the same data — epoch-aligned windows make them
+    re-expressions of one computation."""
+    from egraphdb_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["stream_ohlc"]
+    stream = {
+        (r["event_type"], r["window_start"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"], r["vol_cents"],
+        )
+        for r in fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    from egraphdb_spark.graph import load_tables
+    from egraphdb_spark.operators.timeseries import ohlc_rollup
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"]
+    batch = {
+        (r["event_type"], r["bucket_ts"]): (
+            r["open_cents"], r["high_cents"], r["low_cents"],
+            r["close_cents"], r["n_events"], r["vol_cents"],
+        )
+        for r in ohlc_rollup(ev, "event_type", "ts", "value", "event_id").collect()
+    }
+    assert stream == batch and len(stream) > 0
+
+
+# --------------------------------------------------------------- EWMA
+
+
+def test_ewma_recurrence_closed_form(spark):
+    from egraphdb_spark.operators.timeseries import ewma_daily
+
+    # series 8, 0, 0: s1=8000, s2=8000+(0-8000)div 8=7000, s3=7000-875=6125
+    rows = [("t", _ts(d, h), 1.0) for d in (1, 2, 3) for h in range(8 if d == 1 else 1)]
+    # day1: 8 events, day2: 1, day3: 1 -> use counts 8,1,1
+    df = spark.createDataFrame(
+        [(k, t, v, i) for i, (k, t, v) in enumerate(rows)],
+        ["k", "ts", "value", "eid"],
+    )
+    out = {r["day"].day: r for r in ewma_daily(df, "k", "ts").collect()}
+    assert out[1]["ewma_milli"] == 8000
+    # s2 = 8000 + (1000 - 8000) div 8 = 8000 + (-875) = 7125
+    assert out[2]["ewma_milli"] == 7125
+    # s3 = 7125 + (1000 - 7125) div 8 = 7125 - 765 = 6360
+    assert out[3]["ewma_milli"] == 6360
+    assert [out[d]["n"] for d in (1, 2, 3)] == [8, 1, 1]
+
+
+def test_ewma_converges_to_constant_level(spark):
+    from egraphdb_spark.operators.timeseries import ewma_daily
+
+    rows = [("t", _ts(d, h), 1.0) for d in range(1, 25) for h in range(4)]
+    df = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in rows], ["k", "ts", "value"]
+    )
+    out = sorted(ewma_daily(df, "k", "ts").collect(), key=lambda r: r["day"])
+    # constant 4/day -> s stays pinned at 4000 from day 1
+    assert all(r["ewma_milli"] == 4000 for r in out)

@@ -109,6 +109,9 @@ PROBES = [
     "evt_changepoint",
     "pipe_dataset_card",
     "io_orc_roundtrip",
+    "stream_ohlc",
+    "graph_walks",
+    "evt_ewma",
 ]
 
 
