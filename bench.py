@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "stream_ohlc",
     "graph_walks",
     "evt_ewma",
+    "evt_ab_test",
+    "pipe_ccnet_buckets",
 ]
 
 

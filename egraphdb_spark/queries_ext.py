@@ -2494,6 +2494,78 @@ FROM j ORDER BY user_id, day
 """
 
 
+def q_evt_ab_test(spark, sf_dir):
+    """Two-proportion A/B z-test on heavy-purchaser conversion
+    (>= 12 purchase events — every user buys at least once on this
+    corpus, so plain any-purchase is degenerate at p = 1), arms by
+    user_id parity: per-user conversion flags (exact integers), pooled
+    standard error, z rounded to 6 places (round half-up agrees across
+    engines; the double chain is written with IDENTICAL operation order
+    on both sides, each IEEE step correctly rounded).  Degenerate arms
+    (empty, or pooled p ∈ {0,1} ⇒ se = 0) yield NULL z via nullif on
+    both engines.  One events scan, two tiny aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 12, 1
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    arms = per_user.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count("*").alias("n"), F.sum("conv").cast("long").alias("c")
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).cast("long").alias("conv_b"),
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("conv_a * 1000 div n_a").alias("cr_a_permille"),
+        F.expr("conv_b * 1000 div n_b").alias("cr_b_permille"),
+        F.expr(
+            "round((conv_a / cast(n_a as double) - conv_b / cast(n_b as double))"
+            " / nullif(sqrt(((conv_a + conv_b) / cast(n_a + n_b as double))"
+            " * (1.0 - (conv_a + conv_b) / cast(n_a + n_b as double))"
+            " * (1.0 / n_a + 1.0 / n_b)), 0.0), 6)"
+        ).alias("z6"),
+    )
+
+
+O_EVT_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 12
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT user_id % 2 AS arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM per_user GROUP BY 1
+),
+wide AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS conv_b
+  FROM arms
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       conv_a * 1000 // n_a AS cr_a_permille,
+       conv_b * 1000 // n_b AS cr_b_permille,
+       round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / nullif(sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z6
+FROM wide
+"""
+
+
 def q_evt_ewma(spark, sf_dir):
     """EWMA (α = 1/8) of the daily count series per event type — the
     smoothing recurrence no window frame expresses, via the bounded-
@@ -3691,6 +3763,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "stream_ohlc": (q_stream_ohlc, O_STREAM_OHLC),
     "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
+    "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),

@@ -1455,6 +1455,70 @@ FROM scored GROUP BY id
 """
 
 
+def q_pipe_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): docs
+    bucketed by perplexity terciles of the corpus unigram LM — the
+    standard quality partition before mixing.  Thresholds via
+    percentile ≡ quantile_cont (trust base) broadcast back over the
+    per-doc NLL table; comparisons are integer-vs-the-same-double on
+    both engines, so boundaries are exact.  Tokenless docs (no NLL row)
+    land in an explicit 'empty' bucket."""
+    docs = _t(spark, sf_dir, "documents")
+    nll = text.unigram_nll(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "avg_nll_micro"
+    )
+    th = nll.agg(
+        F.expr("percentile(avg_nll_micro, 1.0/3)").alias("t1"),
+        F.expr("percentile(avg_nll_micro, 2.0/3)").alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll_micro").isNull(), F.lit("empty"))
+        .when(F.col("avg_nll_micro") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll_micro") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(nll, "doc_id", "left")
+        .crossJoin(F.broadcast(th))
+        .select("doc_id", "avg_nll_micro", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+O_PIPE_CCNET = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+corpus AS (SELECT CAST(sum(c) AS BIGINT) AS T, count(*) AS V FROM counts),
+scored AS (
+  SELECT id,
+         CAST(floor(-ln((c + 1) / (T + V)) * 1000000) AS BIGINT) AS nll_micro_tok
+  FROM toks JOIN counts USING (term), corpus
+),
+nll AS (
+  SELECT id AS doc_id,
+         CAST(sum(nll_micro_tok) AS BIGINT) // count(*) AS avg_nll_micro
+  FROM scored GROUP BY id
+),
+th AS (
+  SELECT quantile_cont(avg_nll_micro, 1.0/3) AS t1,
+         quantile_cont(avg_nll_micro, 2.0/3) AS t2
+  FROM nll
+)
+SELECT d.doc_id, nll.avg_nll_micro,
+       CASE WHEN nll.avg_nll_micro IS NULL THEN 'empty'
+            WHEN nll.avg_nll_micro <= th.t1 THEN 'head'
+            WHEN nll.avg_nll_micro <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM documents d LEFT JOIN nll ON nll.doc_id = d.doc_id, th
+ORDER BY d.doc_id
+"""
+
+
 def q_txt_repetition(spark, sf_dir):
     """Gopher-style repetition filter evidence per document (exact integer
     numerators/denominators; see operators/text.repetition_stats)."""
@@ -2796,6 +2860,7 @@ FROM ratios
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
+    "pipe_ccnet_buckets": (q_pipe_ccnet_buckets, O_PIPE_CCNET),
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
     "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),

@@ -41,6 +41,7 @@ _DOC = st.one_of(_TEXT, _CANNED)
 # gates whose inputs are only the documents table and whose semantics are
 # the text/dedup/packing families under test
 FUZZ_GATES = [
+    "pipe_ccnet_buckets",
     "pipe_dataset_card",
     "txt_readability",
     "txt_stats",
@@ -233,6 +234,7 @@ def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
 # ---------------------------------------------------------------------------
 
 EVT_GATES = [
+    "evt_ab_test",
     "evt_ewma",
     "evt_changepoint",
     "evt_ohlc",

@@ -317,3 +317,70 @@ def test_ewma_converges_to_constant_level(spark):
     out = sorted(ewma_daily(df, "k", "ts").collect(), key=lambda r: r["day"])
     # constant 4/day -> s stays pinned at 4000 from day 1
     assert all(r["ewma_milli"] == 4000 for r in out)
+
+
+# ---------------------------------------------------- A/B test + CCNet
+
+
+def test_ab_test_closed_form(spark, tmp_path):
+    import math
+    import pyarrow as pa, pyarrow.parquet as pq, os
+    from egraphdb_spark.queries import REGISTRY
+
+    # arm A (even users): 1 of 2 convert; arm B (odd): 2 of 2 convert
+    rows = []
+    eid = 0
+    for u, n_purch in [(0, 12), (2, 1), (1, 12), (3, 13)]:
+        for k in range(n_purch):
+            rows.append((eid, dt.datetime(2024, 1, 1 + k % 20, 8), u, "purchase", 1.0, "{}"))
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    _link_rest(d, {"events"})
+    fn, _ = REGISTRY["evt_ab_test"]
+    [r] = fn(spark, d).collect()
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (2, 1, 2, 2)
+    assert r["cr_a_permille"] == 500 and r["cr_b_permille"] == 1000
+    p = 3 / 4
+    se = math.sqrt(p * (1 - p) * (1 / 2 + 1 / 2))
+    assert r["z6"] == round((0.5 - 1.0) / se, 6)
+
+
+def test_ccnet_buckets_tercile_split_and_empty(spark, tmp_path):
+    import pyarrow as pa, pyarrow.parquet as pq, os
+    from egraphdb_spark.queries import REGISTRY
+
+    # 'common common' scores best (frequent token), rare tokens worst
+    docs = [
+        (1, "common common common common", "en", "web", 10),
+        (2, "common common rare1", "en", "web", 10),
+        (3, "rare2 rare3 rare4", "en", "web", 10),
+        (4, "   ", "en", "web", 3),  # tokenless -> empty bucket
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([x[0] for x in docs], pa.int64()),
+            "text": pa.array([x[1] for x in docs]),
+            "lang": pa.array([x[2] for x in docs]),
+            "source": pa.array([x[3] for x in docs]),
+            "n_chars": pa.array([x[4] for x in docs], pa.int64()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    _link_rest(d, {"documents"})
+    fn, _ = REGISTRY["pipe_ccnet_buckets"]
+    out = {r["doc_id"]: r["bucket"] for r in fn(spark, d).collect()}
+    assert out[1] == "head" and out[4] == "empty"
+    assert out[3] == "tail"
+    assert set(out.values()) >= {"head", "tail", "empty"}

@@ -112,6 +112,8 @@ PROBES = [
     "stream_ohlc",
     "graph_walks",
     "evt_ewma",
+    "evt_ab_test",
+    "pipe_ccnet_buckets",
 ]
 
 
