@@ -466,11 +466,20 @@ def label_propagation(
                 ).alias("new_lbl")
             )
         )
-        labels = (
-            labels.join(best, "key", "left")
-            .select("key", F.coalesce("new_lbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
+        if undirected:
+            # every node in the (deduped, symmetrized) edge set has >= 1
+            # neighbor, so `best` covers the full node set — the
+            # labels⋈best carry-over join is the identity and is dropped
+            # (one fewer shuffle join per round; result-identical)
+            labels = best.select(
+                "key", F.col("new_lbl").alias("lbl")
+            ).localCheckpoint(eager=True)
+        else:
+            labels = (
+                labels.join(best, "key", "left")
+                .select("key", F.coalesce("new_lbl", "lbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
     return labels.select("key", F.col("lbl").alias("community"))
 
 

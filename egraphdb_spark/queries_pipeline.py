@@ -1458,18 +1458,54 @@ FROM scored GROUP BY id
 def q_pipe_ccnet_buckets(spark, sf_dir):
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): docs
     bucketed by perplexity terciles of the corpus unigram LM — the
-    standard quality partition before mixing.  Thresholds via
-    percentile ≡ quantile_cont (trust base) broadcast back over the
-    per-doc NLL table; comparisons are integer-vs-the-same-double on
-    both engines, so boundaries are exact.  Tokenless docs (no NLL row)
-    land in an explicit 'empty' bucket."""
+    standard quality partition before mixing.
+
+    Terciles are TYPE-1 DISCRETE quantiles in pure integer arithmetic:
+    t_k = min value v with cum_count(avg ≤ v)·3 ≥ k·n.  Interpolated
+    percentile was the first cut and the hostile-corpus fuzzer REJECTED
+    it — Spark `percentile` and DuckDB `quantile_cont` interpolate
+    BIGINT inputs differently near tie-heavy boundaries (2071534.0758…
+    vs ~2071535 on a 7-doc corpus), flipping the bucket of any doc
+    sitting on a threshold.  Discrete ranks cannot disagree.
+
+    The cumulative count runs over DISTINCT avg values with a two-level
+    prefix (the pack_offsets trick: global window only over ~20
+    avg div 2²⁰ bucket-summary rows, intra-bucket windows partitioned) —
+    no unbounded single-partition window at any corpus size.  Tokenless
+    docs (no NLL row) land in an explicit 'empty' bucket."""
+    from pyspark.sql import Window as W
+
     docs = _t(spark, sf_dir, "documents")
     nll = text.unigram_nll(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "avg_nll_micro"
     )
-    th = nll.agg(
-        F.expr("percentile(avg_nll_micro, 1.0/3)").alias("t1"),
-        F.expr("percentile(avg_nll_micro, 2.0/3)").alias("t2"),
+    dv = (
+        nll.groupBy("avg_nll_micro")
+        .agg(F.count("*").alias("c"))
+        .withColumn("b", F.expr("avg_nll_micro div 1048576"))
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    bt = (
+        dv.groupBy("b")
+        .agg(F.sum("c").alias("bc"))
+        .select("b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("pre"))
+    )
+    wi = (
+        W.partitionBy("b")
+        .orderBy("avg_nll_micro")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = dv.join(bt, "b").select(
+        "avg_nll_micro", (F.col("pre") + F.sum("c").over(wi)).alias("cum")
+    )
+    tot = dv.agg(F.sum("c").alias("n"))
+    th = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("avg_nll_micro"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("avg_nll_micro"))
+        ).alias("t2"),
     )
     bucket = (
         F.when(F.col("avg_nll_micro").isNull(), F.lit("empty"))
@@ -1504,10 +1540,18 @@ nll AS (
          CAST(sum(nll_micro_tok) AS BIGINT) // count(*) AS avg_nll_micro
   FROM scored GROUP BY id
 ),
+dv AS (SELECT avg_nll_micro AS v, count(*) AS c FROM nll GROUP BY 1),
+cum AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM dv
+),
 th AS (
-  SELECT quantile_cont(avg_nll_micro, 1.0/3) AS t1,
-         quantile_cont(avg_nll_micro, 2.0/3) AS t2
-  FROM nll
+  SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+         min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+  FROM cum
 )
 SELECT d.doc_id, nll.avg_nll_micro,
        CASE WHEN nll.avg_nll_micro IS NULL THEN 'empty'
