@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "evt_ewma",
     "evt_ab_test",
     "pipe_ccnet_buckets",
+    "graph_modularity",
+    "pipe_quality_ablation",
 ]
 
 

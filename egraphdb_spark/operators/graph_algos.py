@@ -483,6 +483,62 @@ def label_propagation(
     return labels.select("key", F.col("lbl").alias("community"))
 
 
+def modularity_micro(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment, EXACT in integer
+    micro-units: Q = Σ_c [in_c/m − (deg_c/2m)²] = (2m·ΣS_c − ΣD_c²)/(4m²)
+    with S_c the symmetric within-community edge count (= 2·in_c), D_c
+    the community degree sum, m the undirected edge count — so
+    q_micro = (10⁶·(2m·ΣS_c − ΣD_c²)) div (4m²) is pure BIGINT
+    arithmetic (valid to m ≈ 1.5M edges at this scale before 2⁶³; the
+    inputs here are far below).  The quality score that makes LPA/CC
+    output judgeable.
+
+    ``edges`` must be the SYMMETRIZED DISTINCT edge set (both directions,
+    no self-loops) — the same table LPA iterates on; ``communities`` is
+    (key, community).  Shuffles: two id-keyed joins + two tiny aggregates.
+
+    Output: one row (m, n_communities, sym_within, q_micro).
+    """
+    sym = edges.select("src_key", "dst_key")
+    comm = communities.select("key", "community")
+    deg = sym.groupBy(F.col("src_key").alias("key")).agg(
+        F.count("*").alias("d")
+    )
+    dstat = (
+        deg.join(comm, "key")
+        .groupBy("community")
+        .agg(F.sum("d").alias("D"))
+    )
+    ca = comm.select(F.col("key").alias("src_key"), F.col("community").alias("c_a"))
+    cb = comm.select(F.col("key").alias("dst_key"), F.col("community").alias("c_b"))
+    within = (
+        sym.join(ca, "src_key")
+        .join(cb, "dst_key")
+        .where(F.col("c_a") == F.col("c_b"))
+        .groupBy(F.col("c_a").alias("community"))
+        .agg(F.count("*").alias("S"))
+    )
+    per_c = dstat.join(within, "community", "left").select(
+        "community",
+        F.coalesce("S", F.lit(0)).alias("S"),
+        "D",
+    )
+    tot = per_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum("S").cast("long").alias("SS"),
+        F.sum(F.col("D") * F.col("D")).cast("long").alias("DD"),
+    )
+    m = sym.agg(F.expr("count(*) div 2").alias("m"))
+    return tot.crossJoin(F.broadcast(m)).select(
+        "m",
+        "n_communities",
+        F.col("SS").alias("sym_within"),
+        F.expr("(1000000 * (2 * m * SS - DD)) div (4 * m * m)").alias(
+            "q_micro"
+        ),
+    )
+
+
 def neighbor_jaccard_pairs(
     edges: DataFrame,
     threshold: float,

@@ -1881,6 +1881,70 @@ def _lpa_oracle(rounds: int = 3) -> str:
 O_GRAPH_LPA = _lpa_oracle()
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the nation↔region membership components —
+    the quality score that makes community output judgeable — in exact
+    integer micro-units (graph_algos.modularity_micro).  This fixture
+    is the one whose community structure is real AND non-degenerate:
+    LPA on the bipartite supply graphs oscillates 2-colorings (zero
+    within-community edges, Q = −½) and their components collapse to
+    one giant (Q = 0); the membership graph has 5 clean star
+    communities (Q = 0.8 exactly, every arithmetic path exercised)."""
+    from .operators.graph_algos import connected_components, modularity_micro
+
+    g = _fixture(spark, sf_dir)
+    membership = g.edges.where(
+        F.get_json_object("details", "$.rel") == "in_region"
+    )
+    comm = connected_components(membership, undirected=True).select(
+        "key", F.col("component").alias("community")
+    )
+    e = membership.select("src_key", "dst_key")
+    sym = e.unionByName(
+        e.select(
+            F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+        )
+    ).distinct()
+    return modularity_micro(sym, comm)
+
+
+O_GRAPH_MODULARITY = """
+WITH comp AS (
+  SELECT n_regionkey, min('nation:' || n_nationkey) AS community
+  FROM nation GROUP BY n_regionkey
+),
+comm AS (
+  SELECT 'nation:' || n_nationkey AS key, c.community
+  FROM nation n JOIN comp c ON n.n_regionkey = c.n_regionkey
+  UNION ALL
+  SELECT 'region:' || r_regionkey, c.community
+  FROM region r JOIN comp c ON r.r_regionkey = c.n_regionkey
+),
+e0 AS (
+  SELECT DISTINCT 'nation:' || n_nationkey AS src_key,
+         'region:' || n_regionkey AS dst_key
+  FROM nation
+),
+e AS (SELECT src_key, dst_key FROM e0 UNION SELECT dst_key, src_key FROM e0),
+deg AS (SELECT src_key AS key, count(*) AS d FROM e GROUP BY 1),
+dstat AS (SELECT community, CAST(sum(d) AS BIGINT) AS D
+          FROM deg JOIN comm USING (key) GROUP BY 1),
+within AS (
+  SELECT ca.community, count(*) AS S
+  FROM e JOIN comm ca ON ca.key = e.src_key
+         JOIN comm cb ON cb.key = e.dst_key AND cb.community = ca.community
+  GROUP BY 1),
+per_c AS (SELECT dstat.community, COALESCE(within.S, 0) AS S, dstat.D
+          FROM dstat LEFT JOIN within ON within.community = dstat.community),
+tot AS (SELECT count(*) AS n_communities, CAST(sum(S) AS BIGINT) AS SS,
+               CAST(sum(D * D) AS BIGINT) AS DD FROM per_c),
+mm AS (SELECT count(*) // 2 AS m FROM e)
+SELECT m, n_communities, SS AS sym_within,
+       (1000000 * (2 * m * SS - DD)) // (4 * m * m) AS q_micro
+FROM tot, mm
+"""
+
+
 def q_graph_neighbor_jaccard(spark, sf_dir):
     """Node-similarity pairs: Jaccard of neighbor sets ≥ 0.75 (structural
     equivalence / link prediction) over the SIGNIFICANT-supply subgraph
@@ -3764,6 +3828,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
+    "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),

@@ -1563,6 +1563,85 @@ ORDER BY d.doc_id
 """
 
 
+def q_pipe_quality_ablation(spark, sf_dir):
+    """Filter-funnel ablation: how many docs (and surviving tokens) each
+    cleaning filter keeps, alone and combined — the table a pipeline
+    owner reads before choosing thresholds.  Filters: predicted language
+    matches the label, quality ≥ 0.5, token count in [5, 1000].  One
+    scan, one aggregate of conditional counts; every signal is an
+    existing engine primitive with an exact SQL mirror."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = text.token_count("text")
+    flags = docs.select(
+        (text.lang_id("text") == F.col("lang")).alias("pl"),
+        (text.quality_millionths("text") >= 500000).alias("pq"),
+        nt.between(5, 1000).alias("pt"),
+        nt.alias("nt"),
+    )
+    allp = F.col("pl") & F.col("pq") & F.col("pt")
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("pl").cast("long")).alias("n_lang"),
+        F.sum(F.col("pq").cast("long")).alias("n_quality"),
+        F.sum(F.col("pt").cast("long")).alias("n_len"),
+        F.sum(allp.cast("long")).alias("n_all"),
+        F.coalesce(F.sum(F.when(allp, F.col("nt"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+def _ablation_oracle() -> str:
+    ratios = []
+    for lang, words in text.LANG_PROFILES:
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        ratios.append(
+            f"CAST(len(list_filter(tk, w -> list_contains({lst}, w))) AS DOUBLE)"
+            f" / greatest(len(tk), 1) AS r_{lang}"
+        )
+    langs = [lang for lang, _ in text.LANG_PROFILES]
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"r_{l}" for l in langs[i + 1 :]]
+        cond = f"r_{lang} > 0"
+        if rest:
+            cond += f" AND r_{lang} >= greatest({', '.join(rest)})"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    pred = f"CASE {' '.join(cases)} ELSE 'und' END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+r AS (
+  SELECT doc_id, lang, len(tk) AS nt,
+         greatest(len(tk), 1) AS s,
+         COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) AS total,
+         len(list_filter(tk, w -> list_contains({_SW_LIST}, w))) AS hits,
+         {", ".join(ratios)}
+  FROM toks
+),
+f AS (
+  SELECT nt,
+         ({pred} = lang) AS pl,
+         (4000 * least(nt, 100)
+          + (300000 * least(total, 8 * s)) // (8 * s)
+          + (300000 * least(5 * hits, 2 * s)) // (2 * s) >= 500000) AS pq,
+         (nt BETWEEN 5 AND 1000) AS pt
+  FROM r
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN pq THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN pt THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(sum(CASE WHEN pl AND pq AND pt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_all,
+       CAST(COALESCE(sum(CASE WHEN pl AND pq AND pt THEN nt END), 0) AS BIGINT)
+         AS tokens_kept
+FROM f
+"""
+
+
+O_PIPE_ABLATION = _ablation_oracle()
+
+
 def q_txt_repetition(spark, sf_dir):
     """Gopher-style repetition filter evidence per document (exact integer
     numerators/denominators; see operators/text.repetition_stats)."""
@@ -2905,6 +2984,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
     "pipe_ccnet_buckets": (q_pipe_ccnet_buckets, O_PIPE_CCNET),
+    "pipe_quality_ablation": (q_pipe_quality_ablation, O_PIPE_ABLATION),
     "pipe_pack_pairs": (q_pipe_pack_pairs, O_PIPE_PACK_PAIRS),
     "mm_simhash_pairs": (q_mm_simhash_pairs, O_MM_SIMHASH_PAIRS),
     "emb_pca_power": (q_emb_pca_power, O_EMB_PCA),

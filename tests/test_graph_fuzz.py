@@ -538,3 +538,48 @@ def test_walks_are_reproducible_and_follow_edges(spark):
     for (w, s), n in pos.items():
         if s > 0:
             assert n in adj[pos[(w, s - 1)]]
+
+
+def test_modularity_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from egraphdb_spark.operators.graph_algos import modularity_micro
+
+    # two triangles joined by one bridge; communities = the triangles.
+    pairs = [
+        ("a0", "a1"), ("a1", "a2"), ("a2", "a0"),
+        ("b0", "b1"), ("b1", "b2"), ("b2", "b0"), ("a0", "b0"),
+    ]
+    e = spark.createDataFrame(pairs, ["src_key", "dst_key"])
+    sym = e.unionByName(
+        e.select(F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"))
+    ).distinct()
+    comm = spark.createDataFrame(
+        [(n, n[0]) for n in "a0 a1 a2 b0 b1 b2".split()], ["key", "community"]
+    )
+    [r] = modularity_micro(sym, comm).collect()
+    # m=7; within sym count = 6 per triangle; D_a = D_b = 7
+    # q = (2*7*12 - 2*49) / (4*49) = 70/196 = 0.357142...
+    assert (r["m"], r["n_communities"], r["sym_within"]) == (7, 2, 12)
+    assert r["q_micro"] == (1_000_000 * (2 * 7 * 12 - 2 * 49)) // (4 * 49)
+
+
+def test_modularity_perfect_split_and_single_community(spark):
+    from pyspark.sql import functions as F
+    from egraphdb_spark.operators.graph_algos import modularity_micro
+
+    pairs = [("x0", "x1"), ("y0", "y1")]
+    e = spark.createDataFrame(pairs, ["src_key", "dst_key"])
+    sym = e.unionByName(
+        e.select(F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"))
+    ).distinct()
+    two = spark.createDataFrame(
+        [("x0", "x"), ("x1", "x"), ("y0", "y"), ("y1", "y")], ["key", "community"]
+    )
+    [r] = modularity_micro(sym, two).collect()
+    # two disjoint dyads, perfect communities: q = 1 - 2*(2/4)^2 = 0.5
+    assert r["q_micro"] == 500_000
+    one = spark.createDataFrame(
+        [(k, "all") for k in "x0 x1 y0 y1".split()], ["key", "community"]
+    )
+    [r1] = modularity_micro(sym, one).collect()
+    assert r1["q_micro"] == 0  # everything in one community

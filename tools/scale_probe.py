@@ -114,6 +114,8 @@ PROBES = [
     "evt_ewma",
     "evt_ab_test",
     "pipe_ccnet_buckets",
+    "graph_modularity",
+    "pipe_quality_ablation",
 ]
 
 
