@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "pipe_ccnet_buckets",
     "graph_modularity",
     "pipe_quality_ablation",
+    "win_time_range",
+    "io_partition_prune",
+    "agg_listagg",
 ]
 
 

@@ -2762,6 +2762,110 @@ ORDER BY walk_id, step
 O_GRAPH_WALKS = _graph_walks_oracle()
 
 
+def q_win_time_range(spark, sf_dir):
+    """Event-time RANGE window frame: trailing-24-hour spend per user —
+    the time-interval frame (RANGE BETWEEN INTERVAL ... PRECEDING)
+    distinct from every ROWS frame elsewhere in the suite.  RANGE
+    includes ts-peers identically on both engines, so tied timestamps
+    (common in real streams, generated by the events fuzzer) are
+    deterministic by construction, no tiebreak column needed."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 11 == 0)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "sum(cents) OVER (PARTITION BY user_id ORDER BY ts"
+                " RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)"
+            ).alias("trail_cents"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+O_WIN_TIME_RANGE = """
+SELECT user_id, ts, event_id,
+       CAST(round(value * 100) AS BIGINT) AS cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS trail_cents
+FROM events WHERE user_id % 11 = 0
+ORDER BY user_id, ts, event_id
+"""
+
+
+def q_io_partition_prune(spark, sf_dir):
+    """Hive-partitioned parquet layout + partition-pruned read: events
+    written partitionBy(event_type), read back with a type filter —
+    the filter must prune DIRECTORIES (PartitionFilters in the scan,
+    asserted by the plan test), not rows.  The oracle digests the
+    original table under the same predicate, so the whole
+    write→layout→prune→read path is value-checked."""
+    from .sources import io
+
+    path = f"{_IO_ROOT}/partprune-{os.path.basename(sf_dir.rstrip('/'))}"
+    ev = _t(spark, sf_dir, "events")
+    io.write_parquet(
+        ev.select(
+            "event_id",
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        ),
+        path,
+        partition_by=["event_type"],
+    )
+    back = io.read_parquet(spark, path).where(F.col("event_type") == "purchase")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+O_IO_PARTITION_PRUNE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE event_type = 'purchase'
+GROUP BY event_type
+"""
+
+
+def q_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg): nation roster
+    per region, comma-joined in lexicographic order — deterministic
+    because the order is total; Spark spells it
+    array_join(sort_array(collect_list(...)))."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+O_AGG_LISTAGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 def q_evt_changepoint(spark, sf_dir):
     """CUSUM changepoint per event type over the daily count series: the
     day where the cumulative deviation from the series mean peaks (Page
@@ -3829,6 +3933,9 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),
+    "win_time_range": (q_win_time_range, O_WIN_TIME_RANGE),
+    "io_partition_prune": (q_io_partition_prune, O_IO_PARTITION_PRUNE),
+    "agg_listagg": (q_agg_listagg, O_AGG_LISTAGG),
     "io_csv_roundtrip": (q_io_csv_roundtrip, _IO_DIGEST_ORACLE),
     "io_json_roundtrip": (q_io_json_roundtrip, _IO_DIGEST_ORACLE),
     "io_parquet_roundtrip": (q_io_parquet_roundtrip, _IO_DIGEST_ORACLE),

@@ -235,6 +235,7 @@ def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
 # ---------------------------------------------------------------------------
 
 EVT_GATES = [
+    "win_time_range",
     "evt_ab_test",
     "evt_ewma",
     "evt_changepoint",

@@ -459,3 +459,20 @@ def test_ewma_fold_no_window_over_events(spark):
     # the event stream; sort_array does the in-group ordering
     assert "Window" not in p
     assert "sort_array" in p
+
+
+def test_partition_prune_filters_directories(spark):
+    p = plan_of(q(spark, "io_partition_prune"))
+    # the event_type predicate must appear as a PARTITION filter (pruning
+    # directories before IO), not merely a data filter
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1][:200]
+    assert "event_type" in pf
+
+
+def test_time_range_frame_single_window_exchange(spark):
+    p = plan_of(q(spark, "win_time_range"))
+    assert "Window" in p
+    win = p.split(") Window")[-1][:600]
+    assert "windowspecdefinition(user_id" in win
+    assert "Exchange SinglePartition" not in p

@@ -116,6 +116,9 @@ PROBES = [
     "pipe_ccnet_buckets",
     "graph_modularity",
     "pipe_quality_ablation",
+    "win_time_range",
+    "io_partition_prune",
+    "agg_listagg",
 ]
 
 
