@@ -1,0 +1,176 @@
+"""Behavioral / product-analytics operators: ordered funnels with step timing,
+and cohort LTV triangles.
+
+The reference serves the raw event-scan surface (S4 time-range scans over
+time-partitioned tables, src/egraph_kv_util.erl) but has no behavioral
+layer; these are the queries every product-analytics store
+(Amplitude/Mixpanel-class) front-ends that raw surface with.  Both
+are expressed as declarative DataFrame plans so Catalyst handles pushdown
+and AQE handles skew.
+
+Determinism contract (matches the rest of the suite):
+- monetary values quantize to integer cents (round half-up ×100, the
+  timeseries.py convention) BEFORE any aggregation;
+- every ordering that feeds a lag/first selection uses the total order
+  (ts, event_id) — unique because event_id is unique;
+- ratios surface as integer permille via BIGINT ``div``.
+
+Scale notes:
+- ``funnel_steps``: one filtered aggregate per step, each keyed on the
+  user column, so every stage join is co-partitioned with the previous
+  aggregate's shuffle (Spark reuses the hash partitioning — no extra
+  exchange per step beyond the first).  The per-step frames carry one row
+  per surviving user, shrinking monotonically down the funnel; the final
+  counts are single-row aggregates.  Event-type predicates push into the
+  parquet scan.
+- ``cohort_ltv``: per-user first-activity week (map-side-combined min),
+  per-(user, week) cents sums, then a |cohorts|×|weeks|-bounded triangle;
+  the running cumulative window partitions by cohort over ≤ |weeks| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    horizon_days: int = 7,
+) -> DataFrame:
+    """Ordered-funnel conversion: for each step i, count users whose first
+    step-i event occurs AFTER their first step-(i-1) event and within
+    ``horizon_days`` of their first step-0 event.
+
+    Output: (step_idx INT, step STRING, n_users BIGINT,
+    conv_permille BIGINT, avg_secs_from_first BIGINT) — conversion
+    relative to step 0 and the mean seconds from the user's first step-0
+    event to this step's first event (exact integer: Σ sec-diffs div n;
+    0 for step 0), one row per step, ordered by step_idx.  "First
+    matching event" per stage makes the funnel strictly ordered (a click
+    before the first view does not count), the standard
+    product-analytics semantics; the timing column is what the depth
+    histogram (q_evt_funnel) cannot express.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    u, ts, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    ev = events.select(u.alias("u"), ts.alias("ts"), ty.alias("ty"))
+    stage = (
+        ev.where(F.col("ty") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t"))
+        .withColumn("t0", F.col("t"))
+        .withColumn("deadline", F.expr(f"t + INTERVAL {int(horizon_days)} DAY"))
+    )
+    lag_secs = F.expr("unix_timestamp(t) - unix_timestamp(t0)")
+    counts = [
+        stage.agg(
+            F.count("*").alias("n"), F.sum(lag_secs).cast("long").alias("lag_sum")
+        )
+    ]
+    for s in steps[1:]:
+        nxt = ev.where(F.col("ty") == s).withColumnRenamed("ts", "ts_s")
+        stage = (
+            nxt.join(stage, "u")
+            .where((F.col("ts_s") > F.col("t")) & (F.col("ts_s") <= F.col("deadline")))
+            .groupBy("u", "t0", "deadline")
+            .agg(F.min("ts_s").alias("t"))
+            .select("u", "t", "t0", "deadline")
+        )
+        counts.append(
+            stage.agg(
+                F.count("*").alias("n"),
+                F.sum(lag_secs).cast("long").alias("lag_sum"),
+            )
+        )
+    rows = None
+    for i, (s, c) in enumerate(zip(steps, counts)):
+        r = c.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col("n").cast("long").alias("n_users"),
+            F.col("lag_sum"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    first = counts[0].select(F.col("n").alias("n0"))
+    return (
+        rows.crossJoin(F.broadcast(first))
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.expr("coalesce(n_users * 1000 div nullif(n0, 0), 0)").alias(
+                "conv_permille"
+            ),
+            F.expr("coalesce(lag_sum div nullif(n_users, 0), 0)").alias(
+                "avg_secs_from_first"
+            ),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    revenue_type: str,
+) -> DataFrame:
+    """Cohort LTV triangle: users cohorted by first-activity week, revenue
+    (events of ``revenue_type``, integer cents) accumulated per cohort by
+    week offset.
+
+    Output per (cohort_week TIMESTAMP, week_offset BIGINT):
+    cohort_users, rev_cents, cum_rev_cents (running sum over offsets),
+    cum_per_user_cents (cum div cohort size) — the revenue twin of the
+    retention count matrix (q_evt_retention counts actives; this prices
+    them).  Cohort keys stay TIMESTAMP (the evt_retention dtype lesson).
+    """
+    u, ts = F.col(user_col), F.col(ts_col)
+    first = events.groupBy(u.alias("u")).agg(
+        F.date_trunc("week", F.min(ts)).alias("cohort_week")
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    rev = (
+        events.where(F.col(type_col) == revenue_type)
+        .select(
+            u.alias("u"),
+            F.date_trunc("week", ts).alias("week"),
+            cents.alias("cents"),
+        )
+        .groupBy("u", "week")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    size = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    tri = (
+        rev.join(first, "u")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(week, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tri.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            "rev_cents",
+            "cum_rev_cents",
+            F.expr("cum_rev_cents div cohort_users").alias("cum_per_user_cents"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

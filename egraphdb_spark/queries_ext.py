@@ -2958,6 +2958,100 @@ FROM p WHERE rn = 1 ORDER BY event_type
 """
 
 
+def q_evt_funnel_steps(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase, 7-day horizon from
+    first view): per-step user counts and integer-permille conversion.
+    Strictly ordered semantics — each step's first qualifying event must
+    fall AFTER the previous step's first event and within the horizon.
+    Every stage join is keyed on user_id (co-partitioned with the prior
+    aggregate's shuffle); event-type predicates push into the scan."""
+    from .operators.behavior import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"], horizon_days=7,
+    )
+
+
+O_EVT_FUNNEL_STEPS = """
+WITH d0 AS (
+  SELECT user_id AS u, min(ts) AS t, min(ts) AS t0,
+         min(ts) + INTERVAL 7 DAY AS deadline
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id AS u, d0.t0, d0.deadline, min(e.ts) AS t
+  FROM events e JOIN d0 ON e.user_id = d0.u
+  WHERE e.event_type = 'click' AND e.ts > d0.t AND e.ts <= d0.deadline
+  GROUP BY 1, 2, 3
+),
+s2 AS (
+  SELECT e.user_id AS u, s1.t0, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t AND e.ts <= s1.deadline
+  GROUP BY 1, 2
+),
+n AS (
+  SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users,
+         CAST(0 AS BIGINT) AS lag_sum FROM d0
+  UNION ALL SELECT 1, 'click', count(*),
+         CAST(coalesce(sum(date_diff('second', t0, t)), 0) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'purchase', count(*),
+         CAST(coalesce(sum(date_diff('second', t0, t)), 0) AS BIGINT) FROM s2
+)
+SELECT CAST(step_idx AS INT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       coalesce(n_users * 1000 // nullif((SELECT count(*) FROM d0), 0), 0)
+         AS conv_permille,
+       coalesce(lag_sum // nullif(n_users, 0), 0) AS avg_secs_from_first
+FROM n ORDER BY step_idx
+"""
+
+
+def q_evt_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle — the revenue twin of evt_retention: purchase
+    cents accumulated per (first-activity-week cohort, week offset), with
+    running cumulative and per-user LTV in exact integer cents.  Cohort
+    keys stay TIMESTAMP (the r3 dtype lesson); the cumulative window
+    partitions by cohort over at most |weeks| rows."""
+    from .operators.behavior import cohort_ltv
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_ltv(ev, "user_id", "ts", "event_type", "value", "purchase")
+
+
+O_EVT_COHORT_LTV = """
+WITH first AS (
+  SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+rev AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS week,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+csize AS (SELECT cohort_week, count(*) AS cohort_users FROM first GROUP BY 1),
+tri AS (
+  SELECT cohort_week,
+         CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+         CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM rev JOIN first USING (u) GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, week_offset, rev_cents,
+         CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_rev_cents
+  FROM tri
+)
+SELECT cohort_week, week_offset, cohort_users, rev_cents, cum_rev_cents,
+       cum_rev_cents // cohort_users AS cum_per_user_cents
+FROM cum JOIN csize USING (cohort_week)
+ORDER BY cohort_week, week_offset
+"""
+
+
 def q_graph_adamic_adar(spark, sf_dir):
     """Adamic–Adar link prediction over the same significant-supply
     bipartite graph as the neighbor-Jaccard gate: common neighbors
@@ -3928,6 +4022,8 @@ EXT_REGISTRY: dict[str, tuple] = {
     "fn_scalar_surface": (q_fn_scalar_surface, O_FN_SCALARS),
     "io_orc_roundtrip": (q_io_orc_roundtrip, _IO_DIGEST_ORACLE),
     "evt_changepoint": (q_evt_changepoint, O_EVT_CHANGEPOINT),
+    "evt_funnel_steps": (q_evt_funnel_steps, O_EVT_FUNNEL_STEPS),
+    "evt_cohort_ltv": (q_evt_cohort_ltv, O_EVT_COHORT_LTV),
     "stream_ohlc": (q_stream_ohlc, O_STREAM_OHLC),
     "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),

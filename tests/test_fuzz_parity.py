@@ -245,6 +245,8 @@ EVT_GATES = [
     "evt_props_json",
     "evt_rollup_cascade",
     "evt_funnel",
+    "evt_funnel_steps",
+    "evt_cohort_ltv",
     "evt_transitions",
     "evt_retention",
     "evt_spikes",
