@@ -229,6 +229,58 @@ def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
     return visited
 
 
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_depth: int
+) -> DataFrame:
+    """Seed-set harmonic centrality: for every node reachable from the
+    seed set, ``(key, n_sources, harmonic_micro)`` where harmonic_micro =
+    Σ_{seeds s, 0 < d(s,key) ≤ max_depth} floor(10⁶ / d(s,key)) — the
+    landmark form of closeness centrality (harmonic handles
+    disconnection; exact all-pairs closeness is quadratic and landmark
+    sampling is the standard scale-out, Boldi & Vigna "Axioms for
+    Centrality" 2014).
+
+    Level-synchronous multi-source BFS: the frontier carries (seed, key)
+    PAIRS, so one round of |seeds| BFS walks costs the same joins as one
+    single-source round; the per-seed visited set is the anti-join
+    dedup, which keeps each (seed, node) at its FIRST (minimum) level —
+    all arithmetic on the resulting integer distances is exact.
+
+    Scale: frontier/visited are bounded by |seeds|·|nodes| rows of two
+    keys; each round is one join on the node key (co-partitioned with the
+    previous round's output) + one anti-join.  ``localCheckpoint`` keeps
+    the plan linear in rounds (the kcore/pagerank discipline).  Seeds
+    should be a bounded landmark set (dimension keys, or a hash sample);
+    the oracle mirrors with a set-semantics recursive CTE.
+    """
+    visited = seeds.select(
+        F.col("seed"), F.col("seed").alias("key"), F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("seed", "key")
+    for level in range(1, max_depth + 1):
+        hop = (
+            edges.join(frontier, edges.src_key == frontier.key)
+            .select("seed", F.col("dst_key").alias("key"))
+            .distinct()
+            .join(visited.select("seed", "key"), ["seed", "key"], "left_anti")
+            .select("seed", "key", F.lit(level).alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if hop.isEmpty():
+            break
+        visited = visited.unionByName(hop).localCheckpoint(eager=False)
+        frontier = hop.select("seed", "key")
+    return (
+        visited.where(F.col("level") > 0)
+        .groupBy("key")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum(F.expr("1000000 div level")).cast("long").alias("harmonic_micro"),
+        )
+        .orderBy("key")
+    )
+
+
 def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
     """Exact global triangle census of the undirected simple graph.
 

@@ -349,6 +349,96 @@ FROM scored GROUP BY id
 """
 
 
+def pmi_collocations(
+    docs: "DataFrame",
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+) -> "DataFrame":
+    """Top-k collocations by pointwise mutual information — the
+    association-strength ranking raw bigram counts cannot give (the
+    top-bigrams gate surfaces "of the"; PMI surfaces the pairs that
+    co-occur far above chance).  PMI(w1,w2) = ln(p(w1w2)/(p(w1)p(w2)))
+    with p(w1w2)=c12/B over bigram positions and p(w)=c/N over tokens.
+
+    Determinism: counts are exact integers; the single ln call is the
+    BM25/NLL trust base and its argument is composed of three IEEE
+    divisions and one multiply in the SAME textual order as the SQL
+    mirror; the score is quantized to integer micro-nats (floor) before
+    the ordering, and ties break on (w1, w2).
+
+    Scale: the bigram explode is linear and the count table is
+    vocabulary²-bounded (far smaller after ``min_count`` — rare pairs
+    dominate the raw grid but cannot reach the threshold); the two
+    unigram joins are broadcastable for natural-language vocabularies,
+    and the top-k is a TakeOrdered (k per partition, no global sort).
+    """
+    base = docs.select(tokens(F.lower(F.col(text_col))).alias("t"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    toks = base.select(F.explode("t").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    corpus = uni.agg(F.sum("c").cast("long").alias("N")).crossJoin(
+        bg_counts.agg(F.sum("c12").cast("long").alias("B"))
+    )
+    scored = (
+        bg_counts.where(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.expr(
+                "cast(floor(ln((c12 / cast(B as double))"
+                " / ((c1 / cast(N as double)) * (c2 / cast(N as double))))"
+                " * 1000000) as bigint)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(k)
+
+
+def pmi_collocations_oracle(min_count: int = 5, k: int = 20) -> str:
+    """DuckDB mirror of :func:`pmi_collocations` (identical ln-argument
+    composition, floor-quantized micro-nats, same tie-break)."""
+    return rf"""
+WITH base AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i + 1 AS INT)] AS w2
+  FROM base, unnest(range(1, greatest(len(t), 1))) AS u(i)
+),
+bg_counts AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+uni AS (SELECT unnest(t) AS term FROM base),
+unic AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+corpus AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM unic) AS N,
+         (SELECT CAST(sum(c12) AS BIGINT) FROM bg_counts) AS B
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(floor(ln((c12 / CAST(B AS DOUBLE))
+            / ((c1 / CAST(N AS DOUBLE)) * (c2 / CAST(N AS DOUBLE))))
+            * 1000000) AS BIGINT) AS pmi_micro
+FROM bg_counts
+JOIN (SELECT term AS w1, c AS c1 FROM unic) USING (w1)
+JOIN (SELECT term AS w2, c AS c2 FROM unic) USING (w2), corpus
+WHERE c12 >= {int(min_count)}
+ORDER BY pmi_micro DESC, w1, w2 LIMIT {int(k)}
+"""
+
+
 def hashed_tf_embedding(
     docs: "DataFrame", id_col: str, text_col: str, dim: int = 32, salt: str = "hashtf"
 ) -> "DataFrame":

@@ -1110,6 +1110,50 @@ SELECT key, CAST(min(lvl) AS INT) AS level FROM walk GROUP BY key
 """
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """Landmark harmonic centrality over the UNDIRECTED fixture graph:
+    nation nodes as the (bounded, 25-row) seed set, depth 3 — multi-source
+    BFS carrying (seed, key) pairs, exact integer 10⁶/d contributions.
+    The oracle replays the walk with a set-semantics recursive CTE."""
+    from .operators.graph_algos import harmonic_centrality
+
+    g = _fixture(spark, sf_dir)
+    e = g.edges.select("src_key", "dst_key")
+    und = e.unionByName(
+        e.select(
+            F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+        )
+    ).distinct()
+    seeds = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
+    )
+    return harmonic_centrality(und, seeds, max_depth=3)
+
+
+O_GRAPH_HARMONIC = """
+WITH RECURSIVE e0 AS (
+  SELECT 'customer:' || c_custkey AS src_key, 'nation:' || c_nationkey AS dst_key FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+),
+und AS (SELECT src_key AS a, dst_key AS b FROM e0 UNION SELECT dst_key, src_key FROM e0),
+seeds AS (SELECT 'nation:' || n_nationkey AS seed FROM nation),
+walk(seed, key, lvl) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, und.b, w.lvl + 1
+  FROM walk w JOIN und ON und.a = w.key WHERE w.lvl < 3
+),
+md AS (SELECT seed, key, CAST(min(lvl) AS BIGINT) AS d FROM walk GROUP BY 1, 2)
+SELECT key, count(*) AS n_sources,
+       CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+FROM md WHERE d > 0 GROUP BY key ORDER BY key
+"""
+
+
 def q_graph_kcore(spark, sf_dir):
     """4-round 2-core peel of the part↔supplier bipartite subgraph —
     iterative degeneracy pruning (the graph-cleaning step before dense-
@@ -4029,6 +4073,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),
+    "graph_harmonic": (q_graph_harmonic, O_GRAPH_HARMONIC),
     "win_time_range": (q_win_time_range, O_WIN_TIME_RANGE),
     "io_partition_prune": (q_io_partition_prune, O_IO_PARTITION_PRUNE),
     "agg_listagg": (q_agg_listagg, O_AGG_LISTAGG),

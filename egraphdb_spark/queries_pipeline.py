@@ -2609,6 +2609,14 @@ def q_txt_bigram_nll(spark, sf_dir):
     return text.bigram_nll(docs, "doc_id", "text")
 
 
+def q_txt_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information (min bigram
+    count 5): the association-strength ranking raw bigram counts can't
+    give — integer micro-nat PMI, ties broken on (w1, w2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, "text", min_count=5, k=20)
+
+
 def q_txt_source_jsd(spark, sf_dir):
     """Source-vs-corpus token-distribution drift: Jensen-Shannon divergence
     on the top-500 vocabulary + OTHER bucket, nano-nat integer sums."""
@@ -2998,6 +3006,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_interleave": (q_pipe_interleave, O_PIPE_INTERLEAVE),
     "txt_hash_embedding": (q_txt_hash_embedding, O_TXT_HASH_EMB),
     "txt_bigram_nll": (q_txt_bigram_nll, text.BIGRAM_NLL_ORACLE),
+    "txt_pmi_collocations": (q_txt_pmi_collocations, text.pmi_collocations_oracle()),
     "txt_source_jsd": (q_txt_source_jsd, O_TXT_SOURCE_JSD),
     "dedup_fuzzy_pairs": (q_dedup_fuzzy_pairs, O_DEDUP_FUZZY),
     "sketch_hll_overlap": (q_sketch_hll_overlap, O_SKETCH_HLL_OVERLAP),

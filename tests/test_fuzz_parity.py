@@ -51,6 +51,7 @@ FUZZ_GATES = [
     "txt_bpe_pair_counts",
     "txt_unigram_nll",
     "txt_top_bigrams",
+    "txt_pmi_collocations",
     "txt_lang_id",
     "txt_pii_scrub",
     "txt_repetition",

@@ -583,3 +583,49 @@ def test_modularity_perfect_split_and_single_community(spark):
     )
     [r1] = modularity_micro(sym, one).collect()
     assert r1["q_micro"] == 0  # everything in one community
+
+
+def _harmonic_ref(pairs, seeds, max_depth):
+    """Python BFS from each seed over the UNDIRECTED collapsed graph."""
+    adj = _und_adj(pairs)
+    out: dict[str, list[int]] = {}
+    for s in seeds:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        frontier = [s]
+        for lvl in range(1, max_depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = lvl
+                        nxt.append(v)
+            frontier = nxt
+        for k, d in dist.items():
+            if d > 0:
+                out.setdefault(k, []).append(d)
+    return {
+        k: (len(ds), sum(10**6 // d for d in ds)) for k, ds in out.items()
+    }
+
+
+def test_harmonic_centrality_matches_reference(spark):
+    from egraphdb_spark.operators.graph_algos import harmonic_centrality
+
+    for name, pairs in GRAPHS.items():
+        keys = sorted({k for p in pairs for k in p})
+        seeds = keys[:3]  # bounded landmark set, includes hostile nodes
+        e = _edges(spark, pairs).select("src_key", "dst_key")
+        und = e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"),
+                F.col("src_key").alias("dst_key"),
+            )
+        ).distinct()
+        sdf = spark.createDataFrame([(s,) for s in seeds], "seed string")
+        got = {
+            r["key"]: (r["n_sources"], r["harmonic_micro"])
+            for r in harmonic_centrality(und, sdf, max_depth=4).collect()
+        }
+        assert got == _harmonic_ref(pairs, seeds, 4), name

@@ -589,3 +589,54 @@ def test_source_overlap_identical_disjoint_and_merge_property(spark):
     for pair in out:
         for c in ("n_agree", "est_jaccard_micro", "exact_jaccard_micro"):
             assert out2[pair][c] == out[pair][c], (pair, c)
+
+
+def test_pmi_collocations_reference(spark):
+    """PMI matches a pure-Python reference (counts, quantized score, and
+    ranking), and strongly-associated pairs outrank frequent-but-
+    independent ones."""
+    import math
+
+    from egraphdb_spark.operators.text import pmi_collocations
+
+    # "san francisco" always co-occur (high PMI); "the x" pairs are
+    # frequent but independent (low PMI)
+    corpus = (
+        ["san francisco"] * 6
+        + ["the cat", "the dog", "the cow", "the pig", "the hen", "the rat"]
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    out = pmi_collocations(docs, "text", min_count=2, k=10).collect()
+
+    # python reference
+    from collections import Counter
+
+    uni, bg = Counter(), Counter()
+    for t in corpus:
+        ws = t.split()
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    N, B = sum(uni.values()), sum(bg.values())
+    exp = {}
+    for (w1, w2), c12 in bg.items():
+        if c12 < 2:
+            continue
+        pmi = math.log((c12 / B) / ((uni[w1] / N) * (uni[w2] / N)))
+        exp[(w1, w2)] = (c12, math.floor(pmi * 1e6))
+    got = {(r.w1, r.w2): (r.c12, r.pmi_micro) for r in out}
+    assert got == dict(sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))[:10])
+    assert out[0].w1 == "san" and out[0].w2 == "francisco"
+    assert all(
+        out[0].pmi_micro > r.pmi_micro for r in out if r.w1 == "the"
+    )
+
+
+def test_pmi_empty_and_short_docs(spark):
+    from egraphdb_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "  \n\t ")], "doc_id long, text string"
+    )
+    assert pmi_collocations(docs, "text", min_count=1, k=5).collect() == []
