@@ -201,3 +201,62 @@ def range_join(
         .where((F.col(left_val) >= F.col(lo)) & (F.col(left_val) < F.col(hi)))
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    l_start: str,
+    l_end: str,
+    right: DataFrame,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join (closed intervals:
+    ``l_start <= r_end AND r_start <= l_end``) as a bucketed equi-join —
+    the interval twin of :func:`range_join` (which joins points to
+    intervals).
+
+    Each side explodes its [start, end] TIMESTAMP interval into the
+    epoch-second buckets it covers; a qualifying pair shares the bucket
+    where the LATER interval begins (``greatest`` of the two start
+    buckets — the standard identity max(ls,rs) ≤ min(le,re) holds exactly
+    when closed intervals overlap), and the join keeps ONLY that bucket's
+    emission, so each pair appears exactly once with NO distinct/dedup
+    pass.  Bucket ids come from second-truncated timestamps (consistent
+    on both sides — truncating a start downward only widens coverage);
+    the overlap residual compares the ORIGINAL timestamps, so results are
+    exact at full precision.
+
+    Scale: the theta join becomes a hash join on the bucket key; shuffle
+    volume is Σ interval-width/bucket rows per side, tunable via
+    ``bucket_seconds`` (match it to typical interval width).  Dense
+    hot-hour buckets are ordinary skewed join keys — AQE skew-join
+    handles them; no nested-loop fallback anywhere.
+    """
+    b = int(bucket_seconds)
+    lb = left.withColumn(
+        "__lb0", F.expr(f"unix_timestamp({l_start}) div {b}")
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(F.col("__lb0"), F.expr(f"unix_timestamp({l_end}) div {b}"))
+        ),
+    )
+    rb = right.withColumn(
+        "__rb0", F.expr(f"unix_timestamp({r_start}) div {b}")
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.sequence(F.col("__rb0"), F.expr(f"unix_timestamp({r_end}) div {b}"))
+        ),
+    )
+    return (
+        lb.join(rb, "__b")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__b") == F.greatest("__lb0", "__rb0"))
+        )
+        .drop("__b", "__lb0", "__rb0")
+    )

@@ -177,3 +177,71 @@ def ewma_daily(
         F.col("e.n").alias("n"),
         F.col("e.s").alias("ewma_milli"),
     )
+
+
+def holt_daily(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha_den: int = 8,
+    beta_den: int = 4,
+    forecast_days: int = 1,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the daily
+    count series, α = 1/alpha_den, β = 1/beta_den, exact integer
+    milli-units — the trend-aware extension of :func:`ewma_daily` (EWMA
+    lags any trending series by design; Holt tracks it):
+
+        l₁ = n₁·1000;  b₁ = 0
+        lₜ = (lₜ₋₁ + bₜ₋₁) + (nₜ·1000 − (lₜ₋₁ + bₜ₋₁)) div alpha_den
+        bₜ = bₜ₋₁ + ((lₜ − lₜ₋₁) − bₜ₋₁) div beta_den
+
+    plus the h-step-ahead forecast fₜ = lₜ + h·bₜ (h = forecast_days),
+    the value a capacity planner actually reads.  Same bounded-series
+    fold as ewma_daily (arrays bounded by day count, never event
+    volume); the integer ``div`` recurrence is truncation-identical to
+    DuckDB ``//``, so the recursive-CTE oracle replays it bit-exactly.
+
+    Output: (key, day, n, level_milli, trend_milli, forecast_milli).
+    """
+    daily = events.groupBy(
+        F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n"))
+    folded = daily.groupBy(key_col).agg(
+        F.expr(
+            f"""
+            aggregate(
+              sort_array(collect_list(struct(day, n))),
+              cast(array() as
+                   array<struct<day:timestamp,n:bigint,l:bigint,b:bigint>>),
+              (acc, x) -> acc || array(if(size(acc) = 0,
+                named_struct('day', x.day, 'n', cast(x.n as bigint),
+                             'l', x.n * 1000L, 'b', 0L),
+                named_struct('day', x.day, 'n', cast(x.n as bigint),
+                  'l', (element_at(acc, -1).l + element_at(acc, -1).b)
+                       + (x.n * 1000L - (element_at(acc, -1).l
+                                         + element_at(acc, -1).b))
+                         div {alpha_den},
+                  'b', element_at(acc, -1).b
+                       + (((element_at(acc, -1).l + element_at(acc, -1).b)
+                           + (x.n * 1000L - (element_at(acc, -1).l
+                                             + element_at(acc, -1).b))
+                             div {alpha_den}
+                           - element_at(acc, -1).l)
+                          - element_at(acc, -1).b) div {beta_den})))
+            )
+            """
+        ).alias("series")
+    )
+    return folded.select(
+        F.col(key_col), F.explode("series").alias("e")
+    ).select(
+        key_col,
+        F.col("e.day").alias("day"),
+        F.col("e.n").alias("n"),
+        F.col("e.l").alias("level_milli"),
+        F.col("e.b").alias("trend_milli"),
+        (F.col("e.l") + F.lit(int(forecast_days)) * F.col("e.b")).alias(
+            "forecast_milli"
+        ),
+    )

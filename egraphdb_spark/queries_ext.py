@@ -1355,6 +1355,50 @@ FROM events e ASOF LEFT JOIN r1
 """
 
 
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join via the bucketed equi-join (no
+    theta/nested-loop anywhere): per-(user, day) activity spans × ±15-min
+    windows around error events, hourly buckets, each qualifying pair
+    emitted exactly once by the greatest-start-bucket rule.  Output: users
+    with ≥1 overlapping error window and their pair counts."""
+    from .operators.asof import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    ew = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.expr("ts - INTERVAL 15 MINUTE").alias("w_start"),
+        F.expr("ts + INTERVAL 15 MINUTE").alias("w_end"),
+    )
+    pairs = interval_overlap_join(
+        act, "a_start", "a_end", ew, "w_start", "w_end", bucket_seconds=3600
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("user_id")
+    )
+
+
+O_JOIN_INTERVAL_OVERLAP = """
+WITH act AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min(ts) AS a_start, max(ts) AS a_end
+  FROM events GROUP BY 1, 2
+),
+ew AS (
+  SELECT event_id, ts - INTERVAL 15 MINUTE AS w_start,
+         ts + INTERVAL 15 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.user_id, count(*) AS n_overlaps
+FROM act a JOIN ew w ON a.a_start <= w.w_end AND w.w_start <= a.a_end
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_join_asof_nearest(spark, sf_dir):
     """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
     each event attributed to the same user's CLOSEST purchase within ±2 h,
@@ -2710,6 +2754,47 @@ FROM r ORDER BY event_type, day
 """
 
 
+def q_evt_holt(spark, sf_dir):
+    """Holt double-exponential smoothing (α = 1/8, β = 1/4) of the daily
+    count series per event type, with the 1-day-ahead forecast — the
+    trend-aware extension of evt_ewma, same bounded-series fold, same
+    integer div recurrence; the oracle replays level AND trend with a
+    recursive CTE."""
+    from .operators.timeseries import holt_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_daily(
+        ev, "event_type", "ts", alpha_den=8, beta_den=4, forecast_days=1
+    ).orderBy("event_type", "day")
+
+
+O_EVT_HOLT = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+),
+r AS (
+  SELECT event_type, day, n, i, n * 1000 AS l, CAST(0 AS BIGINT) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.day, idx.n, idx.i,
+         (r.l + r.b) + (idx.n * 1000 - (r.l + r.b)) // 8,
+         r.b + ((((r.l + r.b) + (idx.n * 1000 - (r.l + r.b)) // 8) - r.l)
+                - r.b) // 4
+  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+)
+SELECT event_type, day, n, CAST(l AS BIGINT) AS level_milli,
+       CAST(b AS BIGINT) AS trend_milli,
+       CAST(l + 1 * b AS BIGINT) AS forecast_milli
+FROM r ORDER BY event_type, day
+"""
+
+
 def q_stream_ohlc(spark, sf_dir):
     """REAL streaming OHLC: readStream → watermark → tumbling hourly
     candles (min_by/max_by struct-key aggregates under watermark) →
@@ -4029,6 +4114,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "join_asof": (q_join_asof, O_JOIN_ASOF),
     "join_asof_tolerance": (q_join_asof_tolerance, O_JOIN_ASOF_TOL),
     "join_asof_nearest": (q_join_asof_nearest, O_JOIN_ASOF_NEAREST),
+    "join_interval_overlap": (q_join_interval_overlap, O_JOIN_INTERVAL_OVERLAP),
     "join_range_bands": (q_join_range_bands, O_JOIN_RANGE),
     "graph_cc": (q_graph_cc, O_GRAPH_CC),
     "graph_triangles": (q_graph_triangles, O_GRAPH_TRIANGLES),
@@ -4071,6 +4157,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "stream_ohlc": (q_stream_ohlc, O_STREAM_OHLC),
     "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
+    "evt_holt": (q_evt_holt, O_EVT_HOLT),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),
     "graph_harmonic": (q_graph_harmonic, O_GRAPH_HARMONIC),

@@ -104,3 +104,47 @@ def test_asof_nearest_exact_tie_prefers_backward(spark):
         right_cols=["val"], direction="nearest",
     ).collect()
     assert got[0]["val"] == "past"
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Pairs overlapping across MANY shared buckets are emitted exactly
+    once; results match a brute-force theta join; no nested-loop join in
+    the plan."""
+    from datetime import datetime
+
+    from egraphdb_spark.operators.asof import interval_overlap_join
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    left = spark.createDataFrame(
+        [  # id, start, end
+            (1, t(0), t(10)),      # long interval spanning many buckets
+            (2, t(5), t(5, 30)),   # inside bucket 5
+            (3, t(20), t(21)),     # overlaps nothing
+        ],
+        "lid long, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(4), t(12)),     # overlaps 1 (shares buckets 4..10) and 2
+            (11, t(5, 15), t(5, 20)),  # inside 1 and 2
+            (12, t(9, 59), t(10)), # touches 1's right edge (closed)
+            (13, t(22), t(23)),    # overlaps nothing
+        ],
+        "rid long, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, "ls", "le", right, "rs", "re", bucket_seconds=3600
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    lrows, rrows = left.collect(), right.collect()
+    want = sorted(
+        (l.lid, r.rid)
+        for l in lrows
+        for r in rrows
+        if l.ls <= r.re and r.rs <= l.le
+    )
+    assert got == want == [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -239,6 +239,8 @@ EVT_GATES = [
     "win_time_range",
     "evt_ab_test",
     "evt_ewma",
+    "evt_holt",
+    "join_interval_overlap",
     "evt_changepoint",
     "evt_ohlc",
     "evt_gapfill_locf",

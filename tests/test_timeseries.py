@@ -384,3 +384,55 @@ def test_ccnet_buckets_tercile_split_and_empty(spark, tmp_path):
     assert out[1] == "head" and out[4] == "empty"
     assert out[3] == "tail"
     assert set(out.values()) >= {"head", "tail", "empty"}
+
+
+def test_holt_constant_series_level_only(spark):
+    """A constant daily series keeps level = n·1000 and trend = 0, so the
+    forecast equals the level."""
+    from datetime import datetime
+
+    from egraphdb_spark.operators.timeseries import holt_daily
+
+    rows = [
+        (i * 10 + j, datetime(2024, 1, 1 + i, 3), "a")
+        for i in range(6)
+        for j in range(4)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = holt_daily(ev, "event_type", "ts").orderBy("day").collect()
+    assert all(r.level_milli == 4000 and r.trend_milli == 0 for r in out)
+    assert all(r.forecast_milli == 4000 for r in out)
+
+
+def test_holt_matches_python_recurrence(spark):
+    """Bit-exact vs the integer recurrence on a trending + noisy series."""
+    from datetime import datetime
+
+    from egraphdb_spark.operators.timeseries import holt_daily
+
+    counts = [3, 5, 8, 13, 11, 20, 25, 24, 40, 1]
+    rows = []
+    eid = 0
+    for i, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 2, 1 + i, 12), "x"))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = holt_daily(ev, "event_type", "ts", alpha_den=8, beta_den=4).orderBy(
+        "day"
+    ).collect()
+
+    def intdiv(a, d):  # truncation toward zero (Spark div)
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    l, b = counts[0] * 1000, 0
+    ref = [(l, b)]
+    for n in counts[1:]:
+        nl = (l + b) + intdiv(n * 1000 - (l + b), 8)
+        nb = b + intdiv((nl - l) - b, 4)
+        l, b = nl, nb
+        ref.append((l, b))
+    got = [(r.level_milli, r.trend_milli) for r in out]
+    assert got == ref
+    assert all(r.forecast_milli == r.level_milli + r.trend_milli for r in out)
