@@ -215,3 +215,52 @@ def corr_regr_stats(df: DataFrame, group_col: str) -> DataFrame:
             ).alias("icept_micro"),
         )
     )
+
+
+def hill_alpha(df: DataFrame, value_col: str, xmin: int) -> DataFrame:
+    """Hill estimator of the power-law tail exponent over an integer
+    magnitude column (per-user activity, degree, doc length):
+
+        α = 1 + n_tail / Σ_{x ≥ xmin} ln(x / xmin)
+
+    the standard MLE for a Pareto tail (Clauset, Shalizi & Newman 2009,
+    "Power-law distributions in empirical data").  Skew-profiling: α ≲ 2
+    means the heaviest keys dominate sums (salting territory); α > 3
+    means aggregates are effectively light-tailed.
+
+    Determinism: per-row tail contributions floor-quantize ln(x/xmin) to
+    integer micro-nats BEFORE the sum (order-free exact); the final α is
+    one composed IEEE division of two aggregate scalars written in
+    identical textual order in the SQL mirror, floor-quantized to micro
+    units.  Rows with x ≥ xmin and x == xmin contribute ln(1) = 0 to the
+    sum but count toward n_tail.  A tail whose every member equals xmin
+    (s = 0) yields NULL alpha via nullif on both engines.
+
+    Output (one row): n_rows, n_tail, tail_permille, s_micro,
+    alpha_micro.  Scale: one map-side-combined aggregate over the
+    magnitude column — no shuffle wider than the partial rows.
+    """
+    x = F.col(value_col)
+    tail = F.when(x >= xmin, 1).otherwise(0)
+    contrib = F.when(
+        x >= xmin,
+        F.expr(
+            f"cast(floor(ln({value_col} / cast({int(xmin)} as double))"
+            " * 1000000) as bigint)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    agg = df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(tail).cast("long").alias("n_tail"),
+        F.sum(contrib).cast("long").alias("s_micro"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_tail",
+        F.expr("n_tail * 1000 div nullif(n_rows, 0)").alias("tail_permille"),
+        "s_micro",
+        F.expr(
+            "cast(floor((cast(n_tail as double) * 1000000.0)"
+            " / (nullif(s_micro, 0) / 1000000.0)) as bigint) + 1000000"
+        ).alias("alpha_micro"),
+    )

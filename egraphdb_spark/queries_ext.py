@@ -2795,6 +2795,42 @@ FROM r ORDER BY event_type, day
 """
 
 
+def q_evt_hill_alpha(spark, sf_dir):
+    """Hill power-law tail exponent of per-(user, day) activity counts
+    (xmin = 4) — the skew-profiling scalar that decides salting strategy.
+    Integer micro-nat tail contributions, one composed IEEE division at
+    the end (identical textual order both engines)."""
+    from .operators.profiling import hill_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    return hill_alpha(c, "n", xmin=4)
+
+
+O_EVT_HILL = """
+WITH c AS (
+  SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN n >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+         CAST(sum(CASE WHEN n >= 4 THEN
+                CAST(floor(ln(n / CAST(4 AS DOUBLE)) * 1000000) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS s_micro
+  FROM c
+)
+SELECT n_rows, n_tail,
+       n_tail * 1000 // nullif(n_rows, 0) AS tail_permille, s_micro,
+       CAST(floor((CAST(n_tail AS DOUBLE) * 1000000.0)
+            / (nullif(s_micro, 0) / 1000000.0)) AS BIGINT) + 1000000
+         AS alpha_micro
+FROM agg
+"""
+
+
 def q_stream_ohlc(spark, sf_dir):
     """REAL streaming OHLC: readStream → watermark → tumbling hourly
     candles (min_by/max_by struct-key aggregates under watermark) →
@@ -4158,6 +4194,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "evt_holt": (q_evt_holt, O_EVT_HOLT),
+    "evt_hill_alpha": (q_evt_hill_alpha, O_EVT_HILL),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),
     "graph_harmonic": (q_graph_harmonic, O_GRAPH_HARMONIC),

@@ -240,6 +240,7 @@ EVT_GATES = [
     "evt_ab_test",
     "evt_ewma",
     "evt_holt",
+    "evt_hill_alpha",
     "join_interval_overlap",
     "evt_changepoint",
     "evt_ohlc",

@@ -243,3 +243,36 @@ def test_bloom_prefilter_actually_prunes(spark):
     # 50 true members + false positives; k=4/16-bit positions over 64Kbit
     # with 200 set bits keeps fp-rate tiny — require < 1% leakage
     assert 50 <= survivors < 100
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark):
+    """On an exact Pareto(α=2) sample the estimator lands near 2.0; the
+    integer plumbing matches a pure-Python reference bit-for-bit."""
+    import math
+
+    from egraphdb_spark.operators.profiling import hill_alpha
+
+    # deterministic Pareto via inverse CDF on a fixed uniform grid:
+    # survival exponent (tail index) 1 → pdf exponent α = 1 + 1/E[ln·] = 2,
+    # the parameterization the Hill estimator returns (CSN 2009 eq. 3.1)
+    xmin = 4
+    xs = [xmin / ((i + 0.5) / 400) for i in range(400)]
+    df = spark.createDataFrame([(x,) for x in xs], "n double")
+    row = hill_alpha(df, "n", xmin=xmin).collect()[0]
+
+    s = sum(math.floor(math.log(x / float(xmin)) * 1e6) for x in xs if x >= xmin)
+    n_tail = sum(1 for x in xs if x >= xmin)
+    assert row.n_rows == 400 and row.n_tail == n_tail and row.s_micro == s
+    assert row.tail_permille == n_tail * 1000 // 400
+    exp_alpha = math.floor((n_tail * 1e6) / (s / 1e6)) + 10**6
+    assert row.alpha_micro == exp_alpha
+    assert 1_800_000 < row.alpha_micro < 2_300_000  # recovers α ≈ 2
+
+
+def test_hill_alpha_degenerate_tail_is_null(spark):
+    from egraphdb_spark.operators.profiling import hill_alpha
+
+    df = spark.createDataFrame([(4,), (4,), (2,)], "n long")
+    row = hill_alpha(df, "n", xmin=4).collect()[0]
+    assert row.s_micro == 0 and row.alpha_micro is None
+    assert row.n_tail == 2 and row.tail_permille == 666
