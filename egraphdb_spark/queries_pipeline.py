@@ -544,6 +544,69 @@ ORDER BY cosine DESC, id LIMIT 5
 """
 
 
+def q_sim_recall_at_k(spark, sf_dir):
+    """Recall@k of the 1-probe IVF index against exact cosine top-k for
+    the standing query vector — the ANN quality check ("measure, don't
+    guess") as a first-class, driver-checkable operator instead of an
+    offline report (ANN_RECALL.md holds the measured curve; this gate
+    pins one point of it).  Composes the existing exact and IVF
+    operators; cost = one exact scan + one probe, |result| = 1 row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", QUERY_VEC, k=10)
+    anchors = similarity.prefix_anchors(emb, "vec_id", "embedding", _N_ANCHORS)
+    approx = similarity.ivf_topk(
+        emb, "vec_id", "embedding", anchors, QUERY_VEC, k=10, n_probe=1
+    )
+    return (
+        exact.select("id")
+        .join(approx.select("id"), "id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_hits",
+            F.expr("n_hits * 1000 div 10").alias("recall_permille"),
+        )
+    )
+
+
+O_SIM_RECALL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT {_QV_SQL} AS qv),
+exact AS (
+  SELECT vec_id AS id FROM v, q
+  ORDER BY {_cos_sql('vec', 'qv', 6)} DESC, vec_id LIMIT 10
+),
+anchors AS (
+  SELECT vec_id AS anchor_id, vec AS avec FROM v ORDER BY vec_id LIMIT {_N_ANCHORS}
+),
+probe AS (
+  SELECT anchor_id FROM anchors, q
+  ORDER BY {_cos_sql('avec', 'qv', 9)} DESC, anchor_id LIMIT 1
+),
+assigned AS (
+  SELECT id, vec, anchor_id FROM (
+    SELECT v.vec_id AS id, v.vec, a.anchor_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.vec', 'a.avec', 9)} DESC, a.anchor_id
+           ) AS rn
+    FROM v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+approx AS (
+  SELECT id FROM assigned SEMI JOIN probe USING (anchor_id), q
+  ORDER BY {_cos_sql('vec', 'qv', 6)} DESC, id LIMIT 10
+),
+hits AS (SELECT count(*) AS n_hits FROM exact SEMI JOIN approx USING (id))
+SELECT CAST(10 AS BIGINT) AS k, CAST(n_hits AS BIGINT) AS n_hits,
+       n_hits * 1000 // 10 AS recall_permille
+FROM hits
+"""
+
+
 # kNN-graph target cluster size — smaller than SemDeDup's: the graph only
 # needs k≈3 neighbors per point, so tight clusters (candidate work
 # n·n_probe·128) buy a ~2× cut over the dedup setting at the same recall
@@ -3029,6 +3092,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_pq_codes": (q_sim_pq_codes, O_SIM_PQ),
     "sim_pq_topk": (q_sim_pq_topk, O_SIM_PQ_TOPK),
     "sim_ivfpq_topk": (q_sim_ivfpq_topk, O_SIM_IVFPQ),
+    "sim_recall_at_k": (q_sim_recall_at_k, O_SIM_RECALL),
     "sim_lsh_topk": (q_sim_lsh_topk, O_LSH_TOPK),
     "sim_knn_graph": (q_sim_knn_graph, O_KNN_GRAPH),
     "txt_top_bigrams": (q_txt_top_bigrams, O_TXT_BIGRAMS),
