@@ -248,10 +248,13 @@ def harmonic_centrality(
 
     Scale: frontier/visited are bounded by |seeds|·|nodes| rows of two
     keys; each round is one join on the node key (co-partitioned with the
-    previous round's output) + one anti-join.  ``localCheckpoint`` keeps
-    the plan linear in rounds (the kcore/pagerank discipline).  Seeds
-    should be a bounded landmark set (dimension keys, or a hash sample);
-    the oracle mirrors with a set-semantics recursive CTE.
+    previous round's output) + one anti-join.  Only each round's *hop* is
+    ``localCheckpoint``-ed (the kcore/pagerank discipline); the visited
+    set stays a plain union of those checkpointed hops — re-checkpointing
+    the growing union would re-materialize O(rounds²) rows and compound
+    the union's partition count into every later stage.  Seeds should be
+    a bounded landmark set (dimension keys, or a hash sample); the oracle
+    mirrors with a set-semantics recursive CTE.
     """
     visited = seeds.select(
         F.col("seed"), F.col("seed").alias("key"), F.lit(0).alias("level")
@@ -268,7 +271,7 @@ def harmonic_centrality(
         )
         if hop.isEmpty():
             break
-        visited = visited.unionByName(hop).localCheckpoint(eager=False)
+        visited = visited.unionByName(hop)
         frontier = hop.select("seed", "key")
     return (
         visited.where(F.col("level") > 0)

@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_columns(
@@ -263,4 +263,122 @@ def hill_alpha(df: DataFrame, value_col: str, xmin: int) -> DataFrame:
             "cast(floor((cast(n_tail as double) * 1000000.0)"
             " / (nullif(s_micro, 0) / 1000000.0)) as bigint) + 1000000"
         ).alias("alpha_micro"),
+    )
+
+
+def benford_digits(df: DataFrame, cents_col: "F.Column") -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    anomaly screen for monetary / count columns (fabricated or truncated
+    data drifts from log10(1+1/d); Nigrini '12).
+
+    ``cents_col`` must be a positive BIGINT expression (quantize floats
+    to cents FIRST — the leading digit is then taken from the engine's
+    exact integer decimal rendering via ``substring(cast(x as string))``,
+    which is identical on every engine, unlike float formatting).
+
+    Output per digit 1..9: row count, observed permille ((n·1000) div
+    total), and Benford's expected micro-probability — computed in BOTH
+    engines as ``floor(1e6·ln(1+1/d)/ln(10))`` (ln is correctly rounded
+    in the cross-engine trust base; the two-double division is composed
+    identically).
+
+    Scale: one projection + one 9-group aggregate; map-side combine
+    leaves ≤9 rows per partition in the shuffle.
+    """
+    digits = df.select(
+        F.substring(cents_col.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    out = (
+        digits.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.sum("n").over(Window.partitionBy()).alias("total"),
+        )
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000 div total").alias("permille"),
+            F.expr(
+                "cast(floor(1000000 * ln(1.0 + 1.0 / digit) / ln(10.0))"
+                " as bigint)"
+            ).alias("benford_micro"),
+        )
+        .orderBy("digit")
+    )
+    return out
+
+
+def expectations_report(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Data-quality expectations suite over the fact table — the
+    Great-Expectations-style validation report a pipeline runs before
+    promoting a drop: range checks, ordering invariants, and referential
+    integrity, each as (rule, n_rows, n_violations, violation_permille).
+
+    Shape: the four row-local rules are ONE conditional aggregate over a
+    single scan (sums of when()-indicators, map-side combined), unpivoted
+    with ``stack`` — not four scans.  The FK rule is a LEFT ANTI join of
+    the fact keys against the dimension keys — the one rule that cannot
+    be row-local; at scale it shuffles only the two key columns (or rides
+    a broadcast when the dimension fits).
+    """
+    row_rules = lineitem.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(~F.col("l_quantity").between(1, 50), 1).otherwise(0)
+        ).cast("long").alias("v_qty"),
+        F.sum(
+            F.when(~(F.col("l_extendedprice") > 0), 1).otherwise(0)
+        ).cast("long").alias("v_price"),
+        F.sum(
+            F.when(~F.col("l_discount").between(0.0, 0.10), 1).otherwise(0)
+        ).cast("long").alias("v_disc"),
+        F.sum(
+            F.when(~F.col("l_tax").between(0.0, 0.08), 1).otherwise(0)
+        ).cast("long").alias("v_tax"),
+        F.sum(
+            F.when(
+                ~F.col("l_shipdate").between(
+                    "1992-01-01", "1998-12-31 23:59:59"
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("v_ship"),
+    )
+    fk = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count("*").cast("long").alias("v_fk"))
+    )
+    wide = row_rules.crossJoin(fk)  # two 1-row frames
+    return (
+        wide.select(
+            F.expr(
+                "stack(6,"
+                " 'fk_orderkey_exists', v_fk,"
+                " 'l_discount_in_0_0.10', v_disc,"
+                " 'l_extendedprice_positive', v_price,"
+                " 'l_quantity_in_1_50', v_qty,"
+                " 'l_shipdate_in_1992_1998', v_ship,"
+                " 'l_tax_in_0_0.08', v_tax"
+                ") as (rule, n_violations)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.expr("n_violations * 1000 div n_rows").alias(
+                "violation_permille"
+            ),
+        )
+        .orderBy("rule")
     )

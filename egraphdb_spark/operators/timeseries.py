@@ -245,3 +245,161 @@ def holt_daily(
             "forecast_milli"
         ),
     )
+
+
+def seasonal_dow(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Day-of-week seasonal index per key — the decomposition step the
+    smoothing operators (`ewma_daily`, `holt_daily`) deliberately skip:
+    how much of a series' variation is weekly periodicity.
+
+    For each (key, dow): the mean daily event count on that weekday
+    relative to the key's overall daily mean, as an exact integer
+    permille: ``index_permille = (s_dow·c_all·1000) div (c_dow·s_all)``
+    — ONE integer division composed from order-exact integer sums, so
+    both engines agree bit-for-bit (the naive mean-of-means divides
+    twice in floats).
+
+    ``dow`` is engine-portable arithmetic, not a locale builtin:
+    ``datediff(day, 1970-01-01) % 7`` (0 = Thursday) — Spark's
+    ``dayofweek`` is 1=Sunday while DuckDB's is 0=Sunday, a classic
+    cross-engine trap.
+
+    Scale: daily rollup (one shuffle on (key, day)), then a ~7-rows-per-
+    key aggregate; the per-key totals window runs over ≤7 rows per
+    partition.  Output is |keys|·7 rows regardless of input volume.
+    BIGINT bound: s_dow·c_all·1000 ≤ total_events·days·1000 — at 10¹²
+    events over 10⁴ days this needs s_dow ≤ 9·10⁵ per key·dow short of
+    overflow; callers at that scale pre-divide the day count.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        events.select(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .groupBy(key_col, "day")
+        .agg(F.count("*").alias("n"))
+    )
+    bydow = (
+        daily.select(
+            key_col,
+            (
+                F.datediff(F.to_date("day"), F.lit("1970-01-01").cast("date"))
+                % 7
+            ).cast("long").alias("dow"),
+            "n",
+        )
+        .groupBy(key_col, "dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy(key_col)
+    return (
+        bydow.select(
+            key_col,
+            "dow",
+            "n_days",
+            "n_events",
+            F.sum("n_days").over(w).alias("c_all"),
+            F.sum("n_events").over(w).alias("s_all"),
+        )
+        .select(
+            key_col,
+            "dow",
+            "n_days",
+            "n_events",
+            F.expr(
+                "(n_events * c_all * 1000) div nullif(n_days * s_all, 0)"
+            ).alias("index_permille"),
+        )
+        .orderBy(key_col, "dow")
+    )
+
+
+def lag_corr_daily(
+    events: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_x: str,
+    type_y: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation of two daily event-count series — "does
+    X lead Y?" (clicks → purchases).  For each lag l in [-max_lag,
+    max_lag]: Pearson r between x(day) and y(day + l) over the days both
+    exist.
+
+    Determinism: the five correlation components (Σx, Σy, Σxy, Σx², Σy²)
+    are exact integer sums; r is then composed from them with ONE double
+    expression written identically in both engines (the
+    `agg_corr_regr` discipline — sqrt is correctly rounded per IEEE 754,
+    so identical inputs give identical doubles).  Zero variance ⇒ NULL.
+
+    Scale: the daily series are |days| rows per type; the lag expansion
+    is a 2·max_lag+1 explode of the x side followed by ONE equi-join on
+    the shifted day — no range join, no cross join.  Output is
+    2·max_lag+1 rows.
+    """
+    daily = (
+        events.where(F.col(type_col).isin([type_x, type_y]))
+        .select(
+            F.col(type_col).alias("t"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+        )
+        .groupBy("t", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    x = daily.where(F.col("t") == type_x).select(
+        "day", F.col("n").alias("x")
+    )
+    y = daily.where(F.col("t") == type_y).select(
+        F.col("day").alias("yday"), F.col("n").alias("y")
+    )
+    lagged = (
+        x.select(
+            "day",
+            "x",
+            F.explode(
+                F.sequence(F.lit(-max_lag), F.lit(max_lag))
+            ).alias("lag"),
+        )
+        .select(
+            "lag",
+            "x",
+            F.expr("date_add(day, lag)").alias("yday"),
+        )
+        .join(y, "yday")
+    )
+    return (
+        lagged.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_days",
+            "sx",
+            "sy",
+            "sxy",
+            "sxx",
+            "syy",
+            F.expr(
+                "(cast(n_days * sxy - sx * sy as double))"
+                " / nullif(sqrt(cast(n_days * sxx - sx * sx as double))"
+                " * sqrt(cast(n_days * syy - sy * sy as double)), 0.0d)"
+            ).alias("corr"),
+        )
+        .orderBy("lag")
+    )

@@ -1119,11 +1119,17 @@ def q_graph_harmonic(spark, sf_dir):
 
     g = _fixture(spark, sf_dir)
     e = g.edges.select("src_key", "dst_key")
-    und = e.unionByName(
-        e.select(
-            F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+    und = (
+        e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
         )
-    ).distinct()
+        .distinct()
+        # materialized once — the BFS joins this table every round, and a
+        # lazy union+distinct would re-shuffle 2|E| rows per round
+        .localCheckpoint(eager=True)
+    )
     seeds = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
     )
@@ -4109,6 +4115,150 @@ WINDOW w AS (PARTITION BY o_orderpriority
 """
 
 
+
+
+def q_evt_seasonal_dow(spark, sf_dir):
+    """Day-of-week seasonal index per event type: mean daily volume on
+    each weekday relative to the type's overall daily mean, as one exact
+    integer division over order-exact sums.  dow = epoch-days % 7
+    (0 = Thursday) — portable arithmetic, never the engines' conflicting
+    dayofweek builtins."""
+    from .operators.timeseries import seasonal_dow
+
+    return seasonal_dow(_t(spark, sf_dir, "events"), "event_type", "ts")
+
+
+O_EVT_SEASONAL_DOW = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bydow AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) % 7
+              AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS n_events
+  FROM daily GROUP BY 1, 2
+)
+SELECT event_type, dow, n_days, n_events,
+       CAST((n_events * sum(n_days) OVER (PARTITION BY event_type) * 1000)
+            // nullif(n_days * sum(n_events) OVER (PARTITION BY event_type), 0)
+            AS BIGINT) AS index_permille
+FROM bydow ORDER BY event_type, dow
+"""
+
+
+def q_evt_lag_corr(spark, sf_dir):
+    """Lagged cross-correlation of the click and purchase daily series
+    (lags -3..3): Pearson r composed once in doubles from exact integer
+    component sums — does one series lead the other?"""
+    from .operators.timeseries import lag_corr_daily
+
+    return lag_corr_daily(
+        _t(spark, sf_dir, "events"), "ts", "event_type",
+        "click", "purchase", max_lag=3,
+    )
+
+
+O_EVT_LAG_CORR = """
+WITH daily AS (
+  SELECT event_type AS t, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+),
+x AS (SELECT day, n AS x FROM daily WHERE t = 'click'),
+y AS (SELECT day AS yday, n AS y FROM daily WHERE t = 'purchase'),
+lagged AS (
+  SELECT l.lag, x.x, y.y
+  FROM x CROSS JOIN (SELECT unnest(range(-3, 4)) AS lag) l
+  JOIN y ON y.yday = x.day + CAST(l.lag AS INT)
+),
+c AS (
+  SELECT CAST(lag AS BIGINT) AS lag,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM lagged GROUP BY 1
+)
+SELECT lag, n_days, sx, sy, sxy, sxx, syy,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0)
+         AS corr
+FROM c ORDER BY lag
+"""
+
+
+def q_profile_benford(spark, sf_dir):
+    """Benford first-digit profile of order totals (integer cents):
+    observed permille per digit vs floor(1e6*ln(1+1/d)/ln 10)."""
+    from .operators.profiling import benford_digits
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_digits(
+        o, F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+
+
+O_PROFILE_BENFORD = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT digit, n,
+       CAST(n * 1000 // sum(n) OVER () AS BIGINT) AS permille,
+       CAST(floor(1000000 * ln(1.0 + 1.0 / digit) / ln(10.0)) AS BIGINT)
+         AS benford_micro
+FROM g ORDER BY digit
+"""
+
+
+def q_profile_expectations(spark, sf_dir):
+    """Data-quality expectations report over lineitem: four row-local
+    range/ordering rules in ONE conditional aggregate + the referential-
+    integrity anti-join, as (rule, n_rows, n_violations, permille)."""
+    from .operators.profiling import expectations_report
+
+    return expectations_report(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+O_PROFILE_EXPECTATIONS = """
+WITH r AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.10) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(sum(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.08) THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+         CAST(sum(CASE WHEN NOT (l_shipdate BETWEEN TIMESTAMP '1992-01-01'
+                                 AND TIMESTAMP '1998-12-31 23:59:59')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+  FROM lineitem
+),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_fk FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+),
+u AS (
+  SELECT 'fk_orderkey_exists' AS rule, n_rows, v_fk AS n_violations FROM r, fk
+  UNION ALL SELECT 'l_discount_in_0_0.10', n_rows, v_disc FROM r
+  UNION ALL SELECT 'l_extendedprice_positive', n_rows, v_price FROM r
+  UNION ALL SELECT 'l_quantity_in_1_50', n_rows, v_qty FROM r
+  UNION ALL SELECT 'l_shipdate_in_1992_1998', n_rows, v_ship FROM r
+  UNION ALL SELECT 'l_tax_in_0_0.08', n_rows, v_tax FROM r
+)
+SELECT rule, n_rows, n_violations,
+       CAST(n_violations * 1000 // n_rows AS BIGINT) AS violation_permille
+FROM u ORDER BY rule
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -4211,4 +4361,8 @@ EXT_REGISTRY: dict[str, tuple] = {
     "s15_logtable_compact": (q_s15_logtable_compact, O_S15_LOGTABLE_COMPACT),
     "s18_delete_nodes": (q_s18_delete_nodes, O_S18_DELETE),
     "reindex_status": (q_reindex_status, O_REINDEX_STATUS),
+    "evt_seasonal_dow": (q_evt_seasonal_dow, O_EVT_SEASONAL_DOW),
+    "evt_lag_corr": (q_evt_lag_corr, O_EVT_LAG_CORR),
+    "profile_benford": (q_profile_benford, O_PROFILE_BENFORD),
+    "profile_expectations": (q_profile_expectations, O_PROFILE_EXPECTATIONS),
 }

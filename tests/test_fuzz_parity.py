@@ -237,6 +237,8 @@ def test_embedding_gates_parity_on_hostile_vectors(spark, kinds):
 
 EVT_GATES = [
     "win_time_range",
+    "evt_seasonal_dow",
+    "evt_lag_corr",
     "evt_ab_test",
     "evt_ewma",
     "evt_holt",

@@ -276,3 +276,76 @@ def test_hill_alpha_degenerate_tail_is_null(spark):
     row = hill_alpha(df, "n", xmin=4).collect()[0]
     assert row.s_micro == 0 and row.alpha_micro is None
     assert row.n_tail == 2 and row.tail_permille == 666
+
+
+def test_benford_uniform_digits(spark):
+    """A digit-balanced input yields equal counts and the exact Benford
+    micro-probabilities (spot-checked against log10(1+1/d))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.profiling import benford_digits
+
+    rows = [(d * 1000 + i,) for d in range(1, 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "cents long")
+    out = benford_digits(df, F.col("cents")).collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    assert all(r.n == 5 for r in out)
+    assert all(r.permille == 5000 // 45 for r in out)
+    for r in out:
+        assert r.benford_micro == math.floor(
+            1_000_000 * math.log(1 + 1 / r.digit) / math.log(10)
+        )
+    assert out[0].benford_micro == 301029  # log10(2)
+
+
+def test_benford_leading_digit_extraction(spark):
+    """Leading digit comes from the exact integer rendering — 999 vs
+    1000 vs 100000 land on 9, 1, 1."""
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.profiling import benford_digits
+
+    df = spark.createDataFrame(
+        [(999,), (1000,), (100000,), (7,)], "cents long"
+    )
+    out = {r.digit: r.n for r in benford_digits(df, F.col("cents")).collect()}
+    assert out == {9: 1, 1: 2, 7: 1}
+
+
+def test_expectations_report_counts_planted_violations(spark):
+    """One planted violation per rule, plus an orphan order key."""
+    from datetime import datetime
+
+    from egraphdb_spark.operators.profiling import expectations_report
+
+    ok = dict(
+        l_orderkey=1, l_quantity=10.0, l_extendedprice=100.0,
+        l_discount=0.05, l_tax=0.04,
+        l_shipdate=datetime(1995, 6, 1),
+    )
+    bad = [
+        dict(ok, l_quantity=99.0),
+        dict(ok, l_extendedprice=0.0),
+        dict(ok, l_discount=0.5),
+        dict(ok, l_tax=0.2),
+        dict(ok, l_shipdate=datetime(2005, 1, 1)),
+        dict(ok, l_orderkey=777),  # orphan
+    ]
+    rows = [ok] * 4 + bad
+    li = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "l_orderkey long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame([(1,)], "o_orderkey long")
+    out = {r.rule: r for r in expectations_report(li, orders).collect()}
+    assert set(out) == {
+        "fk_orderkey_exists", "l_discount_in_0_0.10",
+        "l_extendedprice_positive", "l_quantity_in_1_50",
+        "l_shipdate_in_1992_1998", "l_tax_in_0_0.08",
+    }
+    assert all(r.n_rows == 10 for r in out.values())
+    assert all(r.n_violations == 1 for r in out.values())
+    assert all(r.violation_permille == 100 for r in out.values())

@@ -436,3 +436,111 @@ def test_holt_matches_python_recurrence(spark):
     got = [(r.level_milli, r.trend_milli) for r in out]
     assert got == ref
     assert all(r.forecast_milli == r.level_milli + r.trend_milli for r in out)
+
+
+def test_seasonal_dow_flat_series_is_1000(spark):
+    """A constant daily series has index 1000 on every weekday."""
+    from datetime import datetime
+
+    from egraphdb_spark.operators.timeseries import seasonal_dow
+
+    rows = [
+        (i * 10 + j, datetime(2024, 3, 1 + i, 9), "x")
+        for i in range(14)
+        for j in range(3)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = seasonal_dow(ev, "event_type", "ts").collect()
+    assert len(out) == 7
+    assert all(r.index_permille == 1000 for r in out)
+    assert all(r.n_days == 2 and r.n_events == 6 for r in out)
+
+
+def test_seasonal_dow_weekend_spike(spark):
+    """Doubling one weekday's volume doubles its index relative to a
+    flat baseline, with the exact integer-division value."""
+    from datetime import date, datetime
+
+    from egraphdb_spark.operators.timeseries import seasonal_dow
+
+    rows = []
+    eid = 0
+    for i in range(14):
+        d = date(2024, 3, 1 + i)
+        dow = (d - date(1970, 1, 1)).days % 7
+        n = 8 if dow == 2 else 4
+        for _ in range(n):
+            rows.append((eid, datetime(d.year, d.month, d.day, 12), "x"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {r.dow: r for r in seasonal_dow(ev, "event_type", "ts").collect()}
+    total_days, total_events = 14, 6 * 2 * 4 + 2 * 8
+    for dow, r in out.items():
+        per_day = 8 if dow == 2 else 4
+        expect = (per_day * r.n_days * total_days * 1000) // (
+            r.n_days * total_events
+        )
+        assert r.index_permille == expect, (dow, r)
+    assert out[2].index_permille > 1500 > out[0].index_permille
+
+
+def test_lag_corr_detects_shifted_series(spark):
+    """y(d+1) = x(d) exactly ⇒ r = 1.0 at lag +1 and |r| < 1 elsewhere."""
+    from datetime import datetime, timedelta
+
+    from egraphdb_spark.operators.timeseries import lag_corr_daily
+
+    base = datetime(2024, 5, 1, 10)
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = []
+    eid = 0
+    for i, n in enumerate(xs):
+        for _ in range(n):
+            rows.append((eid, base + timedelta(days=i), "click"))
+            eid += 1
+        for _ in range(n):
+            rows.append((eid, base + timedelta(days=i + 1), "purchase"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.lag: r
+        for r in lag_corr_daily(
+            ev, "ts", "event_type", "click", "purchase", max_lag=2
+        ).collect()
+    }
+    assert out[1].corr == 1.0
+    assert out[1].n_days == len(xs)
+    for lag in (-2, -1, 0, 2):
+        assert out[lag].corr is None or abs(out[lag].corr) < 1.0
+
+
+def test_lag_corr_constant_series_null(spark):
+    """Zero variance on either side ⇒ NULL correlation, not a crash
+    (ANSI division guard)."""
+    from datetime import datetime, timedelta
+
+    from egraphdb_spark.operators.timeseries import lag_corr_daily
+
+    base = datetime(2024, 5, 1, 10)
+    rows = []
+    eid = 0
+    for i in range(6):
+        for _ in range(4):  # constant x
+            rows.append((eid, base + timedelta(days=i), "click"))
+            eid += 1
+        for _ in range(i + 1):  # varying y
+            rows.append((eid, base + timedelta(days=i), "purchase"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    out = lag_corr_daily(
+        ev, "ts", "event_type", "click", "purchase", max_lag=1
+    ).collect()
+    assert any(r.lag == 0 and r.corr is None for r in out)
