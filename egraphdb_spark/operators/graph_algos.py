@@ -924,3 +924,61 @@ def bipartite_projection(
         .groupBy("a", "b")
         .agg(F.count("*").alias("w"))
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = 3, scale: int = 10**12
+) -> DataFrame:
+    """(key, ppr) — personalized PageRank: the random walk restarts to
+    the SEED set instead of uniformly (topic-sensitive PageRank,
+    Haveliwala '02; the standard graph-proximity score for
+    recommendation / related-entity queries).
+
+    Same fixed-point integer discipline as ``pagerank_scaled``: all
+    arithmetic scaled by 10^12 with 85/100 integer damping, dangling
+    mass dropped, so both engines reproduce identical values.  The
+    restart mass (15 %) goes to seeds only; nodes never reached keep
+    exactly 0 and are never materialized — the frames carry ONLY nodes
+    with nonzero mass (inner propagation, the HITS discipline), which at
+    100 TB keeps iteration state proportional to the reachable
+    neighborhood of the seed set, not the graph.
+
+    seeds: one ``key`` column; a bounded personalization set (its count
+    is the only driver-side action).
+    """
+    e = edges.select("src_key", "dst_key").localCheckpoint(eager=True)
+    ed = e.join(
+        e.groupBy("src_key").agg(F.count("*").alias("d")), "src_key"
+    ).localCheckpoint(eager=True)
+    s = seeds.select("key").distinct().localCheckpoint(eager=True)
+    ns = s.count()
+    base = (15 * scale) // (100 * ns)
+    pr = s.select("key", F.lit(scale // ns).cast("long").alias("pr"))
+    for _ in range(iters):
+        gathered = (
+            ed.join(pr, ed.src_key == pr.key)
+            .select(
+                F.col("dst_key").alias("key"),
+                _intdiv(F.col("pr"), F.col("d")).alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").alias("g"))
+        )
+        pr = (
+            s.select("key", F.lit(base).cast("long").alias("b"))
+            .join(gathered, "key", "full_outer")
+            .select(
+                "key",
+                (
+                    F.coalesce(F.col("b"), F.lit(0))
+                    + _intdiv(
+                        F.lit(85) * F.coalesce(F.col("g"), F.lit(0)), 100
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+            .where(F.col("pr") > 0)
+            .localCheckpoint(eager=True)
+        )
+    return pr.select("key", F.col("pr").alias("ppr"))

@@ -382,3 +382,113 @@ def expectations_report(
         )
         .orderBy("rule")
     )
+
+
+def quantile_norm_map(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_q: int = 10,
+) -> DataFrame:
+    """Per-group → global quantile-normalization lookup table: for each
+    group and quantile index d (1..n_q), the group's type-1 discrete
+    d/n_q boundary and the global boundary it maps to.  Applying the map
+    (an as-of join on a doc's within-group rank) rank-normalizes a score
+    column across heterogeneous sources — the cross-source calibration
+    step before mixing corpora scored by different pipelines.
+
+    Quantiles are TYPE-1 DISCRETE in pure integer arithmetic
+    (boundary_d = min v with 10·cum_count(x ≤ v) ≥ d·n) — the COVERAGE.md
+    percentile addendum: interpolated percentiles of integer columns
+    diverge between engines at non-dyadic fractions, discrete ranks
+    cannot.
+
+    Scale: cumulative counts run over DISTINCT values — per-group windows
+    are partition-parallel; the GLOBAL cumulative uses the two-level
+    prefix (pack_offsets discipline: unbounded window only over
+    value-range bucket summaries, intra-bucket windows partitioned), so
+    no single-partition pass over more than the bucket-summary row set.
+    Boundary extraction explodes each distinct-value row into the ≤n_q
+    quantile indices it bounds — output is |groups|·n_q rows.
+    """
+    from pyspark.sql import Window as W
+
+    v, g = F.col(value_col), F.col(group_col)
+    # ---- per-group cumulative over distinct values (partition-parallel)
+    gh = df.select(g.alias("grp"), v.alias("v")).groupBy("grp", "v").agg(
+        F.count("*").alias("c")
+    )
+    wg = (
+        W.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    gcum = gh.select(
+        "grp", "v", F.sum("c").over(wg).alias("cum"), F.col("c"),
+        F.sum("c").over(W.partitionBy("grp")).alias("n"),
+    ).select("grp", "v", "cum", (F.col("cum") - F.col("c")).alias("prev"), "n")
+    src = (
+        gcum.select(
+            "grp",
+            "v",
+            F.explode(F.sequence(F.lit(1), F.lit(n_q))).alias("decile"),
+            "cum",
+            "prev",
+            "n",
+        )
+        .where(
+            (F.lit(n_q) * F.col("prev") < F.col("decile") * F.col("n"))
+            & (F.col("decile") * F.col("n") <= F.lit(n_q) * F.col("cum"))
+        )
+        .select("grp", "decile", F.col("v").alias("src_hi"), "n")
+    )
+    # ---- global cumulative: two-level prefix over value buckets
+    dv = df.select(v.alias("v")).groupBy("v").agg(F.count("*").alias("c"))
+    dvb = dv.withColumn("b", F.expr("v div 1024"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    bt = (
+        dvb.groupBy("b")
+        .agg(F.sum("c").alias("bc"))
+        .select("b", F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("pre"))
+    )
+    wi = (
+        W.partitionBy("b")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    gl = (
+        dvb.join(bt, "b")
+        .select(
+            "v",
+            "c",
+            (F.col("pre") + F.sum("c").over(wi)).alias("cum"),
+        )
+        .select("v", "cum", (F.col("cum") - F.col("c")).alias("prev"))
+    )
+    tot = dv.agg(F.sum("c").cast("long").alias("nt"))
+    glob = (
+        gl.crossJoin(F.broadcast(tot))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_q))).alias("decile"),
+            "v",
+            "cum",
+            "prev",
+            "nt",
+        )
+        .where(
+            (F.lit(n_q) * F.col("prev") < F.col("decile") * F.col("nt"))
+            & (F.col("decile") * F.col("nt") <= F.lit(n_q) * F.col("cum"))
+        )
+        .select("decile", F.col("v").alias("glob_hi"))
+    )
+    return (
+        src.join(F.broadcast(glob), "decile")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("src_hi").cast("long").alias("src_hi"),
+            F.col("glob_hi").cast("long").alias("glob_hi"),
+        )
+        .orderBy(group_col, "decile")
+    )

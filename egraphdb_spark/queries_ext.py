@@ -4259,6 +4259,121 @@ FROM u ORDER BY rule
 """
 
 
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (3 iterations) from a 3-customer seed set
+    over the full directed fixture graph — graph-proximity scoring for
+    related-entity queries; restart mass to the seeds only, inner
+    propagation keeps state proportional to the reached neighborhood."""
+    from .operators.graph_algos import personalized_pagerank
+
+    g = _fixture(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        [("customer:1",), ("customer:7",), ("customer:13",)], "key string"
+    )
+    return personalized_pagerank(
+        g.edges.select("src_key", "dst_key"), seeds, iters=3
+    ).orderBy("key")
+
+
+def _ppr_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-point personalized PageRank over the full fixture
+    edge set; computed over all nodes with a seed indicator, final
+    projection keeps nonzero mass (≡ the engine's inner propagation —
+    zero-mass nodes contribute nothing to any sum)."""
+    base = f"(15 * {scale}) // (100 * 3)"
+    cte = [
+        "e AS (SELECT 'customer:' || c_custkey AS src_key,"
+        " 'nation:' || c_nationkey AS dst_key FROM customer"
+        " UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier"
+        " UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation"
+        " UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey"
+        "   FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+        " UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem)",
+        "nodes AS (SELECT src_key AS key FROM e UNION SELECT dst_key FROM e)",
+        "deg AS (SELECT src_key, count(*) AS d FROM e GROUP BY src_key)",
+        "seeds AS (SELECT 'customer:' || k AS key FROM (VALUES (1), (7), (13)) v(k))",
+        f"pr0 AS (SELECT key, {scale} // 3 AS pr FROM seeds)",
+    ]
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        cte.append(
+            f"g{i} AS (SELECT e.dst_key AS key, sum({prev}.pr // deg.d) AS s"
+            f" FROM e JOIN {prev} ON e.src_key = {prev}.key"
+            f" JOIN deg ON deg.src_key = e.src_key GROUP BY e.dst_key)"
+        )
+        cte.append(
+            f"pr{i} AS (SELECT nodes.key,"
+            f" CASE WHEN seeds.key IS NOT NULL THEN {base} ELSE 0 END"
+            f" + (85 * COALESCE(g{i}.s, 0)) // 100 AS pr"
+            f" FROM nodes LEFT JOIN seeds ON seeds.key = nodes.key"
+            f" LEFT JOIN g{i} ON g{i}.key = nodes.key)"
+        )
+        prev = f"pr{i}"
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT key, CAST(pr AS BIGINT) AS ppr FROM {prev}"
+        + " WHERE pr > 0 ORDER BY key"
+    )
+
+
+O_GRAPH_PPR = _ppr_oracle()
+
+
+
+
+def q_clean_quantile_norm(spark, sf_dir):
+    """Per-source → global decile normalization map over document
+    lengths: type-1 discrete boundaries in pure integer arithmetic
+    (the cross-source score-calibration table; interpolated percentiles
+    of integer columns are banned by the COVERAGE.md addendum)."""
+    from .operators.profiling import quantile_norm_map
+
+    return quantile_norm_map(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", n_q=10
+    )
+
+
+O_CLEAN_QUANTILE_NORM = """
+WITH gh AS (
+  SELECT source AS grp, n_chars AS v, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+gcum AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n
+  FROM gh
+),
+src AS (
+  SELECT grp, d.decile, v AS src_hi, n
+  FROM gcum CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+  WHERE 10 * (cum - c) < d.decile * n AND d.decile * n <= 10 * cum
+),
+dv AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+gl AS (
+  SELECT v, c, sum(c) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dv
+),
+tot AS (SELECT sum(c) AS nt FROM dv),
+gq AS (
+  SELECT d.decile, v AS glob_hi
+  FROM gl CROSS JOIN tot
+       CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+  WHERE 10 * (cum - c) < d.decile * nt AND d.decile * nt <= 10 * cum
+)
+SELECT src.grp AS source, CAST(src.decile AS BIGINT) AS decile,
+       CAST(src.n AS BIGINT) AS n_rows,
+       CAST(src.src_hi AS BIGINT) AS src_hi,
+       CAST(gq.glob_hi AS BIGINT) AS glob_hi
+FROM src JOIN gq ON gq.decile = src.decile
+ORDER BY source, decile
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -4365,4 +4480,6 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_lag_corr": (q_evt_lag_corr, O_EVT_LAG_CORR),
     "profile_benford": (q_profile_benford, O_PROFILE_BENFORD),
     "profile_expectations": (q_profile_expectations, O_PROFILE_EXPECTATIONS),
+    "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
+    "clean_quantile_norm": (q_clean_quantile_norm, O_CLEAN_QUANTILE_NORM),
 }

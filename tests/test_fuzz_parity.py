@@ -41,6 +41,7 @@ _DOC = st.one_of(_TEXT, _CANNED)
 # gates whose inputs are only the documents table and whose semantics are
 # the text/dedup/packing families under test
 FUZZ_GATES = [
+    "clean_quantile_norm",
     "pipe_quality_ablation",
     "pipe_ccnet_buckets",
     "pipe_dataset_card",

@@ -206,3 +206,59 @@ def test_bipartite_projection_weights_and_hub_guard(spark):
     )
     assert bipartite_projection(hub, max_fanout=4).count() == 0
     assert bipartite_projection(hub, max_fanout=16).count() == 45
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Triangle a->b->c->a, seed {a}, 2 iterations, scale 1e12 —
+    every value checked against the integer recurrence by hand."""
+    from egraphdb_spark.operators.graph_algos import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src_key string, dst_key string"
+    )
+    seeds = spark.createDataFrame([("a",)], "key string")
+    out = {
+        r.key: r.ppr
+        for r in personalized_pagerank(e, seeds, iters=2).collect()
+    }
+    base = (15 * 10**12) // 100
+    assert out == {
+        "a": base,
+        "b": (85 * base) // 100,
+        "c": (85 * ((85 * 10**12) // 100)) // 100,
+    }
+
+
+def test_personalized_pagerank_unreached_nodes_absent(spark):
+    """Nodes not reachable from the seed set carry exactly zero mass and
+    are never materialized (inner propagation)."""
+    from egraphdb_spark.operators.graph_algos import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y"), ("y", "x")],
+        "src_key string, dst_key string",
+    )
+    seeds = spark.createDataFrame([("a",)], "key string")
+    keys = {
+        r.key for r in personalized_pagerank(e, seeds, iters=3).collect()
+    }
+    assert keys == {"a", "b"}
+
+
+def test_personalized_pagerank_uniform_seed_split(spark):
+    """Symmetric seeds on a symmetric graph get identical scores."""
+    from egraphdb_spark.operators.graph_algos import personalized_pagerank
+
+    e = spark.createDataFrame(
+        [("a", "m"), ("b", "m"), ("m", "a"), ("m", "b")],
+        "src_key string, dst_key string",
+    )
+    seeds = spark.createDataFrame([("a",), ("b",)], "key string")
+    out = {
+        r.key: r.ppr
+        for r in personalized_pagerank(e, seeds, iters=4).collect()
+    }
+    assert out["a"] == out["b"]
+    # seeds keep the restart mass every round, so they out-score the
+    # non-seed hub; the hub still accumulates strictly positive mass
+    assert 0 < out["m"] < out["a"]

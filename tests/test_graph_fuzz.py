@@ -629,3 +629,45 @@ def test_harmonic_centrality_matches_reference(spark):
             for r in harmonic_centrality(und, sdf, max_depth=4).collect()
         }
         assert got == _harmonic_ref(pairs, seeds, 4), name
+
+
+def ppr_ref(pairs, seed_keys, iters=3, scale=10**12):
+    """Pure-Python personalized PageRank with the identical integer
+    recurrence: restart mass to seeds only, dangling mass dropped,
+    duplicate edge rows counted."""
+    nodes = sorted({k for p in pairs for k in p})
+    outdeg: dict[str, int] = {}
+    for s, _ in pairs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ns = len(seed_keys)
+    base = (15 * scale) // (100 * ns)
+    pr = {k: scale // ns for k in seed_keys}
+    for _ in range(iters):
+        g: dict[str, int] = {}
+        for a, b in pairs:
+            if a in pr:
+                g[b] = g.get(b, 0) + pr[a] // outdeg[a]
+        pr = {}
+        for k in set(seed_keys) | set(g) | set(nodes):
+            v = (base if k in seed_keys else 0) + (85 * g.get(k, 0)) // 100
+            if v > 0:
+                pr[k] = v
+    return pr
+
+
+def test_personalized_pagerank_matches_integer_reference(spark):
+    from egraphdb_spark.operators.graph_algos import personalized_pagerank
+
+    for name, pairs in GRAPHS.items():
+        keys = sorted({k for p in pairs for k in p})
+        seed_keys = keys[: max(1, len(keys) // 3)]
+        seeds = spark.createDataFrame(
+            [(k,) for k in seed_keys], "key string"
+        )
+        got = {
+            r["key"]: r["ppr"]
+            for r in personalized_pagerank(
+                _edges(spark, pairs), seeds, iters=3
+            ).collect()
+        }
+        assert got == ppr_ref(pairs, seed_keys), name

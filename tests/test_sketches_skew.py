@@ -349,3 +349,25 @@ def test_expectations_report_counts_planted_violations(spark):
     assert all(r.n_rows == 10 for r in out.values())
     assert all(r.n_violations == 1 for r in out.values())
     assert all(r.violation_permille == 100 for r in out.values())
+
+
+def test_quantile_norm_map_hand_computed(spark):
+    """Group A = 1..10 (uniform), group B = ten 5s (degenerate): A's
+    decile d boundary is d, B's is always 5, and the global type-1
+    boundaries follow the combined cumulative by hand."""
+    from egraphdb_spark.operators.profiling import quantile_norm_map
+
+    rows = [("A", v) for v in range(1, 11)] + [("B", 5)] * 10
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = quantile_norm_map(df, "source", "n_chars", n_q=10).collect()
+    a = {r.decile: r for r in out if r.source == "A"}
+    b = {r.decile: r for r in out if r.source == "B"}
+    assert {d: r.src_hi for d, r in a.items()} == {
+        d: d for d in range(1, 11)
+    }
+    assert all(r.src_hi == 5 for r in b.values())
+    glob = {d: a[d].glob_hi for d in a}
+    assert glob == {
+        1: 2, 2: 4, 3: 5, 4: 5, 5: 5, 6: 5, 7: 5, 8: 6, 9: 8, 10: 10
+    }
+    assert all(r.n_rows == 10 for r in out)
