@@ -143,6 +143,20 @@ BENCH_QUERIES = [
     "win_time_range",
     "io_partition_prune",
     "agg_listagg",
+    "evt_funnel_steps",
+    "evt_cohort_ltv",
+    "evt_holt",
+    "evt_hill_alpha",
+    "evt_seasonal_dow",
+    "evt_lag_corr",
+    "graph_harmonic",
+    "graph_ppr",
+    "join_interval_overlap",
+    "txt_pmi_collocations",
+    "profile_benford",
+    "profile_expectations",
+    "clean_quantile_norm",
+    "sim_recall_at_k",
 ]
 
 

@@ -982,3 +982,118 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     return pr.select("key", F.col("pr").alias("ppr"))
+
+
+def strongly_connected_components(
+    edges: DataFrame, max_outer: int = 4, max_inner: int = 20
+) -> DataFrame:
+    """(key, scc) — strongly connected components of the DIRECTED graph;
+    scc = lexicographically-min key of the component (the undirected
+    `connected_components` convention, but under mutual reachability).
+
+    Algorithm: iterative coloring (Orzan '04 / the FW-BW-Trim family —
+    the standard distributed SCC shape; Tarjan is inherently
+    sequential):
+
+      outer round:
+        1. color fixpoint: c(v) = max(v, max over in-neighbors' colors)
+           — forward max-label propagation; c(v) = max key that reaches
+           v.  One join + map-side-combinable max per inner step.
+        2. roots r (c(r) = r) walk BACKWARD over reversed edges
+           restricted to their own color class; every node reached
+           belongs to SCC(r) (it reaches r by the color invariant, r
+           reaches it along the reversed walk).
+        3. settled nodes leave the active set; edges are re-filtered.
+
+    Each outer round settles at least every root's SCC, so rounds
+    needed = length of the longest chain of SCCs dominated by
+    successively-smaller roots — small in practice (2 on the fixture
+    graph).  If ``max_outer`` is exhausted with active nodes left, the
+    remainder is returned with scc = NULL (honest partial answer —
+    callers on adversarial graphs raise their own caps), and the
+    convergence tests pin full convergence for every test graph.
+
+    Scale: state is (key, label) rows; every step is the
+    aggregateMessages join+agg discipline with per-round
+    ``localCheckpoint`` (kcore/pagerank lineage rule).  Fixpoint checks
+    are limit(1) existence probes, not counts over the full frame.
+    """
+    raw = edges.select("src_key", "dst_key")
+    # node set from the UNFILTERED edges: a node appearing only in a
+    # self-loop is still a (singleton) SCC
+    nodes = (
+        raw.select(F.col("src_key").alias("key"))
+        .unionByName(raw.select(F.col("dst_key").alias("key")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e_all = (
+        raw.where(F.col("src_key") != F.col("dst_key"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = nodes
+    settled = None
+    for _ in range(max_outer):
+        if active.limit(1).isEmpty():
+            break
+        e = (
+            e_all.join(
+                active.select(F.col("key").alias("src_key")), "src_key", "left_semi"
+            )
+            .join(
+                active.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        c = active.select("key", F.col("key").alias("color"))
+        for _ in range(max_inner):
+            msgs = e.join(c, e.src_key == c.key).select(
+                F.col("dst_key").alias("key"), "color"
+            )
+            nc = (
+                c.unionByName(msgs)
+                .groupBy("key")
+                .agg(F.max("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            stable = (
+                nc.join(c.withColumnRenamed("color", "old"), "key")
+                .where(F.col("color") != F.col("old"))
+                .limit(1)
+                .isEmpty()
+            )
+            c = nc
+            if stable:
+                break
+        reach = c.where(F.col("key") == F.col("color")).select(
+            "key", F.col("color").alias("root")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_inner):
+            # walk one step backward: u -> v with v settled-for-root and
+            # c(u) = root  ⇒  u is in SCC(root)
+            cand = (
+                e.join(reach, e.dst_key == reach.key)
+                .select(F.col("src_key").alias("key"), "root")
+                .join(c, "key")
+                .where(F.col("color") == F.col("root"))
+                .select("key", "root")
+                .join(reach, ["key", "root"], "left_anti")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if cand.limit(1).isEmpty():
+                break
+            reach = reach.unionByName(cand).localCheckpoint(eager=True)
+        settled = (
+            reach if settled is None else settled.unionByName(reach)
+        )
+        active = active.join(reach, "key", "left_anti").localCheckpoint(
+            eager=True
+        )
+    if settled is None:  # empty graph
+        return nodes.select("key", F.lit(None).cast("string").alias("scc"))
+    scc_min = settled.groupBy("root").agg(F.min("key").alias("scc"))
+    out = settled.join(scc_min, "root").select("key", "scc")
+    leftover = active.select("key", F.lit(None).cast("string").alias("scc"))
+    return out.unionByName(leftover)

@@ -4374,6 +4374,56 @@ ORDER BY source, decile
 """
 
 
+
+
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components of the directed fixture graph with
+    the in_region edges ALSO reversed (region→nation), which fuses each
+    region with its nations into one directed cycle — so the gate
+    exercises real multi-node SCCs plus thousands of singleton
+    customers/parts/suppliers hanging off them.  The oracle computes
+    exact mutual reachability by transitive closure (set semantics)."""
+    from .operators.graph_algos import strongly_connected_components
+
+    g = _fixture(spark, sf_dir)
+    base = g.edges.select(
+        "src_key",
+        "dst_key",
+        F.get_json_object("details", "$.rel").alias("rel"),
+    )
+    keep = base.where(F.col("rel") != "ordered").select("src_key", "dst_key")
+    rev = base.where(F.col("rel") == "in_region").select(
+        F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+    )
+    return strongly_connected_components(
+        keep.unionByName(rev), max_outer=4
+    ).orderBy("key")
+
+
+O_GRAPH_SCC = """
+WITH RECURSIVE e AS (
+  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+  UNION ALL SELECT 'region:' || n_regionkey, 'nation:' || n_nationkey FROM nation
+),
+r(a, b) AS (
+  SELECT a, b FROM e WHERE a <> b
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON e.a = r.b WHERE r.a <> e.b
+),
+nodes AS (SELECT a AS k FROM e UNION SELECT b FROM e),
+mutual AS (
+  SELECT r1.a AS k, r1.b AS m FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT n.k AS key,
+       least(n.k, coalesce(min(mutual.m), n.k)) AS scc
+FROM nodes n LEFT JOIN mutual ON mutual.k = n.k
+GROUP BY n.k ORDER BY key
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -4482,4 +4532,5 @@ EXT_REGISTRY: dict[str, tuple] = {
     "profile_expectations": (q_profile_expectations, O_PROFILE_EXPECTATIONS),
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
     "clean_quantile_norm": (q_clean_quantile_norm, O_CLEAN_QUANTILE_NORM),
+    "graph_scc": (q_graph_scc, O_GRAPH_SCC),
 }

@@ -262,3 +262,80 @@ def test_personalized_pagerank_uniform_seed_split(spark):
     # seeds keep the restart mass every round, so they out-score the
     # non-seed hub; the hub still accumulates strictly positive mass
     assert 0 < out["m"] < out["a"]
+
+
+def test_scc_two_cycles_and_bridge(spark):
+    """Two 3-cycles joined by a one-way bridge stay separate SCCs; the
+    bridge does not merge them."""
+    from egraphdb_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [
+            ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+            ("a1", "b1"),  # bridge, one-way
+            ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ],
+        "src_key string, dst_key string",
+    )
+    got = {
+        r.key: r.scc
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+    }
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from egraphdb_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src_key string, dst_key string",
+    )
+    got = {
+        r.key: r.scc
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {k: k for k in "abcd"}
+
+
+def test_scc_outer_cap_returns_null_not_wrong(spark):
+    """A chain of SCCs each dominated by a successively smaller root
+    needs one outer round per link; with the cap too low the remainder
+    comes back as NULL (honest partial), never a wrong id."""
+    from egraphdb_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    # z-cycle colors the y-cycle (z > y), y-cycle colors the x-cycle
+    e = spark.createDataFrame(
+        [
+            ("z1", "z2"), ("z2", "z1"),
+            ("z1", "y1"),
+            ("y1", "y2"), ("y2", "y1"),
+            ("y1", "x1"),
+            ("x1", "x2"), ("x2", "x1"),
+        ],
+        "src_key string, dst_key string",
+    )
+    full = {
+        r.key: r.scc
+        for r in strongly_connected_components(e, max_outer=8).collect()
+    }
+    assert full == {
+        "z1": "z1", "z2": "z1", "y1": "y1", "y2": "y1",
+        "x1": "x1", "x2": "x1",
+    }
+    capped = {
+        r.key: r.scc
+        for r in strongly_connected_components(e, max_outer=1).collect()
+    }
+    wrong = {k: v for k, v in capped.items() if v is not None and v != full[k]}
+    assert wrong == {}
+    assert any(v is None for v in capped.values())

@@ -671,3 +671,43 @@ def test_personalized_pagerank_matches_integer_reference(spark):
             ).collect()
         }
         assert got == ppr_ref(pairs, seed_keys), name
+
+
+def scc_ref(pairs):
+    """Pure-Python SCC via mutual reachability (closure — fine at test
+    scale); scc id = lexicographic min member, self-loop-insensitive."""
+    nodes = sorted({k for p in pairs for k in p})
+    fwd: dict[str, set[str]] = {k: set() for k in nodes}
+    for a, b in pairs:
+        if a != b:
+            fwd[a].add(b)
+
+    def reach(s):
+        seen, stack = {s}, [s]
+        while stack:
+            for w in fwd[stack.pop()]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    r = {v: reach(v) for v in nodes}
+    return {
+        v: min(u for u in nodes if u in r[v] and v in r[u]) for v in nodes
+    }
+
+
+def test_scc_matches_mutual_reachability_reference(spark):
+    from egraphdb_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    for name, pairs in GRAPHS.items():
+        got = {
+            r["key"]: r["scc"]
+            for r in strongly_connected_components(
+                _edges(spark, pairs), max_outer=8
+            ).collect()
+        }
+        assert None not in got.values(), (name, "unconverged")
+        assert got == scc_ref(pairs), name
