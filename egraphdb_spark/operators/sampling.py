@@ -319,3 +319,31 @@ SELECT kept.{label_col}, n_orig, count(*) AS n_kept,
 FROM kept JOIN counts ON counts.{label_col} = kept.{label_col}
 GROUP BY kept.{label_col}, n_orig
 """
+
+
+def reservoir_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, deterministically — the
+    "show me k examples from every source" sample (eyeballing, per-domain
+    eval slices, stratified debugging).  A true reservoir is stateful and
+    order-dependent; the distributed equivalent is bottom-k by a keyed
+    hash priority: rank rows within each group by (u60(key), key) and
+    keep rank ≤ k.  Same-key rows rank identically on every engine, every
+    run, and the sample only changes where the group itself changed.
+
+    Scale: rank ≤ k over a window is planned as WindowGroupLimit on
+    Spark 3.5+/4.x — each map task keeps only its local top-k per group
+    BEFORE the shuffle, so the exchange carries O(k · groups ·
+    partitions) rows, not the corpus (plan-asserted in
+    tests/test_plans.py).  No global sort anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    u = _u60(F.concat(F.lit("rsv:"), F.col(key_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -3051,6 +3051,36 @@ FROM ratios
 """
 
 
+
+
+def q_sample_reservoir_group(spark, sf_dir):
+    """Deterministic k-per-source sample: bottom-k by keyed 60-bit hash
+    priority within each source (the distributed reservoir); rank <= k
+    plans as WindowGroupLimit, so map tasks pre-prune to local top-k."""
+    from .operators.sampling import reservoir_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        reservoir_per_group(docs, "source", "doc_id", k=5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+O_SAMPLE_RESERVOIR = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3142,6 +3172,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_train_test": (q_sample_train_test, O_SAMPLE_TT),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
     "sample_group_split": (q_sample_group_split, O_SAMPLE_GROUP_SPLIT),
+    "sample_reservoir_group": (q_sample_reservoir_group, O_SAMPLE_RESERVOIR),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
     "mm_resize_features": (q_mm_resize_features, O_MM_RESIZE_FEATURES),

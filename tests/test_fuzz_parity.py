@@ -71,6 +71,7 @@ FUZZ_GATES = [
     "pipe_assemble",
     "pipe_mixture",
     "sample_hash_docs",
+    "sample_reservoir_group",
     "sample_token_budget",
     "sample_source_quota",
     "sample_weighted",

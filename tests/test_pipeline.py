@@ -640,3 +640,28 @@ def test_pmi_empty_and_short_docs(spark):
         [(1, ""), (2, "one"), (3, "  \n\t ")], "doc_id long, text string"
     )
     assert pmi_collocations(docs, "text", min_count=1, k=5).collect() == []
+
+
+def test_reservoir_per_group_exact_k_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.sampling import reservoir_per_group
+
+    rows = [(f"s{g}", i * 7 + g) for g in range(3) for i in range(20)]
+    rows += [("tiny", 999), ("tiny", 998)]  # |group| < k
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = reservoir_per_group(df, "source", "doc_id", k=5)
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"s0": 5, "s1": 5, "s2": 5, "tiny": 2}
+    # deterministic under a different partitioning
+    a = sorted((r.source, r.doc_id) for r in out.collect())
+    b = sorted(
+        (r.source, r.doc_id)
+        for r in reservoir_per_group(
+            df.repartition(17), "source", "doc_id", k=5
+        ).collect()
+    )
+    assert a == b

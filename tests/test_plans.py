@@ -476,3 +476,11 @@ def test_time_range_frame_single_window_exchange(spark):
     win = p.split(") Window")[-1][:600]
     assert "windowspecdefinition(user_id" in win
     assert "Exchange SinglePartition" not in p
+
+
+def test_reservoir_per_group_windowgrouplimit(spark):
+    """k-per-group reservoir plans as WindowGroupLimit (map-side local
+    top-k before the one group exchange), never a global sort."""
+    p = plan_of(q(spark, "sample_reservoir_group"))
+    assert "WindowGroupLimit" in p
+    assert p.count("hashpartitioning(source") == 1
