@@ -174,3 +174,80 @@ def cohort_ltv(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    value_col: str,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    window_hours: int = 72,
+) -> DataFrame:
+    """Last-touch attribution: each conversion's revenue is credited to
+    the user's most recent touch event within ``window_hours`` (or
+    'direct' if none) — the marketing-analytics twin of the funnel.
+
+    One pass, no self-join: touches and conversions interleave in a
+    per-user window ordered by the TOTAL order (ts, is_conversion,
+    event_id) — a touch at the conversion's exact timestamp sorts first
+    and is attributable, and tied timestamps cannot flip runs or engines
+    (the hostile-events fuzzer generates exactly those ties).  The
+    carried touch is ``last(..., ignorenulls)`` over the preceding
+    frame; the window test then applies the recency cutoff row-locally.
+
+    Revenue is integer cents (round half-up ·100 before the sum).
+    Scale: one hash exchange on the user key; the window is
+    partition-parallel; output is |channels| rows.
+    """
+    from pyspark.sql import Window as W
+
+    base = events.where(
+        F.col(type_col).isin([conversion_type, *touch_types])
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("t"),
+        F.when(
+            F.col(type_col) == conversion_type,
+            F.round(F.col(value_col) * 100).cast("long"),
+        ).alias("cents"),
+        (F.col(type_col) == conversion_type).cast("int").alias("is_conv"),
+    )
+    w = (
+        W.partitionBy("u")
+        .orderBy("ts", "is_conv", "eid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch_t = F.last(
+        F.when(F.col("is_conv") == 0, F.col("t")), ignorenulls=True
+    ).over(w)
+    touch_ts = F.last(
+        F.when(F.col("is_conv") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    attributed = (
+        base.select("*", touch_t.alias("tt"), touch_ts.alias("tts"))
+        .where(F.col("is_conv") == 1)
+        .select(
+            F.when(
+                F.col("tts")
+                >= F.col("ts") - F.expr(f"INTERVAL {int(window_hours)} HOURS"),
+                F.col("tt"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "cents",
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("channel")
+    )

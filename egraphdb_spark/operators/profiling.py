@@ -492,3 +492,55 @@ def quantile_norm_map(
         )
         .orderBy(group_col, "decile")
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    group_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Release-to-release corpus drift report: per group, how many keys
+    were added / removed / kept between two dataset snapshots, with the
+    size mass moving each way — the diff a data-release pipeline prints
+    before promoting a new drop.
+
+    One FULL OUTER join on the key (the only shuffle; both sides prune
+    to three columns), classified row-locally, then a tiny per-group
+    conditional aggregate.  Output: (group, n_added, n_removed, n_kept,
+    size_added, size_removed) — all BIGINT.  Group attribution for
+    removed keys comes from the OLD side (they have no new row).
+    """
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.col(group_col).alias("og"),
+        F.col(size_col).alias("osz"),
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.col(group_col).alias("ng"),
+        F.col(size_col).alias("nsz"),
+    )
+    j = o.join(n, "k", "full_outer").select(
+        F.coalesce(F.col("ng"), F.col("og")).alias("grp"),
+        F.col("og").isNull().cast("int").alias("added"),
+        F.col("ng").isNull().cast("int").alias("removed"),
+        (F.col("og").isNotNull() & F.col("ng").isNotNull())
+        .cast("int")
+        .alias("kept"),
+        F.when(F.col("og").isNull(), F.col("nsz")).otherwise(0).alias("sz_a"),
+        F.when(F.col("ng").isNull(), F.col("osz")).otherwise(0).alias("sz_r"),
+    )
+    return (
+        j.groupBy(F.col("grp").alias("grp_out"))
+        .agg(
+            F.sum("added").cast("long").alias("n_added"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum("sz_a").cast("long").alias("size_added"),
+            F.sum("sz_r").cast("long").alias("size_removed"),
+        )
+        .withColumnRenamed("grp_out", "grp")
+        .orderBy("grp")
+    )

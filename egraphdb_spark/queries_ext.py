@@ -4424,6 +4424,94 @@ GROUP BY n.k ORDER BY key
 """
 
 
+
+
+def q_evt_attribution(spark, sf_dir):
+    """Last-touch attribution of purchase revenue to the user's most
+    recent click/view within 72 h ('direct' if none) — one per-user
+    carry-forward window over the (ts, is_conv, event_id) total order,
+    no self-join; integer cents."""
+    from .operators.behavior import attribution_last_touch
+
+    return attribution_last_touch(
+        _t(spark, sf_dir, "events"),
+        "user_id", "ts", "event_id", "event_type", "value",
+        conversion_type="purchase", touch_types=("click", "view"),
+        window_hours=72,
+    )
+
+
+O_EVT_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS eid, event_type AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+),
+c AS (
+  SELECT *,
+         last_value(CASE WHEN is_conv = 0 THEN t END IGNORE NULLS)
+           OVER w AS tt,
+         last_value(CASE WHEN is_conv = 0 THEN ts END IGNORE NULLS)
+           OVER w AS tts
+  FROM base
+  WINDOW w AS (PARTITION BY u ORDER BY ts, is_conv, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CASE WHEN tts >= ts - INTERVAL 72 HOUR THEN tt
+            ELSE 'direct' END AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM c WHERE is_conv = 1 GROUP BY 1 ORDER BY channel
+"""
+
+
+def q_io_csv_quarantine(spark, sf_dir):
+    """Untrusted-feed ingestion: write a CSV feed with three planted
+    malformed lines, read it back PERMISSIVE with a corrupt-record
+    quarantine column, and report clean/corrupt counts plus the clean
+    aggregate — malformed rows never fail the job and never silently
+    null into the aggregate."""
+    from .sources import io
+
+    path = f"{_IO_ROOT}/csvq-{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    lines = docs.select(
+        F.concat_ws(
+            ",", F.col("doc_id"), F.col("source"), F.col("n_chars")
+        ).alias("value")
+    )
+    planted = spark.createDataFrame(
+        [
+            ("oops,src0,12",),          # unparseable doc_id
+            ("1,src0,5,extra,extra",),  # token overflow
+            ("12 34,src9,x",),          # two bad fields
+        ],
+        "value string",
+    )
+    lines.unionByName(planted).write.mode("overwrite").text(path)
+    back = io.read_csv_quarantine(
+        spark, path, "doc_id bigint, source string, n_chars bigint"
+    )
+    return back.agg(
+        F.sum(F.col("_bad").isNull().cast("long")).alias("n_clean"),
+        F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
+        ).cast("long").alias("sum_chars_clean"),
+    )
+
+
+O_IO_CSV_QUARANTINE = """
+SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < 200) AS BIGINT)
+         AS n_clean,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST((SELECT sum(n_chars) FROM documents WHERE doc_id < 200)
+            AS BIGINT) AS sum_chars_clean
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -4533,4 +4621,6 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_ppr": (q_graph_ppr, O_GRAPH_PPR),
     "clean_quantile_norm": (q_clean_quantile_norm, O_CLEAN_QUANTILE_NORM),
     "graph_scc": (q_graph_scc, O_GRAPH_SCC),
+    "evt_attribution": (q_evt_attribution, O_EVT_ATTRIBUTION),
+    "io_csv_quarantine": (q_io_csv_quarantine, O_IO_CSV_QUARANTINE),
 }

@@ -3081,6 +3081,68 @@ SELECT doc_id, source, n_chars FROM (
 """
 
 
+
+
+def q_pipe_dataset_diff(spark, sf_dir):
+    """Corpus drift between two release snapshots (simulated as two
+    independent 85 % keyed-hash views of the documents table): per
+    source, keys added / removed / kept and the char mass moving each
+    way — one full-outer join on the key, classified row-locally."""
+    from .operators.profiling import dataset_diff
+    from .operators.sampling import _threshold, _u60
+
+    docs = _t(spark, sf_dir, "documents")
+    t = _threshold(0.85)
+    v1 = docs.where(
+        _u60(F.concat(F.lit("v1:"), F.col("doc_id").cast("string"))) < t
+    )
+    v2 = docs.where(
+        _u60(F.concat(F.lit("v2:"), F.col("doc_id").cast("string"))) < t
+    )
+    return dataset_diff(v1, v2, "doc_id", "source", "n_chars").select(
+        F.col("grp").alias("source"),
+        "n_added", "n_removed", "n_kept", "size_added", "size_removed",
+    )
+
+
+def _dataset_diff_oracle() -> str:
+    from .operators.sampling import _threshold
+
+    t = _threshold(0.85)
+    return f"""
+WITH v1 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE CAST('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) < {t}
+),
+v2 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE CAST('0x' || substr(md5('v2:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        AS BIGINT) < {t}
+),
+j AS (
+  SELECT COALESCE(v2.source, v1.source) AS grp,
+         CASE WHEN v1.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+         CASE WHEN v2.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+         CASE WHEN v1.doc_id IS NOT NULL AND v2.doc_id IS NOT NULL
+              THEN 1 ELSE 0 END AS kept,
+         CASE WHEN v1.doc_id IS NULL THEN v2.n_chars ELSE 0 END AS sz_a,
+         CASE WHEN v2.doc_id IS NULL THEN v1.n_chars ELSE 0 END AS sz_r
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT grp AS source,
+       CAST(sum(added) AS BIGINT) AS n_added,
+       CAST(sum(removed) AS BIGINT) AS n_removed,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(sz_a) AS BIGINT) AS size_added,
+       CAST(sum(sz_r) AS BIGINT) AS size_removed
+FROM j GROUP BY grp ORDER BY source
+"""
+
+
+O_PIPE_DATASET_DIFF = _dataset_diff_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3173,6 +3235,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRAT),
     "sample_group_split": (q_sample_group_split, O_SAMPLE_GROUP_SPLIT),
     "sample_reservoir_group": (q_sample_reservoir_group, O_SAMPLE_RESERVOIR),
+    "pipe_dataset_diff": (q_pipe_dataset_diff, O_PIPE_DATASET_DIFF),
     "mm_meta": (q_mm_meta, O_MM_META),
     "mm_features": (q_mm_features, O_MM_FEATURES),
     "mm_resize_features": (q_mm_resize_features, O_MM_RESIZE_FEATURES),

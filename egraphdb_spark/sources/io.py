@@ -147,3 +147,25 @@ def write_index_store(indexes: DataFrame, path: str) -> None:
 
 def read_index_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """PERMISSIVE CSV read with a corrupt-record quarantine column — the
+    ingestion posture for untrusted feeds: malformed rows are captured
+    in ``_bad`` (raw line) instead of failing the job or silently
+    nulling, so the pipeline can count/inspect/quarantine them.
+
+    ``schema`` is the CLEAN schema; the quarantine column is appended
+    here.  Spark marks a row corrupt on type-parse failure or token
+    overflow; clean rows carry ``_bad IS NULL``.
+    """
+    full = schema + ", _bad string"
+    return (
+        spark.read.schema(full)
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
