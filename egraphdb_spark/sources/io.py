@@ -160,12 +160,23 @@ def read_csv_quarantine(
     ``schema`` is the CLEAN schema; the quarantine column is appended
     here.  Spark marks a row corrupt on type-parse failure or token
     overflow; clean rows carry ``_bad IS NULL``.
+
+    Parses via ``spark.read.text`` + ``from_csv`` materializing the FULL
+    struct rather than ``spark.read.csv``: the CSV file source applies
+    Catalyst column pruning to the *parser* (only referenced clean
+    columns are parsed), so a downstream query touching a subset of
+    columns would miss corruption in the unreferenced ones — the
+    quarantine verdict would change with the projection.  ``from_csv``
+    with ``columnNameOfCorruptRecord`` in the schema is exempt from the
+    optimizer's CSV-schema pruning, so every field is always parsed and
+    the verdict is projection-independent (pinned by
+    tests/test_io_quarantine.py, including a corrupt-column-only
+    aggregate that the file source outright disallows).
     """
     full = schema + ", _bad string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
     return (
-        spark.read.schema(full)
-        .option("header", False)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_bad")
-        .csv(path)
+        spark.read.text(path)
+        .select(F.from_csv(F.col("value"), full, opts).alias("r"))
+        .select("r.*")
     )
