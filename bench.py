@@ -157,6 +157,13 @@ BENCH_QUERIES = [
     "profile_expectations",
     "clean_quantile_norm",
     "sim_recall_at_k",
+    # round-4 final gates missed at enrollment (judge ADVICE r4)
+    "graph_scc",
+    "evt_attribution",
+    "io_csv_quarantine",
+    "sample_reservoir_group",
+    "sample_class_balance",
+    "pipe_dataset_diff",
 ]
 
 
@@ -262,18 +269,42 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    steal_sec = round((steal_ticks() - run_steal0) / 100.0, 1)
+
+    # The driver captures only the LAST ~2000 chars of stdout; with 130+
+    # queries the full per-query map no longer fits on one parseable line
+    # (round 4's bench signal was lost to exactly this).  Full timings go
+    # to a side file; stdout carries the compact summary plus the slowest
+    # queries so the line stays well under the capture window.
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_DETAIL.json")
+    with open(detail, "w") as f:
+        json.dump(
+            {"metric": "bench_total_sec", "value": round(total, 3),
+             "unit": "sec", "queries": timings, "sf": sf_val,
+             "steal_cpu_sec": steal_sec},
+            f, indent=1, sort_keys=True,
+        )
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if n != "_prepare_graph"),
+            key=lambda kv: -kv[1],
+        )[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": sum(1 for n in timings if n != "_prepare_graph"),
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf_val,
                 # host-noise telemetry: hypervisor steal (seconds of CPU
                 # taken from this VM) during the whole run — when this is
                 # large, timings above are upper bounds on engine cost
-                "steal_cpu_sec": round((steal_ticks() - run_steal0) / 100.0, 1),
+                "steal_cpu_sec": steal_sec,
             }
         )
     )

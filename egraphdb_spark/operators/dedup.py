@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Column, functions as F
 
+from .checkpoint import cut_lineage
+
 # ---------------------------------------------------------------------------
 # Deterministic MinHash parameters (shared verbatim with the SQL oracles).
 # ---------------------------------------------------------------------------
@@ -316,7 +318,7 @@ def jaccard_pairs(
     )
     # the reduced shingle table feeds three consumers (sizes + both join
     # sides) — materialize once instead of re-exploding the corpus 3×
-    ex = ex.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
+    ex = ex.join(rare, "shingle", "left_semi").transform(cut_lineage)
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (
@@ -366,7 +368,7 @@ def containment_pairs(
         .where(F.col("df") <= max_shingle_df)
         .select("shingle")
     )
-    ex = ex.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
+    ex = ex.join(rare, "shingle", "left_semi").transform(cut_lineage)
     sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .checkpoint import cut_lineage, cut_lineage_lazy
+
 
 def connected_components(
     edges: DataFrame, max_iter: int = 20, undirected: bool = True
@@ -35,7 +37,7 @@ def connected_components(
         e = e.unionByName(
             e.select(F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key"))
         )
-    e = e.distinct().localCheckpoint(eager=False)
+    e = e.distinct().transform(cut_lineage_lazy)
 
     labels = (
         e.select(F.col("src_key").alias("key"))
@@ -52,7 +54,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("key")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "key")
@@ -95,7 +97,7 @@ def shortest_paths_weighted(
     e = (
         edges.withColumn("w", weight)
         .select("src_key", "dst_key", "w")
-        .localCheckpoint(eager=True)  # scanned every round — materialize once
+        .transform(cut_lineage)  # scanned every round — materialize once
     )
     spark = edges.sparkSession
     dist = spark.createDataFrame([(src_key, 0.0)], "key string, dist double")
@@ -123,7 +125,7 @@ def shortest_paths_weighted(
                 F.min("dist").alias("dist"),
                 F.min(F.when(F.col("is_old") == 1, F.col("dist"))).alias("old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         frontier = merged.where(
             F.col("old").isNull() | (F.col("dist") < F.col("old"))
@@ -165,19 +167,19 @@ def pagerank_scaled(
     """
     # edges may be an expensive derivation (e.g. a JSON-predicate filter);
     # it is referenced twice per iteration plus nodes/deg — materialize once
-    e = edges.select("src_key", "dst_key").localCheckpoint(eager=True)
+    e = edges.select("src_key", "dst_key").transform(cut_lineage)
     nodes = (
         e.select(F.col("src_key").alias("key"))
         .unionByName(e.select(F.col("dst_key").alias("key")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = nodes.count()
     # out-degree is static — fold it into the edge table ONCE instead of a
     # third join inside every iteration
     ed = (
         e.join(e.groupBy("src_key").agg(F.count("*").alias("d")), "src_key")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     base = (15 * scale) // (100 * n)
     pr = nodes.select("key", F.lit(scale // n).cast("long").alias("pr"))
@@ -200,7 +202,7 @@ def pagerank_scaled(
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return pr
 
@@ -220,11 +222,11 @@ def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
             .distinct()
             .join(visited.select("key"), "key", "left_anti")
             .select("key", F.lit(level).alias("level"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if hop.isEmpty():
             break
-        visited = visited.unionByName(hop).localCheckpoint(eager=False)
+        visited = visited.unionByName(hop).transform(cut_lineage_lazy)
         frontier = hop.select("key")
     return visited
 
@@ -258,7 +260,7 @@ def harmonic_centrality(
     """
     visited = seeds.select(
         F.col("seed"), F.col("seed").alias("key"), F.lit(0).alias("level")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     frontier = visited.select("seed", "key")
     for level in range(1, max_depth + 1):
         hop = (
@@ -267,7 +269,7 @@ def harmonic_centrality(
             .distinct()
             .join(visited.select("seed", "key"), ["seed", "key"], "left_anti")
             .select("seed", "key", F.lit(level).alias("level"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if hop.isEmpty():
             break
@@ -314,7 +316,7 @@ def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage_lazy)
     )
 
     deg = (
@@ -340,7 +342,7 @@ def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
         oriented = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
     else:
         raise ValueError(f"orientation must be 'degree' or 'id': {orientation!r}")
-    oriented = oriented.localCheckpoint(eager=False)
+    oriented = oriented.transform(cut_lineage_lazy)
 
     e1 = oriented.select(F.col("u").alias("w_src"), F.col("v").alias("w_mid"))
     e2 = oriented.select(F.col("u").alias("w_mid"), F.col("v").alias("w_dst"))
@@ -410,7 +412,7 @@ def kcore_peel(
         .distinct()
     )
     if checkpoint:
-        und = und.localCheckpoint(eager=True)
+        und = und.transform(cut_lineage)
     e = und
     prev_cnt = None
     for _ in range(rounds):
@@ -424,12 +426,12 @@ def kcore_peel(
             # materialize the round's degree aggregate ONCE — both
             # endpoint semi-joins read it; left lazy it is recomputed
             # per join (two full degree aggregates per round)
-            alive = alive.localCheckpoint(eager=True)
+            alive = alive.transform(cut_lineage)
         e = e.join(alive, "a", "left_semi").join(
             alive.select(F.col("a").alias("b")), "b", "left_semi"
         )
         if checkpoint:
-            e = e.localCheckpoint(eager=True)
+            e = e.transform(cut_lineage)
             # fixpoint early-exit: an unchanged edge count means no node
             # fell below k this round, so every further round is the
             # identity — the remaining iterations of the oracle's unroll
@@ -501,7 +503,7 @@ def label_propagation(
                 F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
             )
         )
-    e = e.distinct().localCheckpoint(eager=True)
+    e = e.distinct().transform(cut_lineage)
     labels = (
         e.select(F.col("src_key").alias("key"))
         .union(e.select("dst_key"))
@@ -528,12 +530,12 @@ def label_propagation(
             # (one fewer shuffle join per round; result-identical)
             labels = best.select(
                 "key", F.col("new_lbl").alias("lbl")
-            ).localCheckpoint(eager=True)
+            ).transform(cut_lineage)
         else:
             labels = (
                 labels.join(best, "key", "left")
                 .select("key", F.coalesce("new_lbl", "lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
     return labels.select("key", F.col("lbl").alias("community"))
 
@@ -633,7 +635,7 @@ def neighbor_jaccard_pairs(
         .where(F.col("nbr_deg") <= max_degree)
         .select("nbr")
     )
-    adj = adj.join(small, "nbr", "left_semi").localCheckpoint(eager=True)
+    adj = adj.join(small, "nbr", "left_semi").transform(cut_lineage)
     deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
     a, b = adj.alias("a"), adj.alias("b")
     common = (
@@ -701,7 +703,7 @@ def deterministic_walks(
         "nbr",
         (F.row_number().over(w) - 1).alias("idx"),
         F.count("*").over(Window.partitionBy("node")).alias("deg"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
 
     def h60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -786,7 +788,7 @@ def adamic_adar_pairs(
             .cast("long")
             .alias("contrib"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     a, b = contrib.alias("a"), contrib.alias("b")
     return (
@@ -826,12 +828,12 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
     gather aggregate each direction (aggregateMessages shape), node-sized
     frames localCheckpointed so the plan stays linear in rounds.
     """
-    e = edges.select("src_key", "dst_key").distinct().localCheckpoint(eager=True)
+    e = edges.select("src_key", "dst_key").distinct().transform(cut_lineage)
     nodes = (
         e.select(F.col("src_key").alias("key"))
         .unionByName(e.select(F.col("dst_key").alias("key")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # Inner-only propagation: a node whose score is 0 contributes nothing
     # to the next gather, so the per-round frames carry ONLY scored nodes
@@ -877,7 +879,7 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
                 F.col("src_key").alias("key"),
                 norm_expr.alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return (
         nodes.join(hub, "key", "left")
@@ -946,12 +948,14 @@ def personalized_pagerank(
     seeds: one ``key`` column; a bounded personalization set (its count
     is the only driver-side action).
     """
-    e = edges.select("src_key", "dst_key").localCheckpoint(eager=True)
+    e = edges.select("src_key", "dst_key").transform(cut_lineage)
     ed = e.join(
         e.groupBy("src_key").agg(F.count("*").alias("d")), "src_key"
-    ).localCheckpoint(eager=True)
-    s = seeds.select("key").distinct().localCheckpoint(eager=True)
+    ).transform(cut_lineage)
+    s = seeds.select("key").distinct().transform(cut_lineage)
     ns = s.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: seeds must be non-empty")
     base = (15 * scale) // (100 * ns)
     pr = s.select("key", F.lit(scale // ns).cast("long").alias("pr"))
     for _ in range(iters):
@@ -979,7 +983,7 @@ def personalized_pagerank(
                 .alias("pr"),
             )
             .where(F.col("pr") > 0)
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return pr.select("key", F.col("pr").alias("ppr"))
 
@@ -1011,7 +1015,13 @@ def strongly_connected_components(
     graph).  If ``max_outer`` is exhausted with active nodes left, the
     remainder is returned with scc = NULL (honest partial answer —
     callers on adversarial graphs raise their own caps), and the
-    convergence tests pin full convergence for every test graph.
+    convergence tests pin full convergence for every test graph.  The
+    INNER fixpoints honor the same contract: if either the color
+    propagation or the backward walk is still changing when
+    ``max_inner`` is exhausted (e.g. a single cycle longer than
+    ``max_inner``), the labels of that round are untrustworthy, so the
+    round settles nothing and the still-active nodes take the NULL
+    leftover path instead of fragmenting into wrong component ids.
 
     Scale: state is (key, label) rows; every step is the
     aggregateMessages join+agg discipline with per-round
@@ -1025,12 +1035,12 @@ def strongly_connected_components(
         raw.select(F.col("src_key").alias("key"))
         .unionByName(raw.select(F.col("dst_key").alias("key")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     e_all = (
         raw.where(F.col("src_key") != F.col("dst_key"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     active = nodes
     settled = None
@@ -1044,9 +1054,10 @@ def strongly_connected_components(
             .join(
                 active.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         c = active.select("key", F.col("key").alias("color"))
+        stable = False
         for _ in range(max_inner):
             msgs = e.join(c, e.src_key == c.key).select(
                 F.col("dst_key").alias("key"), "color"
@@ -1055,7 +1066,7 @@ def strongly_connected_components(
                 c.unionByName(msgs)
                 .groupBy("key")
                 .agg(F.max("color").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
             stable = (
                 nc.join(c.withColumnRenamed("color", "old"), "key")
@@ -1066,9 +1077,14 @@ def strongly_connected_components(
             c = nc
             if stable:
                 break
+        if not stable:
+            # colors still changing ⇒ every active label is suspect;
+            # settle nothing and fall through to the NULL leftover path
+            break
         reach = c.where(F.col("key") == F.col("color")).select(
             "key", F.col("color").alias("root")
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
+        walk_done = False
         for _ in range(max_inner):
             # walk one step backward: u -> v with v settled-for-root and
             # c(u) = root  ⇒  u is in SCC(root)
@@ -1080,20 +1096,28 @@ def strongly_connected_components(
                 .select("key", "root")
                 .join(reach, ["key", "root"], "left_anti")
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(cut_lineage)
             )
             if cand.limit(1).isEmpty():
+                walk_done = True
                 break
-            reach = reach.unionByName(cand).localCheckpoint(eager=True)
+            reach = reach.unionByName(cand).transform(cut_lineage)
+        if not walk_done:
+            # incomplete SCC membership would make even the found
+            # members' min-key component id wrong — settle nothing
+            break
         settled = (
             reach if settled is None else settled.unionByName(reach)
         )
-        active = active.join(reach, "key", "left_anti").localCheckpoint(
-            eager=True
+        active = active.join(reach, "key", "left_anti").transform(
+            cut_lineage
         )
-    if settled is None:  # empty graph
-        return nodes.select("key", F.lit(None).cast("string").alias("scc"))
+    # NULL placeholder typed from the key column, not hardcoded string —
+    # integer node ids must not coerce the scc column on unionByName
+    null_scc = F.lit(None).cast(nodes.schema["key"].dataType).alias("scc")
+    if settled is None:  # empty graph or nothing converged
+        return nodes.select("key", null_scc)
     scc_min = settled.groupBy("root").agg(F.min("key").alias("scc"))
     out = settled.join(scc_min, "root").select("key", "scc")
-    leftover = active.select("key", F.lit(None).cast("string").alias("scc"))
+    leftover = active.select("key", null_scc)
     return out.unionByName(leftover)

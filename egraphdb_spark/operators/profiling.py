@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .checkpoint import cut_lineage
+
 
 def profile_columns(
     df: DataFrame, numeric_cols: list[str], string_cols: list[str]
@@ -93,13 +95,13 @@ def mad_outliers(
     base = (
         df.where(v.isNotNull())
         .select(F.col(group_col).alias("g"), v.alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     med = base.groupBy("g").agg(F.expr("percentile(v, 0.5)").alias("med"))
     dev = (
         base.join(F.broadcast(med), "g")
         .withColumn("dev", F.abs(F.col("v") - F.col("med")))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     mad = dev.groupBy("g").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
     kf = F.lit(float(k))
@@ -375,8 +377,14 @@ def expectations_report(
         .select(
             "rule",
             "n_rows",
-            "n_violations",
-            F.expr("n_violations * 1000 div n_rows").alias(
+            # sum() over zero rows is NULL — an empty table has 0
+            # violations, not unknown
+            F.coalesce(F.col("n_violations"), F.lit(0).cast("long")).alias(
+                "n_violations"
+            ),
+            # nullif: an empty fact table yields NULL permille instead of
+            # DIVIDE_BY_ZERO under ANSI (mirrored in the oracle)
+            F.expr("n_violations * 1000 div nullif(n_rows, 0)").alias(
                 "violation_permille"
             ),
         )

@@ -21,6 +21,8 @@ import math
 
 from pyspark.sql import DataFrame, Column, functions as F
 
+from .checkpoint import cut_lineage
+
 
 def _round_half_up(x: float, ndigits: int = 9) -> float:
     """Driver-side decimal rounding matching Spark's F.round / SQL round.
@@ -395,7 +397,7 @@ def kmeans_anchors(
     spark = emb.sparkSession
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    ).localCheckpoint(eager=True)  # scanned once per iteration
+    ).transform(cut_lineage)  # scanned once per iteration
     for _ in range(iters):
         anchors = spark.createDataFrame(
             [(k, v) for k, v in sorted(cur.items())],
@@ -823,7 +825,7 @@ def pca_power(
             "j",
             F.expr(f"s_xy div n - (m_i * m_j) div {S}").alias("c_q"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # v0 = ones at scale S; iterate v <- normalize(C·v)
     spark = emb.sparkSession
@@ -849,7 +851,7 @@ def pca_power(
                 F.col("i").alias("vi"),
                 F.expr(f"(w * {S}) div nullif(nv, 0)").cast("long").alias("v_q"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         last_norm = norm
     return (

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..ingest import node_id
+from .checkpoint import cut_lineage, cut_lineage_lazy
 
 
 def k_hop(edges: DataFrame, src_keys: list[str], depth: int) -> DataFrame:
@@ -45,7 +46,7 @@ def k_hop(edges: DataFrame, src_keys: list[str], depth: int) -> DataFrame:
         if level < depth:
             # the hop feeds BOTH the output union and the next level's
             # frontier — checkpoint so the edges join runs once, not twice
-            hop = hop.localCheckpoint(eager=True)
+            hop = hop.transform(cut_lineage)
         step = hop.select(F.lit(level).alias("level"), "key", "id")
         out = step if out is None else out.unionByName(step)
         frontier = hop.select("id")
@@ -84,7 +85,7 @@ def bfs_path(
         fresh = (
             expanded.join(visited, on="id", how="left_anti")
             .dropDuplicates(["id"])
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         # one action per level: frontier size + did-we-reach-dst together
         stats = fresh.agg(
@@ -97,7 +98,7 @@ def bfs_path(
         if stats["hit"] == 1:
             found_level = level
             break
-        visited = visited.unionByName(fresh.select("id")).localCheckpoint(eager=False)
+        visited = visited.unionByName(fresh.select("id")).transform(cut_lineage_lazy)
         frontier = fresh.select("id")
     if found_level is None:
         return None

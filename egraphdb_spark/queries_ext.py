@@ -11,6 +11,7 @@ import os
 from pyspark.sql import functions as F
 
 from .functions import scalars
+from .operators.checkpoint import cut_lineage
 
 
 def _t(spark, sf_dir: str, name: str):
@@ -1128,7 +1129,7 @@ def q_graph_harmonic(spark, sf_dir):
         .distinct()
         # materialized once — the BFS joins this table every round, and a
         # lazy union+distinct would re-shuffle 2|E| rows per round
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     seeds = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
@@ -4254,7 +4255,7 @@ u AS (
   UNION ALL SELECT 'l_tax_in_0_0.08', n_rows, v_tax FROM r
 )
 SELECT rule, n_rows, n_violations,
-       CAST(n_violations * 1000 // n_rows AS BIGINT) AS violation_permille
+       CAST(n_violations * 1000 // nullif(n_rows, 0) AS BIGINT) AS violation_permille
 FROM u ORDER BY rule
 """
 

@@ -339,3 +339,56 @@ def test_scc_outer_cap_returns_null_not_wrong(spark):
     wrong = {k: v for k, v in capped.items() if v is not None and v != full[k]}
     assert wrong == {}
     assert any(v is None for v in capped.values())
+
+
+def test_scc_long_cycle_inner_cap_null_not_wrong(spark):
+    """A 25-node directed cycle (diameter > max_inner=20): the inner
+    fixpoints cannot converge within the cap, so EVERY node must come
+    back NULL (honest) — never fragmented into wrong non-NULL ids.
+    With a big enough inner budget the same graph is one component."""
+    from egraphdb_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    n = 25
+    e = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)],
+        "src_key string, dst_key string",
+    )
+    capped = {
+        r.key: r.scc for r in strongly_connected_components(e).collect()
+    }
+    assert len(capped) == n
+    assert set(capped.values()) == {None}
+    full = {
+        r.key: r.scc
+        for r in strongly_connected_components(e, max_inner=30).collect()
+    }
+    assert set(full.values()) == {"n00"}
+
+
+def test_scc_integer_keys_null_type(spark):
+    """Integer node ids: the NULL leftover placeholder must carry the
+    key's type, not coerce the scc column to string."""
+    from egraphdb_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src_key long, dst_key long"
+    )
+    out = strongly_connected_components(e)
+    assert dict(out.dtypes) == {"key": "bigint", "scc": "bigint"}
+    got = {r.key: r.scc for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pytest as _pytest
+
+    from egraphdb_spark.operators.graph_algos import personalized_pagerank
+
+    e = spark.createDataFrame([("a", "b")], "src_key string, dst_key string")
+    seeds = spark.createDataFrame([], "key string")
+    with _pytest.raises(ValueError, match="seeds"):
+        personalized_pagerank(e, seeds)

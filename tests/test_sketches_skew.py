@@ -371,3 +371,21 @@ def test_quantile_norm_map_hand_computed(spark):
         1: 2, 2: 4, 3: 5, 4: 5, 5: 5, 6: 5, 7: 5, 8: 6, 9: 8, 10: 10
     }
     assert all(r.n_rows == 10 for r in out)
+
+
+def test_expectations_report_empty_table_null_permille(spark):
+    """An empty fact table yields 0-count rules with NULL permille
+    instead of DIVIDE_BY_ZERO under ANSI."""
+    from egraphdb_spark.operators.profiling import expectations_report
+
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame([(1,)], "o_orderkey long")
+    out = {r.rule: r for r in expectations_report(li, orders).collect()}
+    assert len(out) == 6
+    assert all(r.n_rows == 0 for r in out.values())
+    assert all(r.n_violations == 0 for r in out.values())
+    assert all(r.violation_permille is None for r in out.values())

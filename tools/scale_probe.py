@@ -119,6 +119,27 @@ PROBES = [
     "win_time_range",
     "io_partition_prune",
     "agg_listagg",
+    # round-4 final gates missed at enrollment (judge ADVICE r4)
+    "evt_funnel_steps",
+    "evt_cohort_ltv",
+    "evt_holt",
+    "evt_hill_alpha",
+    "evt_seasonal_dow",
+    "evt_lag_corr",
+    "graph_harmonic",
+    "graph_ppr",
+    "join_interval_overlap",
+    "txt_pmi_collocations",
+    "profile_benford",
+    "profile_expectations",
+    "clean_quantile_norm",
+    "sim_recall_at_k",
+    "graph_scc",
+    "evt_attribution",
+    "io_csv_quarantine",
+    "sample_reservoir_group",
+    "sample_class_balance",
+    "pipe_dataset_diff",
 ]
 
 
