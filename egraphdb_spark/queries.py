@@ -627,45 +627,36 @@ REGISTRY.update(TPCH_REGISTRY)
 # some CORRECTNESS_r{N}.json: round 2 checked the 50 reference-surface +
 # headline-pipeline gates (all green); round 3 checked streaming / graph /
 # joins / events / windows / the TPC-H closure (36 green + 14 oracle-dtype
-# fails).  Round 4 leads with those 14 — their oracles now emit BIGINT
-# (the engine values were correct all along; see tests/test_oracle_types.py)
-# and MUST convert to green — then 36 of the 46 never-driver-checked gates.
-# The 10 deferred to round 5 are the ones whose operator FAMILY already
-# holds a green row (minhash_sig/simhash ~ their *_pairs gates, cosine_topk
-# ~ ivf/kmeans, degree_stats ~ the graph family, session_window/retention ~
-# evt_session_window, logtable_diff ~ the s15 trio, ...), so every operator
-# family keeps hard-signal coverage this round.
+# fails).  Round 4 led with those 14 (all converted green, 50/50) plus 36
+# never-checked gates.  Round 5 rotates to the 50 OLDEST never-checked
+# gates: the 10 family-covered deferrals first (minhash_sig/simhash ~
+# their *_pairs gates, cosine_topk ~ ivf/kmeans, degree_stats ~ the graph
+# family, session_window/retention ~ evt_session_window, logtable_diff ~
+# the s15 trio, ...), then reindex_status (the one §2 row without a
+# driver-green) and the session-4..8 additions oldest-first, closing with
+# io_csv_quarantine — the round-4 wrong-answer gate, fixed this round
+# (projection-independent quarantine verdict), swapped in ahead of its
+# age slot for evidence value.  46 newer gates remain for round 6.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # Round-3 oracle-dtype fails, re-checked first (14)
-    "stream_user_profile", "graph_pagerank", "evt_props_json",
-    "agg_q7_nation_volume", "agg_q8_market_share", "agg_q9_product_profit",
-    "agg_q11_important_stock", "agg_q12_priority_flags", "agg_q14_promo_share",
-    "agg_q15_top_supplier", "agg_q17_small_qty_revenue", "agg_q18_large_orders",
-    "agg_q19_disjunctive_revenue", "agg_q22_idle_rich",
-    # Latent dtype defects fixed this round — validate the fix class (4)
-    "pipe_assemble", "sample_token_budget", "evt_spikes",
-    "sketch_hist_quantiles",
-    # Training-data pipeline: packing / chunking / mixture / assembly (4)
-    "pipe_seq_pack", "pipe_mixture", "pipe_chunking", "rag_hybrid_rrf",
-    # Text analysis (6)
-    "txt_tfidf_keywords", "txt_bpe_tokens", "txt_repetition",
-    "txt_pii_scrub", "txt_lang_id", "txt_fingerprint",
-    # Dedup extensions (3)
-    "dedup_repeated_spans", "dedup_incremental_lsh", "dedup_near_clusters",
-    # Similarity / embeddings (5)
-    "emb_label_centroids", "sim_pq_codes", "sim_pq_topk", "sim_lsh_topk",
-    "emb_quantize_int8",
-    # Sketches (3; hist_quantiles above)
-    "sketch_hll_distinct", "sketch_cm_heavy", "sketch_bloom_fp",
-    # Sampling (3)
-    "sample_source_quota", "sample_train_test", "sample_stratified",
-    # Multimodal (4)
-    "mm_meta", "mm_features", "mm_payload_dedup", "mm_frame_sample",
-    # Skew / joins / graph (4)
-    "skew_salted_topn", "skew_salted_join", "join_asof_tolerance",
-    "graph_kcore",
+    "dedup_minhash_sig", "dedup_simhash", "sim_cosine_topk",
+    "txt_top_bigrams", "sample_hash_docs", "clean_winsorize",
+    "graph_degree_stats", "stream_session_window", "evt_retention",
+    "s15_logtable_diff", "reindex_status", "txt_bpe_pair_counts",
+    "dedup_semantic_pairs", "txt_unigram_nll", "pipe_shard_manifest",
+    "mm_resize_features", "pipe_length_buckets", "sample_weighted",
+    "dedup_canonical_corpus", "evt_active_users_7d", "evt_wau_hll",
+    "s15_logtable_asof", "s15_logtable_compact", "stream_wau_hll",
+    "dedup_fuzzy_pairs", "sketch_hll_overlap", "sample_group_split",
+    "sim_knn_graph", "txt_tfidf_sim_pairs", "sim_ivfpq_topk",
+    "graph_lpa", "join_asof_nearest", "dedup_containment_pairs",
+    "stream_cm_heavy", "agg_pivot", "win_ntile",
+    "graph_neighbor_jaccard", "pipe_temperature_mix", "pipe_interleave",
+    "txt_hash_embedding", "txt_bigram_nll", "txt_source_jsd",
+    "evt_anomaly_mad", "pipe_pack_pairs", "mm_simhash_pairs",
+    "txt_char_entropy", "emb_pca_power", "graph_hits",
+    "emb_abtt_topk", "io_csv_quarantine",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
