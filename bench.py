@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "join_range_bands",
     "s7_index_exact",
     "s8_index_range",
+    "s10_geo_knearest",
     "p2_search_filters",
     "u1_union_distinct",
     "g1_khop",

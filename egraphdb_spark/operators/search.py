@@ -103,6 +103,49 @@ def index_condition_ids(indexes: DataFrame, cond: dict) -> DataFrame:
     return scoped.where(pred).select("id")
 
 
+def geo_knearest(
+    indexes: DataFrame,
+    index_name: str,
+    lon: float,
+    lat: float,
+    k: int,
+    radius_m: float | None = None,
+) -> DataFrame:
+    """(id, dist_m) — the ``k`` geo-indexed nodes nearest to (lon, lat)
+    by great-circle distance, ascending.
+
+    The reference's geo scan orders by ``ST_Distance_Sphere`` with the
+    same sphere constant (models/egraph_index_model.erl:361-367); this is
+    the k-nearest completion of that surface — "5 closest warehouses to
+    this point" — expressed as order-by + limit so Catalyst plans a
+    TakeOrderedAndProject: each partition keeps its local top-k and only
+    k rows per partition reach the final merge, never a global sort.
+
+    Scale: ``index_name`` scoping rides partition pruning of the index
+    store (one directory scanned).  For dense planets pass ``radius_m``
+    — an upper bound on the k-th distance (from density stats or a prior
+    coarse round) — and the sargable bbox prefilter reaches parquet
+    min/max row-group skipping before any trig runs.  The bound is the
+    caller's contract: a too-small radius honestly returns fewer than k.
+
+    Ties at the k-th distance break by id (deterministic under any
+    partitioning).
+    """
+    scoped = indexes.where(F.col("index_name") == index_name)
+    glon = F.col("v_geo.coordinates")[0]
+    glat = F.col("v_geo.coordinates")[1]
+    if radius_m is not None:
+        from ..functions.geo import bbox_prefilter
+
+        scoped = scoped.where(bbox_prefilter(glon, glat, lon, lat, radius_m))
+    dist = haversine_m(glon, glat, F.lit(float(lon)), F.lit(float(lat)))
+    return (
+        scoped.select("id", dist.alias("dist_m"))
+        .orderBy("dist_m", "id")
+        .limit(int(k))
+    )
+
+
 def search_ids(indexes: DataFrame, any_conditions: list[dict]) -> DataFrame:
     """OR-union of condition id sets, deduped (src/egraph_api.erl:342-349)."""
     out = None

@@ -215,6 +215,35 @@ SELECT 'nation:' || n_nationkey AS key FROM (
 """
 
 
+def q_s10_geo_knearest(spark, sf_dir):
+    """Five nearest capitals to (-100, -50) by great-circle distance —
+    the k-nearest completion of the reference's ST_Distance_Sphere scan
+    (models/egraph_index_model.erl:361-367): TakeOrderedAndProject top-k,
+    never a global sort."""
+    g = fixture(spark, sf_dir)
+    nn = search.geo_knearest(
+        g.indexes, "capital_geolocation", -100.0, -50.0, 5
+    )
+    return g.vertices.join(nn, "id").select(
+        "key", F.round("dist_m", 3).alias("dist_m")
+    )
+
+
+O_S10_KNN = """
+SELECT 'nation:' || n_nationkey AS key,
+       round(2.0 * 6370986.0 * asin(sqrt(
+           pow(sin(radians(lat - (-50.0)) / 2), 2)
+           + cos(radians(-50.0)) * cos(radians(lat))
+             * pow(sin(radians(lon - (-100.0)) / 2), 2))), 3) AS dist_m
+FROM (
+  SELECT n_nationkey,
+         -180.0 + n_nationkey * 13.7 AS lon,
+         -80.0 + n_nationkey * 6.3 AS lat
+  FROM nation
+) ORDER BY dist_m, key LIMIT 5
+"""
+
+
 def q_s11_index_dump(spark, sf_dir):
     g = fixture(spark, sf_dir)
     dump = scans.index_dump(g.indexes, "p_size").select(
@@ -596,6 +625,7 @@ REGISTRY: dict[str, tuple] = {
     "s7_index_exact_lowercase": (q_s7_index_exact_lowercase, O_S7_LC),
     "s8_index_range": (q_s8_index_range, O_S8),
     "s10_geo_distance": (q_s10_geo_distance, O_S10),
+    "s10_geo_knearest": (q_s10_geo_knearest, O_S10_KNN),
     "s11_index_dump": (q_s11_index_dump, O_S11),
     "p1_selected_paths": (q_p1_selected_paths, O_P1),
     "p2_search_filters": (q_p2_search_filters, O_P2),

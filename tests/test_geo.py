@@ -63,3 +63,37 @@ def test_bbox_is_superset_of_disk(spark):
         ).count()
         misses += bad
     assert misses == 0  # bbox never drops a true disk member
+
+
+def test_geo_knearest_hand_computed(spark):
+    """k-nearest on a hand-laid grid: nearest-by-haversine order, id
+    tie-break, and the radius_m prefilter returning the same set when
+    the bound covers the k-th distance."""
+    from egraphdb_spark.operators.search import geo_knearest
+
+    pts = [
+        (1, 0.0, 0.0), (2, 1.0, 0.0), (3, 0.0, 2.0),
+        (4, 5.0, 5.0), (5, -1.0, 0.0),
+    ]
+    idx = spark.createDataFrame(
+        [
+            (i, "geo_idx", {"type": "Point", "coordinates": [lon, lat]})
+            for i, lon, lat in pts
+        ]
+        + [(9, "other_idx", {"type": "Point", "coordinates": [0.0, 0.0]})],
+        "id long, index_name string,"
+        " v_geo struct<type: string, coordinates: array<double>>",
+    )
+    got = geo_knearest(idx, "geo_idx", 0.0, 0.0, 3).collect()
+    # id 1 at 0 m; ids 2 and 5 tie at 1 degree — id ascending breaks it
+    assert [r.id for r in got] == [1, 2, 5]
+    assert got[0].dist_m == 0.0
+    assert abs(got[1].dist_m - got[2].dist_m) < 1e-6
+    # other_idx never leaks in even at distance 0
+    assert 9 not in {r.id for r in got}
+    # radius bound covering the 3rd distance: identical set
+    bounded = geo_knearest(idx, "geo_idx", 0.0, 0.0, 3, radius_m=200_000.0)
+    assert [r.id for r in bounded.collect()] == [1, 2, 5]
+    # too-tight bound: honestly fewer rows, never wrong ones
+    tight = geo_knearest(idx, "geo_idx", 0.0, 0.0, 3, radius_m=10_000.0)
+    assert [r.id for r in tight.collect()] == [1]

@@ -140,6 +140,7 @@ PROBES = [
     "sample_reservoir_group",
     "sample_class_balance",
     "pipe_dataset_diff",
+    "s10_geo_knearest",
 ]
 
 
