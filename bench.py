@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "sample_reservoir_group",
     "sample_class_balance",
     "pipe_dataset_diff",
+    "privacy_k_anon",
+    "privacy_k_suppress",
+    "mm_binary_ingest",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Privacy auditing for training corpora — k-anonymity over
+quasi-identifiers.
+
+`txt_pii_scrub` (operators/text.py) removes direct identifiers; what
+remains re-identifiable is the COMBINATION of innocuous columns (source
+× language × length band can isolate one document).  The standard audit
+is k-anonymity (Sweeney '02): every row must share its quasi-identifier
+tuple with at least k−1 others.  Two operators:
+
+  * :func:`k_anonymity_report` — one summary row per k threshold:
+    how many equivalence classes exist, how many rows sit in classes
+    smaller than k (the at-risk rows), and the minimum class size
+    (the dataset's actual k).
+  * :func:`k_suppress` — the enforcement step: drop every row whose
+    equivalence class is smaller than k (suppression, the conservative
+    baseline; generalization hierarchies are domain-specific and belong
+    to the caller's bucketing expressions).
+
+Scale: both are one hash-aggregate over the quasi-identifier columns
+(map-side combined; the shuffle carries one row per equivalence class,
+not per input row), and suppression is a broadcast-or-shuffle semi-join
+of the input against the ≥k classes — linear, no driver state.  The
+quasi-identifier list is columns/expressions, so callers band continuous
+attributes (e.g. ``F.floor(F.col("n_chars") / 100)``) before auditing —
+banding IS generalization, expressed declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _classes(df: DataFrame, quasi: list[Column | str]) -> DataFrame:
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi]
+    named = [c.alias(f"q{i}") for i, c in enumerate(cols)]
+    return (
+        df.select(*named)
+        .groupBy(*[f"q{i}" for i in range(len(named))])
+        .agg(F.count("*").alias("class_size"))
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi: list[Column | str], ks: list[int] = (2, 5, 10)
+) -> DataFrame:
+    """(k, n_classes, n_rows, n_rows_below_k, n_classes_below_k,
+    min_class_size) — one row per requested threshold, ascending k.
+
+    ``min_class_size`` is the dataset's achieved k-anonymity (the same
+    value in every row; carried per-row so the frame is self-contained).
+    """
+    cls = _classes(df, quasi)
+    agg = cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        *[
+            x
+            for k in ks
+            for x in (
+                F.sum(
+                    F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+                ).cast("long").alias(f"rb_{k}"),
+                F.sum(
+                    (F.col("class_size") < k).cast("long")
+                ).cast("long").alias(f"cb_{k}"),
+            )
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.col("n_classes"),
+            F.col("n_rows"),
+            F.col(f"rb_{k}").alias("n_rows_below_k"),
+            F.col(f"cb_{k}").alias("n_classes_below_k"),
+            F.col("min_class_size"),
+        )
+        for k in ks
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("k")
+    )
+
+
+def k_suppress(df: DataFrame, quasi: list[Column | str], k: int) -> DataFrame:
+    """Rows of ``df`` whose quasi-identifier equivalence class has at
+    least ``k`` members — at-risk rows suppressed, schema unchanged.
+
+    Left-semi join against the ≥k classes: the class table is one row
+    per equivalence class (usually tiny → broadcast; AQE decides), and
+    the fact side never shuffles when it broadcasts.
+    """
+    import functools
+    import operator
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi]
+    tagged = df.withColumns(
+        {f"__q{i}": c for i, c in enumerate(cols)}
+    )
+    qnames = [f"__q{i}" for i in range(len(cols))]
+    keep = (
+        tagged.groupBy(*qnames)
+        .agg(F.count("*").alias("class_size"))
+        .where(F.col("class_size") >= int(k))
+        .select(*[F.col(q).alias(f"__k{i}") for i, q in enumerate(qnames)])
+    )
+    # null-safe equality: a NULL quasi value is a class like any other —
+    # a plain equi-join would silently suppress every NULL-keyed row
+    # regardless of its class size
+    cond = functools.reduce(
+        operator.and_,
+        [tagged[q].eqNullSafe(keep[f"__k{i}"]) for i, q in enumerate(qnames)],
+    )
+    return tagged.join(keep, cond, "left_semi").drop(*qnames)

@@ -3143,6 +3143,123 @@ FROM j GROUP BY grp ORDER BY source
 O_PIPE_DATASET_DIFF = _dataset_diff_oracle()
 
 
+def q_privacy_k_anon(spark, sf_dir):
+    """k-anonymity audit over the document corpus: quasi-identifiers
+    (lang, source, 100-char length band), thresholds k = 2/5/20 — how
+    many rows sit in equivalence classes small enough to re-identify.
+    One hash-aggregate over the quasi columns; the shuffle carries one
+    row per class."""
+    from .operators.privacy import k_anonymity_report
+
+    docs = _t(spark, sf_dir, "documents")
+    quasi = [
+        F.col("lang"),
+        F.col("source"),
+        F.floor(F.col("n_chars") / 100).cast("long"),
+    ]
+    return k_anonymity_report(docs, quasi, ks=(2, 5, 20))
+
+
+O_PRIVACY_K_ANON = """
+WITH cls AS (
+  SELECT lang, source, n_chars // 100 AS b, count(*) AS sz
+  FROM documents GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS nc, CAST(sum(sz) AS BIGINT) AS nr,
+         CAST(min(sz) AS BIGINT) AS mcs,
+         CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS rb2,
+         CAST(sum(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb2,
+         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rb5,
+         CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS cb5,
+         CAST(sum(CASE WHEN sz < 20 THEN sz ELSE 0 END) AS BIGINT) AS rb20,
+         CAST(sum(CASE WHEN sz < 20 THEN 1 ELSE 0 END) AS BIGINT) AS cb20
+  FROM cls
+)
+SELECT CAST(2 AS BIGINT) AS k, nc AS n_classes, nr AS n_rows,
+       rb2 AS n_rows_below_k, cb2 AS n_classes_below_k,
+       mcs AS min_class_size FROM a
+UNION ALL SELECT 5, nc, nr, rb5, cb5, mcs FROM a
+UNION ALL SELECT 20, nc, nr, rb20, cb20, mcs FROM a
+ORDER BY k
+"""
+
+
+def q_privacy_k_suppress(spark, sf_dir):
+    """Suppression enforcement: drop every document whose (lang, source,
+    length-band) class has fewer than 5 members, report surviving
+    counts per source.  Semi-join of the corpus against the >=k classes
+    (broadcast when tiny; AQE decides)."""
+    from .operators.privacy import k_suppress
+
+    docs = _t(spark, sf_dir, "documents")
+    quasi = [
+        F.col("lang"),
+        F.col("source"),
+        F.floor(F.col("n_chars") / 100).cast("long"),
+    ]
+    kept = k_suppress(docs, quasi, 5)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+O_PRIVACY_K_SUPPRESS = """
+WITH t AS (
+  SELECT source, doc_id,
+         count(*) OVER (PARTITION BY lang, source, n_chars // 100) AS sz
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM t WHERE sz >= 5 GROUP BY source ORDER BY source
+"""
+
+
+def q_mm_binary_ingest(spark, sf_dir):
+    """Loose-file multimodal round-trip: export the first 100 documents
+    as one binary file each (executor-parallel foreachPartition), ingest
+    the directory back through Spark's binaryFile source, and verify
+    payload integrity (byte length + md5) against the corpus — the
+    ingestion path an image/audio corpus takes into the engine."""
+    import os as _os
+
+    from .sources import io as _io
+
+    path = _os.path.join(
+        _os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/egraphdb_spark_io"),
+        f"bin-{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    _io.write_binary_files(payloads, "doc_id", "payload", path)
+    back = _io.read_binary_dir(spark, path, glob="*.bin")
+    return (
+        back.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_MM_BINARY_INGEST = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3242,4 +3359,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "mm_payload_dedup": (q_mm_payload_dedup, O_MM_PAYLOAD_DEDUP),
     "mm_frame_sample": (q_mm_frame_sample, O_MM_FRAME_SAMPLE),
     "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),
+    "privacy_k_anon": (q_privacy_k_anon, O_PRIVACY_K_ANON),
+    "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
+    "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
 }

@@ -14,6 +14,8 @@ coalesces to 1 only for tiny driver-facing exports.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
@@ -147,6 +149,52 @@ def write_index_store(indexes: DataFrame, path: str) -> None:
 
 def read_index_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_binary_files(
+    df: DataFrame, id_col: str, payload_col: str, path: str
+) -> None:
+    """One file per row (``<id>.bin``) from a binary payload column —
+    the export half of a multimodal corpus round-trip (shipping decoded
+    assets to a tool that wants loose files).
+
+    Executor-parallel ``foreachPartition``: every partition writes its
+    own rows, nothing is collected to the driver.  On a real cluster
+    ``path`` must be a shared filesystem (NFS/Fuse mount); for
+    HDFS/object stores swap the ``open`` for the Hadoop FileSystem API —
+    the partition-parallel structure is unchanged.
+    """
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # no stale files on rewrite
+    os.makedirs(path, exist_ok=True)
+
+    def _write(rows):
+        for r in rows:
+            with open(os.path.join(path, f"{r[id_col]}.bin"), "wb") as f:
+                f.write(r[payload_col])
+
+    df.select(id_col, payload_col).foreachPartition(_write)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None):
+    """Opaque-asset ingestion via Spark's ``binaryFile`` source: one row
+    per file with (path, modificationTime, length, content).  This is
+    the 100-TB-corpus entry point for images/audio/video — the source
+    parallelizes over files, prunes to metadata-only reads when
+    ``content`` is not referenced, and ``pathGlobFilter`` skips non-asset
+    files at listing time (never read, never decoded).
+
+    Contract note (pinned by tests/test_io_quarantine.py): Spark's file
+    split planning produces no partition for ZERO-length files, so empty
+    assets are silently absent from the result — reconcile counts
+    against the manifest and route zero-byte files through the
+    quarantine path if they matter.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
 
 
 def read_csv_quarantine(

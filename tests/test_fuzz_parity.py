@@ -96,6 +96,8 @@ FUZZ_GATES = [
     "sample_train_test",
     "dedup_line_corpus",
     "dedup_source_overlap",
+    "privacy_k_anon",
+    "privacy_k_suppress",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

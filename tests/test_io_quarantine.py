@@ -73,3 +73,35 @@ def test_clean_rows_parse_types(spark, feed):
         .collect()[0]["s"]
     )
     assert got == sum(range(1, 201))
+
+
+def test_binary_roundtrip(spark, tmp_path):
+    """write_binary_files → binaryFile source: payload bytes survive
+    exactly; glob filter skips foreign files at listing time."""
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.sources import io
+
+    payloads = [(1, b"hello"), (2, b"\x00\xffbin\x00"), (3, b"")]
+    df = spark.createDataFrame(payloads, "id long, payload binary")
+    path = str(tmp_path / "bins")
+    io.write_binary_files(df, "id", "payload", path)
+    (tmp_path / "bins" / "readme.txt").write_text("not an asset")
+
+    back = io.read_binary_dir(spark, path, glob="*.bin")
+    got = {
+        int(r.doc_id): bytes(r.content)
+        for r in back.select(
+            F.regexp_extract("path", r"(\d+)\.bin$", 1).alias("doc_id"),
+            "content",
+        ).collect()
+    }
+    # zero-length files produce no file split — documented contract:
+    # empty assets are absent from a binaryFile read
+    assert got == {1: b"hello", 2: b"\x00\xffbin\x00"}
+    # rewrite with fewer rows: stale files must not survive
+    io.write_binary_files(
+        spark.createDataFrame(payloads[:1], "id long, payload binary"),
+        "id", "payload", path,
+    )
+    assert io.read_binary_dir(spark, path, glob="*.bin").count() == 1

@@ -141,6 +141,9 @@ PROBES = [
     "sample_class_balance",
     "pipe_dataset_diff",
     "s10_geo_knearest",
+    "privacy_k_anon",
+    "privacy_k_suppress",
+    "mm_binary_ingest",
 ]
 
 
