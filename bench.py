@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "privacy_k_anon",
     "privacy_k_suppress",
     "mm_binary_ingest",
+    "txt_bpe_train",
 ]
 
 

@@ -3260,6 +3260,27 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+def q_txt_bpe_train(spark, sf_dir):
+    """Full BPE tokenizer training, 6 merge rounds over the document
+    corpus: the corpus is scanned once into a word-frequency table, then
+    every round is a vocabulary-sized pair-count aggregate + argmax +
+    double-replace merge (operators/tokenizer.py).  The learned merge
+    table is the artifact a tokenizer ships with."""
+    from .operators.tokenizer import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=6)
+
+
+def _bpe_train_oracle():
+    from .operators.tokenizer import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql("documents", 6)
+
+
+O_TXT_BPE_TRAIN = _bpe_train_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3362,4 +3383,5 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "privacy_k_anon": (q_privacy_k_anon, O_PRIVACY_K_ANON),
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
+    "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),
 }

@@ -98,6 +98,7 @@ FUZZ_GATES = [
     "dedup_source_overlap",
     "privacy_k_anon",
     "privacy_k_suppress",
+    "txt_bpe_train",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

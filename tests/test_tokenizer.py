@@ -1,0 +1,88 @@
+"""BPE trainer: pure-Python reference parity, early stop, determinism."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from egraphdb_spark.operators.tokenizer import SEP, bpe_train
+from egraphdb_spark.operators.text import BPE_PATTERN
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Pure-Python reference with the SAME double-pass-replace merge
+    semantics as the distributed trainer (see tokenizer.py docstring)."""
+    words = Counter(
+        w for t in texts for w in re.findall(BPE_PATTERN, t.lower())
+    )
+    vocab = {SEP + SEP.join(w) + SEP: c for w, c in words.items()}
+    rules = []
+    for rnd in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for s, c in vocab.items():
+            syms = [x for x in s.split(SEP) if x]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # max count, lexicographic tie-break on (lhs, rhs)
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rnd, a, b, a + b, n))
+        pat, rep = SEP + a + SEP + b + SEP, SEP + a + b + SEP
+        new_vocab: dict[str, int] = {}
+        for s, c in vocab.items():
+            s2 = s.replace(pat, rep).replace(pat, rep)
+            new_vocab[s2] = new_vocab.get(s2, 0) + c
+        vocab = new_vocab
+    return rules
+
+
+def _spark_bpe(spark, texts, n_merges):
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r.merge_round, r.lhs, r.rhs, r.merged, r.n)
+        for r in bpe_train(docs, "text", n_merges)
+        .orderBy("merge_round")
+        .collect()
+    ]
+
+
+def test_bpe_hand_corpus(spark):
+    texts = ["the cat sat on the mat", "the cat", "banana bandana"]
+    got = _spark_bpe(spark, texts, 5)
+    assert got == _ref_bpe(texts, 5)
+    # 't'+'he' -> 'the' must be learned from this corpus
+    assert ("the" in [g[3] for g in got])
+
+
+def test_bpe_early_stop_single_chars(spark):
+    # corpus of 1-char words: no adjacent pairs, zero rules
+    assert _spark_bpe(spark, ["a b c", "d e"], 4) == []
+
+
+def test_bpe_repeated_symbol_runs(spark):
+    # the (x, x) overlap corner: counts and rule order must still match
+    texts = ["aaaaa aaa aa", "aaaa"]
+    assert _spark_bpe(spark, texts, 4) == _ref_bpe(texts, 4)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c\td.e2f\ng", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_bpe_property_vs_reference(spark, texts):
+    assert _spark_bpe(spark, texts, 3) == _ref_bpe(texts, 3)

@@ -144,6 +144,7 @@ PROBES = [
     "privacy_k_anon",
     "privacy_k_suppress",
     "mm_binary_ingest",
+    "txt_bpe_train",
 ]
 
 
