@@ -64,18 +64,8 @@ def _word_symbols(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def bpe_train(
-    docs: DataFrame, text_col: str, n_merges: int = 8
-) -> DataFrame:
-    """(round, left, right, merged, n) — the first ``n_merges`` learned
-    BPE merge rules, in learning order.
-
-    ``n`` is the pair's corpus frequency at the time it was chosen; ties
-    break lexicographically on (left, right) so the merge table is
-    deterministic across engines and partitionings.  Training stops
-    early (fewer rows) when no adjacent pair remains.
-    """
-    spark = docs.sparkSession
+def _train(docs: DataFrame, text_col: str, n_merges: int):
+    """Shared training loop → (rules list, final merged vocab frame)."""
     vocab = _word_symbols(docs, text_col).transform(cut_lineage)
     rules = []
     for rnd in range(1, int(n_merges) + 1):
@@ -116,9 +106,52 @@ def bpe_train(
             F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
             "wc",
         ).transform(cut_lineage)
-    return spark.createDataFrame(
+    return rules, vocab
+
+
+def bpe_train(
+    docs: DataFrame, text_col: str, n_merges: int = 8
+) -> DataFrame:
+    """(merge_round, lhs, rhs, merged, n) — the first ``n_merges``
+    learned BPE merge rules, in learning order.
+
+    ``n`` is the pair's corpus frequency at the time it was chosen; ties
+    break lexicographically on (lhs, rhs) so the merge table is
+    deterministic across engines and partitionings.  Training stops
+    early (fewer rows) when no adjacent pair remains.
+    """
+    rules, _ = _train(docs, text_col, int(n_merges))
+    return docs.sparkSession.createDataFrame(
         rules,
         "merge_round long, lhs string, rhs string, merged string, n long",
+    )
+
+
+def bpe_token_frequencies(
+    docs: DataFrame, text_col: str, n_merges: int = 8, top_n: int = 20
+) -> DataFrame:
+    """(token, n) — the corpus's subword-token frequency table after
+    ENCODING with the ``n_merges`` learned rules: train, apply the merge
+    table to the vocabulary, explode tokens weighted by word frequency,
+    top ``top_n`` by count (token tie-break).
+
+    This is the apply half of the tokenizer lifecycle — the table a
+    sampling or packing stage consumes ("how long is this corpus in
+    learned subwords") — and it never touches the corpus again: encoding
+    happens on the vocabulary frame the trainer already holds.
+    """
+    _, vocab = _train(docs, text_col, int(n_merges))
+    return (
+        vocab.select(
+            "wc",
+            F.explode(
+                F.filter(F.split("s", SEP), lambda x: x != F.lit(""))
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.sum("wc").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(int(top_n))
     )
 
 
@@ -159,6 +192,10 @@ s{k} AS (
                  '{sep}' || l || '{sep}' || r || '{sep}',
                  '{sep}' || l || r || '{sep}') AS s, wc
   FROM {prev}, t{k}
+  UNION ALL
+  -- early stop: no pair left this round — carry the vocab unchanged
+  -- (the Spark trainer breaks its loop at the same point)
+  SELECT s, wc FROM {prev} WHERE NOT EXISTS (SELECT 1 FROM t{k})
 )"""
         )
     selects = "\nUNION ALL ".join(
@@ -169,3 +206,20 @@ s{k} AS (
     return (
         "WITH " + ",\n".join(parts) + "\n" + selects + "\nORDER BY merge_round"
     )
+
+
+def bpe_token_frequencies_oracle_sql(
+    table: str, n_merges: int = 8, top_n: int = 20
+) -> str:
+    """DuckDB mirror of :func:`bpe_token_frequencies`: the same training
+    WITH-chain, then token explosion of the final vocabulary."""
+    sep = SEP
+    train = bpe_train_oracle_sql(table, n_merges)
+    with_block = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    return f"""{with_block}
+SELECT token, CAST(sum(wc) AS BIGINT) AS n FROM (
+  SELECT wc, unnest(list_filter(string_split(s, '{sep}'), x -> x <> ''))
+         AS token
+  FROM s{int(n_merges)})
+GROUP BY token ORDER BY n DESC, token LIMIT {int(top_n)}
+"""

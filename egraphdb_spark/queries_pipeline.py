@@ -3281,6 +3281,27 @@ def _bpe_train_oracle():
 O_TXT_BPE_TRAIN = _bpe_train_oracle()
 
 
+def q_txt_bpe_vocab_tokens(spark, sf_dir):
+    """Apply half of the tokenizer lifecycle: encode the corpus
+    vocabulary with the 6 learned merge rules and report the top-20
+    subword-token frequencies — the table a packing/sampling stage
+    consumes.  Encoding runs on the vocabulary frame the trainer already
+    holds; the corpus is never rescanned."""
+    from .operators.tokenizer import bpe_token_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_frequencies(docs, "text", n_merges=6, top_n=20)
+
+
+def _bpe_tokens_oracle():
+    from .operators.tokenizer import bpe_token_frequencies_oracle_sql
+
+    return bpe_token_frequencies_oracle_sql("documents", 6, 20)
+
+
+O_TXT_BPE_VOCAB_TOKENS = _bpe_tokens_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3384,4 +3405,5 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),
+    "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

@@ -99,6 +99,7 @@ FUZZ_GATES = [
     "privacy_k_anon",
     "privacy_k_suppress",
     "txt_bpe_train",
+    "txt_bpe_vocab_tokens",
 ]
 
 _LANGS = ["en", "de", "fr", "zh", "es"]

@@ -86,3 +86,39 @@ def test_bpe_repeated_symbol_runs(spark):
 )
 def test_bpe_property_vs_reference(spark, texts):
     assert _spark_bpe(spark, texts, 3) == _ref_bpe(texts, 3)
+
+
+def test_bpe_token_frequencies_matches_reference_encoding(spark):
+    from egraphdb_spark.operators.tokenizer import bpe_token_frequencies
+
+    texts = ["the cat sat on the mat", "the cat", "banana bandana"]
+    got = {
+        (r.token, r.n)
+        for r in bpe_token_frequencies(spark.createDataFrame(
+            [(t,) for t in texts], "text string"
+        ), "text", n_merges=4, top_n=50).collect()
+    }
+    # reference: run _ref_bpe's vocab forward
+    rules = _ref_bpe(texts, 4)
+    words = Counter(
+        w for t in texts for w in re.findall(BPE_PATTERN, t.lower())
+    )
+    freq: Counter = Counter()
+    for w, c in words.items():
+        s = SEP + SEP.join(w) + SEP
+        for _, a, b, _, _ in rules:
+            pat, rep = SEP + a + SEP + b + SEP, SEP + a + b + SEP
+            s = s.replace(pat, rep).replace(pat, rep)
+        for tok in [x for x in s.split(SEP) if x]:
+            freq[tok] += c
+    assert got == {(t, n) for t, n in freq.items()}
+
+
+def test_bpe_token_frequencies_early_stop_keeps_vocab(spark):
+    from egraphdb_spark.operators.tokenizer import bpe_token_frequencies
+
+    out = bpe_token_frequencies(
+        spark.createDataFrame([("a b c", ), ("a .",)], "text string"),
+        "text", n_merges=4, top_n=10,
+    ).collect()
+    assert {(r.token, r.n) for r in out} == {("a", 2), ("b", 1), ("c", 1), (".", 1)}
