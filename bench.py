@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "graph_scc",
     "evt_attribution",
     "io_csv_quarantine",
+    "io_jsonl_quarantine",
     "sample_reservoir_group",
     "sample_class_balance",
     "pipe_dataset_diff",

@@ -4513,6 +4513,76 @@ SELECT CAST((SELECT count(*) FROM documents WHERE doc_id < 200) AS BIGINT)
 """
 
 
+# Planted JSONL corruption classes (each exercises a distinct verdict
+# path of from_json; semantics pinned in tests/test_io_quarantine.py):
+_JSONL_BAD = [
+    "not json at all",                                    # unparseable
+    '{"doc_id": 3, "source": "trunc"',                    # truncated
+    '{"doc_id": "oops", "source": "x", "n_chars": 1}',    # string in bigint
+    '{"doc_id": 4.5, "source": "y", "n_chars": 2}',       # float in bigint
+    '{"doc_id": 7, "source": "z", "n_chars": [1, 2]}',    # array in bigint
+    '{"doc_id": true, "source": "w", "n_chars": 3}',      # bool in bigint
+]
+# Clean-but-tricky plants: JSON int coerces into the string column;
+# missing fields are clean nulls.  Blank lines are dropped by the reader.
+_JSONL_TRICKY = [
+    '{"doc_id": 9999991, "source": 42, "n_chars": 7}',
+    '{"source": "only"}',
+    "",
+    "   ",
+]
+
+
+def q_io_jsonl_quarantine(spark, sf_dir):
+    """Untrusted JSONL feed ingestion: write the corpus as JSON lines
+    with six planted malformed lines (plus coercion/blank-line decoys),
+    read back PERMISSIVE with a corrupt-record quarantine column, and
+    report clean/corrupt counts, the clean aggregate, and an md5 over
+    the SORTED corrupt raw lines — pinning not just how many lines were
+    quarantined but WHICH ones."""
+    from .sources import io
+
+    path = f"{_IO_ROOT}/jsonlq-{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "source", "n_chars")).alias("value")
+    )
+    planted = spark.createDataFrame(
+        [(x,) for x in _JSONL_BAD + _JSONL_TRICKY], "value string"
+    )
+    lines.unionByName(planted).write.mode("overwrite").text(path)
+    back = io.read_jsonl_quarantine(
+        spark, path, "doc_id bigint, source string, n_chars bigint"
+    )
+    return back.agg(
+        F.sum(F.col("_bad").isNull().cast("long")).alias("n_clean"),
+        F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
+        ).cast("long").alias("sum_chars_clean"),
+        F.md5(
+            F.concat_ws("\n", F.sort_array(F.collect_list("_bad")))
+        ).alias("corrupt_md5"),
+    )
+
+
+def _jsonl_quarantine_oracle() -> str:
+    vals = ", ".join("('" + x.replace("'", "''") + "')" for x in _JSONL_BAD)
+    return f"""
+WITH bad(l) AS (VALUES {vals})
+SELECT CAST((SELECT count(*) + 2 FROM documents WHERE doc_id < 200)
+            AS BIGINT) AS n_clean,
+       CAST((SELECT count(*) FROM bad) AS BIGINT) AS n_corrupt,
+       CAST((SELECT sum(n_chars) + 7 FROM documents WHERE doc_id < 200)
+            AS BIGINT) AS sum_chars_clean,
+       (SELECT md5(string_agg(l, chr(10) ORDER BY l)) FROM bad)
+         AS corrupt_md5
+"""
+
+
+O_IO_JSONL_QUARANTINE = _jsonl_quarantine_oracle()
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -4624,4 +4694,5 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_scc": (q_graph_scc, O_GRAPH_SCC),
     "evt_attribution": (q_evt_attribution, O_EVT_ATTRIBUTION),
     "io_csv_quarantine": (q_io_csv_quarantine, O_IO_CSV_QUARANTINE),
+    "io_jsonl_quarantine": (q_io_jsonl_quarantine, O_IO_JSONL_QUARANTINE),
 }

@@ -228,3 +228,37 @@ def read_csv_quarantine(
         .select(F.from_csv(F.col("value"), full, opts).alias("r"))
         .select("r.*")
     )
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """PERMISSIVE JSON-lines read with a corrupt-record quarantine column
+    — the JSONL twin of :func:`read_csv_quarantine`, same
+    projection-independence contract: parse via ``spark.read.text`` +
+    ``from_json`` materializing the FULL struct, so the corrupt verdict
+    never changes with the downstream column selection (the JSON file
+    source prunes the parser schema exactly like the CSV one).
+
+    Corruption semantics (pinned empirically by
+    tests/test_io_quarantine.py against a DuckDB ``json_type`` mirror):
+
+    - invalid / truncated JSON text → corrupt;
+    - a ``bigint``-declared field holding a JSON string (even a numeric
+      one), float, boolean, array, or an integer past int64 → corrupt;
+    - a ``string``-declared field NEVER corrupts — every JSON type
+      coerces to its text form (``9`` → ``"9"``, objects/arrays to their
+      compact JSON);
+    - missing fields and explicit ``null`` are clean nulls;
+    - blank / whitespace-only lines are dropped here (the JSON file
+      source skips them; a raw ``text`` read surfaces them as all-null
+      NON-corrupt rows, which would silently inflate clean counts).
+    """
+    full = schema + ", _bad string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
+    return (
+        spark.read.text(path)
+        .where(F.trim(F.col("value")) != "")
+        .select(F.from_json(F.col("value"), full, opts).alias("r"))
+        .select("r.*")
+    )

@@ -96,6 +96,7 @@ FUZZ_GATES = [
     "sample_train_test",
     "dedup_line_corpus",
     "dedup_source_overlap",
+    "io_jsonl_quarantine",
     "privacy_k_anon",
     "privacy_k_suppress",
     # txt_bpe_vocab_tokens runs the FULL bpe training chain plus the

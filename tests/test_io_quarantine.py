@@ -105,3 +105,116 @@ def test_binary_roundtrip(spark, tmp_path):
         "id", "payload", path,
     )
     assert io.read_binary_dir(spark, path, glob="*.bin").count() == 1
+
+
+# ---------------------------------------------------------------- JSONL
+
+
+JSONL_BAD = [
+    "not json at all",
+    '{"doc_id": 3, "source": "trunc"',
+    '{"doc_id": "oops", "source": "x", "n_chars": 1}',
+    '{"doc_id": "7", "source": "num-str", "n_chars": 1}',
+    '{"doc_id": 4.5, "source": "y", "n_chars": 2}',
+    '{"doc_id": 7, "source": "z", "n_chars": [1, 2]}',
+    '{"doc_id": true, "source": "w", "n_chars": 3}',
+    '{"doc_id": 99999999999999999999, "source": "ovf", "n_chars": 1}',
+]
+JSONL_CLEAN_TRICKY = [
+    '{"doc_id": 9990011, "source": 42, "n_chars": 7}',      # int → string coerce
+    '{"doc_id": 9990012, "source": {"a": 1}, "n_chars": 1}',  # obj → JSON text
+    '{"source": "only"}',                                # missing fields
+    '{"doc_id": null, "source": "n", "n_chars": 4}',     # explicit null
+    '{"doc_id": 9990013, "source": "e", "n_chars": 2, "x": 1}',  # extra field
+]
+
+
+@pytest.fixture(scope="module")
+def jfeed(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("jsonlq") / "feed")
+    rows = [
+        (f'{{"doc_id": {i}, "source": "src{i % 3}", "n_chars": {i % 7}}}',)
+        for i in range(1, 201)
+    ]
+    rows += [(x,) for x in JSONL_BAD + JSONL_CLEAN_TRICKY + ["", "   "]]
+    spark.createDataFrame(rows, "value string").write.mode(
+        "overwrite"
+    ).text(path)
+    return path
+
+
+def test_jsonl_full_projection(spark, jfeed):
+    df = io.read_jsonl_quarantine(spark, jfeed, SCHEMA)
+    assert _corrupt(df) == len(JSONL_BAD)
+    # blank lines are dropped, tricky lines are clean
+    assert df.where(F.col("_bad").isNull()).count() == 200 + len(
+        JSONL_CLEAN_TRICKY
+    )
+
+
+def test_jsonl_pruned_projection_same_verdict(spark, jfeed):
+    # touching only (_bad, n_chars) must still flag doc_id-only damage
+    df = io.read_jsonl_quarantine(spark, jfeed, SCHEMA).select(
+        "_bad", "n_chars"
+    )
+    out = df.agg(
+        F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_corrupt"),
+    ).collect()[0]
+    assert out["n_corrupt"] == len(JSONL_BAD)
+
+
+def test_jsonl_corrupt_column_only(spark, jfeed):
+    df = io.read_jsonl_quarantine(spark, jfeed, SCHEMA).select("_bad")
+    assert _corrupt(df) == len(JSONL_BAD)
+
+
+def test_jsonl_coercions(spark, jfeed):
+    """String columns never corrupt: scalars and containers coerce to
+    their text form — pinned so a schema change that breaks the
+    coercion contract is caught here, not at a driver window."""
+    df = io.read_jsonl_quarantine(spark, jfeed, SCHEMA)
+    got = {
+        r.doc_id: r.source
+        for r in df.where(
+            F.col("_bad").isNull() & F.col("doc_id").isin(9990011, 9990012)
+        ).collect()
+    }
+    assert got == {9990011: "42", 9990012: '{"a":1}'}
+
+
+def test_jsonl_verdict_matches_duckdb_json_type_rule(spark, jfeed):
+    """Cross-engine contract: Spark's from_json corrupt verdict over the
+    hostile feed equals the documented DuckDB json_type rule (a bigint
+    field must be UBIGINT/BIGINT/NULL/absent; string fields never
+    corrupt; blank lines excluded; int64 overflow reports DOUBLE)."""
+    import duckdb
+
+    df = io.read_jsonl_quarantine(spark, jfeed, SCHEMA)
+    spark_bad = sorted(
+        r._bad for r in df.where(F.col("_bad").isNotNull()).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(line VARCHAR)")
+    all_lines = [
+        f'{{"doc_id": {i}, "source": "src{i % 3}", "n_chars": {i % 7}}}'
+        for i in range(1, 201)
+    ] + JSONL_BAD + JSONL_CLEAN_TRICKY + ["", "   "]
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in all_lines])
+    duck_bad = sorted(
+        x[0]
+        for x in con.execute(
+            """
+            SELECT line FROM t
+            WHERE trim(line) <> '' AND (
+              NOT json_valid(line)
+              OR CASE WHEN json_valid(line)
+                      THEN coalesce(json_type(line, '$.doc_id'), 'NULL')
+                           NOT IN ('UBIGINT', 'BIGINT', 'NULL')
+                        OR coalesce(json_type(line, '$.n_chars'), 'NULL')
+                           NOT IN ('UBIGINT', 'BIGINT', 'NULL')
+                      ELSE FALSE END)
+            """
+        ).fetchall()
+    )
+    assert spark_bad == duck_bad == sorted(JSONL_BAD)

@@ -137,6 +137,7 @@ PROBES = [
     "graph_scc",
     "evt_attribution",
     "io_csv_quarantine",
+    "io_jsonl_quarantine",
     "sample_reservoir_group",
     "sample_class_balance",
     "pipe_dataset_diff",
