@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "sample_class_balance",
     "pipe_dataset_diff",
     "privacy_k_anon",
+    "privacy_l_diversity",
     "privacy_k_suppress",
     "mm_binary_ingest",
     "txt_bpe_train",

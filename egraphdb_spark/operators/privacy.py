@@ -115,3 +115,72 @@ def k_suppress(df: DataFrame, quasi: list[Column | str], k: int) -> DataFrame:
         [tagged[q].eqNullSafe(keep[f"__k{i}"]) for i, q in enumerate(qnames)],
     )
     return tagged.join(keep, cond, "left_semi").drop(*qnames)
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi: list[Column | str],
+    sensitive: Column | str,
+    ls: list[int] = (2, 3),
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. '07): k-anonymity
+    is not enough when every member of an equivalence class shares the
+    same SENSITIVE value — the class is large, yet the attribute is
+    disclosed.  One row per threshold l: ``(l, n_classes, n_rows,
+    n_rows_below_l, n_classes_below_l, min_distinct_sensitive)`` where a
+    class counts "below l" when it holds fewer than l distinct sensitive
+    values.
+
+    NULL sensitive values follow SQL ``count(DISTINCT …)`` semantics
+    (ignored) — an all-NULL class has diversity 0 and fails every l.
+
+    Scale: one hash-aggregate over (quasi…, sensitive) to distinct, then
+    one over quasi — both map-side combined; the shuffles carry one row
+    per (class, sensitive value) and one per class.  No expansion of the
+    fact table, no window.
+    """
+    sens = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi]
+    named = [c.alias(f"q{i}") for i, c in enumerate(cols)]
+    qnames = [f"q{i}" for i in range(len(named))]
+    cls = (
+        df.select(*named, sens.alias("s"))
+        .groupBy(*qnames)
+        .agg(
+            F.count("*").alias("class_size"),
+            F.count_distinct(F.col("s")).alias("n_distinct"),
+        )
+    )
+    agg = cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.min("n_distinct").cast("long").alias("min_distinct_sensitive"),
+        *[
+            x
+            for l in ls
+            for x in (
+                F.sum(
+                    F.when(F.col("n_distinct") < l, F.col("class_size")).otherwise(0)
+                ).cast("long").alias(f"rb_{l}"),
+                F.sum(
+                    (F.col("n_distinct") < l).cast("long")
+                ).cast("long").alias(f"cb_{l}"),
+            )
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(int(l)).cast("long").alias("l"),
+            F.col("n_classes"),
+            F.col("n_rows"),
+            F.col(f"rb_{l}").alias("n_rows_below_l"),
+            F.col(f"cb_{l}").alias("n_classes_below_l"),
+            F.col("min_distinct_sensitive"),
+        )
+        for l in ls
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("l")
+    )

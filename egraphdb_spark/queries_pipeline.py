@@ -3221,6 +3221,45 @@ FROM t WHERE sz >= 5 GROUP BY source ORDER BY source
 """
 
 
+def q_privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit: quasi-identifiers (lang, 200-char length band),
+    sensitive attribute = source — classes that are k-anonymous but
+    source-homogeneous still disclose provenance.  Two map-side-combined
+    aggregates; shuffles carry one row per (class, source) then per
+    class."""
+    from .operators.privacy import l_diversity_report
+
+    docs = _t(spark, sf_dir, "documents")
+    quasi = [F.col("lang"), F.floor(F.col("n_chars") / 200).cast("long")]
+    return l_diversity_report(docs, quasi, F.col("source"), ls=(2, 3, 5))
+
+
+O_PRIVACY_L_DIVERSITY = """
+WITH cls AS (
+  SELECT lang, n_chars // 200 AS b, count(*) AS sz,
+         count(DISTINCT source) AS nd
+  FROM documents GROUP BY 1, 2
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS nc, CAST(sum(sz) AS BIGINT) AS nr,
+         CAST(min(nd) AS BIGINT) AS mds,
+         CAST(sum(CASE WHEN nd < 2 THEN sz ELSE 0 END) AS BIGINT) AS rb2,
+         CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb2,
+         CAST(sum(CASE WHEN nd < 3 THEN sz ELSE 0 END) AS BIGINT) AS rb3,
+         CAST(sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END) AS BIGINT) AS cb3,
+         CAST(sum(CASE WHEN nd < 5 THEN sz ELSE 0 END) AS BIGINT) AS rb5,
+         CAST(sum(CASE WHEN nd < 5 THEN 1 ELSE 0 END) AS BIGINT) AS cb5
+  FROM cls
+)
+SELECT CAST(2 AS BIGINT) AS l, nc AS n_classes, nr AS n_rows,
+       rb2 AS n_rows_below_l, cb2 AS n_classes_below_l,
+       mds AS min_distinct_sensitive FROM a
+UNION ALL SELECT 3, nc, nr, rb3, cb3, mds FROM a
+UNION ALL SELECT 5, nc, nr, rb5, cb5, mds FROM a
+ORDER BY l
+"""
+
+
 def q_mm_binary_ingest(spark, sf_dir):
     """Loose-file multimodal round-trip: export the first 100 documents
     as one binary file each (executor-parallel foreachPartition), ingest
@@ -3402,6 +3441,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "mm_frame_sample": (q_mm_frame_sample, O_MM_FRAME_SAMPLE),
     "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),
     "privacy_k_anon": (q_privacy_k_anon, O_PRIVACY_K_ANON),
+    "privacy_l_diversity": (q_privacy_l_diversity, O_PRIVACY_L_DIVERSITY),
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),

@@ -98,6 +98,7 @@ FUZZ_GATES = [
     "dedup_source_overlap",
     "io_jsonl_quarantine",
     "privacy_k_anon",
+    "privacy_l_diversity",
     "privacy_k_suppress",
     # txt_bpe_vocab_tokens runs the FULL bpe training chain plus the
     # encode tail, so it strictly covers txt_bpe_train's oracle path;

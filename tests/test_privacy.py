@@ -72,3 +72,35 @@ def test_null_quasi_values_form_their_own_class(spark):
     assert rep.n_rows_below_k == 1
     kept = k_suppress(df, ["g"], 2)
     assert sorted(r.id for r in kept.collect()) == [1, 2]
+
+
+def test_l_diversity_hand_computed(spark):
+    """Two classes: A holds 3 rows / 1 distinct sensitive value (fails
+    l=2 despite being 3-anonymous — the k-anonymity blind spot), B holds
+    3 rows / 3 distinct (passes l<=3)."""
+    from egraphdb_spark.operators.privacy import l_diversity_report
+
+    rows = [
+        (1, "A", "s1"), (2, "A", "s1"), (3, "A", "s1"),
+        (4, "B", "x"), (5, "B", "y"), (6, "B", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    rep = {r.l: r for r in l_diversity_report(df, ["g"], "s", ls=(2, 3, 4)).collect()}
+    assert rep[2].n_classes == 2 and rep[2].n_rows == 6
+    assert rep[2].n_rows_below_l == 3 and rep[2].n_classes_below_l == 1
+    assert rep[3].n_rows_below_l == 3   # A still fails, B has exactly 3
+    assert rep[4].n_rows_below_l == 6   # both fail l=4
+    assert rep[2].min_distinct_sensitive == 1
+
+
+def test_l_diversity_null_sensitive_ignored(spark):
+    """count(DISTINCT) semantics: NULL sensitive values don't add
+    diversity — an all-NULL class has diversity 0."""
+    from egraphdb_spark.operators.privacy import l_diversity_report
+
+    rows = [(1, "A", None), (2, "A", None), (3, "B", "v"), (4, "B", None)]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    rep = l_diversity_report(df, ["g"], "s", ls=(2,)).collect()[0]
+    assert rep.min_distinct_sensitive == 0
+    assert rep.n_rows_below_l == 4      # A diversity 0, B diversity 1
+    assert rep.n_classes_below_l == 2

@@ -143,6 +143,7 @@ PROBES = [
     "pipe_dataset_diff",
     "s10_geo_knearest",
     "privacy_k_anon",
+    "privacy_l_diversity",
     "privacy_k_suppress",
     "mm_binary_ingest",
     "txt_bpe_train",
