@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "evt_attribution",
     "io_csv_quarantine",
     "io_jsonl_quarantine",
+    "layout_bucket_join",
     "sample_reservoir_group",
     "sample_class_balance",
     "pipe_dataset_diff",

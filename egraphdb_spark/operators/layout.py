@@ -103,3 +103,4 @@ def zorder_prune_stats(
         )
         .orderBy("bucket")
     )
+

@@ -996,6 +996,68 @@ FROM t GROUP BY bucket ORDER BY bucket
 O_LAYOUT_ZORDER = _zorder_oracle()
 
 
+def q_layout_bucket_join(spark, sf_dir):
+    """Bucket-layout evidence for the fact⨝fact join neither side of
+    which broadcasts at 100 TB: orders and lineitem are persisted as
+    8-bucket tables hashed on the order key, then joined — the join runs
+    with ZERO exchange on either side (both scans report
+    ``Bucketed: true``; pinned by tests/test_plans.py).  The shuffle was
+    paid once at layout time; every subsequent co-keyed join is free.
+    Returns revenue per order priority off the bucketed join, so the
+    oracle value-checks the whole write→catalog→bucketed-read→join
+    path."""
+    import os as _os
+
+    from .sources.io import write_bucketed_table
+
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    root = _os.path.join(
+        _os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/egraphdb_spark_io"),
+        f"bucket-{tag}",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("lo_key"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed_table(
+        o, f"b_orders_{tag.replace('.', '_')}", "o_orderkey", 8,
+        sort_col="o_orderkey", path=f"{root}/orders",
+        one_file_per_bucket=True,
+    )
+    write_bucketed_table(
+        li, f"b_lineitem_{tag.replace('.', '_')}", "lo_key", 8,
+        sort_col="lo_key", path=f"{root}/lineitem",
+        one_file_per_bucket=True,
+    )
+    disc = (
+        "cast(l_extendedprice as decimal(18,2)) * "
+        "(cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))"
+    )
+    return (
+        spark.table(f"b_orders_{tag.replace('.', '_')}")
+        .join(
+            spark.table(f"b_lineitem_{tag.replace('.', '_')}"),
+            F.col("o_orderkey") == F.col("lo_key"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.expr(f"cast(sum({disc}) as double)").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_LAYOUT_BUCKET_JOIN = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """One-pass ANALYZE profile of lineitem (nulls / NDV / ranges)."""
     from .operators import profiling
@@ -3426,6 +3488,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     ),
     "sketch_bloom_fp": (q_sketch_bloom_fp, O_BLOOM_FP),
     "layout_zorder_prune": (q_layout_zorder, O_LAYOUT_ZORDER),
+    "layout_bucket_join": (q_layout_bucket_join, O_LAYOUT_BUCKET_JOIN),
     "profile_table": (q_profile_table, O_PROFILE),
     "clean_winsorize": (q_clean_winsorize, O_WINSORIZE),
     "sample_hash_docs": (q_sample_hash_docs, O_SAMPLE_HASH),

@@ -86,6 +86,8 @@ def write_bucketed_table(
     bucket_col: str,
     n_buckets: int = 32,
     sort_col: str | None = None,
+    path: str | None = None,
+    one_file_per_bucket: bool = False,
 ) -> None:
     """Persist hash-bucketed (the engine's answer to the reference's 2048
     id-sharded tables, sql/egraph_table_creation.sql:156-160).
@@ -93,10 +95,22 @@ def write_bucketed_table(
     Two tables bucketed the same way co-locate their join — zero Exchange
     in the plan (asserted in tests/test_plans.py).  At 100 TB this is what
     makes point lookups bucket-pruned and vertex⋈edge traversal shuffle-free.
+
+    ``path`` makes the table EXTERNAL (data outside the warehouse dir);
+    ``one_file_per_bucket`` repartitions on the bucket column first so each
+    bucket is a single file (fewer files to list/open at read time).  Note
+    Spark 3+ does NOT propagate ``sort_col`` order to the read side unless
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is set — sortBy
+    still pays off through parquet min/max stats, but sort-merge joins
+    re-sort per query.
     """
+    if one_file_per_bucket:
+        df = df.repartition(n_buckets, F.col(bucket_col))
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
 
 

@@ -484,3 +484,26 @@ def test_reservoir_per_group_windowgrouplimit(spark):
     p = plan_of(q(spark, "sample_reservoir_group"))
     assert "WindowGroupLimit" in p
     assert p.count("hashpartitioning(source") == 1
+
+
+def test_layout_bucket_join_gate_zero_join_exchange(spark):
+    """The layout_bucket_join gate's join runs exchange-free: both scans
+    are Bucketed and the SortMergeJoin sits directly on them.  The only
+    Exchanges in the plan are ABOVE the join (the 5-group aggregate and
+    the final orderBy) — the fact⨝fact shuffle was paid at layout time.
+    (Per-query Sorts below the join remain: Spark 3+ ignores bucket
+    sortBy metadata unless the legacy outputOrdering flag is set.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q(spark, "layout_bucket_join")
+        p = plan_of(df)
+        assert "SortMergeJoin" in p and "Bucketed: true" in p
+        tree = p.split("(1) Scan")[0]
+        lines = tree.splitlines()
+        join_at = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+        assert not any("Exchange" in ln for ln in lines[join_at:])
+        assert sum("Exchange" in ln for ln in lines) == 2  # agg + orderBy only
+        assert df.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

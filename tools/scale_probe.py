@@ -138,6 +138,7 @@ PROBES = [
     "evt_attribution",
     "io_csv_quarantine",
     "io_jsonl_quarantine",
+    "layout_bucket_join",
     "sample_reservoir_group",
     "sample_class_balance",
     "pipe_dataset_diff",
