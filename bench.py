@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "pipe_length_buckets",
     "sample_weighted",
     "evt_active_users_7d",
+    "evt_stickiness",
     "evt_wau_hll",
     "stream_wau_hll",
     "dedup_fuzzy_pairs",

@@ -2548,6 +2548,68 @@ GROUP BY report_day ORDER BY report_day
 """
 
 
+def q_evt_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day — the engagement ratio product
+    analytics tracks.  Same distributed rewrite as the rolling WAU (no
+    COUNT(DISTINCT) window frame exists): each distinct (user, day) pair
+    contributes to the 28 report days [day, day+27] for MAU and to its
+    own day for DAU; one count(DISTINCT) aggregate each, inner-joined on
+    the observed days.  O(28·|pairs|) shuffle rows, linear in activity;
+    stickiness in exact integer permille (MAU ≥ DAU ≥ 1 on observed
+    days, so the division is total)."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days = pairs.select(F.col("day").alias("report_day")).distinct()
+    dau = (
+        pairs.groupBy(F.col("day").alias("report_day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    mau = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, day + interval 27 days, interval 1 day)")
+            ).alias("report_day"),
+        )
+        .join(F.broadcast(days), "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "report_day")
+        .select(
+            "report_day", "dau", "mau",
+            F.expr("(1000 * dau) div mau").alias("stickiness_permille"),
+        )
+        .orderBy("report_day")
+    )
+
+
+O_EVT_STICKINESS = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day AS report_day FROM pairs),
+dau AS (
+  SELECT day AS report_day, count(DISTINCT user_id) AS dau
+  FROM pairs GROUP BY 1
+),
+cand AS (
+  SELECT user_id, day + to_days(CAST(t.d AS INT)) AS report_day
+  FROM pairs, unnest(range(0, 28)) AS t(d)
+),
+mau AS (
+  SELECT report_day, count(DISTINCT user_id) AS mau
+  FROM cand SEMI JOIN days USING (report_day)
+  GROUP BY report_day
+)
+SELECT report_day, dau, mau, (1000 * dau) // mau AS stickiness_permille
+FROM dau JOIN mau USING (report_day) ORDER BY report_day
+"""
+
+
 def q_evt_wau_hll(spark, sf_dir):
     """Sliding 7-day actives per day via merged HLL registers — the
     sketch twin of `evt_active_users_7d`: per-day registers max-merge
@@ -4635,6 +4697,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "s15_logtable_diff": (q_s15_logtable_diff, O_S15_LOGTABLE_DIFF),
     "evt_spikes": (q_evt_spikes, O_EVT_SPIKES),
     "evt_active_users_7d": (q_evt_active_users_7d, O_EVT_ACTIVE_USERS),
+    "evt_stickiness": (q_evt_stickiness, O_EVT_STICKINESS),
     "evt_wau_hll": (q_evt_wau_hll, O_EVT_WAU_HLL),
     "stream_wau_hll": (q_stream_wau_hll, O_STREAM_WAU_HLL),
     "stream_cm_heavy": (q_stream_cm_heavy, O_STREAM_CM_HEAVY),

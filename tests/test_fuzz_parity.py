@@ -269,6 +269,7 @@ EVT_GATES = [
     "evt_retention",
     "evt_spikes",
     "evt_active_users_7d",
+    "evt_stickiness",
     "evt_wau_hll",
     "skew_salted_topn",
     "evt_anomaly_mad",

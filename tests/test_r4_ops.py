@@ -724,3 +724,26 @@ def test_label_outliers_finds_planted_mislabel(spark):
     top = label_outliers(df, "vec_id", "embedding", "label", k=3).collect()
     assert sorted(r["id"] for r in top) == [500, 501, 502]
     assert all(r["label"] == 0 and r["dist_q"] > 0 for r in top)
+
+
+def test_stickiness_matches_bruteforce(spark):
+    fn, _ = REGISTRY["evt_stickiness"]
+    got = {
+        r["report_day"]: (r["dau"], r["mau"], r["stickiness_permille"])
+        for r in fn(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    pairs = [
+        (r["user_id"], r["day"])
+        for r in ev.select(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .distinct()
+        .collect()
+    ]
+    days = sorted({d for _, d in pairs})
+    assert set(got) == set(days)
+    for d in days:
+        dau = len({u for u, pd_ in pairs if pd_ == d})
+        mau = len({u for u, pd_ in pairs if 0 <= (d - pd_).days <= 27})
+        assert got[d] == (dau, mau, 1000 * dau // mau), f"day {d}"

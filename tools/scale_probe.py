@@ -71,6 +71,7 @@ PROBES = [
     "pipe_length_buckets",
     "sample_weighted",
     "evt_active_users_7d",
+    "evt_stickiness",
     "dedup_canonical_corpus",
     "dedup_fuzzy_pairs",
     "sketch_hll_overlap",
