@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "sample_source_quota",
     "dedup_repeated_spans",
     "emb_label_centroids",
+    "emb_truncate_recall",
     "graph_kcore",
     "graph_degree_stats",
     "stream_session_window",

@@ -1057,3 +1057,54 @@ def label_outliers(
         .orderBy(F.desc("dist_q"), "id")
         .limit(k)
     )
+
+
+def truncated_recall(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dims: tuple[int, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. '22): how
+    much of the full-dimension cosine top-k survives when vectors are cut
+    to their FIRST d components — the measurement behind serving
+    embeddings at a fraction of their stored width (shorter vectors =
+    proportionally less scan I/O and ANN memory).
+
+    One row per requested dimension: ``(dim, n_hits, recall_permille)``
+    against the full-width exact top-k.  Including the full width itself
+    yields a self-validating recall=1000 row.
+
+    Scale: each dimension is one linear scan + global top-k
+    (TakeOrderedAndProject — k rows per partition to the driver, no sort
+    shuffle); |dims| scans total, embarrassingly parallel, no joins on
+    the big side.
+    """
+    full = cosine_topk(emb, id_col, vec_col, query_vec, k).select("id")
+    out = None
+    for d in dims:
+        q = F.array(*[F.lit(float(x)) for x in query_vec[:d]]).cast(
+            "array<double>"
+        )
+        c = F.round(cosine(F.slice(_as_double(vec_col), 1, d), q), 6)
+        topd = (
+            emb.select(F.col(id_col).alias("id"), c.alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("id"))
+            .limit(k)
+            .select("id")
+        )
+        hits = (
+            full.join(topd, "id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+            .select(
+                F.lit(int(d)).cast("long").alias("dim"),
+                F.col("n_hits"),
+                F.expr(f"n_hits * 1000 div {int(k)}").alias(
+                    "recall_permille"
+                ),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("dim")

@@ -607,6 +607,48 @@ FROM hits
 """
 
 
+def q_emb_truncate_recall(spark, sf_dir):
+    """Matryoshka truncation curve: recall@10 of cosine top-k computed on
+    the first 8/16/32/64 vector components vs the full 64-dim exact
+    ranking — the serve-narrower-vectors trade-off measured as a gate.
+    The 64-row is recall 1000 by construction (self-validating)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.truncated_recall(
+        emb, "vec_id", "embedding", QUERY_VEC, dims=(8, 16, 32, 64), k=10
+    )
+
+
+def _truncate_recall_oracle() -> str:
+    rows = []
+    for d in (8, 16, 32, 64):
+        cos = _cos_sql(f"vec[1:{d}]", f"qv[1:{d}]", 6)
+        rows.append(
+            f"""SELECT CAST({d} AS BIGINT) AS dim,
+       CAST((SELECT count(*) FROM exact SEMI JOIN (
+          SELECT vec_id AS id FROM v, q
+          ORDER BY {cos} DESC, vec_id LIMIT 10) t USING (id)) AS BIGINT)
+         AS n_hits"""
+        )
+    body = "\nUNION ALL ".join(rows)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS (SELECT {_QV_SQL} AS qv),
+exact AS (
+  SELECT vec_id AS id FROM v, q
+  ORDER BY {_cos_sql('vec', 'qv', 6)} DESC, vec_id LIMIT 10
+),
+r AS ({body})
+SELECT dim, n_hits, n_hits * 1000 // 10 AS recall_permille
+FROM r ORDER BY dim
+"""
+
+
+O_EMB_TRUNCATE_RECALL = _truncate_recall_oracle()
+
+
 # kNN-graph target cluster size — smaller than SemDeDup's: the graph only
 # needs k≈3 neighbors per point, so tight clusters (candidate work
 # n·n_probe·128) buy a ~2× cut over the dedup setting at the same recall
@@ -3505,6 +3547,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "pipe_corpus_clean": (q_pipe_corpus_clean, O_PIPE_CLEAN),
     "privacy_k_anon": (q_privacy_k_anon, O_PRIVACY_K_ANON),
     "privacy_l_diversity": (q_privacy_l_diversity, O_PRIVACY_L_DIVERSITY),
+    "emb_truncate_recall": (q_emb_truncate_recall, O_EMB_TRUNCATE_RECALL),
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),

@@ -61,6 +61,7 @@ PROBES = [
     "evt_retention",
     "evt_spikes",
     "emb_label_centroids",
+    "emb_truncate_recall",
     # round-4 additions
     "dedup_semantic_pairs",
     "txt_bpe_pair_counts",
