@@ -157,15 +157,21 @@ def bpe_token_frequencies(
 
 def bpe_train_oracle_sql(table: str, n_merges: int = 8) -> str:
     """DuckDB mirror of :func:`bpe_train` — the same word table, pair
-    argmax, and double-replace merge, one WITH layer per round."""
+    argmax, and double-replace merge, one WITH layer per round.
+
+    Every round CTE is MATERIALIZED: each ``s{k}`` is referenced three
+    times (pair count, merge branch, early-stop branch), and DuckDB's
+    default inlining re-evaluates the whole upstream chain per reference
+    — O(3^rounds) recomputation, measured 348 s at sf0.01 for the
+    6-round encode oracle vs ~3 s materialized."""
     sep = SEP
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
     SELECT unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS w
     FROM {table}) GROUP BY w
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT '{sep}' || regexp_replace(w, '(.)', '\\1{sep}', 'g') AS s, wc
   FROM w0
 )"""
@@ -185,8 +191,8 @@ s0 AS (
     WHERE len(arr) >= 2) zz
   GROUP BY 1, 2
 ),
-t{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
-s{k} AS (
+t{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+s{k} AS MATERIALIZED (
   SELECT replace(replace(s, '{sep}' || l || '{sep}' || r || '{sep}',
                          '{sep}' || l || r || '{sep}'),
                  '{sep}' || l || '{sep}' || r || '{sep}',
