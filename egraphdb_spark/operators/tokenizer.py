@@ -229,3 +229,89 @@ SELECT token, CAST(sum(wc) AS BIGINT) AS n FROM (
   FROM s{int(n_merges)})
 GROUP BY token ORDER BY n DESC, token LIMIT {int(top_n)}
 """
+
+
+def bpe_fertility(
+    docs: DataFrame, text_col: str, lang_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Per-language tokenizer fertility off the learned merge table:
+    ``(lang, n_words, n_tokens, fertility_permille,
+    bytes_per_token_permille)`` — tokens-per-word and bytes-per-token,
+    THE standard tokenizer-equity diagnosis (languages the vocabulary
+    underserves tokenize at higher fertility, inflating their training
+    and serving cost per byte of content).
+
+    Composition: train on the whole corpus, reconstruct each distinct
+    word from its merged symbol string (``replace(s, SEP, '')``), join
+    the per-(lang, word) frequency table against that encoded
+    vocabulary, aggregate in exact integers.  The corpus is scanned
+    twice (trainer's word table + per-lang frequencies); encoding itself
+    never rescans it.
+    """
+    _, vocab = _train(docs, text_col, int(n_merges))
+    enc = vocab.select(
+        F.replace(F.col("s"), F.lit(SEP), F.lit("")).alias("w"),
+        F.size(
+            F.filter(F.split("s", SEP), lambda x: x != F.lit(""))
+        ).alias("n_tok"),
+    )
+    lw = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
+                )
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("wc"))
+    )
+    return (
+        lw.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("wc").cast("long").alias("n_words"),
+            F.sum(F.col("wc") * F.col("n_tok")).cast("long").alias("n_tokens"),
+            F.sum(F.col("wc") * F.octet_length("w")).cast("long").alias("n_bytes"),
+        )
+        .select(
+            "lang", "n_words", "n_tokens", "n_bytes",
+            F.expr("(1000 * n_tokens) div n_words").alias("fertility_permille"),
+            F.expr("(1000 * n_bytes) div n_tokens").alias(
+                "bytes_per_token_permille"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def bpe_fertility_oracle_sql(
+    table: str, lang_col: str, n_merges: int = 6
+) -> str:
+    """DuckDB mirror of :func:`bpe_fertility` (reuses the materialized
+    training chain)."""
+    sep = SEP
+    train = bpe_train_oracle_sql(table, n_merges)
+    with_block = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    return f"""{with_block},
+enc AS MATERIALIZED (
+  SELECT replace(s, '{sep}', '') AS w,
+         len(list_filter(string_split(s, '{sep}'), x -> x <> '')) AS n_tok
+  FROM s{int(n_merges)}
+),
+lw AS (
+  SELECT {lang_col} AS lang, w, CAST(count(*) AS BIGINT) AS wc FROM (
+    SELECT {lang_col},
+           unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS w
+    FROM {table}) GROUP BY 1, 2
+)
+SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
+       CAST(sum(wc * n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(wc * octet_length(encode(w))) AS BIGINT) AS n_bytes,
+       (1000 * CAST(sum(wc * n_tok) AS BIGINT)) // CAST(sum(wc) AS BIGINT)
+         AS fertility_permille,
+       (1000 * CAST(sum(wc * octet_length(encode(w))) AS BIGINT))
+         // CAST(sum(wc * n_tok) AS BIGINT) AS bytes_per_token_permille
+FROM lw JOIN enc USING (w) GROUP BY lang ORDER BY lang
+"""

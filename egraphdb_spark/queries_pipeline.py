@@ -3445,6 +3445,27 @@ def _bpe_tokens_oracle():
 O_TXT_BPE_VOCAB_TOKENS = _bpe_tokens_oracle()
 
 
+def q_txt_bpe_fertility(spark, sf_dir):
+    """Tokenizer-equity diagnosis: per-language fertility
+    (subword-tokens per word) and bytes per token under the 6-merge
+    learned BPE — the table that tells you which languages the
+    vocabulary underserves.  Composes train → encode → per-lang join;
+    exact integer permille."""
+    from .operators.tokenizer import bpe_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_fertility(docs, "text", "lang", n_merges=6)
+
+
+def _bpe_fertility_oracle():
+    from .operators.tokenizer import bpe_fertility_oracle_sql
+
+    return bpe_fertility_oracle_sql("documents", "lang", 6)
+
+
+O_TXT_BPE_FERTILITY = _bpe_fertility_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3551,5 +3572,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),
+    "txt_bpe_fertility": (q_txt_bpe_fertility, O_TXT_BPE_FERTILITY),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

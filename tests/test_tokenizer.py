@@ -122,3 +122,40 @@ def test_bpe_token_frequencies_early_stop_keeps_vocab(spark):
         "text", n_merges=4, top_n=10,
     ).collect()
     assert {(r.token, r.n) for r in out} == {("a", 2), ("b", 1), ("c", 1), (".", 1)}
+
+
+def test_fertility_hand_computed(spark):
+    """Two languages, hand-checkable: with 0 merges every word
+    tokenizes to its characters, so fertility = chars per word."""
+    from egraphdb_spark.operators.tokenizer import bpe_fertility
+
+    rows = [
+        (1, "aa bb", "xx"),     # 2 words, 4 chars
+        (2, "aa", "xx"),        # 1 word, 2 chars
+        (3, "ccc", "yy"),       # 1 word, 3 chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.lang: r for r in bpe_fertility(df, "text", "lang", n_merges=0).collect()}
+    assert got["xx"].n_words == 3 and got["xx"].n_tokens == 6
+    assert got["xx"].fertility_permille == 2000
+    assert got["xx"].bytes_per_token_permille == 1000
+    assert got["yy"].n_words == 1 and got["yy"].n_tokens == 3
+    assert got["yy"].fertility_permille == 3000
+
+
+def test_fertility_merges_reduce_tokens(spark):
+    """Learned merges can only reduce (or keep) token counts; a corpus
+    dominated by one bigram must show fertility below char-level for the
+    language containing it."""
+    from egraphdb_spark.operators.tokenizer import bpe_fertility
+
+    rows = [(i, "ab ab ab abab", "zz") for i in range(5)]
+    rows += [(100 + i, "qr st", "ww") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    base = {r.lang: r.n_tokens for r in bpe_fertility(df, "text", "lang", 0).collect()}
+    merged = {r.lang: r.n_tokens for r in bpe_fertility(df, "text", "lang", 2).collect()}
+    assert merged["zz"] < base["zz"]
+    assert merged["ww"] <= base["ww"]
+    # merge 1 is (a,b) → "ab" 1 token / "abab" 2; merge 2 is (ab,ab)
+    # (count 5 beats qr/st at 2) → "abab" 1 token
+    assert merged["zz"] == 5 * (3 * 1 + 1)

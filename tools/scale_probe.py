@@ -150,6 +150,7 @@ PROBES = [
     "privacy_k_suppress",
     "mm_binary_ingest",
     "txt_bpe_train",
+    "txt_bpe_fertility",
     "txt_bpe_vocab_tokens",
 ]
 
