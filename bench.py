@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "sample_weighted",
     "evt_active_users_7d",
     "evt_stickiness",
+    "clean_impute_median",
     "evt_wau_hll",
     "stream_wau_hll",
     "dedup_fuzzy_pairs",

@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .checkpoint import cut_lineage
 
@@ -551,4 +551,48 @@ def dataset_diff(
         )
         .withColumnRenamed("grp_out", "grp")
         .orderBy("grp")
+    )
+
+
+def impute_median_stats(
+    df: DataFrame, group_col: str, value_col: str, missing: Column
+) -> DataFrame:
+    """Per-group median imputation — the cleaning step between profiling
+    (which found the holes) and training (which can't eat NULLs): values
+    matching ``missing`` are replaced by their GROUP's median of the
+    non-missing values.  One row per group: ``(group, n, n_missing,
+    n_unfilled, median, sum_imputed_cents)`` — ``n_unfilled`` counts rows
+    in groups with no observed value at all (nothing to impute from;
+    they stay NULL rather than silently borrowing a global statistic).
+
+    Scale: one per-group percentile aggregate (the exact-interpolation
+    ``percentile`` ≡ DuckDB ``quantile_cont`` trust base) + one
+    broadcast-or-shuffle join back — no window, no driver round-trip;
+    the sum rides as integer cents so it is order-free exact.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.select(
+        g.alias("g"), F.when(~missing, v).alias("v")
+    )
+    med = (
+        base.where(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("med"))
+    )
+    filled = base.join(med, "g", "left").withColumn(
+        "fv", F.coalesce(F.col("v"), F.col("med"))
+    )
+    return (
+        filled.groupBy("g")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_missing"),
+            F.sum(F.col("fv").isNull().cast("long")).alias("n_unfilled"),
+            F.round(F.min("med"), 6).alias("median"),
+            F.sum(F.expr("cast(round(100 * fv) as bigint)")).alias(
+                "sum_imputed_cents"
+            ),
+        )
+        .withColumnRenamed("g", group_col)
+        .orderBy(group_col)
     )

@@ -3445,6 +3445,45 @@ def _bpe_tokens_oracle():
 O_TXT_BPE_VOCAB_TOKENS = _bpe_tokens_oracle()
 
 
+def q_clean_impute_median(spark, sf_dir):
+    """Group-median imputation over events.value with synthetic
+    missingness (every 17th event id + genuine NULLs): per event type,
+    how many holes were filled and the exact integer-cents sum of the
+    imputed column.  Per-group percentile + one join back — no window."""
+    from .operators.profiling import impute_median_stats
+
+    ev = _t(spark, sf_dir, "events")
+    missing = F.col("value").isNull() | (F.col("event_id") % 17 == 0)
+    return impute_median_stats(ev, "event_type", "value", missing)
+
+
+O_CLEAN_IMPUTE_MEDIAN = """
+WITH base AS (
+  SELECT event_type AS g,
+         CASE WHEN value IS NULL OR event_id % 17 = 0 THEN NULL
+              ELSE value END AS v
+  FROM events
+),
+med AS (
+  SELECT g, quantile_cont(v, 0.5) AS med FROM base
+  WHERE v IS NOT NULL GROUP BY g
+),
+filled AS (
+  SELECT base.g, v, med, coalesce(v, med) AS fv
+  FROM base LEFT JOIN med ON base.g = med.g
+)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(sum(CASE WHEN fv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfilled,
+       round(min(med), 6) AS median,
+       CAST(sum(CAST(round(100 * fv) AS BIGINT)) AS BIGINT)
+         AS sum_imputed_cents
+FROM filled GROUP BY g ORDER BY g
+"""
+
+
 def q_txt_bpe_fertility(spark, sf_dir):
     """Tokenizer-equity diagnosis: per-language fertility
     (subword-tokens per word) and bytes per token under the 6-merge
@@ -3573,5 +3612,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),
     "txt_bpe_fertility": (q_txt_bpe_fertility, O_TXT_BPE_FERTILITY),
+    "clean_impute_median": (q_clean_impute_median, O_CLEAN_IMPUTE_MEDIAN),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

@@ -274,6 +274,7 @@ EVT_GATES = [
     "evt_wau_hll",
     "skew_salted_topn",
     "evt_anomaly_mad",
+    "clean_impute_median",
     "evt_rfm_segments",
     "evt_window_hourly",
     "sketch_cm_heavy",

@@ -665,3 +665,23 @@ def test_reservoir_per_group_exact_k_and_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_impute_median_hand_computed(spark):
+    from egraphdb_spark.operators.profiling import impute_median_stats
+
+    rows = [
+        (1, "a", 10.0), (2, "a", None), (3, "a", 30.0),   # median 20
+        (4, "b", None), (5, "b", None),                    # unfillable
+        (6, "c", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, value double")
+    got = {r.g: r for r in impute_median_stats(
+        df, "g", "value", F.col("value").isNull()
+    ).collect()}
+    assert got["a"].n == 3 and got["a"].n_missing == 1
+    assert got["a"].median == 20.0 and got["a"].n_unfilled == 0
+    assert got["a"].sum_imputed_cents == 1000 + 2000 + 3000
+    assert got["b"].n_missing == 2 and got["b"].n_unfilled == 2
+    assert got["b"].median is None and got["b"].sum_imputed_cents is None
+    assert got["c"].sum_imputed_cents == 700

@@ -73,6 +73,7 @@ PROBES = [
     "sample_weighted",
     "evt_active_users_7d",
     "evt_stickiness",
+    "clean_impute_median",
     "dedup_canonical_corpus",
     "dedup_fuzzy_pairs",
     "sketch_hll_overlap",
