@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_embedding_pairs",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_mips_topk",
     "sim_kmeans_topk",
     "sketch_hll_distinct",
     "sketch_bloom_fp",

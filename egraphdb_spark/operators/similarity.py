@@ -1108,3 +1108,70 @@ def truncated_recall(
         )
         out = hits if out is None else out.unionByName(hits)
     return out.orderBy("dim")
+
+
+def mips_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    n_anchors: int,
+    k: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    (Bachrach et al., RecSys '14): append sqrt(M² − |x|²) to every corpus
+    vector and 0 to the query — inner-product order over the originals
+    becomes cosine order over the augmented vectors, so the SAME IVF
+    index machinery that serves cosine ANN serves MIPS (the
+    recommendation-serving case: user vector × un-normalized item
+    embeddings, where popular items legitimately have bigger norms and
+    cosine ANN would erase that signal).
+
+    Composition: one max-norm aggregate (broadcast scalar) → augmented
+    frame → :func:`prefix_anchors` + :func:`ivf_assign` on the augmented
+    vectors → probe the query's bucket(s) → exact RAW DOT re-rank inside.
+    Scale: identical to ivf_topk — assignment precomputed/partitioned by
+    anchor at 100 TB, probe = partition pruning.
+    """
+    v = _as_double(vec_col)
+    n2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    m2 = emb.agg(F.max(n2).alias("m2"))
+    aug = emb.crossJoin(F.broadcast(m2)).select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        F.concat(
+            v, F.array(F.sqrt(F.greatest(F.lit(0.0), F.col("m2") - n2)))
+        ).alias("avec"),
+    )
+    anchors = prefix_anchors(aug, "id", "avec", n_anchors)
+    aq = F.array(
+        *[F.lit(float(x)) for x in list(query_vec) + [0.0]]
+    ).cast("array<double>")
+    probe = (
+        anchors.select(
+            "anchor_id",
+            F.round(cosine(_as_double("vec"), aq), 9).alias("cos_q"),
+        )
+        .orderBy(F.col("cos_q").desc(), F.col("anchor_id"))
+        .limit(n_probe)
+        .select("anchor_id")
+    )
+    assigned = ivf_assign(aug.select("id", "avec"), "id", "avec", anchors)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    dot = F.round(
+        F.aggregate(
+            F.zip_with(F.col("vec"), q, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        assigned.drop("vec")  # augmented copy; re-rank wants the original
+        .join(F.broadcast(probe), "anchor_id")
+        .join(aug.select("id", F.col("vec")), "id")
+        .select("id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("id"))
+        .limit(k)
+    )

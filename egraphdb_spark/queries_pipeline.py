@@ -649,6 +649,62 @@ FROM r ORDER BY dim
 O_EMB_TRUNCATE_RECALL = _truncate_recall_oracle()
 
 
+def q_sim_mips_topk(spark, sf_dir):
+    """MIPS ANN: top-10 by RAW inner product through the norm-augmentation
+    reduction + the standard IVF probe (1 of 8 buckets) — cosine ANN would
+    erase the norm signal un-normalized item embeddings carry."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.mips_topk(
+        emb, "vec_id", "embedding", QUERY_VEC, n_anchors=_N_ANCHORS,
+        k=10, n_probe=1,
+    )
+
+
+def _mips_oracle() -> str:
+    dot_q = (
+        "round(list_sum(list_transform(range(1, len(vec) + 1),"
+        " i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])), 6)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+m AS (SELECT max(list_sum(list_transform(vec, x -> x * x))) AS m2 FROM v),
+a AS MATERIALIZED (
+  SELECT vec_id, vec,
+         vec || [sqrt(greatest(0.0, m2 - list_sum(list_transform(vec, x -> x * x))))]
+           AS avec
+  FROM v, m
+),
+q AS (SELECT {_QV_SQL} AS qv, {_QV_SQL} || [CAST(0 AS DOUBLE)] AS aqv),
+anchors AS (
+  SELECT vec_id AS anchor_id, avec FROM a ORDER BY vec_id LIMIT {_N_ANCHORS}
+),
+probe AS (
+  SELECT anchor_id FROM anchors, q
+  ORDER BY {_cos_sql('avec', 'aqv', 9)} DESC, anchor_id LIMIT 1
+),
+assigned AS (
+  SELECT vec_id, anchor_id FROM (
+    SELECT a.vec_id, an.anchor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_cos_sql('a.avec', 'an.avec', 9)} DESC, an.anchor_id
+           ) AS rn
+    FROM a CROSS JOIN anchors an
+  ) WHERE rn = 1
+)
+SELECT vec_id AS id, {dot_q} AS dot
+FROM assigned SEMI JOIN probe USING (anchor_id)
+JOIN v USING (vec_id), q
+ORDER BY dot DESC, id LIMIT 10
+"""
+
+
+O_SIM_MIPS = _mips_oracle()
+
+
 # kNN-graph target cluster size — smaller than SemDeDup's: the graph only
 # needs k≈3 neighbors per point, so tight clusters (candidate work
 # n·n_probe·128) buy a ~2× cut over the dedup setting at the same recall
@@ -3608,6 +3664,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "privacy_k_anon": (q_privacy_k_anon, O_PRIVACY_K_ANON),
     "privacy_l_diversity": (q_privacy_l_diversity, O_PRIVACY_L_DIVERSITY),
     "emb_truncate_recall": (q_emb_truncate_recall, O_EMB_TRUNCATE_RECALL),
+    "sim_mips_topk": (q_sim_mips_topk, O_SIM_MIPS),
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),

@@ -166,6 +166,7 @@ EMB_GATES = [
     "emb_truncate_recall",
     "sim_ivf_topk",
     "sim_lsh_topk",
+    "sim_mips_topk",
     "dedup_embedding_pairs",
     "dedup_semantic_pairs",
     "emb_quantize_int8",

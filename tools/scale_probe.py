@@ -48,6 +48,7 @@ PROBES = [
     "dedup_contamination",
     "txt_bm25_topk",
     "sim_ivf_topk",
+    "sim_mips_topk",
     "dedup_embedding_pairs",
     "pipe_corpus_clean",
     "sample_token_budget",
