@@ -669,3 +669,74 @@ def cm_estimate_registers(
         .groupBy(group_col, "key")
         .agg(F.min(F.coalesce(F.col("__gcnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct estimate per group —
+    the ORDER-STATISTICS member of the sketch family (Bar-Yossef et al.
+    '02): keep the k smallest 60-bit hashes of the value set; if the
+    k-th smallest is h_k, the set behaves like (k−1)·2⁶⁰/h_k uniform
+    draws.  Unlike HLL it needs no registers or bias table, supports
+    exact set operations on the kept hashes (union = merge+re-cut,
+    intersection via the Jaccard of bottom-k), and degrades to EXACT
+    counting below k (< k hashes seen ⇒ the estimate IS the count).
+
+    Output: ``(group, k, n_hashes, est_distinct)``.
+
+    Scale: the rank filter compiles to Spark's WindowGroupLimit — every
+    map task keeps at most k rows per group BEFORE the exchange (plan
+    test), so the shuffle carries ≤ k·partitions rows per group however
+    large the input; the estimate itself is one fixed double expression
+    over two integers (63·2⁶⁰ has 6 significant bits — exact in double;
+    IEEE division is correctly rounded in every engine).
+    """
+    from pyspark.sql import Window
+
+    h = _h60(F.col(col))
+    hashes = df.select(F.col(group_col).alias("g"), h.alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= int(k)
+    )
+    per = kept.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        F.max("h").alias("hk"),
+    )
+    num = F.lit(float(int(k) - 1) * float(1 << 60))
+    est = F.when(F.col("n_hashes") < int(k), F.col("n_hashes")).otherwise(
+        F.floor(num / F.col("hk").cast("double")).cast("long")
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        F.lit(int(k)).cast("long").alias("k"),
+        "n_hashes",
+        est.alias("est_distinct"),
+    ).orderBy(group_col)
+
+
+def kmv_oracle_sql(table: str, group_col: str, col: str, k: int = 64) -> str:
+    """DuckDB mirror of :func:`kmv_distinct` — same hash, same rank cut,
+    same closing double expression."""
+    num = float(int(k) - 1) * float(1 << 60)
+    return f"""
+WITH hs AS (
+  SELECT DISTINCT {group_col} AS g,
+         CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)
+           AS h
+  FROM {table}
+),
+rk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs
+),
+per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_hashes, max(h) AS hk
+  FROM rk WHERE rn <= {int(k)} GROUP BY g
+)
+SELECT g AS {group_col}, CAST({int(k)} AS BIGINT) AS k, n_hashes,
+       CASE WHEN n_hashes < {int(k)} THEN n_hashes
+            ELSE CAST(floor({num!r} / CAST(hk AS DOUBLE)) AS BIGINT)
+       END AS est_distinct
+FROM per ORDER BY {group_col}
+"""

@@ -892,6 +892,26 @@ def q_sketch_hll_distinct(spark, sf_dir):
     return sketches.hll_distinct(_t(spark, sf_dir, "orders"), "o_custkey", p=8)
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    """KMV bottom-64 distinct-user estimate per event type — the
+    order-statistics sketch next to HLL: exact below k, mergeable,
+    WindowGroupLimit keeps map output at ≤ k rows per group."""
+    from .operators import sketches
+
+    return sketches.kmv_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )
+
+
+def _kmv_oracle():
+    from .operators.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql("events", "event_type", "user_id", 64)
+
+
+O_SKETCH_KMV = _kmv_oracle()
+
+
 def _cm_hash_sql(expr: str, d: int) -> str:
     return (
         f"CAST(CAST('0x' || substr(md5({expr}), {1 + 6 * d}, 6) AS BIGINT)"
@@ -3631,6 +3651,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, O_COSINE_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, O_IVF_TOPK),
     "sim_kmeans_topk": (q_sim_kmeans_topk, O_KMEANS_TOPK),
+    "sketch_kmv_distinct": (q_sketch_kmv_distinct, O_SKETCH_KMV),
     "sketch_hll_distinct": (
         q_sketch_hll_distinct,
         sketches.hll_oracle_sql("orders", "o_custkey", p=8),

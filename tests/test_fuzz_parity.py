@@ -280,6 +280,7 @@ EVT_GATES = [
     "evt_window_hourly",
     "sketch_cm_heavy",
     "sketch_hll_overlap",
+    "sketch_kmv_distinct",
     "skew_salted_join",
     "join_asof_nearest",
     "join_asof_tolerance",

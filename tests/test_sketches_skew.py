@@ -389,3 +389,41 @@ def test_expectations_report_empty_table_null_permille(spark):
     assert all(r.n_rows == 0 for r in out.values())
     assert all(r.n_violations == 0 for r in out.values())
     assert all(r.violation_permille is None for r in out.values())
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer than k distinct values ⇒ the estimate IS the exact count."""
+    from egraphdb_spark.operators.sketches import kmv_distinct
+
+    rows = [(i % 10, "t") for i in range(100)]
+    df = spark.createDataFrame(rows, "u long, g string")
+    got = kmv_distinct(df, "g", "u", k=64).collect()[0]
+    assert got.n_hashes == 10 and got.est_distinct == 10
+
+
+def test_kmv_accuracy_vs_exact(spark):
+    """KMV standard error is ~1/sqrt(k−2); assert the estimate lands
+    within 5 sigma of truth for a set well above k."""
+    from egraphdb_spark.operators.sketches import kmv_distinct
+
+    n, k = 5000, 64
+    df = spark.createDataFrame([(i, "t") for i in range(n)], "u long, g string")
+    est = kmv_distinct(df, "g", "u", k=k).collect()[0].est_distinct
+    rel = 5.0 / (k - 2) ** 0.5
+    assert abs(est - n) / n < rel, est
+
+
+def test_kmv_plan_window_group_limit(spark):
+    """The rank cut must compile to WindowGroupLimit — map tasks keep at
+    most k rows per group before the exchange."""
+    from egraphdb_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["sketch_kmv_distinct"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

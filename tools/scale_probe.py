@@ -78,6 +78,7 @@ PROBES = [
     "dedup_canonical_corpus",
     "dedup_fuzzy_pairs",
     "sketch_hll_overlap",
+    "sketch_kmv_distinct",
     "sample_group_split",
     "sim_knn_graph",
     "txt_tfidf_sim_pairs",
