@@ -403,3 +403,89 @@ def lag_corr_daily(
         )
         .orderBy("lag")
     )
+
+
+def holt_winters_daily(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha_den: int = 8,
+    beta_den: int = 4,
+    gamma_den: int = 4,
+    period: int = 7,
+) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly season) of the daily
+    count series, α=1/alpha_den, β=1/beta_den, γ=1/gamma_den, exact
+    integer milli-units — the seasonal member of the smoothing ladder
+    (EWMA → Holt → here).  Seasonal slots initialize at 0 and learn:
+
+        l₁ = n₁·1000;  b₁ = 0;  s₁ = 0
+        lₜ = (lₜ₋₁+bₜ₋₁) + (nₜ·1000 − sₜ₋₇ − (lₜ₋₁+bₜ₋₁)) div α_den
+        bₜ = bₜ₋₁ + ((lₜ − lₜ₋₁) − bₜ₋₁) div β_den
+        sₜ = sₜ₋₇ + (nₜ·1000 − lₜ − sₜ₋₇) div γ_den      (sₜ₋₇ = 0, t ≤ 7)
+        fₜ = lₜ + bₜ + sₜ₋₆                     (tomorrow's forecast)
+
+    The series is DENSIFIED first (per-key calendar from min to max day,
+    missing days count 0): season slots are positional, so a gap day
+    would silently rotate every later weekday alignment.  Same
+    bounded-series fold as ewma/holt (arrays ∝ days, never events);
+    ``element_at(acc, -7)`` reaches the season slot directly in the
+    accumulated struct array.  The recursive-CTE oracle carries the same
+    seven seasonal values as a rolling list — identical integer ``div``
+    arithmetic, bit-exact.
+
+    Output: (key, day, n, level_milli, trend_milli, season_milli,
+    forecast_milli).
+    """
+    if period != 7:
+        raise ValueError("season carry is written for period=7")
+    a, b_, g = int(alpha_den), int(beta_den), int(gamma_den)
+    daily = events.groupBy(
+        F.col(key_col), F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count("*").alias("n"))
+    span = daily.groupBy(key_col).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    dense = grid.join(daily, [key_col, "day"], "left").select(
+        F.col(key_col), F.col("day"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )
+    pl = "element_at(acc, -1).l"
+    pb = "element_at(acc, -1).b"
+    s7 = "if(size(acc) >= 7, element_at(acc, -7).s, 0L)"
+    s6 = "if(size(acc) >= 6, element_at(acc, -6).s, 0L)"
+    lexpr = f"(({pl} + {pb}) + (x.n * 1000L - {s7} - ({pl} + {pb})) div {a})"
+    bexpr = f"({pb} + (({lexpr} - {pl}) - {pb}) div {b_})"
+    sexpr = f"({s7} + (x.n * 1000L - {lexpr} - {s7}) div {g})"
+    fexpr = f"({lexpr} + {bexpr} + {s6})"
+    folded = dense.groupBy(key_col).agg(
+        F.expr(
+            f"""
+            aggregate(
+              sort_array(collect_list(struct(day, n))),
+              cast(array() as array<struct<
+                day:timestamp,n:bigint,l:bigint,b:bigint,s:bigint,f:bigint>>),
+              (acc, x) -> acc || array(if(size(acc) = 0,
+                named_struct('day', x.day, 'n', x.n,
+                             'l', x.n * 1000L, 'b', 0L, 's', 0L,
+                             'f', x.n * 1000L),
+                named_struct('day', x.day, 'n', x.n,
+                             'l', {lexpr}, 'b', {bexpr}, 's', {sexpr},
+                             'f', {fexpr})))
+            )
+            """
+        ).alias("series")
+    )
+    return folded.select(F.col(key_col), F.explode("series").alias("e")).select(
+        key_col,
+        F.col("e.day").alias("day"),
+        F.col("e.n").alias("n"),
+        F.col("e.l").alias("level_milli"),
+        F.col("e.b").alias("trend_milli"),
+        F.col("e.s").alias("season_milli"),
+        F.col("e.f").alias("forecast_milli"),
+    )

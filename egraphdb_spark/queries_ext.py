@@ -2864,6 +2864,76 @@ FROM r ORDER BY event_type, day
 """
 
 
+def q_evt_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (α=1/8, β=1/4, γ=1/4, weekly season) of the
+    per-type daily count series over the DENSIFIED calendar — the
+    seasonal member of the smoothing ladder; the oracle replays level,
+    trend AND the seven season slots (a rolling list in the recursive
+    CTE) with identical integer div arithmetic."""
+    from .operators.timeseries import holt_winters_daily
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_winters_daily(
+        ev, "event_type", "ts", alpha_den=8, beta_den=4, gamma_den=4
+    ).orderBy("event_type", "day")
+
+
+O_EVT_HOLT_WINTERS = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+),
+dense AS (
+  SELECT g.event_type, g.day, COALESCE(d.n, 0) AS n
+  FROM grid g LEFT JOIN daily d
+    ON g.event_type = d.event_type AND g.day = d.day
+),
+idx AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM dense
+),
+r AS (
+  SELECT event_type, day, n, i,
+         n * 1000 AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS s,
+         n * 1000 AS f,
+         CAST([0, 0, 0, 0, 0, 0, 0] AS BIGINT[]) AS sl
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.event_type, idx.day, idx.n, idx.i,
+         (r.l + r.b) + (idx.n * 1000 - r.sl[1] - (r.l + r.b)) // 8
+           AS l2,
+         r.b + ((((r.l + r.b) + (idx.n * 1000 - r.sl[1] - (r.l + r.b)) // 8)
+                 - r.l) - r.b) // 4,
+         r.sl[1] + (idx.n * 1000
+                    - ((r.l + r.b)
+                       + (idx.n * 1000 - r.sl[1] - (r.l + r.b)) // 8)
+                    - r.sl[1]) // 4,
+         ((r.l + r.b) + (idx.n * 1000 - r.sl[1] - (r.l + r.b)) // 8)
+           + (r.b + ((((r.l + r.b)
+                       + (idx.n * 1000 - r.sl[1] - (r.l + r.b)) // 8)
+                      - r.l) - r.b) // 4)
+           + r.sl[2],
+         r.sl[2:7] || [r.sl[1] + (idx.n * 1000
+                    - ((r.l + r.b)
+                       + (idx.n * 1000 - r.sl[1] - (r.l + r.b)) // 8)
+                    - r.sl[1]) // 4]
+  FROM r JOIN idx ON idx.event_type = r.event_type AND idx.i = r.i + 1
+)
+SELECT event_type, day, n, CAST(l AS BIGINT) AS level_milli,
+       CAST(b AS BIGINT) AS trend_milli, CAST(s AS BIGINT) AS season_milli,
+       CAST(f AS BIGINT) AS forecast_milli
+FROM r ORDER BY event_type, day
+"""
+
+
 def q_evt_hill_alpha(spark, sf_dir):
     """Hill power-law tail exponent of per-(user, day) activity counts
     (xmin = 4) — the skew-profiling scalar that decides salting strategy.
@@ -4731,6 +4801,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_walks": (q_graph_walks, O_GRAPH_WALKS),
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "evt_holt": (q_evt_holt, O_EVT_HOLT),
+    "evt_holt_winters": (q_evt_holt_winters, O_EVT_HOLT_WINTERS),
     "evt_hill_alpha": (q_evt_hill_alpha, O_EVT_HILL),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),

@@ -275,6 +275,7 @@ EVT_GATES = [
     "evt_wau_hll",
     "skew_salted_topn",
     "evt_anomaly_mad",
+    "evt_holt_winters",
     "clean_impute_median",
     "evt_rfm_segments",
     "evt_window_hourly",

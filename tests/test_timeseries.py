@@ -544,3 +544,54 @@ def test_lag_corr_constant_series_null(spark):
         ev, "ts", "event_type", "click", "purchase", max_lag=1
     ).collect()
     assert any(r.lag == 0 and r.corr is None for r in out)
+
+
+def test_holt_winters_matches_python_reference_with_gaps(spark):
+    """Gappy series (missing days count 0 after densification) replayed
+    against a pure-Python fold of the same integer recurrence."""
+    import datetime as dt
+
+    from egraphdb_spark.operators.timeseries import holt_winters_daily
+
+    # 20 days, several missing, one weekly spike pattern
+    base = dt.datetime(2024, 1, 1)
+    days = [0, 1, 2, 4, 5, 7, 8, 9, 11, 14, 15, 16, 18, 19]
+    rows = []
+    eid = 0
+    for d in days:
+        n = 3 + (4 if d % 7 == 0 else 0)  # Mondays spike
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=d, hours=eid % 5), "t"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        r.day.date(): (r.n, r.level_milli, r.trend_milli, r.season_milli,
+                       r.forecast_milli)
+        for r in holt_winters_daily(df, "event_type", "ts").collect()
+    }
+
+    # python reference: dense day grid, integer div (truncate toward 0)
+    def idiv(x, d):
+        q = abs(x) // d
+        return q if x >= 0 else -q
+
+    counts = {d: (3 + (4 if d % 7 == 0 else 0)) for d in days}
+    full = range(min(days), max(days) + 1)
+    hist = []  # (l, b, s)
+    expect = {}
+    for t, d in enumerate(full):
+        n = counts.get(d, 0)
+        if t == 0:
+            l, b, s = n * 1000, 0, 0
+            f = l
+        else:
+            pl, pb = hist[-1][0], hist[-1][1]
+            s7 = hist[-7][2] if len(hist) >= 7 else 0
+            s6 = hist[-6][2] if len(hist) >= 6 else 0
+            l = (pl + pb) + idiv(n * 1000 - s7 - (pl + pb), 8)
+            b = pb + idiv((l - pl) - pb, 4)
+            s = s7 + idiv(n * 1000 - l - s7, 4)
+            f = l + b + s6
+        hist.append((l, b, s))
+        expect[(base + dt.timedelta(days=d)).date()] = (n, l, b, s, f)
+    assert got == expect

@@ -128,6 +128,7 @@ PROBES = [
     "evt_funnel_steps",
     "evt_cohort_ltv",
     "evt_holt",
+    "evt_holt_winters",
     "evt_hill_alpha",
     "evt_seasonal_dow",
     "evt_lag_corr",
