@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "evt_cohort_ltv",
     "evt_holt",
     "evt_holt_winters",
+    "evt_forecast_mae",
     "evt_hill_alpha",
     "evt_seasonal_dow",
     "evt_lag_corr",

@@ -2934,6 +2934,64 @@ FROM r ORDER BY event_type, day
 """
 
 
+def q_evt_forecast_mae(spark, sf_dir):
+    """Rolling-origin backtest of the Holt 1-day-ahead forecast: each
+    day's forecast meets the NEXT day's actual (per-type lag window over
+    the daily grid), scored as MAE and bias in exact integer milli —
+    the accuracy ledger that decides whether the smoother is usable for
+    capacity planning.  Composes holt_daily; one extra window + one
+    aggregate over the (types × days)-sized frame."""
+    from pyspark.sql import Window
+
+    from .operators.timeseries import holt_daily
+
+    ev = _t(spark, sf_dir, "events")
+    h = holt_daily(ev, "event_type", "ts", alpha_den=8, beta_den=4,
+                   forecast_days=1)
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = h.select(
+        "event_type", "day", "n",
+        F.lag("forecast_milli").over(w).alias("f_prev"),
+    ).where(F.col("f_prev").isNotNull())
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("n") * 1000 - F.col("f_prev")))
+            .cast("long").alias("abs_err_milli"),
+            F.sum(F.col("n") * 1000 - F.col("f_prev"))
+            .cast("long").alias("bias_milli"),
+        )
+        .select(
+            "event_type", "n_days",
+            F.expr("abs_err_milli div n_days").alias("mae_milli"),
+            F.expr("bias_milli div n_days").alias("mean_bias_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _forecast_mae_oracle() -> str:
+    holt_core = O_EVT_HOLT[O_EVT_HOLT.index("WITH RECURSIVE"):
+                           O_EVT_HOLT.rindex("SELECT event_type")]
+    return f"""{holt_core},
+scored AS (
+  SELECT event_type, n,
+         lag(l + 1 * b) OVER (PARTITION BY event_type ORDER BY day) AS f_prev
+  FROM r
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(n * 1000 - f_prev)) AS BIGINT) // count(*) AS mae_milli,
+       CAST(sum(n * 1000 - f_prev) AS BIGINT) // count(*)
+         AS mean_bias_milli
+FROM scored WHERE f_prev IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+O_EVT_FORECAST_MAE = _forecast_mae_oracle()
+
+
 def q_evt_hill_alpha(spark, sf_dir):
     """Hill power-law tail exponent of per-(user, day) activity counts
     (xmin = 4) — the skew-profiling scalar that decides salting strategy.
@@ -4802,6 +4860,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_ewma": (q_evt_ewma, O_EVT_EWMA),
     "evt_holt": (q_evt_holt, O_EVT_HOLT),
     "evt_holt_winters": (q_evt_holt_winters, O_EVT_HOLT_WINTERS),
+    "evt_forecast_mae": (q_evt_forecast_mae, O_EVT_FORECAST_MAE),
     "evt_hill_alpha": (q_evt_hill_alpha, O_EVT_HILL),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),

@@ -276,6 +276,7 @@ EVT_GATES = [
     "skew_salted_topn",
     "evt_anomaly_mad",
     "evt_holt_winters",
+    "evt_forecast_mae",
     "clean_impute_median",
     "evt_rfm_segments",
     "evt_window_hourly",

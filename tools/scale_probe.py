@@ -129,6 +129,7 @@ PROBES = [
     "evt_cohort_ltv",
     "evt_holt",
     "evt_holt_winters",
+    "evt_forecast_mae",
     "evt_hill_alpha",
     "evt_seasonal_dow",
     "evt_lag_corr",
