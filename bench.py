@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "evt_seasonal_dow",
     "evt_lag_corr",
     "graph_harmonic",
+    "graph_betweenness",
     "graph_ppr",
     "join_interval_overlap",
     "txt_pmi_collocations",

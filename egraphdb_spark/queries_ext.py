@@ -1229,6 +1229,104 @@ FROM deg GROUP BY 1 ORDER BY 1
 """
 
 
+def q_graph_betweenness(spark, sf_dir):
+    """Seed-sampled depth-3 betweenness (Brandes landmark form) over the
+    undirected fixture graph, nation seeds — σ path counts forward,
+    integer-micro dependency accumulation backward; the oracle unrolls
+    both passes level by level."""
+    from .operators.graph_algos import betweenness_k
+
+    g = _fixture(spark, sf_dir)
+    e = g.edges.select("src_key", "dst_key")
+    und = (
+        e.unionByName(
+            e.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
+        .distinct()
+        .transform(cut_lineage)
+    )
+    seeds = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
+    )
+    return betweenness_k(und, seeds, max_depth=3)
+
+
+_BC_EDGES = """
+e0 AS (
+  SELECT 'customer:' || c_custkey AS a, 'nation:' || c_nationkey AS b FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+),
+e AS MATERIALIZED (SELECT a AS src_key, b AS dst_key FROM e0
+                   UNION SELECT b, a FROM e0)
+"""
+
+
+def _bc_forward(k: int) -> str:
+    prev = f"l{k - 1}" if k > 1 else "s0"
+    anti = "\n    AND ".join(
+        f"NOT EXISTS (SELECT 1 FROM {t} x{i} WHERE x{i}.seed = {prev}.seed"
+        f" AND x{i}.key = e.dst_key)"
+        for i, t in enumerate(["s0"] + [f"l{j}" for j in range(1, k)])
+    )
+    return f"""l{k} AS MATERIALIZED (
+  SELECT {prev}.seed, e.dst_key AS key, CAST(sum({prev}.sigma) AS BIGINT) AS sigma
+  FROM e JOIN {prev} ON e.src_key = {prev}.key
+  WHERE {anti}
+  GROUP BY 1, 2
+)"""
+
+
+def _bc_backward(lv: int) -> str:
+    # contributions from d{lv+1} into l{lv}
+    return f"""c{lv} AS (
+  SELECT d{lv + 1}.seed, e.src_key AS key,
+         CAST(sum(l{lv}.sigma * (1000000 + d{lv + 1}.delta) // d{lv + 1}.sigma)
+              AS BIGINT) AS delta
+  FROM e JOIN d{lv + 1} ON e.dst_key = d{lv + 1}.key
+       JOIN l{lv} ON l{lv}.seed = d{lv + 1}.seed AND l{lv}.key = e.src_key
+  GROUP BY 1, 2
+),
+d{lv} AS MATERIALIZED (
+  SELECT l{lv}.seed, l{lv}.key, l{lv}.sigma,
+         CAST(COALESCE(c{lv}.delta, 0) AS BIGINT) AS delta
+  FROM l{lv} LEFT JOIN c{lv}
+    ON c{lv}.seed = l{lv}.seed AND c{lv}.key = l{lv}.key
+)"""
+
+
+def _bc_oracle(depth: int = 3) -> str:
+    parts = [_BC_EDGES.strip()]
+    parts.append(
+        "s0 AS MATERIALIZED (SELECT 'nation:' || n_nationkey AS seed,"
+        " 'nation:' || n_nationkey AS key, CAST(1 AS BIGINT) AS sigma"
+        " FROM nation)"
+    )
+    for k in range(1, depth + 1):
+        parts.append(_bc_forward(k))
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT seed, key, sigma,"
+        f" CAST(0 AS BIGINT) AS delta FROM l{depth})"
+    )
+    for lv in range(depth - 1, 0, -1):
+        parts.append(_bc_backward(lv))
+    union = "\n  UNION ALL ".join(
+        f"SELECT key, delta FROM d{lv}" for lv in range(1, depth + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT key, CAST(sum(delta) AS BIGINT) AS bc_micro FROM (\n  {union}\n) GROUP BY key ORDER BY key"
+    )
+
+
+O_GRAPH_BETWEENNESS = _bc_oracle(3)
+
+
 def q_evt_props_json(spark, sf_dir):
     """Schemaless JSON props extraction + aggregation (the reference's
     nested-path read, P1, applied to the event stream)."""
@@ -4797,6 +4895,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "graph_pagerank": (q_graph_pagerank, O_GRAPH_PAGERANK),
     "graph_lpa": (q_graph_lpa, O_GRAPH_LPA),
     "graph_neighbor_jaccard": (q_graph_neighbor_jaccard, O_GRAPH_NBR_JACCARD),
+    "graph_betweenness": (q_graph_betweenness, O_GRAPH_BETWEENNESS),
     "stream_static_join": (q_stream_static_join, O_STREAM_STATIC),
     "stream_stream_join": (q_stream_stream_join, O_STREAM_STREAM),
     "evt_props_json": (q_evt_props_json, O_EVT_PROPS),

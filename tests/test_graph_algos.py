@@ -392,3 +392,23 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     seeds = spark.createDataFrame([], "key string")
     with _pytest.raises(ValueError, match="seeds"):
         personalized_pagerank(e, seeds)
+
+
+def test_betweenness_k_hand_computed_diamond(spark):
+    """Diamond a-b-{c,d}-e plus pendant e-f, seeds {a, f}, depth 3 —
+    hand-run Brandes with the integer-micro contribution semantics."""
+    from egraphdb_spark.operators.graph_algos import betweenness_k
+
+    und = [("a", "b"), ("b", "c"), ("b", "d"), ("c", "e"), ("d", "e"),
+           ("e", "f")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src_key string, dst_key string"
+    )
+    seeds = spark.createDataFrame([("a",), ("f",)], "seed string")
+    got = {r.key: r.bc_micro for r in betweenness_k(edges, seeds, 3).collect()}
+    # seed a: sigma b=1 c=1 d=1 e=2; delta: e=0, c=d=1e6//2, b=2*(1.5e6)
+    # seed f: sigma e=1 c=1 d=1 b=2; delta: b=0, c=d=1e6//2, e=2*(1.5e6)
+    # f absent: 4 hops from seed a, and level-0 seeds carry no delta
+    assert got == {
+        "b": 3_000_000, "c": 1_000_000, "d": 1_000_000, "e": 3_000_000,
+    }, got

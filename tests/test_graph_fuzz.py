@@ -711,3 +711,71 @@ def test_scc_matches_mutual_reachability_reference(spark):
         }
         assert None not in got.values(), (name, "unconverged")
         assert got == scc_ref(pairs), name
+
+
+def _betweenness_ref(pairs, seeds, depth):
+    """Pure-Python depth-bounded Brandes with the identical integer-micro
+    contribution semantics (undirected simple graph; duplicate rows and
+    self-loops collapse/drop the way the operator's input does)."""
+    adj: dict[str, set[str]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    bc: dict[str, int] = {}
+    for s in seeds:
+        lvl = {s: 0}
+        sigma = {s: 1}
+        levels = [[s]]
+        for d in range(1, depth + 1):
+            frontier = []
+            sig_new: dict[str, int] = {}
+            for u in levels[d - 1]:
+                for v in adj.get(u, ()):  # noqa: B007
+                    if v in lvl and lvl[v] < d:
+                        continue
+                    sig_new[v] = sig_new.get(v, 0) + sigma[u]
+            for v, sg in sig_new.items():
+                if v not in lvl:
+                    lvl[v] = d
+                    sigma[v] = sg
+                    frontier.append(v)
+            if not frontier:
+                break
+            levels.append(frontier)
+        delta = {v: 0 for v in lvl}
+        for d in range(len(levels) - 1, 0, -1):
+            for w in levels[d]:
+                for v in adj.get(w, ()):
+                    if lvl.get(v) == d - 1:
+                        delta[v] += sigma[v] * (10**6 + delta[w]) // sigma[w]
+        for v, l_ in lvl.items():
+            if l_ >= 1:
+                bc[v] = bc.get(v, 0) + delta[v]
+    return bc
+
+
+def test_betweenness_matches_reference(spark):
+    from egraphdb_spark.operators.graph_algos import betweenness_k
+
+    for name, pairs in GRAPHS.items():
+        keys = sorted({k for p in pairs for k in p})
+        seeds = keys[:3]
+        e = _edges(spark, pairs).select("src_key", "dst_key")
+        und = (
+            e.unionByName(
+                e.select(
+                    F.col("dst_key").alias("src_key"),
+                    F.col("src_key").alias("dst_key"),
+                )
+            )
+            .where(F.col("src_key") != F.col("dst_key"))
+            .distinct()
+        )
+        sdf = spark.createDataFrame([(s,) for s in seeds], "seed string")
+        got = {
+            r["key"]: r["bc_micro"]
+            for r in betweenness_k(und, sdf, max_depth=3).collect()
+        }
+        assert got == _betweenness_ref(pairs, seeds, 3), name

@@ -134,6 +134,7 @@ PROBES = [
     "evt_seasonal_dow",
     "evt_lag_corr",
     "graph_harmonic",
+    "graph_betweenness",
     "graph_ppr",
     "join_interval_overlap",
     "txt_pmi_collocations",
