@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "evt_attribution",
     "io_csv_quarantine",
     "io_jsonl_quarantine",
+    "io_schema_evolution",
     "layout_bucket_join",
     "sample_reservoir_group",
     "sample_class_balance",

@@ -4871,6 +4871,52 @@ SELECT CAST((SELECT count(*) + 2 FROM documents WHERE doc_id < 200)
 O_IO_JSONL_QUARANTINE = _jsonl_quarantine_oracle()
 
 
+def q_io_schema_evolution(spark, sf_dir):
+    """Schema-evolution ingestion: two parquet generations of the same
+    feed — v1 lacks the quality column, v2 adds it — read back together
+    with mergeSchema; v1 rows surface NULL quality (never a silent 0 or
+    a read failure).  The aggregate value-checks the whole evolved
+    read: per source, rows/chars from BOTH generations, quality stats
+    from v2 only."""
+    from .sources import io
+
+    path = f"{_IO_ROOT}/evolve-{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars",
+        (F.col("n_chars") % 100).cast("long").alias("quality"),
+    )
+    io.write_parquet(v1, f"{path}/gen=1")
+    io.write_parquet(v2, f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(F.col("quality").isNull().cast("long")).alias("n_no_quality"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+O_IO_SCHEMA_EVOLUTION = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_quality,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT)
+         AS sum_quality
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -4987,4 +5033,5 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_attribution": (q_evt_attribution, O_EVT_ATTRIBUTION),
     "io_csv_quarantine": (q_io_csv_quarantine, O_IO_CSV_QUARANTINE),
     "io_jsonl_quarantine": (q_io_jsonl_quarantine, O_IO_JSONL_QUARANTINE),
+    "io_schema_evolution": (q_io_schema_evolution, O_IO_SCHEMA_EVOLUTION),
 }
