@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # round-4 continuation
     "sample_group_split",
     "txt_tfidf_sim_pairs",
+    "txt_rake_keyphrases",
     "sim_knn_graph",
     "sim_ivfpq_topk",
     "graph_lpa",

@@ -891,3 +891,85 @@ def readability_stats(docs: "DataFrame", id_col: str, text_col: str) -> "DataFra
         .cast("long")
         .alias("flesch_micro"),
     )
+
+
+def rake_keyphrases(
+    docs: "DataFrame",
+    id_col: str,
+    text_col: str,
+    stopwords: tuple[str, ...] = QUALITY_STOPWORDS,
+    max_len: int = 4,
+    top_n: int = 20,
+) -> "DataFrame":
+    """RAKE keyphrase extraction (Rose et al. '10): candidate phrases are
+    maximal stopword/punctuation-free word runs; a word's score is
+    degree/frequency over phrase occurrences (degree = Σ length of the
+    phrases it appears in — co-occurrence incl. self); a phrase scores
+    the sum of its words.  Corpus-level top ``top_n``:
+    ``(phrase, n_words, n_occur, score_milli)``.
+
+    The division is quantized per word — ``(1000·deg) div freq`` — so
+    phrase scores are exact integer sums; ties break on
+    (score, n_occur, phrase).  Phrases longer than ``max_len`` are
+    discarded (they're parser accidents, and the bound caps the member
+    explode).  Non-alphabetic tokens (numbers, punctuation — the
+    tokenizer emits them as separate tokens) delimit phrases exactly
+    like stopwords.
+
+    Scale: one scan → per-doc windows (partitioned by document — no
+    global sort) → two vocabulary-sized aggregates + one bounded join;
+    nothing corpus-wide but the final TakeOrdered top-k.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0
+            )
+        ).alias("pos", "w"),
+    )
+    is_stop = F.col("w").isin(*stopwords) | ~F.col("w").rlike("^[a-z]+$")
+    flagged = words.withColumn("st", is_stop.cast("int"))
+    run = Window.partitionBy("id").orderBy("pos")
+    toks = flagged.withColumn("pid", F.sum("st").over(run)).where(
+        F.col("st") == 0
+    )
+    ph = (
+        toks.groupBy("id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("plen"),
+        )
+        .where(F.col("plen") <= int(max_len))
+    )
+    mem = ph.select("phrase", "plen", F.explode(F.split("phrase", " ")).alias("w"))
+    stats = mem.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    dph = ph.groupBy("phrase").agg(F.count("*").cast("long").alias("n_occur"))
+    dmem = dph.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    return (
+        dmem.join(stats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr("(1000 * deg) div freq")).cast("long").alias(
+                "score_milli"
+            ),
+        )
+        .join(dph, "phrase")
+        .select("phrase", "n_words", "n_occur", "score_milli")
+        .orderBy(
+            F.col("score_milli").desc(), F.col("n_occur").desc(), "phrase"
+        )
+        .limit(int(top_n))
+    )

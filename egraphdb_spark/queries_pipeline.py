@@ -3581,6 +3581,65 @@ def _bpe_fertility_oracle():
 O_TXT_BPE_FERTILITY = _bpe_fertility_oracle()
 
 
+def q_txt_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrases over the corpus: degree/frequency word scores
+    summed per stopword-delimited phrase, integer milli, corpus top-20."""
+    from .operators.text import rake_keyphrases
+
+    docs = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "doc_id", "text", max_len=4, top_n=20)
+
+
+def _rake_oracle() -> str:
+    from .operators.text import BPE_PATTERN, QUALITY_STOPWORDS
+
+    sw = ", ".join(f"'{s}'" for s in QUALITY_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.i AS pos, l[t.i] AS w
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{BPE_PATTERN}') AS l
+        FROM documents) d,
+       unnest(range(1, len(l) + 1)) AS t(i)
+),
+f AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ({sw}) OR NOT regexp_full_match(w, '[a-z]+')
+              THEN 1 ELSE 0 END AS st
+  FROM toks
+),
+p AS (
+  SELECT doc_id, pos, w, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM f
+),
+ph AS MATERIALIZED (
+  SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM p WHERE st = 0 GROUP BY 1, 2 HAVING count(*) <= 4
+),
+mem AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM ph),
+stats AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+  FROM mem GROUP BY w
+),
+dph AS MATERIALIZED (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur FROM ph GROUP BY phrase
+),
+dmem AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dph),
+scored AS (
+  SELECT dmem.phrase, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum((1000 * deg) // freq) AS BIGINT) AS score_milli
+  FROM dmem JOIN stats USING (w) GROUP BY 1
+)
+SELECT scored.phrase, n_words, n_occur, score_milli
+FROM scored JOIN dph ON scored.phrase = dph.phrase
+ORDER BY score_milli DESC, n_occur DESC, scored.phrase LIMIT 20
+"""
+
+
+O_TXT_RAKE = _rake_oracle()
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3691,5 +3750,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_bpe_train": (q_txt_bpe_train, O_TXT_BPE_TRAIN),
     "txt_bpe_fertility": (q_txt_bpe_fertility, O_TXT_BPE_FERTILITY),
     "clean_impute_median": (q_clean_impute_median, O_CLEAN_IMPUTE_MEDIAN),
+    "txt_rake_keyphrases": (q_txt_rake_keyphrases, O_TXT_RAKE),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

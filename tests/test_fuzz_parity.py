@@ -92,6 +92,7 @@ FUZZ_GATES = [
     "pipe_corpus_clean",
     "txt_bm25_topk",
     "txt_tfidf_keywords",
+    "txt_rake_keyphrases",
     "sample_stratified",
     "sample_train_test",
     "dedup_line_corpus",

@@ -685,3 +685,30 @@ def test_impute_median_hand_computed(spark):
     assert got["b"].n_missing == 2 and got["b"].n_unfilled == 2
     assert got["b"].median is None and got["b"].sum_imputed_cents is None
     assert got["c"].sum_imputed_cents == 700
+
+
+def test_rake_hand_computed(spark):
+    """Single doc 'red apple of red wine' (stopword 'of' splits): phrases
+    'red apple' and 'red wine'.  freq: red 2, apple 1, wine 1; deg:
+    red 4, apple 2, wine 2.  word scores (milli): red 2000, apple 2000,
+    wine 2000 -> each phrase scores 4000."""
+    from egraphdb_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "red apple of red wine")], "doc_id long, text string"
+    )
+    got = {r.phrase: r for r in rake_keyphrases(df, "doc_id", "text").collect()}
+    assert set(got) == {"red apple", "red wine"}
+    for p in got.values():
+        assert p.score_milli == 4000 and p.n_words == 2 and p.n_occur == 1
+
+
+def test_rake_punctuation_delimits(spark):
+    """Punctuation tokens split phrases and never appear in them."""
+    from egraphdb_spark.operators.text import rake_keyphrases
+
+    df = spark.createDataFrame(
+        [(1, "deep learning, neural networks!")], "doc_id long, text string"
+    )
+    got = sorted(r.phrase for r in rake_keyphrases(df, "doc_id", "text").collect())
+    assert got == ["deep learning", "neural networks"]

@@ -82,6 +82,7 @@ PROBES = [
     "sample_group_split",
     "sim_knn_graph",
     "txt_tfidf_sim_pairs",
+    "txt_rake_keyphrases",
     "sim_ivfpq_topk",
     "graph_lpa",
     "dedup_containment_pairs",
