@@ -350,6 +350,84 @@ WHERE greatest(CAST(common AS DOUBLE) / sa.sz,
 """
 
 
+def q_dedup_lsh_recall(spark, sf_dir):
+    """Measured LSH quality — the dedup twin of sim_recall_at_k: how
+    much of the exact Jaccard ≥ 0.5 truth set the banded-minhash
+    candidate pairs recover (recall), and how clean the candidate set is
+    (precision), in integer permille.  Composes the two existing
+    operators on the SAME shared shingle table; one row."""
+    docs = _t(spark, sf_dir, "documents")
+    shn = doc_shingles(spark, sf_dir)
+    sig = dedup.minhash_signature(docs, "doc_id", "text", shingles=shn)
+    cand = dedup.lsh_candidate_pairs(sig, max_bucket_size=64).select(
+        "id_a", "id_b"
+    )
+    truth = dedup.jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_shingle_df=100,
+        shingles=shn,
+    ).select("id_a", "id_b")
+    t = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    c = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    h = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        t.crossJoin(c).crossJoin(h)
+        .select(
+            "n_truth", "n_candidates", "n_hits",
+            F.expr("(1000 * n_hits) div nullif(n_truth, 0)").alias(
+                "recall_permille"
+            ),
+            F.expr("(1000 * n_hits) div nullif(n_candidates, 0)").alias(
+                "precision_permille"
+            ),
+        )
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    sig = _SIG_CTE.replace("sh AS (", "sh AS MATERIALIZED (")
+    return f"""
+WITH {sig},
+bands AS ({_band_sql()}),
+small AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) <= 64
+),
+bb AS (SELECT bands.* FROM bands SEMI JOIN small USING (band, bucket)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+ex AS (SELECT sh.id, sh.shingle FROM sh SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+),
+agg AS (
+  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM truth SEMI JOIN cand
+               USING (id_a, id_b)) AS BIGINT) AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       (1000 * n_hits) // nullif(n_truth, 0) AS recall_permille,
+       (1000 * n_hits) // nullif(n_candidates, 0) AS precision_permille
+FROM agg
+"""
+
+
+O_DEDUP_LSH_RECALL = _lsh_recall_oracle()
+
+
 def q_dedup_embedding_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.40)
@@ -3698,6 +3776,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_sig": (q_dedup_minhash_sig, O_MINHASH_SIG),
     "dedup_minhash_lsh_pairs": (q_dedup_minhash_lsh_pairs, O_MINHASH_PAIRS),
+    "dedup_lsh_recall": (q_dedup_lsh_recall, O_DEDUP_LSH_RECALL),
     "dedup_near_clusters": (q_dedup_near_clusters, O_DEDUP_CLUSTERS),
     "emb_quantize_int8": (q_emb_quantize_int8, O_EMB_QUANTIZE),
     "dedup_simhash": (q_dedup_simhash, O_SIMHASH),
