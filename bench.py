@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "txt_stats",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_recall",
     "dedup_simhash_pairs",
     "dedup_jaccard_pairs",
     "dedup_embedding_pairs",

@@ -60,6 +60,7 @@ FUZZ_GATES = [
     "dedup_repeated_spans",
     "dedup_minhash_sig",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_recall",
     "dedup_simhash",
     "dedup_jaccard_pairs",
     "dedup_containment_pairs",

@@ -44,6 +44,7 @@ PROBES = [
     "agg_q9_product_profit",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_recall",
     "dedup_jaccard_pairs",
     "dedup_contamination",
     "txt_bm25_topk",
