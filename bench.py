@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "io_csv_quarantine",
     "io_jsonl_quarantine",
     "io_schema_evolution",
+    "stream_jsonl_quarantine",
     "layout_bucket_join",
     "sample_reservoir_group",
     "sample_class_balance",

@@ -4917,6 +4917,51 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_stream_jsonl_quarantine(spark, sf_dir):
+    """Streaming form of the JSONL quarantine: the same untrusted feed
+    read via ``readStream.text`` → full-struct ``from_json`` (stateless,
+    stream-legal) → append memory sink; malformed lines quarantine
+    in-flight instead of killing the stream.  Same aggregate and the
+    same oracle as the batch gate — a correct streaming ingest is
+    indistinguishable from the batch read."""
+    from .streaming.stream import run_to_memory
+
+    path = f"{_IO_ROOT}/jsonlq-stream-{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    lines = docs.select(
+        F.to_json(F.struct("doc_id", "source", "n_chars")).alias("value")
+    )
+    planted = spark.createDataFrame(
+        [(x,) for x in _JSONL_BAD + _JSONL_TRICKY], "value string"
+    )
+    lines.unionByName(planted).write.mode("overwrite").text(path)
+
+    full = "doc_id bigint, source string, n_chars bigint, _bad string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
+    src = spark.readStream.format("text").load(path)
+    parsed = (
+        src.where(F.trim(F.col("value")) != "")
+        .select(F.from_json(F.col("value"), full, opts).alias("r"))
+        .select("r.*")
+    )
+    sink = run_to_memory(
+        parsed, "stream_jsonlq_tbl", output_mode="append"
+    )
+    return sink.agg(
+        F.sum(F.col("_bad").isNull().cast("long")).alias("n_clean"),
+        F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_chars")).otherwise(0)
+        ).cast("long").alias("sum_chars_clean"),
+        F.md5(
+            F.concat_ws("\n", F.sort_array(F.collect_list("_bad")))
+        ).alias("corrupt_md5"),
+    )
+
+
+O_STREAM_JSONL_QUARANTINE = O_IO_JSONL_QUARANTINE
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -5034,4 +5079,5 @@ EXT_REGISTRY: dict[str, tuple] = {
     "io_csv_quarantine": (q_io_csv_quarantine, O_IO_CSV_QUARANTINE),
     "io_jsonl_quarantine": (q_io_jsonl_quarantine, O_IO_JSONL_QUARANTINE),
     "io_schema_evolution": (q_io_schema_evolution, O_IO_SCHEMA_EVOLUTION),
+    "stream_jsonl_quarantine": (q_stream_jsonl_quarantine, O_STREAM_JSONL_QUARANTINE),
 }
