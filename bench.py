@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sim_kmeans_topk",
     "sketch_hll_distinct",
     "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "sketch_bloom_fp",
     "dedup_contamination",
     "agg_q6_forecast_revenue",

@@ -740,3 +740,111 @@ SELECT g AS {group_col}, CAST({int(k)} AS BIGINT) AS k, n_hashes,
        END AS est_distinct
 FROM per ORDER BY {group_col}
 """
+
+
+def kmv_overlap(
+    df: DataFrame,
+    key_col: str,
+    set_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set algebra — the bottom-k twin of :func:`hll_overlap`: |A|,
+    |B| from each tag's k smallest hashes, |A∪B| from the MERGED hash
+    sets re-cut to k (bottom-k of a union is the union of bottom-ks
+    re-cut — the mergeability property), |A∩B| by inclusion-exclusion
+    clamped at 0.  One row: (set_a, set_b, est_a, est_b, est_union,
+    est_intersect).
+
+    Same WindowGroupLimit scale shape as :func:`kmv_distinct`; the union
+    estimate never rescans the input — it re-ranks the ≤ 2k kept hashes.
+    """
+    from pyspark.sql import Window
+
+    h = _h60(F.col(key_col))
+    hashes = (
+        df.where(F.col(set_col).isin(set_a, set_b))
+        .select(F.col(set_col).alias("tag"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("tag").orderBy("h")
+    kept = hashes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= int(k)
+    )
+    num = F.lit(float(int(k) - 1) * float(1 << 60))
+    est = F.when(F.col("n_h") < int(k), F.col("n_h")).otherwise(
+        F.floor(num / F.col("hk").cast("double")).cast("long")
+    )
+    per = (
+        kept.groupBy("tag")
+        .agg(F.count("*").cast("long").alias("n_h"), F.max("h").alias("hk"))
+        .select("tag", est.alias("e"))
+    )
+    uw = Window.orderBy("h")
+    ukept = (
+        kept.select("h").distinct()
+        .withColumn("rn", F.row_number().over(uw))
+        .where(F.col("rn") <= int(k))
+    )
+    uni = ukept.agg(
+        F.count("*").cast("long").alias("n_h"), F.max("h").alias("hk")
+    ).select(est.alias("est_union"))
+    a = per.where(F.col("tag") == set_a).select(F.col("e").alias("est_a"))
+    b = per.where(F.col("tag") == set_b).select(F.col("e").alias("est_b"))
+    return (
+        a.crossJoin(b).crossJoin(uni)
+        .select(
+            F.lit(set_a).alias("set_a"), F.lit(set_b).alias("set_b"),
+            "est_a", "est_b", "est_union",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).alias("est_intersect"),
+        )
+    )
+
+
+def kmv_overlap_oracle_sql(
+    table: str, key_expr: str, set_col: str, set_a: str, set_b: str,
+    k: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`kmv_overlap`."""
+    num = float(int(k) - 1) * float(1 << 60)
+    est = (
+        f"CASE WHEN n_h < {int(k)} THEN n_h"
+        f" ELSE CAST(floor({num!r} / CAST(hk AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+WITH hs AS MATERIALIZED (
+  SELECT DISTINCT {set_col} AS tag,
+         CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM {table} WHERE {set_col} IN ('{set_a}', '{set_b}')
+),
+kept AS MATERIALIZED (
+  SELECT tag, h FROM (
+    SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+    FROM hs) WHERE rn <= {int(k)}
+),
+per AS (
+  SELECT tag, {est} AS e FROM (
+    SELECT tag, CAST(count(*) AS BIGINT) AS n_h, max(h) AS hk
+    FROM kept GROUP BY tag)
+),
+uni AS (
+  SELECT {est} AS est_union FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n_h, max(h) AS hk FROM (
+      SELECT DISTINCT h FROM kept
+      ORDER BY h LIMIT {int(k)}))
+)
+SELECT '{set_a}' AS set_a, '{set_b}' AS set_b,
+       (SELECT e FROM per WHERE tag = '{set_a}') AS est_a,
+       (SELECT e FROM per WHERE tag = '{set_b}') AS est_b,
+       est_union,
+       greatest(CAST(0 AS BIGINT),
+                (SELECT e FROM per WHERE tag = '{set_a}')
+                + (SELECT e FROM per WHERE tag = '{set_b}')
+                - est_union) AS est_intersect
+FROM uni
+"""

@@ -990,6 +990,29 @@ def _kmv_oracle():
 O_SKETCH_KMV = _kmv_oracle()
 
 
+def q_sketch_kmv_overlap(spark, sf_dir):
+    """KMV set algebra: distinct-USER overlap between 'view' and
+    'purchase' activity — per-tag bottom-64, union by merge+re-cut
+    (never rescans the input), intersection by inclusion-exclusion."""
+    from .operators import sketches
+
+    return sketches.kmv_overlap(
+        _t(spark, sf_dir, "events"), "user_id", "event_type",
+        "view", "purchase", k=64,
+    )
+
+
+def _kmv_overlap_oracle():
+    from .operators.sketches import kmv_overlap_oracle_sql
+
+    return kmv_overlap_oracle_sql(
+        "events", "user_id", "event_type", "view", "purchase", 64
+    )
+
+
+O_SKETCH_KMV_OVERLAP = _kmv_overlap_oracle()
+
+
 def _cm_hash_sql(expr: str, d: int) -> str:
     return (
         f"CAST(CAST('0x' || substr(md5({expr}), {1 + 6 * d}, 6) AS BIGINT)"
@@ -3790,6 +3813,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "sim_ivf_topk": (q_sim_ivf_topk, O_IVF_TOPK),
     "sim_kmeans_topk": (q_sim_kmeans_topk, O_KMEANS_TOPK),
     "sketch_kmv_distinct": (q_sketch_kmv_distinct, O_SKETCH_KMV),
+    "sketch_kmv_overlap": (q_sketch_kmv_overlap, O_SKETCH_KMV_OVERLAP),
     "sketch_hll_distinct": (
         q_sketch_hll_distinct,
         sketches.hll_oracle_sql("orders", "o_custkey", p=8),

@@ -285,6 +285,7 @@ EVT_GATES = [
     "sketch_cm_heavy",
     "sketch_hll_overlap",
     "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "skew_salted_join",
     "join_asof_nearest",
     "join_asof_tolerance",

@@ -427,3 +427,26 @@ def test_kmv_plan_window_group_limit(spark):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_kmv_overlap_identical_sets(spark):
+    """A ≡ B ⇒ est_union == est_a == est_b and intersect == union."""
+    from egraphdb_spark.operators.sketches import kmv_overlap
+
+    rows = [(u, t) for u in range(500) for t in ("x", "y")]
+    df = spark.createDataFrame(rows, "u long, tag string")
+    got = kmv_overlap(df, "u", "tag", "x", "y", k=64).collect()[0]
+    assert got.est_a == got.est_b == got.est_union == got.est_intersect
+
+
+def test_kmv_overlap_tracks_exact(spark):
+    """Planted 50% overlap: inclusion-exclusion estimate within the
+    compounded bottom-k error budget (~3·(1/sqrt(k-2))·3 sets)."""
+    from egraphdb_spark.operators.sketches import kmv_overlap
+
+    a = [(u, "x") for u in range(1000)]
+    b = [(u, "y") for u in range(500, 1500)]
+    df = spark.createDataFrame(a + b, "u long, tag string")
+    got = kmv_overlap(df, "u", "tag", "x", "y", k=64).collect()[0]
+    rel = 3 * 3.0 / (64 - 2) ** 0.5
+    assert abs(got.est_intersect - 500) < 1500 * rel, got

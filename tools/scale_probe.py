@@ -80,6 +80,7 @@ PROBES = [
     "dedup_fuzzy_pairs",
     "sketch_hll_overlap",
     "sketch_kmv_distinct",
+    "sketch_kmv_overlap",
     "sample_group_split",
     "sim_knn_graph",
     "txt_tfidf_sim_pairs",
