@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "graph_scc",
     "evt_attribution",
     "io_csv_quarantine",
+    "io_csv_multiline",
     "io_jsonl_quarantine",
     "io_schema_evolution",
     "stream_jsonl_quarantine",

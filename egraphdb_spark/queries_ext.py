@@ -4962,6 +4962,62 @@ def q_stream_jsonl_quarantine(spark, sf_dir):
 O_STREAM_JSONL_QUARANTINE = O_IO_JSONL_QUARANTINE
 
 
+def q_io_csv_multiline(spark, sf_dir):
+    """Quoted-newline CSV round-trip: every third document gets its
+    spaces rewritten to embedded newlines, the feed goes out through the
+    CSV writer (which must quote them) and back through the multiLine
+    reader (which must NOT split records at them).  The digest pins
+    byte-exact text survival.  Note the scale trade-off this gate
+    documents: multiLine CSV files are not splittable — one task per
+    file — so embedded-newline feeds should be converted to parquet at
+    the edge; this path exists for ingesting what others hand you."""
+    from .sources import io
+
+    path = f"{_IO_ROOT}/csvml-{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    feed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.regexp_replace("text", " ", "\n")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    feed.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id long, text string")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum((F.length("text") - F.length(F.replace(F.col("text"), F.lit("\n"), F.lit("")))).cast("long")).alias("n_newlines"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            )
+        ).alias("digest"),
+    )
+
+
+O_IO_CSV_MULTILINE = """
+WITH feed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10))
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 300
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text) - length(replace(text, chr(10), ''))) AS BIGINT)
+         AS n_newlines,
+       md5(string_agg(text, chr(30) ORDER BY doc_id)) AS digest
+FROM feed
+"""
+
+
 EXT_REGISTRY: dict[str, tuple] = {
     "evt_ohlc": (q_evt_ohlc, O_EVT_OHLC),
     "evt_gapfill_locf": (q_evt_gapfill_locf, O_EVT_GAPFILL),
@@ -5079,5 +5135,6 @@ EXT_REGISTRY: dict[str, tuple] = {
     "io_csv_quarantine": (q_io_csv_quarantine, O_IO_CSV_QUARANTINE),
     "io_jsonl_quarantine": (q_io_jsonl_quarantine, O_IO_JSONL_QUARANTINE),
     "io_schema_evolution": (q_io_schema_evolution, O_IO_SCHEMA_EVOLUTION),
+    "io_csv_multiline": (q_io_csv_multiline, O_IO_CSV_MULTILINE),
     "stream_jsonl_quarantine": (q_stream_jsonl_quarantine, O_STREAM_JSONL_QUARANTINE),
 }

@@ -148,6 +148,7 @@ PROBES = [
     "graph_scc",
     "evt_attribution",
     "io_csv_quarantine",
+    "io_csv_multiline",
     "io_jsonl_quarantine",
     "io_schema_evolution",
     "stream_jsonl_quarantine",
