@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "dedup_repeated_spans",
     "emb_label_centroids",
     "emb_truncate_recall",
+    "emb_drift",
     "graph_kcore",
     "graph_degree_stats",
     "stream_session_window",

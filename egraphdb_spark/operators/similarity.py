@@ -1175,3 +1175,68 @@ def mips_topk(
         .orderBy(F.col("dot").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def embedding_drift(
+    ref: DataFrame, cur: DataFrame, vec_col: str
+) -> DataFrame:
+    """Distribution drift between two embedding snapshots — the monitor a
+    training pipeline runs when a new corpus generation or encoder lands:
+    ``(n_ref, n_cur, centroid_cos, centroid_l2_micro)`` — cosine between
+    the two mean vectors (1.0 = no directional drift) and the L2 distance
+    between them in integer micro-units.
+
+    Determinism: per-dimension coordinates are quantized
+    (floor(x·2²⁰) — a pure exponent shift, exact) and summed as integers
+    (order-free); the closing cosine/L2 is one fixed-order fold over the
+    dim-sorted sum arrays, so both engines agree bit-for-bit.  Shuffle:
+    one (side, dim)-keyed aggregate — 2·d rows out however big the
+    corpus.
+    """
+    def sums(df: DataFrame, tag: str) -> DataFrame:
+        q = F.explode(
+            F.expr(
+                f"transform({vec_col}, (x, i) ->"
+                f" struct(i AS dim, cast(floor(cast(x as double) * {_CENTROID_Q})"
+                " as bigint) AS qx))"
+            )
+        ).alias("e")
+        return (
+            df.select(q)
+            .select("e.dim", "e.qx")
+            .groupBy("dim")
+            .agg(F.sum("qx").alias(f"s_{tag}"))
+        )
+
+    nr = ref.agg(F.count("*").cast("long").alias("n_ref"))
+    nc = cur.agg(F.count("*").cast("long").alias("n_cur"))
+    j = sums(ref, "a").join(sums(cur, "b"), "dim")
+    arrs = j.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, s_a))), x -> cast(x.s_a as double))"
+        ).alias("va"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, s_b))), x -> cast(x.s_b as double))"
+        ).alias("vb"),
+    )
+    out = arrs.crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
+    # mean vectors: va/(Q·n_ref), vb/(Q·n_cur); cosine is scale-invariant
+    # so it folds the raw sum arrays; L2 needs the scaling.
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("va"), F.col("vb"),
+                lambda a, b: (
+                    a / (F.lit(float(_CENTROID_Q)) * F.col("n_ref"))
+                    - b / (F.lit(float(_CENTROID_Q)) * F.col("n_cur"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return out.select(
+        "n_ref", "n_cur",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("centroid_cos"),
+        F.floor(l2 * 1000000.0).cast("long").alias("centroid_l2_micro"),
+    )

@@ -783,6 +783,57 @@ ORDER BY dot DESC, id LIMIT 10
 O_SIM_MIPS = _mips_oracle()
 
 
+def q_emb_drift(spark, sf_dir):
+    """Snapshot drift monitor: the corpus split by vec_id parity stands
+    in for two embedding generations; centroid cosine + L2 in exact
+    integer/fixed-fold arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "embedding",
+    )
+
+
+def _emb_drift_oracle() -> str:
+    q = 1 << 20
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id % 2 AS half, t.i AS dim,
+         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {q}) AS BIGINT) AS qx
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+s AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN half = 0 THEN qx END) AS BIGINT) AS s_a,
+         CAST(sum(CASE WHEN half = 1 THEN qx END) AS BIGINT) AS s_b
+  FROM ex GROUP BY dim
+),
+arrs AS (
+  SELECT list_transform(list_sort(list(struct_pack(dim := dim, s_a := s_a))), x -> CAST(x.s_a AS DOUBLE)) AS va,
+         list_transform(list_sort(list(struct_pack(dim := dim, s_b := s_b))), x -> CAST(x.s_b AS DOUBLE)) AS vb
+  FROM s
+),
+n AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM embeddings
+)
+SELECT n_ref, n_cur,
+       {_cos_sql('va', 'vb', 6)} AS centroid_cos,
+       CAST(floor(sqrt(list_sum(list_transform(range(1, len(va) + 1),
+              i -> (va[CAST(i AS INT)] / ({q}.0 * n_ref)
+                    - vb[CAST(i AS INT)] / ({q}.0 * n_cur))
+                   * (va[CAST(i AS INT)] / ({q}.0 * n_ref)
+                      - vb[CAST(i AS INT)] / ({q}.0 * n_cur)))))
+            * 1000000.0) AS BIGINT) AS centroid_l2_micro
+FROM arrs, n
+"""
+
+
+O_EMB_DRIFT = _emb_drift_oracle()
+
+
 # kNN-graph target cluster size — smaller than SemDeDup's: the graph only
 # needs k≈3 neighbors per point, so tight clusters (candidate work
 # n·n_probe·128) buy a ~2× cut over the dedup setting at the same recall
@@ -3847,6 +3898,7 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "privacy_k_anon": (q_privacy_k_anon, O_PRIVACY_K_ANON),
     "privacy_l_diversity": (q_privacy_l_diversity, O_PRIVACY_L_DIVERSITY),
     "emb_truncate_recall": (q_emb_truncate_recall, O_EMB_TRUNCATE_RECALL),
+    "emb_drift": (q_emb_drift, O_EMB_DRIFT),
     "sim_mips_topk": (q_sim_mips_topk, O_SIM_MIPS),
     "privacy_k_suppress": (q_privacy_k_suppress, O_PRIVACY_K_SUPPRESS),
     "mm_binary_ingest": (q_mm_binary_ingest, O_MM_BINARY_INGEST),

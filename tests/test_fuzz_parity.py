@@ -166,6 +166,7 @@ def test_gates_parity_on_hostile_corpus(spark, texts):
 EMB_GATES = [
     "sim_cosine_topk",
     "emb_truncate_recall",
+    "emb_drift",
     "sim_ivf_topk",
     "sim_lsh_topk",
     "sim_mips_topk",

@@ -64,6 +64,7 @@ PROBES = [
     "evt_spikes",
     "emb_label_centroids",
     "emb_truncate_recall",
+    "emb_drift",
     # round-4 additions
     "dedup_semantic_pairs",
     "txt_bpe_pair_counts",
