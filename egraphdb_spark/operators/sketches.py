@@ -790,10 +790,19 @@ def kmv_overlap(
     uni = ukept.agg(
         F.count("*").cast("long").alias("n_h"), F.max("h").alias("hk")
     ).select(est.alias("est_union"))
-    a = per.where(F.col("tag") == set_a).select(F.col("e").alias("est_a"))
-    b = per.where(F.col("tag") == set_b).select(F.col("e").alias("est_b"))
+    # an absent tag is an EMPTY set: estimate 0, never a missing row
+    # (single aggregate instead of filter+crossJoin, which would emit
+    # zero rows when one side has no members)
+    ab = per.agg(
+        F.coalesce(
+            F.max(F.when(F.col("tag") == set_a, F.col("e"))), F.lit(0)
+        ).cast("long").alias("est_a"),
+        F.coalesce(
+            F.max(F.when(F.col("tag") == set_b, F.col("e"))), F.lit(0)
+        ).cast("long").alias("est_b"),
+    )
     return (
-        a.crossJoin(b).crossJoin(uni)
+        ab.crossJoin(uni)
         .select(
             F.lit(set_a).alias("set_a"), F.lit(set_b).alias("set_b"),
             "est_a", "est_b", "est_union",
@@ -839,12 +848,16 @@ uni AS (
       ORDER BY h LIMIT {int(k)}))
 )
 SELECT '{set_a}' AS set_a, '{set_b}' AS set_b,
-       (SELECT e FROM per WHERE tag = '{set_a}') AS est_a,
-       (SELECT e FROM per WHERE tag = '{set_b}') AS est_b,
+       CAST(COALESCE((SELECT e FROM per WHERE tag = '{set_a}'), 0)
+            AS BIGINT) AS est_a,
+       CAST(COALESCE((SELECT e FROM per WHERE tag = '{set_b}'), 0)
+            AS BIGINT) AS est_b,
        est_union,
        greatest(CAST(0 AS BIGINT),
-                (SELECT e FROM per WHERE tag = '{set_a}')
-                + (SELECT e FROM per WHERE tag = '{set_b}')
+                CAST(COALESCE((SELECT e FROM per WHERE tag = '{set_a}'), 0)
+                     AS BIGINT)
+                + CAST(COALESCE((SELECT e FROM per WHERE tag = '{set_b}'), 0)
+                       AS BIGINT)
                 - est_union) AS est_intersect
 FROM uni
 """
