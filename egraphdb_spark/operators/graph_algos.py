@@ -1209,8 +1209,11 @@ def betweenness_k(
         part = deltas[lv].select("key", "delta")
         out = part if out is None else out.unionByName(part)
     if out is None:
-        return edges.sparkSession.createDataFrame(
-            [], "key string, bc_micro long"
+        # no node left the seed level: empty result typed off the seeds
+        return (
+            seeds.select(F.col("seed").alias("key"))
+            .where(F.lit(False))
+            .withColumn("bc_micro", F.lit(0).cast("long"))
         )
     return (
         out.groupBy("key")
