@@ -1152,6 +1152,11 @@ def betweenness_k(
     graphs — BIGINT holds ~9·10¹⁸ paths, far past any depth-3 fanout;
     deeper cuts should quantize σ.
     """
+    # σ counts SHORTEST PATHS on the simple graph: a duplicate edge row
+    # would multiply sigma and every backward contribution (unlike
+    # harmonic/BFS, whose min-level semantics are duplicate-immune), so
+    # the operator dedupes its input rather than trusting callers.
+    edges = edges.select("src_key", "dst_key").distinct()
     l0 = seeds.select(
         F.col("seed"), F.col("seed").alias("key"),
         F.lit(1).cast("long").alias("sigma"),
@@ -1192,7 +1197,6 @@ def betweenness_k(
                 F.sum(
                     F.expr("sigma * (1000000L + delta_w) div sigma_w")
                 ).alias("delta"),
-                F.first("sigma").alias("sigma"),
             )
         )
         deltas[lv] = (

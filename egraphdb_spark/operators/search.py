@@ -110,6 +110,8 @@ def geo_knearest(
     lat: float,
     k: int,
     radius_m: float | None = None,
+    id_col: str = "id",
+    order_round: int | None = None,
 ) -> DataFrame:
     """(id, dist_m) — the ``k`` geo-indexed nodes nearest to (lon, lat)
     by great-circle distance, ascending.
@@ -128,8 +130,13 @@ def geo_knearest(
     min/max row-group skipping before any trig runs.  The bound is the
     caller's contract: a too-small radius honestly returns fewer than k.
 
-    Ties at the k-th distance break by id (deterministic under any
-    partitioning).
+    Ties at the k-th distance break by ``id_col`` (deterministic under
+    any partitioning).  ``order_round`` quantizes the ORDERING distance
+    to that many decimals first — pass it when an external consumer
+    (oracle, report) orders by a rounded distance, so boundary rows at a
+    rounding collision select identically on both sides; haversine's
+    asin/cos are not in the correctly-rounded cross-engine trust base,
+    which is why rounded comparisons are the portable form.
     """
     scoped = indexes.where(F.col("index_name") == index_name)
     glon = F.col("v_geo.coordinates")[0]
@@ -139,11 +146,13 @@ def geo_knearest(
 
         scoped = scoped.where(bbox_prefilter(glon, glat, lon, lat, radius_m))
     dist = haversine_m(glon, glat, F.lit(float(lon)), F.lit(float(lat)))
-    return (
-        scoped.select("id", dist.alias("dist_m"))
-        .orderBy("dist_m", "id")
-        .limit(int(k))
+    out = scoped.select(F.col(id_col).alias("id"), dist.alias("dist_m"))
+    order = (
+        F.round(F.col("dist_m"), int(order_round))
+        if order_round is not None
+        else F.col("dist_m")
     )
+    return out.orderBy(order, F.col("id")).limit(int(k))
 
 
 def search_ids(indexes: DataFrame, any_conditions: list[dict]) -> DataFrame:

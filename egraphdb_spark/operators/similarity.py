@@ -1137,13 +1137,18 @@ def mips_topk(
     v = _as_double(vec_col)
     n2 = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     m2 = emb.agg(F.max(n2).alias("m2"))
+    from .checkpoint import cut_lineage
+
+    # aug feeds three consumers (anchors, assignment, re-rank join) —
+    # materialize once or each reference re-scans the corpus and re-runs
+    # the max-norm aggregate
     aug = emb.crossJoin(F.broadcast(m2)).select(
         F.col(id_col).alias("id"),
         v.alias("vec"),
         F.concat(
             v, F.array(F.sqrt(F.greatest(F.lit(0.0), F.col("m2") - n2)))
         ).alias("avec"),
-    )
+    ).transform(cut_lineage)
     anchors = prefix_anchors(aug, "id", "avec", n_anchors)
     aq = F.array(
         *[F.lit(float(x)) for x in list(query_vec) + [0.0]]

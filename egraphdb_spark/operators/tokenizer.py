@@ -204,6 +204,16 @@ s{k} AS MATERIALIZED (
   SELECT s, wc FROM {prev} WHERE NOT EXISTS (SELECT 1 FROM t{k})
 )"""
         )
+    if int(n_merges) == 0:
+        # zero rounds: the merge table is empty but the SQL must parse —
+        # mirror the Spark trainer, which returns an empty frame
+        return (
+            "WITH " + ",\n".join(parts)
+            + "\nSELECT CAST(NULL AS BIGINT) AS merge_round,"
+            " CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,"
+            " CAST(NULL AS VARCHAR) AS merged, CAST(NULL AS BIGINT) AS n"
+            " FROM s0 WHERE FALSE"
+        )
     selects = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_round, l AS lhs, r AS rhs,"
         f" l || r AS merged, n FROM t{k}"
@@ -221,7 +231,7 @@ def bpe_token_frequencies_oracle_sql(
     WITH-chain, then token explosion of the final vocabulary."""
     sep = SEP
     train = bpe_train_oracle_sql(table, n_merges)
-    with_block = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    with_block = train[: train.rindex("\nSELECT ")]
     return f"""{with_block}
 SELECT token, CAST(sum(wc) AS BIGINT) AS n FROM (
   SELECT wc, unnest(list_filter(string_split(s, '{sep}'), x -> x <> ''))
@@ -293,7 +303,7 @@ def bpe_fertility_oracle_sql(
     training chain)."""
     sep = SEP
     train = bpe_train_oracle_sql(table, n_merges)
-    with_block = train[: train.rindex("\nSELECT CAST(1 AS BIGINT)")]
+    with_block = train[: train.rindex("\nSELECT ")]
     return f"""{with_block},
 enc AS MATERIALIZED (
   SELECT replace(s, '{sep}', '') AS w,

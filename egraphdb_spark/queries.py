@@ -221,11 +221,17 @@ def q_s10_geo_knearest(spark, sf_dir):
     (models/egraph_index_model.erl:361-367): TakeOrderedAndProject top-k,
     never a global sort."""
     g = fixture(spark, sf_dir)
+    # pre-join the portable key so the top-k tie/rounding-boundary order
+    # (round-3 dist, key) is IDENTICAL to the oracle's — raw-distance
+    # ordering with a hash-id tie-break can pick a different k-th row
+    # whenever two candidates collide at the rounding quantum
+    idx = g.indexes.join(g.vertices.select("id", "key"), "id")
     nn = search.geo_knearest(
-        g.indexes, "capital_geolocation", -100.0, -50.0, 5
+        idx, "capital_geolocation", -100.0, -50.0, 5,
+        id_col="key", order_round=3,
     )
-    return g.vertices.join(nn, "id").select(
-        "key", F.round("dist_m", 3).alias("dist_m")
+    return nn.select(
+        F.col("id").alias("key"), F.round("dist_m", 3).alias("dist_m")
     )
 
 

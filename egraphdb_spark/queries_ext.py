@@ -4936,13 +4936,11 @@ def q_stream_jsonl_quarantine(spark, sf_dir):
     )
     lines.unionByName(planted).write.mode("overwrite").text(path)
 
-    full = "doc_id bigint, source string, n_chars bigint, _bad string"
-    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
+    from .sources.io import jsonl_quarantine_frame
+
     src = spark.readStream.format("text").load(path)
-    parsed = (
-        src.where(F.trim(F.col("value")) != "")
-        .select(F.from_json(F.col("value"), full, opts).alias("r"))
-        .select("r.*")
+    parsed = jsonl_quarantine_frame(
+        src, "doc_id bigint, source string, n_chars bigint"
     )
     sink = run_to_memory(
         parsed, "stream_jsonlq_tbl", output_mode="append"

@@ -3606,7 +3606,12 @@ def q_mm_binary_ingest(spark, sf_dir):
         _os.environ.get("SPARK_GRAFT_IO_DIR", "/tmp/egraphdb_spark_io"),
         f"bin-{_os.path.basename(sf_dir.rstrip('/'))}",
     )
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # zero-byte payloads produce NO binaryFile split (contract pinned in
+    # tests/test_io_quarantine.py) — exclude empty documents on BOTH
+    # sides so the gate doesn't silently depend on the corpus having none
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 100) & (F.length("text") > 0)
+    )
     payloads = docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
@@ -3627,7 +3632,7 @@ def q_mm_binary_ingest(spark, sf_dir):
 O_MM_BINARY_INGEST = """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_md5
-FROM documents WHERE doc_id < 100 ORDER BY doc_id
+FROM documents WHERE doc_id < 100 AND length(text) > 0 ORDER BY doc_id
 """
 
 

@@ -234,12 +234,32 @@ def read_csv_quarantine(
     the verdict is projection-independent (pinned by
     tests/test_io_quarantine.py, including a corrupt-column-only
     aggregate that the file source outright disallows).
+
+    Blank / whitespace-only lines are dropped (the CSV file source skips
+    them; the raw ``text`` read would surface them as all-null NON-corrupt
+    rows, silently inflating clean counts — same guard as the JSONL twin).
     """
     full = schema + ", _bad string"
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
     return (
         spark.read.text(path)
+        .where(F.trim(F.col("value")) != "")
         .select(F.from_csv(F.col("value"), full, opts).alias("r"))
+        .select("r.*")
+    )
+
+
+def jsonl_quarantine_frame(lines: DataFrame, schema: str) -> DataFrame:
+    """The parse core shared by the batch and STREAMING JSONL quarantine
+    paths: blank-line filter + PERMISSIVE full-struct ``from_json`` over
+    a one-column (``value``) frame.  Keeping it in one place means a
+    future change to the corruption semantics cannot leave batch and
+    streaming verdicts inconsistent."""
+    full = schema + ", _bad string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
+    return (
+        lines.where(F.trim(F.col("value")) != "")
+        .select(F.from_json(F.col("value"), full, opts).alias("r"))
         .select("r.*")
     )
 
@@ -268,11 +288,4 @@ def read_jsonl_quarantine(
       source skips them; a raw ``text`` read surfaces them as all-null
       NON-corrupt rows, which would silently inflate clean counts).
     """
-    full = schema + ", _bad string"
-    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"}
-    return (
-        spark.read.text(path)
-        .where(F.trim(F.col("value")) != "")
-        .select(F.from_json(F.col("value"), full, opts).alias("r"))
-        .select("r.*")
-    )
+    return jsonl_quarantine_frame(spark.read.text(path), schema)

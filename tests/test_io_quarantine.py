@@ -24,6 +24,8 @@ def feed(spark, tmp_path_factory):
         ("oops,src0,12",),          # unparseable doc_id (first column)
         ("1,src0,5,extra,extra",),  # token overflow
         ("12 34,src9,x",),          # bad first and last columns
+        ("",),                       # blank line: dropped, never "clean"
+        ("   ",),                    # whitespace-only: same
     ]
     spark.createDataFrame(rows, "value string").write.mode(
         "overwrite"

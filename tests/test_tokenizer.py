@@ -159,3 +159,39 @@ def test_fertility_merges_reduce_tokens(spark):
     # merge 1 is (a,b) → "ab" 1 token / "abab" 2; merge 2 is (ab,ab)
     # (count 5 beats qr/st at 2) → "abab" 1 token
     assert merged["zz"] == 5 * (3 * 1 + 1)
+
+
+def test_oracle_generators_match_spark_at_zero_merges(spark):
+    """n_merges=0 is a supported parameterization (character-level
+    tokenization); the generated oracles must parse and agree — this was
+    a ValueError/parse-error divergence before the fix."""
+    import duckdb
+
+    from egraphdb_spark.operators.tokenizer import (
+        bpe_fertility,
+        bpe_fertility_oracle_sql,
+        bpe_train,
+        bpe_train_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    assert bpe_train(docs, "text", 0).count() == 0
+    assert con.execute(bpe_train_oracle_sql("documents", 0)).fetchall() == []
+
+    got = {
+        r.lang: (r.n_words, r.n_tokens, r.fertility_permille)
+        for r in bpe_fertility(docs, "text", "lang", 0).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.execute(
+            bpe_fertility_oracle_sql("documents", "lang", 0)
+        ).fetchall()
+    }
+    assert got == want
