@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "agg_q21_waiting_supplier",
     "agg_q22_idle_rich",
     "pipe_seq_pack",
+    "pipe_fim_split",
     "pipe_mixture",
     "txt_bm25_topk",
     "skew_salted_topn",

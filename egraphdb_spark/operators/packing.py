@@ -631,3 +631,49 @@ SELECT bucket_len, n_docs, kept_tokens, pad_tokens,
        CAST((pad_tokens * 1000) // (bucket_len * n_docs) AS BIGINT) AS waste_permille
 FROM g
 """
+
+
+def fim_split(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fill-in-the-middle span split (Bavarian et al. '22): cut a
+    deterministic middle span out of each document and reorder to
+    prefix-suffix-middle — the preprocessing step behind infilling-
+    capable code/text models.  Output per document: ``(id, n_prefix,
+    n_middle, n_suffix, psm_md5)`` where the digest pins the exact PSM
+    reassembly (so the transform is value-checked, not just counted).
+
+    Span selection is pure integer arithmetic off the portable 60-bit
+    md5 hash of the id — no randomness, identical in any engine:
+    ``m = L div 5``, ``start = 1 + h60(id) % (L − m + 1)``.  Empty and
+    tiny documents degrade gracefully (m = 0 → the whole text is the
+    prefix, middle/suffix empty).  One narrow projection; no shuffle at
+    all until a consumer aggregates.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    L = F.length(F.col(text_col))
+    m = F.expr(f"length({text_col}) div 5")
+    start = F.lit(1) + h % (L - m + F.lit(1))
+    # one select binds m/start once; substrings then reference the columns
+    sel = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        m.alias("m"),
+        start.cast("int").alias("p"),
+    )
+    return sel.select(
+        "id",
+        (F.col("p") - 1).cast("long").alias("n_prefix"),
+        F.col("m").cast("long").alias("n_middle"),
+        (F.length("t") - F.col("m") - (F.col("p") - 1)).cast("long").alias(
+            "n_suffix"
+        ),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.expr("substring(t, 1, p - 1)"),
+                F.expr("substring(t, cast(p + m as int), length(t))"),
+                F.expr("substring(t, p, cast(m as int))"),
+            )
+        ).alias("psm_md5"),
+    ).orderBy("id")

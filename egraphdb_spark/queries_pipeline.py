@@ -3797,6 +3797,33 @@ ORDER BY score_milli DESC, n_occur DESC, scored.phrase LIMIT 20
 O_TXT_RAKE = _rake_oracle()
 
 
+def q_pipe_fim_split(spark, sf_dir):
+    """FIM span corruption over the corpus: deterministic middle-span
+    cut + prefix-suffix-middle reorder, digest-pinned per document."""
+    from .operators.packing import fim_split
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return fim_split(docs, "doc_id", "text")
+
+
+O_PIPE_FIM_SPLIT = """
+WITH b AS (
+  SELECT doc_id AS id, text AS t, length(text) AS L,
+         length(text) // 5 AS m,
+         1 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT)
+             % (length(text) - length(text) // 5 + 1) AS p
+  FROM documents WHERE doc_id < 500
+)
+SELECT id, CAST(p - 1 AS BIGINT) AS n_prefix, CAST(m AS BIGINT) AS n_middle,
+       CAST(L - m - (p - 1) AS BIGINT) AS n_suffix,
+       md5(substr(t, 1, CAST(p - 1 AS INT)) || chr(31)
+           || substr(t, CAST(p + m AS INT)) || chr(31)
+           || substr(t, CAST(p AS INT), CAST(m AS INT))) AS psm_md5
+FROM b ORDER BY id
+"""
+
+
 PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_readability": (q_txt_readability, O_TXT_READABILITY),
     "pipe_dataset_card": (q_pipe_dataset_card, O_PIPE_DATASET_CARD),
@@ -3911,5 +3938,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_bpe_fertility": (q_txt_bpe_fertility, O_TXT_BPE_FERTILITY),
     "clean_impute_median": (q_clean_impute_median, O_CLEAN_IMPUTE_MEDIAN),
     "txt_rake_keyphrases": (q_txt_rake_keyphrases, O_TXT_RAKE),
+    "pipe_fim_split": (q_pipe_fim_split, O_PIPE_FIM_SPLIT),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

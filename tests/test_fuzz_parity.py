@@ -69,6 +69,7 @@ FUZZ_GATES = [
     "pipe_chunking",
     "pipe_shard_manifest",
     "pipe_seq_pack",
+    "pipe_fim_split",
     "pipe_assemble",
     "pipe_mixture",
     "sample_hash_docs",

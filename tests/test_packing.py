@@ -166,3 +166,30 @@ def test_rrf_fuse_integer_scores(spark):
     # doc in both lists outranks the single-list rank-1 docs
     order = [r["id"] for r in sorted(rows.values(), key=lambda r: -r["rrf_scaled"])]
     assert order[0] == 2
+
+
+def test_fim_split_reassembles_and_degrades(spark):
+    """Spans are in-bounds, lengths sum to L, PSM digest matches a
+    Python replay of the same arithmetic; empty/tiny docs degrade to
+    all-prefix."""
+    import hashlib
+
+    from egraphdb_spark.operators.packing import fim_split
+
+    rows = [(1, "abcdefghij" * 4), (2, "xy"), (3, ""), (4, "abcde")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in fim_split(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        L = len(t)
+        m = L // 5
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        p = 1 + h % (L - m + 1)
+        pre, mid, suf = t[: p - 1], t[p - 1 : p - 1 + m], t[p - 1 + m :]
+        r = got[i]
+        assert (r.n_prefix, r.n_middle, r.n_suffix) == (len(pre), m, len(suf))
+        assert r.n_prefix + r.n_middle + r.n_suffix == L
+        want = hashlib.md5(
+            ("\x1f".join([pre, suf, mid])).encode()
+        ).hexdigest()
+        assert r.psm_md5 == want, (i, t)
+    assert got[3].n_middle == 0 and got[2].n_middle == 0

@@ -69,6 +69,7 @@ PROBES = [
     "dedup_semantic_pairs",
     "txt_bpe_pair_counts",
     "pipe_assemble",
+    "pipe_fim_split",
     "reindex_status",
     "txt_unigram_nll",
     "pipe_shard_manifest",
