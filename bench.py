@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "graph_ppr",
     "join_interval_overlap",
     "txt_pmi_collocations",
+    "txt_skipgram_cooc",
     "profile_benford",
     "profile_expectations",
     "clean_quantile_norm",

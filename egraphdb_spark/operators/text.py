@@ -973,3 +973,102 @@ def rake_keyphrases(
         )
         .limit(int(top_n))
     )
+
+
+def skipgram_cooc(
+    docs: "DataFrame",
+    text_col: str,
+    window: int = 2,
+    min_count: int = 5,
+    k: int = 30,
+) -> "DataFrame":
+    """Windowed (skip-gram) co-occurrence with PMI — the word2vec-style
+    generalization of :func:`pmi_collocations` from adjacent bigrams to
+    every unordered pair within ±``window`` positions (the statistic the
+    embedding literature factorizes; Levy & Goldberg '14 show SGNS is
+    implicit PMI-matrix factorization).  Pairs are canonicalized
+    (least, greatest), so "the cat" and "cat the" pool.
+
+    Pair generation is ARRAY-LOCAL per document (one transform over
+    offsets 1..window, no self-join, no shuffle before the count);
+    everything downstream is the collocation machinery: exact integer
+    counts, one trust-base ln per surviving row, floor micro-nats,
+    (w1, w2) tie-break, TakeOrdered top-k.
+    """
+    base = docs.select(tokens(F.lower(F.col(text_col))).alias("t"))
+    offs = ", ".join(
+        f"if(size(t) < {d + 1}, array(), transform(sequence(1, size(t) - {d}),"
+        f" i -> struct(least(element_at(t, i), element_at(t, i + {d})) AS w1,"
+        f"             greatest(element_at(t, i), element_at(t, i + {d})) AS w2)))"
+        for d in range(1, int(window) + 1)
+    )
+    pairs = base.select(
+        F.explode(F.expr(f"flatten(array({offs}))")).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    toks = base.select(F.explode("t").alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    corpus = uni.agg(F.sum("c").cast("long").alias("N")).crossJoin(
+        pc.agg(F.sum("c12").cast("long").alias("B"))
+    )
+    scored = (
+        pc.where(F.col("c12") >= int(min_count))
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.expr(
+                "cast(floor(ln((c12 / cast(B as double))"
+                " / ((c1 / cast(N as double)) * (c2 / cast(N as double))))"
+                " * 1000000) as bigint)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(int(k))
+
+
+def skipgram_cooc_oracle(
+    window: int = 2, min_count: int = 5, k: int = 30
+) -> str:
+    """DuckDB mirror of :func:`skipgram_cooc`."""
+    offs = "\n  UNION ALL ".join(
+        f"SELECT least(t[CAST(i AS INT)], t[CAST(i + {d} AS INT)]) AS w1,"
+        f" greatest(t[CAST(i AS INT)], t[CAST(i + {d} AS INT)]) AS w2"
+        f" FROM base, unnest(range(1, greatest(len(t) - {d - 1}, 1))) AS u{d}(i)"
+        for d in range(1, int(window) + 1)
+    )
+    return rf"""
+WITH base AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+pairs AS ({offs}),
+pc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+uni AS (SELECT unnest(t) AS term FROM base),
+unic AS MATERIALIZED (SELECT term, count(*) AS c FROM uni GROUP BY term),
+corpus AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM unic) AS N,
+         (SELECT CAST(sum(c12) AS BIGINT) FROM pc) AS B
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(floor(ln((c12 / CAST(B AS DOUBLE))
+            / ((c1 / CAST(N AS DOUBLE)) * (c2 / CAST(N AS DOUBLE))))
+            * 1000000) AS BIGINT) AS pmi_micro
+FROM pc
+JOIN (SELECT term AS w1, c AS c1 FROM unic) USING (w1)
+JOIN (SELECT term AS w2, c AS c2 FROM unic) USING (w2), corpus
+WHERE c12 >= {int(min_count)}
+ORDER BY pmi_micro DESC, w1, w2 LIMIT {int(k)}
+"""

@@ -3797,6 +3797,24 @@ ORDER BY score_milli DESC, n_occur DESC, scored.phrase LIMIT 20
 O_TXT_RAKE = _rake_oracle()
 
 
+def q_txt_skipgram_cooc(spark, sf_dir):
+    """Windowed (±2) co-occurrence PMI over the corpus — the skip-gram
+    statistic; array-local pair generation, top-30 micro-nat pairs."""
+    from .operators.text import skipgram_cooc
+
+    docs = _t(spark, sf_dir, "documents")
+    return skipgram_cooc(docs, "text", window=2, min_count=5, k=30)
+
+
+def _skipgram_oracle():
+    from .operators.text import skipgram_cooc_oracle
+
+    return skipgram_cooc_oracle(2, 5, 30)
+
+
+O_TXT_SKIPGRAM = _skipgram_oracle()
+
+
 def q_pipe_fim_split(spark, sf_dir):
     """FIM span corruption over the corpus: deterministic middle-span
     cut + prefix-suffix-middle reorder, digest-pinned per document."""
@@ -3939,5 +3957,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "clean_impute_median": (q_clean_impute_median, O_CLEAN_IMPUTE_MEDIAN),
     "txt_rake_keyphrases": (q_txt_rake_keyphrases, O_TXT_RAKE),
     "pipe_fim_split": (q_pipe_fim_split, O_PIPE_FIM_SPLIT),
+    "txt_skipgram_cooc": (q_txt_skipgram_cooc, O_TXT_SKIPGRAM),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

@@ -53,6 +53,7 @@ FUZZ_GATES = [
     "txt_unigram_nll",
     "txt_top_bigrams",
     "txt_pmi_collocations",
+    "txt_skipgram_cooc",
     "txt_lang_id",
     "txt_pii_scrub",
     "txt_repetition",

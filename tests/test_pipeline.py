@@ -712,3 +712,19 @@ def test_rake_punctuation_delimits(spark):
     )
     got = sorted(r.phrase for r in rake_keyphrases(df, "doc_id", "text").collect())
     assert got == ["deep learning", "neural networks"]
+
+
+def test_skipgram_window_pools_and_canonicalizes(spark):
+    """'a b a b a': window-2 unordered pairs pool across offsets and
+    orders — (a,b) appears at every adjacent position (4) plus zero at
+    offset 2 (a..a and b..b are (a,a)/(b,b)); counts are exact."""
+    from egraphdb_spark.operators.text import skipgram_cooc
+
+    df = spark.createDataFrame(
+        [(i, "a b a b a") for i in range(3)], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): r.c12 for r in
+           skipgram_cooc(df, "text", window=2, min_count=1, k=10).collect()}
+    assert got[("a", "b")] == 3 * 4
+    assert got[("a", "a")] == 3 * 2     # offsets (1,3), (3,5)
+    assert got[("b", "b")] == 3 * 1     # offset (2,4)

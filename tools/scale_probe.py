@@ -143,6 +143,7 @@ PROBES = [
     "graph_ppr",
     "join_interval_overlap",
     "txt_pmi_collocations",
+    "txt_skipgram_cooc",
     "profile_benford",
     "profile_expectations",
     "clean_quantile_norm",
