@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "evt_holt",
     "evt_holt_winters",
     "evt_forecast_mae",
+    "evt_survival_km",
     "evt_hill_alpha",
     "evt_seasonal_dow",
     "evt_lag_corr",

@@ -251,3 +251,90 @@ def attribution_last_touch(
         )
         .orderBy("channel")
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (product-limit
+    estimator, Kaplan & Meier '58) — churn analytics with CENSORING done
+    right: a user whose last event is within ``churn_gap_days`` of the
+    corpus end may still be active, so they leave the risk set without
+    counting as a death (naive churn rates over-count exactly these).
+
+    Per user: lifetime t = days from first to last event; churned iff
+    the last event predates corpus-end − gap.  For each distinct t with
+    churn events: ``(t_days, n_at_risk, n_events, surv_micro)`` where
+    n_at_risk counts users with lifetime ≥ t and the survival product
+    S_i = S_{i−1} · (n_i − d_i) div n_i runs in integer micro-units —
+    the recurrence no window expresses, folded over the (bounded:
+    ≤ distinct-lifetime-count) risk table; the oracle replays it with a
+    recursive CTE, bit-exact.
+
+    Scale: one per-user aggregate (map-side combined), one tiny
+    per-lifetime aggregate, one cumulative window over ≤ span-days rows,
+    one single-group fold of that bounded array.  Nothing corpus-sized
+    past the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col(ts_col))
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+        .crossJoin(
+            F.broadcast(events.agg(F.max(day).alias("dmax")))
+        )
+        .select(
+            F.datediff("d1", "d0").cast("long").alias("t"),
+            (
+                F.datediff("dmax", "d1") > F.lit(int(churn_gap_days))
+            ).cast("long").alias("churned"),
+        )
+    )
+    per_t = per_user.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_here"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.select(
+        "t", "d",
+        (
+            F.lit(0).cast("long")
+            + F.sum("n_here").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.coalesce(F.sum("n_here").over(w), F.lit(0))
+        ).alias("n"),
+    ).where(F.col("d") > 0)
+    folded = risk.groupBy(F.lit(1).alias("g")).agg(
+        F.expr(
+            """
+            aggregate(
+              sort_array(collect_list(struct(t, d, n))),
+              cast(array() as
+                   array<struct<t:bigint,d:bigint,n:bigint,s:bigint>>),
+              (acc, x) -> acc || array(named_struct(
+                't', x.t, 'd', x.d, 'n', x.n,
+                's', if(size(acc) = 0,
+                        (1000000L * (x.n - x.d)) div x.n,
+                        (element_at(acc, -1).s * (x.n - x.d)) div x.n)))
+            )
+            """
+        ).alias("series")
+    )
+    return (
+        folded.select(F.explode("series").alias("e"))
+        .select(
+            F.col("e.t").alias("t_days"),
+            F.col("e.n").alias("n_at_risk"),
+            F.col("e.d").alias("n_events"),
+            F.col("e.s").alias("surv_micro"),
+        )
+        .orderBy("t_days")
+    )

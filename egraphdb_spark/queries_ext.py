@@ -3090,6 +3090,58 @@ GROUP BY event_type ORDER BY event_type
 O_EVT_FORECAST_MAE = _forecast_mae_oracle()
 
 
+def q_evt_survival_km(spark, sf_dir):
+    """Kaplan-Meier user-lifetime survival with 7-day censoring — churn
+    analytics that does NOT count still-active users as deaths; integer
+    micro product-limit recurrence, recursive-CTE oracle."""
+    from .operators.behavior import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    return kaplan_meier(ev, "user_id", "ts", churn_gap_days=7)
+
+
+O_EVT_SURVIVAL_KM = """
+WITH RECURSIVE pu AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d0,
+         date_trunc('day', max(ts)) AS d1
+  FROM events GROUP BY user_id
+),
+mx AS (SELECT max(date_trunc('day', ts)) AS dmax FROM events),
+u AS (
+  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+         CASE WHEN date_diff('day', d1, dmax) > 7 THEN 1 ELSE 0 END
+           AS churned
+  FROM pu, mx
+),
+per_t AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_here,
+         CAST(sum(churned) AS BIGINT) AS d
+  FROM u GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         (SELECT sum(n_here) FROM per_t)
+         - COALESCE(sum(n_here) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM per_t
+),
+idx AS (
+  SELECT t, d, CAST(n AS BIGINT) AS n,
+         row_number() OVER (ORDER BY t) AS i
+  FROM risk WHERE d > 0
+),
+r AS (
+  SELECT t, d, n, i, (1000000 * (n - d)) // n AS s FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.t, idx.d, idx.n, idx.i, (r.s * (idx.n - idx.d)) // idx.n
+  FROM r JOIN idx ON idx.i = r.i + 1
+)
+SELECT t AS t_days, n AS n_at_risk, d AS n_events,
+       CAST(s AS BIGINT) AS surv_micro
+FROM r ORDER BY t_days
+"""
+
+
 def q_evt_hill_alpha(spark, sf_dir):
     """Hill power-law tail exponent of per-(user, day) activity counts
     (xmin = 4) — the skew-profiling scalar that decides salting strategy.
@@ -5105,6 +5157,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_holt": (q_evt_holt, O_EVT_HOLT),
     "evt_holt_winters": (q_evt_holt_winters, O_EVT_HOLT_WINTERS),
     "evt_forecast_mae": (q_evt_forecast_mae, O_EVT_FORECAST_MAE),
+    "evt_survival_km": (q_evt_survival_km, O_EVT_SURVIVAL_KM),
     "evt_hill_alpha": (q_evt_hill_alpha, O_EVT_HILL),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),

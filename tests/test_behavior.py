@@ -117,3 +117,33 @@ def test_cohort_ltv_reference(ev):
         cum = sum(v for (w2, o2), v in tri.items() if w2 == wk and o2 <= off)
         assert r.cum_rev_cents == cum
         assert r.cum_per_user_cents == cum // sizes[wk]
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """4 users: lifetimes 0,1,1,3; corpus end day 10; gap 7 → users
+    ending early churn, the day-3..10 user (gap 7) is censored."""
+    import datetime as dt
+
+    from egraphdb_spark.operators.behavior import kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, u, d):
+        return (eid, u, base + dt.timedelta(days=d))
+
+    rows = [
+        ev(1, 1, 0),                 # u1: t=0, last day 0, churned
+        ev(2, 2, 0), ev(3, 2, 1),    # u2: t=1, churned
+        ev(4, 3, 1), ev(5, 3, 2),    # u3: t=1, churned
+        ev(6, 4, 0), ev(7, 4, 3),    # u4: t=3, last day 3, gap=7 ⇒ NOT churned
+        ev(8, 5, 10),                # u5: t=0 but last day 10 ⇒ censored
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.t_days: r for r in kaplan_meier(df, "user_id", "ts", 7).collect()}
+    # risk sets: t=0 → all 5 at risk, 1 death (u1; u5 censored);
+    # t=1 → users with t>=1: u2,u3,u4 → 3 at risk, 2 deaths
+    assert set(got) == {0, 1}
+    assert (got[0].n_at_risk, got[0].n_events) == (5, 1)
+    assert got[0].surv_micro == 1_000_000 * 4 // 5
+    assert (got[1].n_at_risk, got[1].n_events) == (3, 2)
+    assert got[1].surv_micro == (800_000 * 1) // 3

@@ -282,6 +282,7 @@ EVT_GATES = [
     "evt_anomaly_mad",
     "evt_holt_winters",
     "evt_forecast_mae",
+    "evt_survival_km",
     "clean_impute_median",
     "evt_rfm_segments",
     "evt_window_hourly",
