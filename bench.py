@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "txt_bm25_topk",
     "skew_salted_topn",
     "sample_stratified",
+    "sample_neyman",
     "stream_window_counts",
     "stream_static_join",
     # round-3 additions

@@ -347,3 +347,78 @@ def reservoir_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def neyman_allocation_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sampling (Neyman '34): the sample
+    budget is allocated ∝ N_h·σ_h — high-variance strata get more rows
+    than proportional allocation would give, minimizing the estimator's
+    variance at fixed cost.  Output per stratum: ``(stratum, n_rows,
+    weight_milli, alloc, n_sampled, sum_sampled_ids)`` — the id sum pins
+    EXACT membership, not just counts.
+
+    Determinism: σ_h derives from exact integer moments (Σx, Σx² over an
+    integer value column), closed in one fixed double expression ending
+    in the correctly-rounded sqrt; the weight quantizes to integer milli
+    BEFORE the allocating division ``alloc = budget·w div Σw`` (capped at
+    N_h).  Membership = the alloc smallest portable-hash ids per stratum
+    — the same WindowGroupLimit shape as the KMV sketch, so map tasks
+    emit at most alloc rows per stratum.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    stats = df.groupBy(F.col(stratum_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    w_milli = F.expr(
+        "cast(floor(cast(n_rows as double) * sqrt("
+        "  greatest(0.0, (cast(n_rows as double) * cast(sxx as double)"
+        "   - cast(sx as double) * cast(sx as double))"
+        "  / (cast(n_rows as double) * cast(n_rows as double)))"
+        ") * 1000) as bigint)"
+    )
+    weighted = stats.select("g", "n_rows", w_milli.alias("weight_milli"))
+    tot = weighted.agg(F.sum("weight_milli").alias("wsum"))
+    alloc = weighted.crossJoin(F.broadcast(tot)).select(
+        "g", "n_rows", "weight_milli",
+        F.least(
+            F.col("n_rows"),
+            F.expr(f"({int(budget)} * weight_milli) div nullif(wsum, 0)"),
+        ).alias("alloc"),
+    )
+    ranked = df.select(
+        F.col(stratum_col).alias("g"),
+        F.col(id_col).alias("id"),
+        _u60(F.concat(F.lit("neyman:"), F.col(id_col).cast("string"))).alias(
+            "h"
+        ),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("g").orderBy("h", "id")),
+    )
+    sampled = ranked.join(F.broadcast(alloc.select("g", "alloc")), "g").where(
+        F.col("rn") <= F.col("alloc")
+    )
+    picks = sampled.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("id").cast("long").alias("sum_sampled_ids"),
+    )
+    return (
+        alloc.join(picks, "g", "left")
+        .select(
+            F.col("g").alias(stratum_col), "n_rows", "weight_milli",
+            F.coalesce(F.col("alloc"), F.lit(0)).cast("long").alias("alloc"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            "sum_sampled_ids",
+        )
+        .orderBy(stratum_col)
+    )

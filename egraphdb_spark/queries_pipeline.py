@@ -3797,6 +3797,63 @@ ORDER BY score_milli DESC, n_occur DESC, scored.phrase LIMIT 20
 O_TXT_RAKE = _rake_oracle()
 
 
+def q_sample_neyman(spark, sf_dir):
+    """Neyman-optimal stratified sample of the corpus: 200 rows
+    allocated across sources ∝ N_h·σ_h of document length; exact integer
+    moments, milli-quantized weights, hash-bottom-k membership."""
+    from .operators.sampling import neyman_allocation_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return neyman_allocation_sample(docs, "source", "n_chars", "doc_id", 200)
+
+
+O_SAMPLE_NEYMAN = """
+WITH stats AS (
+  SELECT source AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS sx,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT g, n_rows,
+         CAST(floor(CAST(n_rows AS DOUBLE) * sqrt(
+           greatest(0.0, (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)))
+         ) * 1000) AS BIGINT) AS weight_milli
+  FROM stats
+),
+alloc AS (
+  SELECT g, n_rows, weight_milli,
+         least(n_rows, (200 * weight_milli)
+               // nullif((SELECT sum(weight_milli) FROM weighted), 0))
+           AS alloc
+  FROM weighted
+),
+ranked AS (
+  SELECT source AS g, doc_id AS id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5('neyman:'
+                     || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+         ) AS rn
+  FROM documents
+),
+picks AS (
+  SELECT ranked.g, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(id) AS BIGINT) AS sum_sampled_ids
+  FROM ranked JOIN alloc ON ranked.g = alloc.g
+  WHERE rn <= alloc GROUP BY ranked.g
+)
+SELECT alloc.g AS source, n_rows, weight_milli,
+       CAST(COALESCE(alloc, 0) AS BIGINT) AS alloc,
+       CAST(COALESCE(n_sampled, 0) AS BIGINT) AS n_sampled,
+       sum_sampled_ids
+FROM alloc LEFT JOIN picks ON alloc.g = picks.g
+ORDER BY source
+"""
+
+
 def q_txt_skipgram_cooc(spark, sf_dir):
     """Windowed (±2) co-occurrence PMI over the corpus — the skip-gram
     statistic; array-local pair generation, top-30 micro-nat pairs."""
@@ -3958,5 +4015,6 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_rake_keyphrases": (q_txt_rake_keyphrases, O_TXT_RAKE),
     "pipe_fim_split": (q_pipe_fim_split, O_PIPE_FIM_SPLIT),
     "txt_skipgram_cooc": (q_txt_skipgram_cooc, O_TXT_SKIPGRAM),
+    "sample_neyman": (q_sample_neyman, O_SAMPLE_NEYMAN),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
 }

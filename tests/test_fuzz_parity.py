@@ -97,6 +97,7 @@ FUZZ_GATES = [
     "txt_tfidf_keywords",
     "txt_rake_keyphrases",
     "sample_stratified",
+    "sample_neyman",
     "sample_train_test",
     "dedup_line_corpus",
     "dedup_source_overlap",

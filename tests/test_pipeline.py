@@ -728,3 +728,23 @@ def test_skipgram_window_pools_and_canonicalizes(spark):
     assert got[("a", "b")] == 3 * 4
     assert got[("a", "a")] == 3 * 2     # offsets (1,3), (3,5)
     assert got[("b", "b")] == 3 * 1     # offset (2,4)
+
+
+def test_neyman_prefers_high_variance_strata(spark):
+    """Equal-size strata, one constant (sigma 0) and one spread: the
+    constant stratum gets ZERO allocation, the spread one the full
+    budget (capped at its size); membership sums are reproducible."""
+    from egraphdb_spark.operators.sampling import neyman_allocation_sample
+
+    rows = [(i, "flat", 100) for i in range(50)]
+    rows += [(100 + i, "wild", (i * 37) % 500) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in
+           neyman_allocation_sample(df, "source", "n_chars", "doc_id", 20).collect()}
+    assert got["flat"].weight_milli == 0 and got["flat"].alloc == 0
+    assert got["flat"].n_sampled == 0 and got["flat"].sum_sampled_ids is None
+    assert got["wild"].alloc == 20 and got["wild"].n_sampled == 20
+    # alloc caps at the stratum size
+    got2 = {r.source: r for r in
+            neyman_allocation_sample(df, "source", "n_chars", "doc_id", 500).collect()}
+    assert got2["wild"].alloc == 50

@@ -53,6 +53,7 @@ PROBES = [
     "dedup_embedding_pairs",
     "pipe_corpus_clean",
     "sample_token_budget",
+    "sample_neyman",
     "graph_kcore",
     "graph_sssp_weighted",
     "rag_hybrid_rrf",
