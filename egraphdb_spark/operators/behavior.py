@@ -338,3 +338,72 @@ def kaplan_meier(
         )
         .orderBy("t_days")
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+    iters: int = 4,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Stationary distribution of the per-user state-transition chain —
+    "where does a user session settle": π·P by integer power iteration,
+    π in fixed-point parts-per-10¹² (the pagerank discipline: float
+    chains are summation-order-dependent and never hash-match across
+    engines).
+
+    Transition counts come from one lead() window per user (the
+    evt_transitions shape); each round is
+    ``π'(j) = Σ_i (π(i)·c(i,j)) div r(i)`` — div truncation leaks a few
+    units of mass per round (deterministically, identically in both
+    engines); states with no OUTGOING transitions drop their mass, the
+    documented dangling-state deviation.  The state space is
+    vocabulary-sized, so each round's join touches |states|² rows at
+    most.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    trans = (
+        events.select(
+            F.col(user_col), F.col(ts_col), F.col(order_col),
+            F.col(state_col).alias("s"),
+        )
+        .withColumn("s2", F.lead("s").over(w))
+        .where(F.col("s2").isNotNull())
+        .groupBy("s", "s2")
+        .agg(F.count("*").alias("c"))
+    )
+    trans = trans.join(
+        trans.groupBy("s").agg(F.sum("c").alias("r")), "s"
+    )
+    states = (
+        trans.select(F.col("s").alias("state"))
+        .unionByName(trans.select(F.col("s2").alias("state")))
+        .distinct()
+    )
+    k = states.count()
+    pi = states.select(
+        "state", F.lit(int(scale) // max(k, 1)).cast("long").alias("pi")
+    )
+    for _ in range(int(iters)):
+        pi = (
+            trans.join(pi, trans.s == pi.state)
+            .select(
+                F.col("s2").alias("state"),
+                F.expr("(pi * c) div r").alias("m"),
+            )
+            .groupBy("state")
+            .agg(F.sum("m").cast("long").alias("pi"))
+        )
+    return (
+        states.join(pi, "state", "left")
+        .select(
+            "state",
+            F.coalesce(F.col("pi"), F.lit(0)).cast("long").alias("pi_e12"),
+        )
+        .orderBy("state")
+    )

@@ -3142,6 +3142,65 @@ FROM r ORDER BY t_days
 """
 
 
+def q_evt_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain (4 integer
+    power-iteration rounds at parts-per-10¹²) — where user behavior
+    settles; the oracle unrolls the identical rounds."""
+    from .operators.behavior import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_stationary(
+        ev, "user_id", "ts", "event_id", "event_type", iters=4
+    )
+
+
+def _markov_oracle(iters: int = 4) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        rounds.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT s2 AS state, CAST(sum((pi * c) // r) AS BIGINT) AS pi
+  FROM tr JOIN {prev} ON tr.s = {prev}.state GROUP BY s2
+)"""
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH seq AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS s2
+  FROM events
+),
+trans AS MATERIALIZED (
+  SELECT s, s2, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE s2 IS NOT NULL GROUP BY s, s2
+),
+tr AS MATERIALIZED (
+  SELECT trans.s, trans.s2, trans.c, rr.r
+  FROM trans JOIN (
+    SELECT s, CAST(sum(c) AS BIGINT) AS r FROM trans GROUP BY s) rr
+  ON trans.s = rr.s
+),
+states AS MATERIALIZED (
+  SELECT DISTINCT state FROM (
+    SELECT s AS state FROM trans UNION ALL SELECT s2 FROM trans)
+),
+p0 AS (
+  SELECT state,
+         CAST(1000000000000 // (SELECT count(*) FROM states) AS BIGINT)
+           AS pi
+  FROM states
+),
+{body}
+SELECT states.state, CAST(COALESCE(p{iters}.pi, 0) AS BIGINT) AS pi_e12
+FROM states LEFT JOIN p{iters} USING (state) ORDER BY state
+"""
+
+
+O_EVT_MARKOV = _markov_oracle(4)
+
+
 def q_evt_hill_alpha(spark, sf_dir):
     """Hill power-law tail exponent of per-(user, day) activity counts
     (xmin = 4) — the skew-profiling scalar that decides salting strategy.
@@ -5158,6 +5217,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_holt_winters": (q_evt_holt_winters, O_EVT_HOLT_WINTERS),
     "evt_forecast_mae": (q_evt_forecast_mae, O_EVT_FORECAST_MAE),
     "evt_survival_km": (q_evt_survival_km, O_EVT_SURVIVAL_KM),
+    "evt_markov_stationary": (q_evt_markov_stationary, O_EVT_MARKOV),
     "evt_hill_alpha": (q_evt_hill_alpha, O_EVT_HILL),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),

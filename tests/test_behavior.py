@@ -147,3 +147,29 @@ def test_kaplan_meier_hand_computed(spark):
     assert got[0].surv_micro == 1_000_000 * 4 // 5
     assert (got[1].n_at_risk, got[1].n_events) == (3, 2)
     assert got[1].surv_micro == (800_000 * 1) // 3
+
+
+def test_markov_stationary_two_state_chain(spark):
+    """Deterministic 2-state chain a→b, b→a (period 2): uniform start is
+    already stationary — pi stays (0.5, 0.5) scaled, minus div leakage."""
+    import datetime as dt
+
+    from egraphdb_spark.operators.behavior import markov_stationary
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append((i, 1, base + dt.timedelta(minutes=i), "a" if i % 2 == 0 else "b"))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.state: r.pi_e12 for r in markov_stationary(
+        df, "user_id", "ts", "event_id", "event_type", iters=4).collect()}
+    assert set(got) == {"a", "b"}
+    for v in got.values():
+        assert abs(v - 500_000_000_000) <= 4  # div leakage ≤ 1/round
+    # absorbing-ish chain: most transitions flow into 'b'
+    rows2 = [(i, 1, base + dt.timedelta(minutes=i), t)
+             for i, t in enumerate(["a", "b", "b", "b", "b", "a", "b", "b", "b", "b"])]
+    df2 = spark.createDataFrame(rows2, "event_id long, user_id long, ts timestamp, event_type string")
+    got2 = {r.state: r.pi_e12 for r in markov_stationary(
+        df2, "user_id", "ts", "event_id", "event_type", iters=4).collect()}
+    assert got2["b"] > got2["a"]

@@ -284,6 +284,7 @@ EVT_GATES = [
     "evt_holt_winters",
     "evt_forecast_mae",
     "evt_survival_km",
+    "evt_markov_stationary",
     "clean_impute_median",
     "evt_rfm_segments",
     "evt_window_hourly",
