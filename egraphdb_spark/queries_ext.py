@@ -3201,6 +3201,66 @@ FROM states LEFT JOIN p{iters} USING (state) ORDER BY state
 O_EVT_MARKOV = _markov_oracle(4)
 
 
+def q_evt_rate_wilson(spark, sf_dir):
+    """Per-type high-value-event rate with a Wilson 95% interval — the
+    CI that stays inside [0,1] and behaves at small n where the normal
+    approximation fails.  Exact integer (n, k) through one fixed double
+    expression ending in the correctly-rounded sqrt, floor-quantized to
+    micro — identical text both engines."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("value") >= 450.0).cast("long")).alias("k"),
+    )
+    z2 = "3.8416"  # 1.96^2, literal parsed identically everywhere
+    p = "(cast(k as double) / cast(n as double))"
+    center = f"({p} + {z2} / (2.0 * cast(n as double)))"
+    half = (
+        f"(1.96 * sqrt({p} * (1.0 - {p}) / cast(n as double)"
+        f" + {z2} / (4.0 * cast(n as double) * cast(n as double))))"
+    )
+    denom = f"(1.0 + {z2} / cast(n as double))"
+    return agg.select(
+        "event_type", "n", "k",
+        F.expr(f"cast(floor({p} * 1000000) as bigint)").alias("rate_micro"),
+        F.expr(
+            f"cast(floor(({center} - {half}) / {denom} * 1000000) as bigint)"
+        ).alias("lo_micro"),
+        F.expr(
+            f"cast(floor(({center} + {half}) / {denom} * 1000000) as bigint)"
+        ).alias("hi_micro"),
+    ).orderBy("event_type")
+
+
+def _wilson_oracle() -> str:
+    z2 = "3.8416"
+    p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    center = f"({p} + {z2} / (2.0 * CAST(n AS DOUBLE)))"
+    half = (
+        f"(1.96 * sqrt({p} * (1.0 - {p}) / CAST(n AS DOUBLE)"
+        f" + {z2} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+    )
+    denom = f"(1.0 + {z2} / CAST(n AS DOUBLE))"
+    return f"""
+WITH agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value >= 450.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n, k,
+       CAST(floor({p} * 1000000) AS BIGINT) AS rate_micro,
+       CAST(floor(({center} - {half}) / {denom} * 1000000) AS BIGINT)
+         AS lo_micro,
+       CAST(floor(({center} + {half}) / {denom} * 1000000) AS BIGINT)
+         AS hi_micro
+FROM agg ORDER BY event_type
+"""
+
+
+O_EVT_RATE_WILSON = _wilson_oracle()
+
+
 def q_evt_hill_alpha(spark, sf_dir):
     """Hill power-law tail exponent of per-(user, day) activity counts
     (xmin = 4) — the skew-profiling scalar that decides salting strategy.
@@ -5218,6 +5278,7 @@ EXT_REGISTRY: dict[str, tuple] = {
     "evt_forecast_mae": (q_evt_forecast_mae, O_EVT_FORECAST_MAE),
     "evt_survival_km": (q_evt_survival_km, O_EVT_SURVIVAL_KM),
     "evt_markov_stationary": (q_evt_markov_stationary, O_EVT_MARKOV),
+    "evt_rate_wilson": (q_evt_rate_wilson, O_EVT_RATE_WILSON),
     "evt_hill_alpha": (q_evt_hill_alpha, O_EVT_HILL),
     "evt_ab_test": (q_evt_ab_test, O_EVT_AB_TEST),
     "graph_modularity": (q_graph_modularity, O_GRAPH_MODULARITY),

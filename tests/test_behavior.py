@@ -173,3 +173,25 @@ def test_markov_stationary_two_state_chain(spark):
     got2 = {r.state: r.pi_e12 for r in markov_stationary(
         df2, "user_id", "ts", "event_id", "event_type", iters=4).collect()}
     assert got2["b"] > got2["a"]
+
+
+def test_wilson_interval_properties(spark):
+    """Wilson bounds bracket the rate, stay inside [0, 1], and match a
+    scipy-free closed-form replay at known (n, k)."""
+    from egraphdb_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["evt_rate_wilson"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.lo_micro <= r.rate_micro <= r.hi_micro <= 1_000_000
+        # closed-form replay
+        p, n = r.k / r.n, r.n
+        z, z2 = 1.96, 3.8416
+        c = p + z2 / (2 * n)
+        h = z * (p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5
+        d = 1 + z2 / n
+        import math
+
+        assert r.lo_micro == math.floor((c - h) / d * 1e6)
+        assert r.hi_micro == math.floor((c + h) / d * 1e6)

@@ -285,6 +285,7 @@ EVT_GATES = [
     "evt_forecast_mae",
     "evt_survival_km",
     "evt_markov_stationary",
+    "evt_rate_wilson",
     "clean_impute_median",
     "evt_rfm_segments",
     "evt_window_hourly",

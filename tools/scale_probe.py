@@ -138,6 +138,7 @@ PROBES = [
     "evt_forecast_mae",
     "evt_survival_km",
     "evt_markov_stationary",
+    "evt_rate_wilson",
     "evt_hill_alpha",
     "evt_seasonal_dow",
     "evt_lag_corr",
