@@ -197,6 +197,36 @@ BENCH_QUERIES = [
     "txt_bpe_vocab_tokens",
 ]
 
+# FROZEN cross-round comparator (round-5 verdict #3) — a fixed core set,
+# timed every round and reported as `core_total_sec` beside `value`, so
+# regression detection is ONE number instead of a hand-derived common-set
+# intersection.  These 59 queries are EXACTLY the round-3 bench list
+# (BENCH_r03.json), so the subtotal is comparable retroactively to every
+# round since r3.  DO NOT edit this list — additions go to BENCH_QUERIES.
+CORE_QUERIES = (
+    "agg_q1_pricing_summary", "agg_q3_shipping_priority",
+    "agg_q5_region_revenue", "agg_rollup", "win_rank", "evt_window_hourly",
+    "evt_session_window", "evt_props_json", "evt_rollup_cascade",
+    "join_asof", "join_range_bands", "s7_index_exact", "s8_index_range",
+    "p2_search_filters", "u1_union_distinct",
+    "g1_khop", "g2_dfs_path", "graph_bfs_levels", "graph_sssp_weighted",
+    "graph_pagerank", "w4_topk", "pipe_corpus_clean", "txt_stats",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_simhash_pairs",
+    "dedup_jaccard_pairs", "dedup_embedding_pairs", "sim_cosine_topk",
+    "sim_ivf_topk", "sim_kmeans_topk", "sketch_hll_distinct",
+    "sketch_bloom_fp", "dedup_contamination", "agg_q6_forecast_revenue",
+    "agg_q7_nation_volume", "agg_q8_market_share",
+    "agg_q10_returned_revenue", "agg_q13_order_histogram",
+    "agg_q17_small_qty_revenue", "agg_q18_large_orders",
+    "agg_q19_disjunctive_revenue", "agg_q21_waiting_supplier",
+    "agg_q22_idle_rich", "pipe_seq_pack", "pipe_mixture", "txt_bm25_topk",
+    "skew_salted_topn", "sample_stratified", "stream_window_counts",
+    "stream_static_join", "rag_hybrid_rrf", "pipe_chunking",
+    "sample_source_quota", "dedup_repeated_spans", "emb_label_centroids",
+    "graph_kcore", "graph_degree_stats", "stream_session_window",
+)
+assert set(CORE_QUERIES) <= set(BENCH_QUERIES)
+
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -294,6 +324,7 @@ def main() -> None:
             timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
 
     total = sum(t for n, t in timings.items() if n != "_prepare_graph")
+    core_total = sum(timings[n] for n in CORE_QUERIES)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -313,6 +344,8 @@ def main() -> None:
         json.dump(
             {"metric": "bench_total_sec", "value": round(total, 3),
              "unit": "sec", "queries": timings, "sf": sf_val,
+             "core_total_sec": round(core_total, 3),
+             "n_core": len(CORE_QUERIES),
              "steal_cpu_sec": steal_sec},
             f, indent=1, sort_keys=True,
         )
@@ -328,6 +361,10 @@ def main() -> None:
                 "metric": "bench_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",
+                # frozen 59-query comparator (= the round-3 bench list):
+                # compare this number across BENCH_r{N} for regressions
+                "core_total_sec": round(core_total, 3),
+                "n_core": len(CORE_QUERIES),
                 "queries": slowest,
                 "n_queries": sum(1 for n in timings if n != "_prepare_graph"),
                 "detail_file": "BENCH_DETAIL.json",

@@ -6,7 +6,7 @@ distinct key; HLL is a 2^p-counter partial-agg (map-side combinable, a few
 KB per task).  Exact per-key counts for heavy-hitter detection shuffle the
 whole key space; count-min is a fixed (depth x width) integer grid.
 
-Portability recipe (see memory: parity-engineering-recipes):
+Portability recipe (cross-engine determinism, so the oracle is exact):
   * hash = 60-bit int from md5 hex (identical in every engine; Spark
     xxhash64 would be faster but has no cross-engine twin — swap it in
     for production, keep md5 in the gate),

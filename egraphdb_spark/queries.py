@@ -660,39 +660,43 @@ REGISTRY.update(TPCH_REGISTRY)
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver hard-checks the FIRST 50 queries in dict
 # order.  The window ROTATES per round so every gate earns a green row in
-# some CORRECTNESS_r{N}.json: round 2 checked the 50 reference-surface +
-# headline-pipeline gates (all green); round 3 checked streaming / graph /
-# joins / events / windows / the TPC-H closure (36 green + 14 oracle-dtype
-# fails).  Round 4 led with those 14 (all converted green, 50/50) plus 36
-# never-checked gates.  Round 5 rotates to the 50 OLDEST never-checked
-# gates: the 10 family-covered deferrals first (minhash_sig/simhash ~
-# their *_pairs gates, cosine_topk ~ ivf/kmeans, degree_stats ~ the graph
-# family, session_window/retention ~ evt_session_window, logtable_diff ~
-# the s15 trio, ...), then reindex_status (the one §2 row without a
-# driver-green) and the session-4..8 additions oldest-first, closing with
-# io_csv_quarantine — the round-4 wrong-answer gate, fixed this round
-# (projection-independent quarantine verdict), swapped in ahead of its
-# age slot for evidence value.  46 newer gates remain for round 6.
+# some CORRECTNESS_r{N}.json: rounds 2-5 converted 186 of 263 gates green
+# (see CORRECTNESS_r02..r05; r5 closed the last §2 row, reindex_status,
+# and the r4 wrong-answer gate io_csv_quarantine).  Round 6 rotates to:
+#   1. s10_geo_knearest — the one §2-adjacent row still without a driver
+#      row (S10 k-nearest extension, egraph_index_model.erl:361-367);
+#   2. the quarantine family (io_jsonl_quarantine, stream_jsonl_quarantine,
+#      io_csv_multiline) — quarantine semantics produced round 4's only
+#      wrong answer, so these driver rows carry extra information value;
+#   3. the three fn_* gates — RE-checks (last driver-green in r2); three
+#      rounds of shared-plumbing refactors since, cheap insurance;
+#   4. 43 round-4-era gates oldest-first (sessions 7..10: evt_ohlc ..
+#      agg_listagg and peers).
+# 30 never-checked gates remain for the round-7 window (3 r4-era:
+# clean_quantile_norm, graph_scc, evt_attribution; 27 r5-era), after which
+# every registry entry has a driver row.  Registry growth is frozen until
+# that backlog clears (round-5 verdict #2).
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "dedup_minhash_sig", "dedup_simhash", "sim_cosine_topk",
-    "txt_top_bigrams", "sample_hash_docs", "clean_winsorize",
-    "graph_degree_stats", "stream_session_window", "evt_retention",
-    "s15_logtable_diff", "reindex_status", "txt_bpe_pair_counts",
-    "dedup_semantic_pairs", "txt_unigram_nll", "pipe_shard_manifest",
-    "mm_resize_features", "pipe_length_buckets", "sample_weighted",
-    "dedup_canonical_corpus", "evt_active_users_7d", "evt_wau_hll",
-    "s15_logtable_asof", "s15_logtable_compact", "stream_wau_hll",
-    "dedup_fuzzy_pairs", "sketch_hll_overlap", "sample_group_split",
-    "sim_knn_graph", "txt_tfidf_sim_pairs", "sim_ivfpq_topk",
-    "graph_lpa", "join_asof_nearest", "dedup_containment_pairs",
-    "stream_cm_heavy", "agg_pivot", "win_ntile",
-    "graph_neighbor_jaccard", "pipe_temperature_mix", "pipe_interleave",
-    "txt_hash_embedding", "txt_bigram_nll", "txt_source_jsd",
-    "evt_anomaly_mad", "pipe_pack_pairs", "mm_simhash_pairs",
-    "txt_char_entropy", "emb_pca_power", "graph_hits",
-    "emb_abtt_topk", "io_csv_quarantine",
+    "s10_geo_knearest",
+    "io_jsonl_quarantine", "stream_jsonl_quarantine", "io_csv_multiline",
+    "fn_registry_udf", "fn_scalar_surface", "fn_password_hash",
+    "txt_readability", "pipe_dataset_card", "pipe_ccnet_buckets",
+    "pipe_quality_ablation", "sample_class_balance", "emb_label_outliers",
+    "dedup_line_corpus", "dedup_source_overlap", "txt_pmi_collocations",
+    "sim_recall_at_k", "sample_reservoir_group", "pipe_dataset_diff",
+    "evt_ohlc", "evt_gapfill_locf", "graph_adamic_adar",
+    "agg_corr_regr", "win_percent_rank", "join_bloom_prefilter",
+    "evt_rfm_segments", "graph_bipartite_proj", "agg_skew_kurtosis",
+    "win_first_last", "join_interval_overlap", "io_orc_roundtrip",
+    "evt_changepoint", "evt_funnel_steps", "evt_cohort_ltv",
+    "stream_ohlc", "graph_walks", "evt_ewma",
+    "evt_holt", "evt_hill_alpha", "evt_ab_test",
+    "graph_modularity", "graph_harmonic", "win_time_range",
+    "io_partition_prune", "agg_listagg", "evt_seasonal_dow",
+    "evt_lag_corr", "profile_benford", "profile_expectations",
+    "graph_ppr",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

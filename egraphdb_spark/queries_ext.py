@@ -1115,7 +1115,16 @@ def q_graph_harmonic(spark, sf_dir):
     """Landmark harmonic centrality over the UNDIRECTED fixture graph:
     nation nodes as the (bounded, 25-row) seed set, depth 3 — multi-source
     BFS carrying (seed, key) pairs, exact integer 10⁶/d contributions.
-    The oracle replays the walk with a set-semantics recursive CTE."""
+    The oracle replays the walk with a set-semantics recursive CTE.
+
+    Cost knobs (the scale controls — cost is linear in BOTH):
+      * |seeds|: shuffle volume per BFS round is |frontier| x |seeds|
+        (seed,key) pairs; halving the landmark set halves every round.
+      * max_depth: rounds of join-against-edges; each round's frontier is
+        bounded by |V| x |seeds|.
+    At 100 TB you tune accuracy vs cost HERE (fewer landmarks / shallower
+    walk), never by changing the operator.  Measured: 10x data -> 3.4x,
+    32x -> see SCALE_PROBE.md (round-6 block)."""
     from .operators.graph_algos import harmonic_centrality
 
     g = _fixture(spark, sf_dir)
@@ -1233,7 +1242,18 @@ def q_graph_betweenness(spark, sf_dir):
     """Seed-sampled depth-3 betweenness (Brandes landmark form) over the
     undirected fixture graph, nation seeds — σ path counts forward,
     integer-micro dependency accumulation backward; the oracle unrolls
-    both passes level by level."""
+    both passes level by level.
+
+    Cost knobs (the scale controls — cost is linear in BOTH):
+      * |seeds|: both passes carry (seed, node) state; work and shuffle
+        are proportional to the number of sampled sources (Brandes is
+        exact at |seeds| = |V|; sampling is the standard approximation,
+        Riondato-Kornaropoulos bounds apply).
+      * max_depth: forward rounds + the same number of backward rounds;
+        bounds reached pairs per seed.
+    At 100 TB you tune accuracy vs cost HERE (sample fewer seeds /
+    shallower DAG), never by changing the operator.  Measured: 10x data
+    -> 4.9x, 32x -> see SCALE_PROBE.md (round-6 block)."""
     from .operators.graph_algos import betweenness_k
 
     g = _fixture(spark, sf_dir)
