@@ -195,6 +195,12 @@ BENCH_QUERIES = [
     "txt_bpe_train",
     "txt_bpe_fertility",
     "txt_bpe_vocab_tokens",
+    "privacy_t_closeness",
+    "pipe_epoch_shuffle",
+    "profile_drift_psi",
+    "clean_unicode_normalize",
+    "dedup_cdc_chunks",
+    "rag_mmr_rerank",
 ]
 
 # FROZEN cross-round comparator (round-5 verdict #3) — a fixed core set,

@@ -1000,3 +1000,71 @@ def source_overlap(
             ).alias("exact_jaccard_micro"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask: int = 15,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS cut-point idea, token
+    granularity): a token ends a chunk iff its 60-bit hash ≡ 0 modulo
+    ``mask + 1``, so chunk boundaries are a pure function of LOCAL content
+    — inserting one sentence at the top of a document shifts every
+    fixed-width window but re-synchronizes CDC chunks at the next cut
+    point.  This is the shift-resistant complement to
+    :func:`repeated_spans` (fixed-width overlapping windows): CDC gives
+    NON-overlapping variable-width chunks whose hashes survive
+    insertions/deletions, the unit of partial cross-document dedup.
+
+    Output: one row per (id, chunk_idx) with ``chunk_hash`` (60-bit md5 of
+    the space-joined chunk) and ``n_tokens``.  Expected chunk length is
+    geometric with mean ``mask + 1`` tokens; production CDC adds min/max
+    clamps, but those make each boundary depend on the previous one (a
+    sequential per-doc scan) — the unclamped rule keeps the operator a
+    pure window expression, and the hash keeps runs short in practice.
+
+    Scale: explode (rows bounded by corpus token count), ONE window
+    partitioned by document (per-doc sort, no global order), one groupBy
+    on (id, chunk) — all linear; at 100 TB the chunk text is dropped and
+    only the 8-byte hash crosses the shuffle, exactly like shingle_table.
+    """
+    t = (
+        df.select(F.col(id_col).alias("id"), normalize(text_col).alias("norm_t"))
+        .select("id", F.posexplode(F.split("norm_t", " ")).alias("pos", "tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    cut = (h % (mask + 1) == 0).cast("long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = t.withColumn(
+        "chunk_idx", F.coalesce(F.sum(cut).over(w), F.lit(0)).cast("long")
+    )
+    return (
+        chunked.groupBy("id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("chunk_hash"),
+            "n_tokens",
+        )
+    )

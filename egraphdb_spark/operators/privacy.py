@@ -27,7 +27,7 @@ banding IS generalization, expressed declaratively.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _classes(df: DataFrame, quasi: list[Column | str]) -> DataFrame:
@@ -183,4 +183,110 @@ def l_diversity_report(
         agg.select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")
         .orderBy("l")
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi: list[Column | str],
+    sensitive: Column | str,
+    ts_scaled: list[int] = (200_000, 350_000, 500_000),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian '07): l-diversity is
+    not enough when a class's sensitive-value DISTRIBUTION diverges from
+    the table's — 2 distinct values split 99/1 still disclose.  For
+    categorical sensitive attributes the distance is total variation:
+
+        TVD(c) = 1/2 · Σ_v | cnt_cv/sz_c − cnt_v/N |
+
+    kept EXACT as the integer rational num/den with
+    num = Σ_{v∈c} |cnt_cv·N − cnt_v·sz_c| + sz_c·(N − Σ_{v∈c} cnt_v)
+    (the second term folds in every sensitive value absent from the
+    class) and den = 2·sz_c·N; thresholds compare by cross-multiplication
+    (num·scale > t_scaled·den), so the gate is hash-exact — no float
+    division anywhere.  One row per threshold: ``(t_scaled, n_classes,
+    n_rows, n_rows_above_t, n_classes_above_t, max_tvd_scaled)`` with
+    ``max_tvd_scaled = max_c (num·scale div den)``.
+
+    Scale: one hash-aggregate to (class, value) counts, a broadcast join
+    against the value-marginal (bounded by the sensitive domain), one
+    window + groupBy sharing the class partitioning — shuffles carry one
+    row per (class, value), never per input row.  Int64 products are
+    exact while N ≤ ~2.1e9 (2·N² < 2^63); beyond that the same plan runs
+    with the operands cast to DECIMAL(38,0) on both engines.
+    """
+    sens = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi]
+    named = [c.alias(f"q{i}") for i, c in enumerate(cols)]
+    qnames = [f"q{i}" for i in range(len(named))]
+    base = df.select(*named, sens.alias("s"))
+
+    cv = base.groupBy(*qnames, "s").agg(F.count("*").alias("cnt_cv"))
+    gv = base.groupBy("s").agg(F.count("*").alias("cnt_v"))
+    nrow = base.agg(F.count("*").cast("long").alias("n_total"))
+
+    w = Window.partitionBy(*qnames)
+    jw = (
+        cv.join(F.broadcast(gv), "s")
+        .crossJoin(F.broadcast(nrow))
+        .withColumn("sz", F.sum("cnt_cv").over(w))
+    )
+    cls = (
+        jw.groupBy(*qnames)
+        .agg(
+            F.max("sz").cast("long").alias("sz"),
+            F.max("n_total").cast("long").alias("n_total"),
+            F.sum("cnt_v").cast("long").alias("present_gv"),
+            F.sum(
+                F.abs(F.col("cnt_cv") * F.col("n_total") - F.col("cnt_v") * F.col("sz"))
+            ).cast("long").alias("num_present"),
+        )
+        .withColumn(
+            "num",
+            F.col("num_present")
+            + F.col("sz") * (F.col("n_total") - F.col("present_gv")),
+        )
+        .withColumn("den", F.lit(2) * F.col("sz") * F.col("n_total"))
+        .withColumn(
+            "tvd_scaled", F.expr(f"(num * {int(scale)}) div den").cast("long")
+        )
+    )
+    agg = cls.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.max("tvd_scaled").cast("long").alias("max_tvd_scaled"),
+        *[
+            x
+            for t in ts_scaled
+            for x in (
+                F.sum(
+                    F.when(
+                        F.col("num") * int(scale) > F.lit(int(t)) * F.col("den"),
+                        F.col("sz"),
+                    ).otherwise(0)
+                ).cast("long").alias(f"ra_{t}"),
+                F.sum(
+                    (F.col("num") * int(scale) > F.lit(int(t)) * F.col("den")).cast(
+                        "long"
+                    )
+                ).cast("long").alias(f"ca_{t}"),
+            )
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(int(t)).cast("long").alias("t_scaled"),
+            F.col("n_classes"),
+            F.col("n_rows"),
+            F.col(f"ra_{t}").alias("n_rows_above_t"),
+            F.col(f"ca_{t}").alias("n_classes_above_t"),
+            F.col("max_tvd_scaled"),
+        )
+        for t in ts_scaled
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("t_scaled")
     )

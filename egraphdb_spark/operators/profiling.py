@@ -596,3 +596,72 @@ def impute_median_stats(
         .withColumnRenamed("g", group_col)
         .orderBy(group_col)
     )
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard drift monitor run before a new crawl is admitted into the
+    training mix (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+        PSI = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b) / p_ref(b))
+
+    with Laplace(+1) smoothing over the union bucket domain so buckets
+    present on one side only stay finite.  Every per-bucket contribution
+    is non-negative (the difference and the log share sign), so the
+    determinism recipe is: evaluate one fixed double expression per
+    bucket (exact integer counts → correctly-rounded divisions → one
+    `ln`), then quantize to integer micro-units with floor(x·1e6 + 0.5)
+    and sum the INTEGERS — the total is order-independent and hash-exact,
+    no float accumulation anywhere.
+
+    Output per bucket, ascending: ``(bucket, n_ref, n_cur,
+    psi_contrib_micro, psi_total_micro)`` (the total carried per row so
+    the frame is self-contained).
+
+    Scale: two map-side-combined count aggregates (one per snapshot), a
+    full-outer join on bucket, and two unpartitioned windows over the
+    BUCKET table — safe because the bucket domain is bounded (bands,
+    deciles, categories), never per-row.
+    """
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    r = ref.select(b.cast("long").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_ref")
+    )
+    c = cur.select(b.cast("long").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_cur")
+    )
+    joined = (
+        r.join(c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1))
+    with_tot = joined.withColumns(
+        {
+            "nb": F.count("*").over(w).cast("long"),
+            "tref": F.sum("n_ref").over(w).cast("long"),
+            "tcur": F.sum("n_cur").over(w).cast("long"),
+        }
+    )
+    contrib = F.expr(
+        "cast(floor(("
+        "  (cast(n_cur + 1 as double) / cast(tcur + nb as double)"
+        "   - cast(n_ref + 1 as double) / cast(tref + nb as double))"
+        "  * ln(cast((n_cur + 1) * (tref + nb) as double)"
+        "       / cast((n_ref + 1) * (tcur + nb) as double))"
+        ") * 1000000.0 + 0.5) as bigint)"
+    )
+    per = with_tot.withColumn("psi_contrib_micro", contrib)
+    return (
+        per.withColumn(
+            "psi_total_micro",
+            F.sum("psi_contrib_micro").over(w).cast("long"),
+        )
+        .select(
+            "bucket", "n_ref", "n_cur", "psi_contrib_micro", "psi_total_micro"
+        )
+        .orderBy("bucket")
+    )

@@ -369,3 +369,107 @@ SELECT id_a, id_b, cosine FROM (
 WHERE cosine >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    n_candidates: int = 20,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    the second-stage RAG step after retrieval — greedily pick the result
+    that maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    so the context window holds k DIVERSE passages instead of k copies of
+    the same one.  λ = 0.7, folded into exact integers: every cosine is
+    quantized to micro-units (floor(c·1e6 + 0.5)) and the objective is
+    7·rel − 3·maxsim — argmax ties break on ascending id, so the greedy
+    trace is engine-exact.
+
+    Distributed shape: stage 1 is the brute-force/ANN top-``n_candidates``
+    retrieval (TakeOrderedAndProject over the full corpus — the scalable
+    part); the greedy itself is inherently sequential in k but runs over
+    a BOUNDED candidate set (n_candidates rows), so it executes as ONE
+    applyInPandas group on an executor — no driver collect, no iteration
+    over unbounded data.  Similarities inside the group are computed as
+    sequential left-fold sums (the same fold order as Spark's
+    F.aggregate and DuckDB's list_sum), keeping the micro quantization
+    bit-identical to the SQL oracle.
+
+    Output: (rank, id, rel_micro) for the k picks, rank ascending.
+    """
+    import math
+
+    import pandas as pd
+
+    from .similarity import _as_double, cosine
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    rel = F.round(cosine(_as_double(vec_col), q), 6)
+    cand = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            _as_double(vec_col).alias("vec"),
+            rel.alias("rel6"),
+        )
+        .orderBy(F.col("rel6").desc(), F.col("id"))
+        .limit(int(n_candidates))
+        .withColumn(
+            "rel_micro",
+            F.expr("cast(floor(rel6 * 1000000 + 0.5) as bigint)"),
+        )
+    )
+
+    kk = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].tolist()
+        rels = dict(zip(pdf["id"], pdf["rel_micro"]))
+        vecs = {i: list(map(float, v)) for i, v in zip(pdf["id"], pdf["vec"])}
+
+        def cos_micro(a, b):
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(vecs[a], vecs[b]):
+                dot += x * y
+            for x in vecs[a]:
+                na += x * x
+            for y in vecs[b]:
+                nb += y * y
+            na, nb = math.sqrt(na), math.sqrt(nb)
+            c = 0.0 if na * nb == 0.0 else dot / (na * nb)
+            return math.floor(c * 1000000.0 + 0.5)
+
+        sims = {
+            (a, b): cos_micro(a, b) for a in ids for b in ids if a != b
+        }
+        chosen: list[int] = []
+        out = []
+        for rnk in range(1, min(kk, len(ids)) + 1):
+            best = None
+            for i in ids:
+                if i in chosen:
+                    continue
+                if not chosen:
+                    score = 7 * int(rels[i])
+                else:
+                    score = 7 * int(rels[i]) - 3 * max(
+                        sims[(i, c)] for c in chosen
+                    )
+                # argmax with ascending-id tiebreak
+                if best is None or score > best[0] or (
+                    score == best[0] and i < best[1]
+                ):
+                    best = (score, i)
+            chosen.append(best[1])
+            out.append((rnk, best[1], int(rels[best[1]])))
+        return pd.DataFrame(out, columns=["rank", "id", "rel_micro"])
+
+    return (
+        cand.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(_greedy, "rank long, id long, rel_micro long")
+        .orderBy("rank")
+    )

@@ -422,3 +422,48 @@ def neyman_allocation_sample(
         )
         .orderBy(stratum_col)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epochs: int = 2,
+    n_shards: int = 8,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Reproducible training-epoch shuffle: every epoch is a fresh
+    pseudo-random permutation of the corpus that is a PURE FUNCTION of
+    (salt, epoch, key) — re-running epoch 3 after a crash replays the
+    exact same order, and no two epochs share an order (the epoch number
+    is folded into the hash input).
+
+    Distributed shape (how epoch shuffling actually runs at 100 TB): a
+    global rank would be a total sort, so instead each row hashes to one
+    of ``n_shards`` shards and carries a 60-bit order key; readers stream
+    shards in ``order_key`` order.  Both the shard assignment and the
+    within-shard order are deterministic, so the output is engine-exact.
+
+    Adds ``(epoch, shard, order_key)`` — one output row per (input row,
+    epoch).  Narrow except the epoch explode (rows × epochs); no shuffle
+    is introduced here — downstream writers partition by (epoch, shard).
+    """
+    if epochs < 1 or n_shards < 1:
+        raise ValueError("epochs and n_shards must be >= 1")
+    u = _u60(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    return (
+        df.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.lit(int(epochs))))
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .withColumn("order_key", u)
+        .withColumn(
+            "shard", (F.col("order_key") % F.lit(int(n_shards))).cast("long")
+        )
+    )

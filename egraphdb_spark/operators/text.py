@@ -1072,3 +1072,32 @@ JOIN (SELECT term AS w2, c AS c2 FROM unic) USING (w2), corpus
 WHERE c12 >= {int(min_count)}
 ORDER BY pmi_micro DESC, w1, w2 LIMIT {int(k)}
 """
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC canonical composition of a string column — the corpus
+    canonicalization step that makes ``"é"`` (U+00E9) and ``"e" +
+    combining-acute`` (U+0065 U+0301) one token, one n-gram, one dedup
+    key.  Skipping it silently splits vocabulary and defeats exact dedup
+    on any crawl that mixes normalization forms.
+
+    Spark has no NFC built-in, so this is one of the few sanctioned
+    Arrow-batched pandas UDFs (vectorized transfer, pure per-row — the
+    operator stays narrow, no shuffle; same justification as the crypto
+    UDFs in functions/crypto.py).  Parity: DuckDB's ``nfc_normalize``
+    (utf8proc) and Python's ``unicodedata`` implement the same Unicode
+    canonical-composition algorithm; the gate pins them against each
+    other on synthesized decomposed text.
+    """
+    # NOTE: no type annotations on the UDF — this module uses
+    # `from __future__ import annotations`, which turns them into strings
+    # pandas_udf cannot resolve; the explicit returnType carries the type.
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(text)

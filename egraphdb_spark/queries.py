@@ -672,10 +672,13 @@ REGISTRY.update(TPCH_REGISTRY)
 #      rounds of shared-plumbing refactors since, cheap insurance;
 #   4. 43 round-4-era gates oldest-first (sessions 7..10: evt_ohlc ..
 #      agg_listagg and peers).
-# 30 never-checked gates remain for the round-7 window (3 r4-era:
-# clean_quantile_norm, graph_scc, evt_attribution; 27 r5-era), after which
-# every registry entry has a driver row.  Registry growth is frozen until
-# that backlog clears (round-5 verdict #2).
+# 36 never-checked gates remain for the round-7 window (3 r4-era:
+# clean_quantile_norm, graph_scc, evt_attribution; 27 r5-era; 6 r6-era —
+# privacy_t_closeness, pipe_epoch_shuffle, profile_drift_psi,
+# clean_unicode_normalize, dedup_cdc_chunks, rag_mmr_rerank), after which
+# every registry entry has a driver row.  The round-5 verdict froze growth
+# to what the r6+r7 windows can absorb (~20 headroom); the 6 r6 additions
+# stay inside that, leaving the r7 window at 36/50.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [

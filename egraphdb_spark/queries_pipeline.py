@@ -3592,6 +3592,371 @@ ORDER BY l
 """
 
 
+def q_rag_mmr_rerank(spark, sf_dir):
+    """MMR diversification re-rank: cosine top-20 candidates for the fixed
+    query vector, greedily re-ranked to 8 picks maximizing 7·rel −
+    3·max-sim-to-picked (λ = 0.7 in integer micro-units) — the standard
+    second RAG stage after rag_hybrid_rrf's first-stage retrieval.  The
+    greedy runs as one bounded applyInPandas group; the oracle unrolls
+    the same 8 greedy steps as a materialized CTE chain."""
+    from .operators.ranking import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, "vec_id", "embedding", QUERY_VEC, n_candidates=20, k=8)
+
+
+def _mmr_oracle(n_candidates: int = 20, k: int = 8) -> str:
+    dot_ab = (
+        "list_sum(list_transform(range(1, len(a.vec) + 1),"
+        " i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]))"
+    )
+    na = "sqrt(list_sum(list_transform(a.vec, x -> x * x)))"
+    nb = "sqrt(list_sum(list_transform(b.vec, x -> x * x)))"
+    dot_q = (
+        "list_sum(list_transform(range(1, len(vec) + 1),"
+        " i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)]))"
+    )
+    nv = "sqrt(list_sum(list_transform(vec, x -> x * x)))"
+    nq = "sqrt(list_sum(list_transform(qv, x -> x * x)))"
+    steps = [
+        "s1 AS MATERIALIZED (\n"
+        "  SELECT id AS picked, rel AS rel_micro, [id] AS chosen,\n"
+        "         CAST(1 AS BIGINT) AS rnk\n"
+        "  FROM cand ORDER BY rel DESC, id LIMIT 1\n)"
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"s{i} AS MATERIALIZED (\n"
+            f"  SELECT picked, rel_micro, chosen, rnk FROM (\n"
+            f"    SELECT c.id AS picked, c.rel AS rel_micro,\n"
+            f"           list_append(p.chosen, c.id) AS chosen,\n"
+            f"           CAST({i} AS BIGINT) AS rnk,\n"
+            f"           7 * c.rel - 3 * (SELECT max(s.simm) FROM sims s\n"
+            f"             WHERE s.a = c.id AND list_contains(p.chosen, s.b))"
+            f" AS score\n"
+            f"    FROM cand c, s{i - 1} p\n"
+            f"    WHERE NOT list_contains(p.chosen, c.id)\n"
+            f"  ) ORDER BY score DESC, picked LIMIT 1\n)"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT rnk AS rank, picked AS id, rel_micro FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+q AS MATERIALIZED (SELECT {_QV_SQL} AS qv),
+rel6 AS MATERIALIZED (
+  SELECT id, vec,
+         round(CASE WHEN {nv} * {nq} = 0 THEN 0.0
+                    ELSE {dot_q} / ({nv} * {nq}) END, 6) AS rel6
+  FROM v, q
+),
+cand AS MATERIALIZED (
+  SELECT id, vec, CAST(floor(rel6 * 1000000 + 0.5) AS BIGINT) AS rel
+  FROM rel6 ORDER BY rel6 DESC, id LIMIT {n_candidates}
+),
+sims AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b,
+         CAST(floor((CASE WHEN {na} * {nb} = 0 THEN 0.0
+                          ELSE {dot_ab} / ({na} * {nb}) END)
+                    * 1000000 + 0.5) AS BIGINT) AS simm
+  FROM cand a, cand b WHERE a.id <> b.id
+),
+{",".join(steps)}
+{union}
+ORDER BY rank
+"""
+
+
+O_RAG_MMR_RERANK = _mmr_oracle()
+
+
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking ledger: CDC-chunk the corpus (token-hash
+    cut points, mean chunk ≈ 16 tokens) and report per source the chunk
+    count, distinct chunk hashes, occurrences whose hash recurs in ≥ 2
+    documents anywhere (the partially-duplicated mass fixed-width dedup
+    misses after an insertion), and token totals.  Shift-resistance is
+    pinned by tests/test_new_gates.py (prepending a sentence re-syncs at
+    the next cut point)."""
+    from .operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, "doc_id", "text")
+    hs = ch.groupBy("chunk_hash").agg(F.count_distinct("id").alias("nd"))
+    per = (
+        ch.join(hs, "chunk_hash")
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count_distinct("chunk_hash").cast("long").alias("n_unique_hashes"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_shared_occ"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+O_DEDUP_CDC_CHUNKS = f"""
+WITH n AS (
+  SELECT doc_id AS id, source, {_NORM} AS norm FROM documents
+),
+toks AS (
+  SELECT id, source,
+         list_filter(string_split(norm, ' '), x -> x <> '') AS l
+  FROM n
+),
+tok AS (
+  SELECT id, source, CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos, l
+  FROM toks
+),
+tk AS (SELECT id, source, pos, l[CAST(pos AS INT)] AS t FROM tok),
+cuts AS (
+  SELECT id, source, pos, t,
+         CASE WHEN CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM tk
+),
+ch AS (
+  SELECT id, source, pos, t,
+         COALESCE(sum(cut) OVER (PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+  FROM cuts
+),
+chunks AS (
+  SELECT id, any_value(source) AS source, chunk_idx,
+         CAST(('0x' || substr(md5(string_agg(t, ' ' ORDER BY pos)), 1, 15))
+              AS BIGINT) AS chunk_hash,
+         count(*) AS n_tokens
+  FROM ch GROUP BY id, chunk_idx
+),
+hs AS (SELECT chunk_hash, count(DISTINCT id) AS nd FROM chunks GROUP BY 1)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT c.chunk_hash) AS BIGINT) AS n_unique_hashes,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_occ,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM chunks c JOIN hs USING (chunk_hash)
+GROUP BY source ORDER BY source
+"""
+
+
+def q_clean_unicode_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization audit: decompose every 'e' in the
+    corpus into 'e' + COMBINING ACUTE (U+0301) — the mixed-normalization
+    state a multi-source crawl arrives in — NFC-normalize it back, and
+    prove per source that (a) composition shortened the text by exactly
+    the combining-mark count and (b) the result equals the precomposed
+    form ('é', U+00E9).  Spark side = Arrow-batched pandas UDF over
+    Python unicodedata; oracle = DuckDB nfc_normalize (utf8proc) — two
+    independent Unicode implementations pinned against each other."""
+    from .operators.text import nfc_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace("text", "e", "e\u0301").alias("dec"),
+        F.regexp_replace("text", "e", "\u00e9").alias("composed"),
+    )
+    n = dec.withColumn("nfc", nfc_normalize(F.col("dec")))
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("dec")).cast("long").alias("len_decomposed"),
+            F.sum(F.length("nfc")).cast("long").alias("len_nfc"),
+            F.sum((F.col("nfc") != F.col("dec")).cast("long")).alias("n_changed"),
+            F.sum((F.col("nfc") == F.col("composed")).cast("long")).alias(
+                "n_restored"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+O_CLEAN_UNICODE_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id, source,
+         replace(text, 'e', 'e' || chr(769)) AS dec,
+         replace(text, 'e', chr(233)) AS composed
+  FROM documents
+),
+n AS (SELECT *, nfc_normalize(dec) AS nfc FROM d)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(dec)) AS BIGINT) AS len_decomposed,
+       CAST(sum(length(nfc)) AS BIGINT) AS len_nfc,
+       CAST(sum(CASE WHEN nfc <> dec THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN nfc = composed THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+FROM n GROUP BY source ORDER BY source
+"""
+
+
+def q_profile_drift_psi(spark, sf_dir):
+    """PSI drift report between two corpus snapshots: reference = even
+    doc_ids at their true length band, current = odd doc_ids with a
+    simulated +25% document growth (the classic silent-drift scenario a
+    new crawl introduces).  Feature = 200-char length band; integer-micro
+    PSI contributions sum exactly (operators/profiling.py:psi_drift) —
+    complements emb_drift (embedding-centroid drift) with
+    feature-distribution drift."""
+    from .operators.profiling import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("n_chars div 200").alias("band")
+    )
+    cur = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.expr("(n_chars * 5) div 800").alias("band")
+    )
+    return psi_drift(ref, cur, "band")
+
+
+O_PROFILE_DRIFT_PSI = """
+WITH r AS (
+  SELECT n_chars // 200 AS bucket, count(*) AS n_ref
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT (n_chars * 5) // (4 * 200) AS bucket, count(*) AS n_cur
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+),
+t AS (
+  SELECT *, count(*) OVER () AS nb,
+         sum(n_ref) OVER () AS tref, sum(n_cur) OVER () AS tcur
+  FROM j
+),
+p AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST(floor((
+           (CAST(n_cur + 1 AS DOUBLE) / CAST(tcur + nb AS DOUBLE)
+            - CAST(n_ref + 1 AS DOUBLE) / CAST(tref + nb AS DOUBLE))
+           * ln(CAST((n_cur + 1) * (tref + nb) AS DOUBLE)
+                / CAST((n_ref + 1) * (tcur + nb) AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS psi_contrib_micro
+  FROM t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       psi_contrib_micro,
+       CAST(sum(psi_contrib_micro) OVER () AS BIGINT) AS psi_total_micro
+FROM p ORDER BY bucket
+"""
+
+
+def q_pipe_epoch_shuffle(spark, sf_dir):
+    """Reproducible epoch shuffle ledger: 2 training epochs × 8 shards,
+    each epoch an independent deterministic permutation (hash of
+    salt:epoch:doc_id).  Per (epoch, shard): row count, doc_id sum, and
+    the min/max/XOR of the 60-bit order keys — the XOR pins exact shard
+    membership (order-independent, overflow-free), min/max pin the order
+    envelope.  Narrow except the epoch explode; writers partition by
+    (epoch, shard), so no shuffle is ever global."""
+    from .operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = epoch_shuffle(docs, "doc_id", epochs=2, n_shards=8)
+    return (
+        sh.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.min("order_key").alias("min_okey"),
+            F.max("order_key").alias("max_okey"),
+            F.expr("bit_xor(order_key)").cast("long").alias("xor_okey"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+O_PIPE_EPOCH_SHUFFLE = """
+WITH e AS (
+  SELECT doc_id, CAST(unnest(range(1, 3)) AS BIGINT) AS epoch FROM documents
+),
+h AS (
+  SELECT epoch, doc_id,
+         CAST(('0x' || substr(md5('epoch:' || epoch || ':' || doc_id), 1, 15))
+              AS BIGINT) AS okey
+  FROM e
+)
+SELECT epoch, okey % 8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(min(okey) AS BIGINT) AS min_okey,
+       CAST(max(okey) AS BIGINT) AS max_okey,
+       CAST(bit_xor(okey) AS BIGINT) AS xor_okey
+FROM h GROUP BY epoch, shard ORDER BY epoch, shard
+"""
+
+
+def q_privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit completing the privacy trio: quasi-identifiers
+    (lang, 200-char length band), sensitive attribute = source — classes
+    whose source DISTRIBUTION diverges from the corpus marginal by total
+    variation > t disclose provenance even when l-diverse.  Exact integer
+    rational TVD, thresholds t = 0.2/0.35/0.5 (scaled 1e6); one
+    (class,value) aggregate + broadcast value-marginal join."""
+    from .operators.privacy import t_closeness_report
+
+    docs = _t(spark, sf_dir, "documents")
+    quasi = [F.col("lang"), F.floor(F.col("n_chars") / 200).cast("long")]
+    return t_closeness_report(docs, quasi, F.col("source"))
+
+
+O_PRIVACY_T_CLOSENESS = """
+WITH base AS (SELECT lang, n_chars // 200 AS b, source AS s FROM documents),
+gv AS (SELECT s, count(*) AS cnt_v FROM base GROUP BY s),
+n AS (SELECT count(*) AS n_total FROM base),
+cv AS (SELECT lang, b, s, count(*) AS cnt_cv FROM base GROUP BY 1, 2, 3),
+jw AS (
+  SELECT cv.lang, cv.b, cv.cnt_cv, gv.cnt_v, n.n_total,
+         sum(cv.cnt_cv) OVER (PARTITION BY cv.lang, cv.b) AS sz
+  FROM cv JOIN gv USING (s) CROSS JOIN n
+),
+cls AS (
+  SELECT lang, b, max(sz) AS sz, max(n_total) AS n_total,
+         sum(cnt_v) AS pg,
+         sum(abs(cnt_cv * n_total - cnt_v * sz)) AS nump
+  FROM jw GROUP BY lang, b
+),
+cls2 AS (
+  SELECT sz, nump + sz * (n_total - pg) AS num, 2 * sz * n_total AS den
+  FROM cls
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS nc, CAST(sum(sz) AS BIGINT) AS nr,
+         CAST(max(num * 1000000 // den) AS BIGINT) AS mt,
+         CAST(sum(CASE WHEN num * 1000000 > 200000 * den THEN sz ELSE 0 END) AS BIGINT) AS ra1,
+         CAST(sum(CASE WHEN num * 1000000 > 200000 * den THEN 1 ELSE 0 END) AS BIGINT) AS ca1,
+         CAST(sum(CASE WHEN num * 1000000 > 350000 * den THEN sz ELSE 0 END) AS BIGINT) AS ra2,
+         CAST(sum(CASE WHEN num * 1000000 > 350000 * den THEN 1 ELSE 0 END) AS BIGINT) AS ca2,
+         CAST(sum(CASE WHEN num * 1000000 > 500000 * den THEN sz ELSE 0 END) AS BIGINT) AS ra3,
+         CAST(sum(CASE WHEN num * 1000000 > 500000 * den THEN 1 ELSE 0 END) AS BIGINT) AS ca3
+  FROM cls2
+)
+SELECT CAST(200000 AS BIGINT) AS t_scaled, nc AS n_classes, nr AS n_rows,
+       ra1 AS n_rows_above_t, ca1 AS n_classes_above_t,
+       mt AS max_tvd_scaled FROM a
+UNION ALL SELECT 350000, nc, nr, ra2, ca2, mt FROM a
+UNION ALL SELECT 500000, nc, nr, ra3, ca3, mt FROM a
+ORDER BY t_scaled
+"""
+
+
 def q_mm_binary_ingest(spark, sf_dir):
     """Loose-file multimodal round-trip: export the first 100 documents
     as one binary file each (executor-parallel foreachPartition), ingest
@@ -4017,4 +4382,10 @@ PIPELINE_REGISTRY: dict[str, tuple] = {
     "txt_skipgram_cooc": (q_txt_skipgram_cooc, O_TXT_SKIPGRAM),
     "sample_neyman": (q_sample_neyman, O_SAMPLE_NEYMAN),
     "txt_bpe_vocab_tokens": (q_txt_bpe_vocab_tokens, O_TXT_BPE_VOCAB_TOKENS),
+    "privacy_t_closeness": (q_privacy_t_closeness, O_PRIVACY_T_CLOSENESS),
+    "pipe_epoch_shuffle": (q_pipe_epoch_shuffle, O_PIPE_EPOCH_SHUFFLE),
+    "profile_drift_psi": (q_profile_drift_psi, O_PROFILE_DRIFT_PSI),
+    "clean_unicode_normalize": (q_clean_unicode_normalize, O_CLEAN_UNICODE_NORMALIZE),
+    "dedup_cdc_chunks": (q_dedup_cdc_chunks, O_DEDUP_CDC_CHUNKS),
+    "rag_mmr_rerank": (q_rag_mmr_rerank, O_RAG_MMR_RERANK),
 }

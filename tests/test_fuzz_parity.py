@@ -105,6 +105,15 @@ FUZZ_GATES = [
     "privacy_k_anon",
     "privacy_l_diversity",
     "privacy_k_suppress",
+    "privacy_t_closeness",
+    "profile_drift_psi",
+    "pipe_epoch_shuffle",
+    # NFC parity is safe to fuzz because the corpus alphabet is ASCII and
+    # the injected combining mark (U+0301) has had a stable canonical
+    # composition since Unicode 1.1 — Python unicodedata vs DuckDB
+    # utf8proc cannot disagree on it even across Unicode versions
+    "clean_unicode_normalize",
+    "dedup_cdc_chunks",
     # txt_bpe_vocab_tokens runs the FULL bpe training chain plus the
     # encode tail, so it strictly covers txt_bpe_train's oracle path;
     # enrolling both doubled the per-example cost of this suite for no

@@ -171,6 +171,13 @@ PROBES = [
     "txt_bpe_train",
     "txt_bpe_fertility",
     "txt_bpe_vocab_tokens",
+    # round-6 additions
+    "privacy_t_closeness",
+    "pipe_epoch_shuffle",
+    "profile_drift_psi",
+    "clean_unicode_normalize",
+    "dedup_cdc_chunks",
+    "rag_mmr_rerank",
 ]
 
 
