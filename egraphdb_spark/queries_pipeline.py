@@ -3681,7 +3681,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     documents anywhere (the partially-duplicated mass fixed-width dedup
     misses after an insertion), and token totals.  Shift-resistance is
     pinned by tests/test_new_gates.py (prepending a sentence re-syncs at
-    the next cut point)."""
+    the next cut point).
+
+    Plan note: the chunk table feeds both join branches and Catalyst
+    derives it twice (no ReusedExchange across the alias boundary) — at
+    sf0.1 the recompute is 0.7 s and side-effect-free; at 100 TB the
+    chunk table is a materialized derived table exactly like
+    shingle_table (write once, bucketed by chunk_hash), not a per-query
+    recompute."""
     from .operators.dedup import cdc_chunks
 
     docs = _t(spark, sf_dir, "documents")
