@@ -210,3 +210,25 @@ def test_mmr_k_capped_by_candidates(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = mmr_rerank(df, "vec_id", "embedding", [1.0, 0.0], 10, 5).collect()
     assert [r.rank for r in out] == [1, 2]
+
+
+def test_mmr_empty_candidates_returns_empty(spark):
+    from egraphdb_spark.operators.ranking import mmr_rerank
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = mmr_rerank(df, "vec_id", "embedding", [1.0, 0.0], 5, 3)
+    assert out.count() == 0
+    assert out.columns == ["rank", "id", "rel_micro"]
+
+
+def test_t_closeness_single_class_is_zero(spark):
+    from egraphdb_spark.operators.privacy import t_closeness_report
+
+    # one equivalence class == the whole table: its distribution IS the
+    # marginal, TVD must be exactly 0
+    rows = [(1, "A", "x"), (2, "A", "y"), (3, "A", "x")]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    r = t_closeness_report(df, ["g"], "s", ts_scaled=(1,)).collect()[0]
+    assert r.n_classes == 1
+    assert r.max_tvd_scaled == 0
+    assert r.n_rows_above_t == 0
