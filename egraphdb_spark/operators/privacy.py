@@ -212,9 +212,14 @@ def t_closeness_report(
     Scale: one hash-aggregate to (class, value) counts, a broadcast join
     against the value-marginal (bounded by the sensitive domain), one
     window + groupBy sharing the class partitioning — shuffles carry one
-    row per (class, value), never per input row.  Int64 products are
-    exact while N ≤ ~2.1e9 (2·N² < 2^63); beyond that the same plan runs
-    with the operands cast to DECIMAL(38,0) on both engines.
+    row per (class, value), never per input row.  The num/den rationals
+    stay int64-exact while 2·sz·N < 2^63 (N ≤ ~2.1e9 even when one class
+    spans the table); the ·scale products are computed in 128-bit
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT — Spark's `div` and DuckDB's
+    `//` both truncate, and all operands are non-negative, so the
+    quotients agree bit-exactly), so scaling num by 1e6 never narrows
+    that bound.  Beyond ~2.1e9-row classes the same plan runs with
+    num/den themselves built in DECIMAL(38,0)/HUGEINT.
     """
     sens = F.col(sensitive) if isinstance(sensitive, str) else sensitive
     cols = [F.col(c) if isinstance(c, str) else c for c in quasi]
@@ -248,8 +253,16 @@ def t_closeness_report(
             + F.col("sz") * (F.col("n_total") - F.col("present_gv")),
         )
         .withColumn("den", F.lit(2) * F.col("sz") * F.col("n_total"))
+        # 128-bit for the ·scale products: num ≤ 2·sz·N can already sit
+        # near 2^63, so num·scale must not run in int64 (it would wrap
+        # silently under non-ANSI Spark while DuckDB errors — divergence,
+        # not failure).  decimal(38,0) `div` truncates like DuckDB's
+        # HUGEINT `//`; operands non-negative, so the engines agree.
+        .withColumn("num_d", F.col("num").cast("decimal(38,0)"))
+        .withColumn("den_d", F.col("den").cast("decimal(38,0)"))
         .withColumn(
-            "tvd_scaled", F.expr(f"(num * {int(scale)}) div den").cast("long")
+            "tvd_scaled",
+            F.expr(f"(num_d * {int(scale)}) div den_d").cast("long"),
         )
     )
     agg = cls.agg(
@@ -262,14 +275,16 @@ def t_closeness_report(
             for x in (
                 F.sum(
                     F.when(
-                        F.col("num") * int(scale) > F.lit(int(t)) * F.col("den"),
+                        F.col("num_d") * int(scale)
+                        > F.lit(int(t)) * F.col("den_d"),
                         F.col("sz"),
                     ).otherwise(0)
                 ).cast("long").alias(f"ra_{t}"),
                 F.sum(
-                    (F.col("num") * int(scale) > F.lit(int(t)) * F.col("den")).cast(
-                        "long"
-                    )
+                    (
+                        F.col("num_d") * int(scale)
+                        > F.lit(int(t)) * F.col("den_d")
+                    ).cast("long")
                 ).cast("long").alias(f"ca_{t}"),
             )
         ],

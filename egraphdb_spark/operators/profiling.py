@@ -646,12 +646,19 @@ def psi_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame
             "tcur": F.sum("n_cur").over(w).cast("long"),
         }
     )
+    # the ln argument multiplies counts as DOUBLEs, not bigints: with
+    # per-bucket and total counts both large, the int64 product
+    # (n_cur+1)*(tref+nb) wraps silently in non-ANSI Spark.  Each factor
+    # is < 2^53 so it is exact in double, and double(a)*double(b) is the
+    # same single rounding of the exact product that cast(a*b as double)
+    # would be — identical bits, no overflow.  Oracle mirrors this
+    # (queries_pipeline.py O_PROFILE_DRIFT_PSI).
     contrib = F.expr(
         "cast(floor(("
         "  (cast(n_cur + 1 as double) / cast(tcur + nb as double)"
         "   - cast(n_ref + 1 as double) / cast(tref + nb as double))"
-        "  * ln(cast((n_cur + 1) * (tref + nb) as double)"
-        "       / cast((n_ref + 1) * (tcur + nb) as double))"
+        "  * ln((cast(n_cur + 1 as double) * cast(tref + nb as double))"
+        "       / (cast(n_ref + 1 as double) * cast(tcur + nb as double)))"
         ") * 1000000.0 + 0.5) as bigint)"
     )
     per = with_tot.withColumn("psi_contrib_micro", contrib)

@@ -27,7 +27,7 @@ vector-math gates use.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .text import tokens
 
@@ -446,7 +446,7 @@ def mmr_rerank(
         sims = {
             (a, b): cos_micro(a, b) for a in ids for b in ids if a != b
         }
-        chosen: list[int] = []
+        chosen: list = []  # id values, whatever type id_col carries
         out = []
         for rnk in range(1, min(kk, len(ids)) + 1):
             best = None
@@ -468,8 +468,19 @@ def mmr_rerank(
             out.append((rnk, best[1], int(rels[best[1]])))
         return pd.DataFrame(out, columns=["rank", "id", "rel_micro"])
 
+    # output schema derives the id field's type from the input so a
+    # string/decimal id_col round-trips instead of being silently coerced
+    # to long by a hardcoded schema
+    id_type = emb.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType()),
+            T.StructField("id", id_type),
+            T.StructField("rel_micro", T.LongType()),
+        ]
+    )
     return (
         cand.groupBy(F.lit(1).alias("g"))
-        .applyInPandas(_greedy, "rank long, id long, rel_micro long")
+        .applyInPandas(_greedy, out_schema)
         .orderBy("rank")
     )

@@ -449,6 +449,15 @@ def epoch_shuffle(
     """
     if epochs < 1 or n_shards < 1:
         raise ValueError("epochs and n_shards must be >= 1")
+    # the three output columns are reserved: withColumn would silently
+    # clobber a same-named input (and a pre-existing `epoch` would be
+    # overwritten before _u60 reads it, changing every order key)
+    clash = {"epoch", "order_key", "shard"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_shuffle reserves output columns {sorted(clash)}; "
+            "rename them on the input DataFrame first"
+        )
     u = _u60(
         F.concat(
             F.lit(salt + ":"),

@@ -660,46 +660,45 @@ REGISTRY.update(TPCH_REGISTRY)
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver hard-checks the FIRST 50 queries in dict
 # order.  The window ROTATES per round so every gate earns a green row in
-# some CORRECTNESS_r{N}.json: rounds 2-5 converted 186 of 263 gates green
-# (see CORRECTNESS_r02..r05; r5 closed the last §2 row, reindex_status,
-# and the r4 wrong-answer gate io_csv_quarantine).  Round 6 rotates to:
-#   1. s10_geo_knearest — the one §2-adjacent row still without a driver
-#      row (S10 k-nearest extension, egraph_index_model.erl:361-367);
-#   2. the quarantine family (io_jsonl_quarantine, stream_jsonl_quarantine,
-#      io_csv_multiline) — quarantine semantics produced round 4's only
-#      wrong answer, so these driver rows carry extra information value;
-#   3. the three fn_* gates — RE-checks (last driver-green in r2); three
-#      rounds of shared-plumbing refactors since, cheap insurance;
-#   4. 43 round-4-era gates oldest-first (sessions 7..10: evt_ohlc ..
-#      agg_listagg and peers).
-# 36 never-checked gates remain for the round-7 window (3 r4-era:
-# clean_quantile_norm, graph_scc, evt_attribution; 27 r5-era; 6 r6-era —
-# privacy_t_closeness, pipe_epoch_shuffle, profile_drift_psi,
-# clean_unicode_normalize, dedup_cdc_chunks, rag_mmr_rerank), after which
-# every registry entry has a driver row.  The round-5 verdict froze growth
-# to what the r6+r7 windows can absorb (~20 headroom); the 6 r6 additions
-# stay inside that, leaving the r7 window at 36/50.
+# some CORRECTNESS_r{N}.json: rounds 2-6 converted 233 of 269 gates green
+# with zero gates ever left failing (see CORRECTNESS_r02..r06).
+# Round 7 clears the backlog: the 36 gates that have NEVER sat in a driver
+# window (the full privacy quartet first, the BPE trio adjacent — they
+# share the merge-table fixture — then the remaining never-checked set in
+# registry order), plus the 14 STALEST re-checks, all last driver-green in
+# r2 four rounds ago (the §2 scan/search spine, models/
+# egraph_detail_model.erl / egraph_index_model.erl semantics).  After this
+# window lands green, cumulative driver coverage = 269/269 and every
+# registry gate is driver-proven.  Registry growth is FROZEN at 269 for
+# round 7 (round-6 verdict item 2).
+# From round 8 on, the window is emitted mechanically by
+# tools/next_window.py (staleness budget: never-checked first, then oldest
+# most-recent driver check) so no gate's evidence ages beyond ~4 rounds.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    "s10_geo_knearest",
-    "io_jsonl_quarantine", "stream_jsonl_quarantine", "io_csv_multiline",
-    "fn_registry_udf", "fn_scalar_surface", "fn_password_hash",
-    "txt_readability", "pipe_dataset_card", "pipe_ccnet_buckets",
-    "pipe_quality_ablation", "sample_class_balance", "emb_label_outliers",
-    "dedup_line_corpus", "dedup_source_overlap", "txt_pmi_collocations",
-    "sim_recall_at_k", "sample_reservoir_group", "pipe_dataset_diff",
-    "evt_ohlc", "evt_gapfill_locf", "graph_adamic_adar",
-    "agg_corr_regr", "win_percent_rank", "join_bloom_prefilter",
-    "evt_rfm_segments", "graph_bipartite_proj", "agg_skew_kurtosis",
-    "win_first_last", "join_interval_overlap", "io_orc_roundtrip",
-    "evt_changepoint", "evt_funnel_steps", "evt_cohort_ltv",
-    "stream_ohlc", "graph_walks", "evt_ewma",
-    "evt_holt", "evt_hill_alpha", "evt_ab_test",
-    "graph_modularity", "graph_harmonic", "win_time_range",
-    "io_partition_prune", "agg_listagg", "evt_seasonal_dow",
-    "evt_lag_corr", "profile_benford", "profile_expectations",
-    "graph_ppr",
+    # -- privacy quartet (verdict item 5: never driver-checked family) --
+    "privacy_k_anon", "privacy_k_suppress", "privacy_l_diversity",
+    "privacy_t_closeness",
+    # -- BPE trio, adjacent (verdict item 6: shared merge-table fixture) --
+    "txt_bpe_train", "txt_bpe_vocab_tokens", "txt_bpe_fertility",
+    # -- remaining 29 never-checked, registry order --
+    "dedup_lsh_recall", "sketch_kmv_distinct", "sketch_kmv_overlap",
+    "layout_bucket_join", "emb_truncate_recall", "emb_drift",
+    "sim_mips_topk", "mm_binary_ingest", "clean_impute_median",
+    "txt_rake_keyphrases", "pipe_fim_split", "txt_skipgram_cooc",
+    "sample_neyman", "pipe_epoch_shuffle", "profile_drift_psi",
+    "clean_unicode_normalize", "dedup_cdc_chunks", "rag_mmr_rerank",
+    "graph_betweenness", "evt_stickiness", "evt_holt_winters",
+    "evt_forecast_mae", "evt_survival_km", "evt_markov_stationary",
+    "evt_rate_wilson", "clean_quantile_norm", "graph_scc",
+    "evt_attribution", "io_schema_evolution",
+    # -- 14 stalest re-checks: §2 spine, last driver-green r2 --
+    "s1_point_lookup", "s2_multi_get", "s3_full_scan_page",
+    "s4_time_range_scan", "s5_edge_scan", "s6_edge_lookup",
+    "s7_index_exact", "s7_index_exact_lowercase", "s8_index_range",
+    "s10_geo_distance", "s11_index_dump", "p1_selected_paths",
+    "p2_search_filters", "u1_union_distinct",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -3852,8 +3852,12 @@ p AS (
          CAST(floor((
            (CAST(n_cur + 1 AS DOUBLE) / CAST(tcur + nb AS DOUBLE)
             - CAST(n_ref + 1 AS DOUBLE) / CAST(tref + nb AS DOUBLE))
-           * ln(CAST((n_cur + 1) * (tref + nb) AS DOUBLE)
-                / CAST((n_ref + 1) * (tcur + nb) AS DOUBLE))
+           -- factors cast to DOUBLE BEFORE multiplying (mirrors
+           -- operators/profiling.py psi_drift): counts < 2^53 are exact
+           -- in double and the product is the same single rounding the
+           -- bigint-product cast would give, without int64 overflow
+           * ln((CAST(n_cur + 1 AS DOUBLE) * CAST(tref + nb AS DOUBLE))
+                / (CAST(n_ref + 1 AS DOUBLE) * CAST(tcur + nb AS DOUBLE)))
          ) * 1000000.0 + 0.5) AS BIGINT) AS psi_contrib_micro
   FROM t
 )
@@ -3941,7 +3945,14 @@ cls AS (
   FROM jw GROUP BY lang, b
 ),
 cls2 AS (
-  SELECT sz, nump + sz * (n_total - pg) AS num, 2 * sz * n_total AS den
+  -- 128-bit (HUGEINT) BEFORE the *1000000 products: num can sit near
+  -- 2^63, so num*scale must not run in BIGINT.  HUGEINT `//` truncates
+  -- exactly like Spark's DECIMAL(38,0) `div` on non-negative operands
+  -- (DECIMAL `//` would NOT work here — DuckDB returns un-floored
+  -- DOUBLE for it).  Spark side: operators/privacy.py num_d/den_d.
+  SELECT sz,
+         CAST(nump + sz * (n_total - pg) AS HUGEINT) AS num,
+         CAST(2 * sz * n_total AS HUGEINT) AS den
   FROM cls
 ),
 a AS (

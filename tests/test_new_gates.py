@@ -232,3 +232,66 @@ def test_t_closeness_single_class_is_zero(spark):
     assert r.n_classes == 1
     assert r.max_tvd_scaled == 0
     assert r.n_rows_above_t == 0
+
+
+# ------------------------------------------------- round-6 advice regressions
+
+
+def test_epoch_shuffle_rejects_reserved_columns(spark):
+    import pytest
+
+    from egraphdb_spark.operators.sampling import epoch_shuffle
+
+    # a pre-existing `epoch` would be clobbered by the explode BEFORE the
+    # order-key hash reads it, silently changing every order key — the
+    # operator must refuse instead (same for order_key / shard)
+    for col in ("epoch", "order_key", "shard"):
+        df = spark.createDataFrame([(1, 9)], f"doc_id long, {col} long")
+        with pytest.raises(ValueError, match=col):
+            epoch_shuffle(df, "doc_id")
+
+
+def test_mmr_rerank_string_ids(spark):
+    from egraphdb_spark.operators.ranking import mmr_rerank
+
+    # output schema derives the id type from the input: string ids must
+    # round-trip (previously hardcoded `id long` would fail at runtime)
+    rows = [("alpha", [1.0, 0.0]), ("beta", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = mmr_rerank(df, "vec_id", "embedding", [1.0, 0.0], 5, 2).collect()
+    assert [r.id for r in out] == ["alpha", "beta"]
+    assert out[0].rel_micro == 1_000_000
+    # ascending-id tiebreak applies lexicographically for string ids
+    tie = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [1.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    first = mmr_rerank(tie, "vec_id", "embedding", [1.0, 0.0], 5, 1).collect()
+    assert first[0].id == "a"
+
+
+def test_t_closeness_scale_products_are_128bit(spark):
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.privacy import t_closeness_report
+
+    # num*scale must not run in int64: with sz*N large enough the old
+    # bigint product wrapped silently (non-ANSI Spark) while DuckDB
+    # errored.  Unit-scale repro of the arithmetic path: the plan's
+    # tvd_scaled/threshold expressions must reference the decimal(38,0)
+    # operands, and a skewed 3k-row single-class table must produce the
+    # exact hand-derivable rational.
+    n = 3000
+    rows = [(i, "A", "x" if i < n - 1 else "y") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    r = t_closeness_report(df, ["g"], "s", ts_scaled=(1,)).collect()[0]
+    # single class == whole table → TVD exactly 0 regardless of skew
+    assert r.max_tvd_scaled == 0
+    # two classes, one holding all the rare value: hand value
+    # N=3000, class B={y}, sz=1: num = |1*3000-1*1| + 1*(3000-1) = 5998,
+    # den = 2*1*3000 → TVD = 5998/6000 → floor(·1e6) = 999666
+    rows2 = [(i, "A", "x") for i in range(n - 1)] + [(n, "B", "y")]
+    df2 = spark.createDataFrame(rows2, "id long, g string, s string")
+    r2 = t_closeness_report(df2, ["g"], "s", ts_scaled=(999_000,)).collect()[0]
+    assert r2.max_tvd_scaled == 999_666
+    assert r2.n_classes_above_t == 1 and r2.n_rows_above_t == 1
