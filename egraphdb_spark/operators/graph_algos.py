@@ -1156,7 +1156,12 @@ def betweenness_k(
     # would multiply sigma and every backward contribution (unlike
     # harmonic/BFS, whose min-level semantics are duplicate-immune), so
     # the operator dedupes its input rather than trusting callers.
-    edges = edges.select("src_key", "dst_key").distinct()
+    # Materialize the deduped table once: it feeds max_depth forward
+    # joins plus max_depth-1 backward joins, and an unmaterialized
+    # distinct would re-shuffle the full edge set at every reuse.
+    edges = (
+        edges.select("src_key", "dst_key").distinct().transform(cut_lineage)
+    )
     l0 = seeds.select(
         F.col("seed"), F.col("seed").alias("key"),
         F.lit(1).cast("long").alias("sigma"),
