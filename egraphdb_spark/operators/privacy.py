@@ -305,3 +305,67 @@ def t_closeness_report(
         .select("r.*")
         .orderBy("t_scaled")
     )
+
+
+def dp_group_counts(
+    df: DataFrame,
+    group: list[Column | str],
+    epsilon_micro: int = 1_000_000,
+    salt: str = "dp",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork et al. '06): count queries have sensitivity 1, so adding
+    Laplace(1/ε) noise to each group's count gives an ε-DP release — the
+    privacy-preserving aggregate a data-sharing pipeline publishes
+    instead of raw histograms.
+
+    The noise is SEEDED: u = md5₆₀(salt:group)/2⁶⁰ ∈ [0,1) feeds the
+    Laplace inverse CDF  noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|), so the
+    release is a pure function of (salt, group) — reproducible across
+    runs and engines, auditable, and still a correct Laplace draw for
+    any non-adversarial salt.  Determinism recipe: the hash and the
+    ln argument (a dyadic rational over 2⁶⁰) are exact; one fixed double
+    expression ends in floor(x·10⁶ + 0.5) micro-quantization (the PSI
+    recipe), so the gate is hash-exact.
+
+    Output per group: ``(…group…, n, noise_micro, noisy_count_micro)``.
+    ``n`` (the true count) is emitted for AUDIT/test parity only — a
+    real DP release publishes noisy_count_micro alone; callers drop the
+    audit columns at the release boundary.
+
+    Scale: one map-side-combined count aggregate plus a narrow
+    projection — noise is computed per GROUP row, never per input row.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in group]
+    named = [c.alias(f"g{i}") for i, c in enumerate(cols)]
+    gnames = [f"g{i}" for i in range(len(named))]
+    agg = df.select(*named).groupBy(*gnames).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    key = F.concat_ws(":", F.lit(salt), *[F.col(g).cast("string") for g in gnames])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    two60 = 1 << 60
+    hashed = agg.withColumn("_h", h)
+    # v2 = 2^60·|2u−1| as an exact integer; ln argument (2^60−v2)/2^60 is
+    # a dyadic rational — greatest(…,1) guards the measure-zero h=0 draw
+    # that would be ln(0).
+    noise = F.expr(
+        f"cast(floor(("
+        f"  -(1000000.0 / {epsilon_micro})"
+        f"  * sign(2 * _h - {two60})"
+        f"  * ln(cast(greatest({two60} - abs(2 * _h - {two60}), 1) as double)"
+        f"       / {float(two60)})"
+        f") * 1000000.0 + 0.5) as bigint)"
+    )
+    return (
+        hashed.withColumn("noise_micro", noise)
+        .select(
+            *gnames,
+            "n",
+            "noise_micro",
+            (F.col("n") * F.lit(1_000_000) + F.col("noise_micro"))
+            .cast("long")
+            .alias("noisy_count_micro"),
+        )
+        .orderBy(*gnames)
+    )

@@ -672,3 +672,76 @@ def psi_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+def ks_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic over a bucketed
+    feature — PSI's sibling monitor: where PSI weights every bucket's
+    divergence, KS reports the single worst CDF gap
+
+        D = max_b | F_ref(b) − F_cur(b) |
+
+    and is the classic admission test for "did the new crawl shift the
+    length / score / ppl distribution?".  Unlike PSI it needs no
+    smoothing and no logarithm, so the whole statistic stays EXACT
+    integer arithmetic: with cumulative counts c_ref(b), c_cur(b) and
+    totals T_ref, T_cur,
+
+        |F_ref − F_cur| = |c_ref·T_cur − c_cur·T_ref| / (T_ref·T_cur)
+
+    — the cross-multiplied numerator is an exact integer, computed in
+    128-bit (Spark DECIMAL(38,0) / DuckDB HUGEINT; both truncate their
+    integer division and all operands are non-negative, the t-closeness
+    recipe), so the gate is hash-exact with no float anywhere.
+
+    Output per bucket, ascending: ``(bucket, n_ref, n_cur,
+    ks_contrib_micro, ks_stat_micro)`` where ks_contrib_micro =
+    (|c_ref·T_cur − c_cur·T_ref|·10⁶) div (T_ref·T_cur) and
+    ks_stat_micro = max_b contrib, carried per row.
+
+    Scale: two map-side-combined count aggregates, a full-outer join on
+    bucket, and ordered windows over the BUCKET table only — safe
+    because the bucket domain is bounded (bands/deciles/categories),
+    never per-row; input rows are never shuffled.
+    """
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    r = ref.select(b.cast("long").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_ref")
+    )
+    c = cur.select(b.cast("long").alias("bucket")).groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_cur")
+    )
+    joined = r.join(c, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    wt = Window.partitionBy(F.lit(1))
+    wc = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.withColumns(
+        {
+            "tref": F.sum("n_ref").over(wt).cast("long"),
+            "tcur": F.sum("n_cur").over(wt).cast("long"),
+            "cref": F.sum("n_ref").over(wc).cast("long"),
+            "ccur": F.sum("n_cur").over(wc).cast("long"),
+        }
+    )
+    contrib = F.expr(
+        "cast((abs(cast(cref as decimal(38,0)) * cast(tcur as decimal(38,0))"
+        "        - cast(ccur as decimal(38,0)) * cast(tref as decimal(38,0)))"
+        "      * 1000000)"
+        " div (cast(tref as decimal(38,0)) * cast(tcur as decimal(38,0)))"
+        " as bigint)"
+    )
+    per = cum.withColumn("ks_contrib_micro", contrib)
+    return (
+        per.withColumn(
+            "ks_stat_micro", F.max("ks_contrib_micro").over(wt).cast("long")
+        )
+        .select("bucket", "n_ref", "n_cur", "ks_contrib_micro", "ks_stat_micro")
+        .orderBy("bucket")
+    )

@@ -861,3 +861,84 @@ SELECT '{set_a}' AS set_a, '{set_b}' AS set_b,
                 - est_union) AS est_intersect
 FROM uni
 """
+
+
+def ams_f2(df: DataFrame, col: str, k: int = 16, salt: str = "ams") -> DataFrame:
+    """AMS "tug-of-war" second-moment sketch (Alon, Matias & Szegedy '96):
+    F₂ = Σ_x f_x² — the self-join-size / skew statistic behind join-size
+    estimation and heavy-hitter prescreens.  Each of ``k`` estimators
+    draws a 4-wise-ish sign s_i(x) ∈ {±1} from md5(salt:i:x) and keeps
+    one counter  S_i = Σ_x s_i(x)·f_x ;  E[S_i²] = F₂, and averaging the
+    k estimators tightens variance (median-of-means at larger k).
+
+    Everything is exact integer arithmetic: signs from the hash's low
+    bit, S_i an exact BIGINT, squares and the error ratio computed in
+    128-bit (DECIMAL(38,0) / DuckDB HUGEINT, truncating division on
+    non-negative operands — the t-closeness recipe) and reported as
+    BIGINT.  The report carries the EXACT F₂ beside the estimate (this
+    is the accuracy gate for the sketch, same pattern as
+    sketch_hll_distinct / dedup_lsh_recall); a production rollup keeps
+    only the k counters, which merge by addition across partitions.
+
+    Output, one row per estimator: ``(estimator, s_i, est)`` plus the
+    carried ``(f2_est_mean, f2_exact, rel_err_micro)``.
+
+    Scale: one hash-aggregate to (value, f_x) — the only shuffle that
+    sees data-derived keys — then a k-way broadcast explode over the
+    bounded value table and a k-row aggregate.  BIGINT bounds: |S_i| ≤ N
+    and the squares live in 128-bit; outputs stay < 2⁶³ while F₂ < 2⁶³
+    (≈3·10⁹ rows of a single value), past which the report columns
+    themselves would need the decimal surface.
+    """
+    freq = (
+        df.select(F.col(col).cast("string").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("f"))
+    )
+    est_ids = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    signed = freq.select("v", "f", est_ids).withColumn(
+        "s",
+        F.lit(1)
+        - F.lit(2)
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(salt), F.col("i"), F.col("v"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ),
+    )
+    per_est = signed.groupBy("i").agg(
+        F.sum(F.col("s") * F.col("f")).cast("long").alias("s_i")
+    )
+    sq = per_est.withColumn(
+        "est_d",
+        F.expr("cast(s_i as decimal(38,0)) * cast(s_i as decimal(38,0))"),
+    )
+    exact = freq.agg(
+        F.sum(F.expr("cast(f as decimal(38,0)) * cast(f as decimal(38,0))"))
+        .alias("f2_d")
+    )
+    rep = (
+        sq.crossJoin(F.broadcast(exact))
+        .withColumn(
+            "mean_d", F.expr(f"(sum(est_d) over ()) div {k}")
+        )
+        .select(
+            F.col("i").cast("long").alias("estimator"),
+            "s_i",
+            F.col("est_d").cast("long").alias("est"),
+            F.col("mean_d").cast("long").alias("f2_est_mean"),
+            F.col("f2_d").cast("long").alias("f2_exact"),
+            F.expr(
+                "cast((abs(mean_d - f2_d) * 1000000) div f2_d as bigint)"
+            ).alias("rel_err_micro"),
+        )
+        .orderBy("estimator")
+    )
+    return rep

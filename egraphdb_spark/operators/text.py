@@ -1101,3 +1101,109 @@ def nfc_normalize(text: Column) -> Column:
         )
 
     return _nfc(text)
+
+
+# Gopher quality-rule stopwords (Rae et al. 2021, table A1: "must contain
+# at least 2 of the following English words" — the natural-language-ness
+# signal of the rule battery).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_micro: int = 3_000_000,
+    max_mean_word_len_micro: int = 10_000_000,
+    max_symbol_ratio_micro: int = 100_000,
+    min_alpha_word_frac_micro: int = 800_000,
+    min_stop_hits: int = 2,
+) -> "DataFrame":
+    """Gopher quality-rule battery (Rae et al. '21 §A1.1, the MassiveText
+    filter; same rules reused by RefinedWeb/Dolma/FineWeb): per document,
+    every rule's measurement plus a failure bitmask — the corpus-filter
+    primitive that decides what enters a training mix.
+
+    Rules (bit set = rule VIOLATED; ``keep`` = mask == 0):
+
+      1   word count < min_words
+      2   word count > max_words
+      4   mean word length < 3 chars
+      8   mean word length > 10 chars
+      16  symbol-to-word ratio ('#' chars + '...' occurrences) > 0.1
+      32  fraction of words with >= 1 alphabetic char < 0.8
+      64  fewer than 2 distinct Gopher stopwords present
+
+    The paper's two line-level rules (bullet-start / ellipsis-end line
+    fractions) need multi-line documents; they belong to a line-exploded
+    variant and are intentionally not folded into this per-doc battery.
+
+    All measurements are exact integers (micro-unit ratios via floor
+    division), so any engine reproduces the mask bit-for-bit.  Scale: one
+    narrow projection — no shuffle, no UDF; at 100 TB this is a map-only
+    pass that Parquet row-group pruning and column projection make
+    embarrassingly parallel.
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t).cast("long")
+    s = F.greatest(n, F.lit(1).cast("long"))
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_micro = F.expr(f"_total * 1000000 div _s")
+    hash_chars = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ).cast("long")
+    ellipses = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '...', ''))) div 3"
+    ).cast("long")
+    alpha = F.size(
+        F.filter(t, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    stop_hits = sum(
+        F.array_contains(t, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        total.alias("_total"),
+        s.alias("_s"),
+        hash_chars.alias("_hash"),
+        ellipses.alias("_ell"),
+        alpha.alias("_alpha"),
+        stop_hits.alias("stop_hits"),
+    ).select(
+        id_col,
+        "n_words",
+        mean_micro.alias("mean_word_len_micro"),
+        F.expr("(_hash + _ell) * 1000000 div _s").alias("symbol_ratio_micro"),
+        F.expr("_alpha * 1000000 div _s").alias("alpha_word_frac_micro"),
+        "stop_hits",
+    )
+    mask = (
+        F.when(F.col("n_words") < min_words, F.lit(1)).otherwise(0)
+        + F.when(F.col("n_words") > max_words, F.lit(2)).otherwise(0)
+        + F.when(
+            F.col("mean_word_len_micro") < min_mean_word_len_micro, F.lit(4)
+        ).otherwise(0)
+        + F.when(
+            F.col("mean_word_len_micro") > max_mean_word_len_micro, F.lit(8)
+        ).otherwise(0)
+        + F.when(
+            F.col("symbol_ratio_micro") > max_symbol_ratio_micro, F.lit(16)
+        ).otherwise(0)
+        + F.when(
+            F.col("alpha_word_frac_micro") < min_alpha_word_frac_micro,
+            F.lit(32),
+        ).otherwise(0)
+        + F.when(F.col("stop_hits") < min_stop_hits, F.lit(64)).otherwise(0)
+    ).cast("long")
+    return base.withColumn("fail_mask", mask).withColumn(
+        "keep", F.col("fail_mask") == 0
+    )

@@ -1,0 +1,268 @@
+"""Round-8 staging area for new registry gates.
+
+Round 7 froze the driver-facing registry at 269 gates (round-6 verdict
+item 2) so cumulative driver coverage could reach 269/269 before the
+board moves again.  New operators built during round 7 therefore land
+HERE, with the full gate contract — Spark implementation, hand-written
+DuckDB oracle, pytest parity enrollment (tests/test_staged_gates.py) —
+and are merged into the live registry (queries.py) at the top of round
+8 by appending ``STAGED_REGISTRY`` to the update chain.
+
+Everything in this file follows the conventions of queries_pipeline.py:
+identical column aliases on both sides, exact integer arithmetic (micro
+units, 128-bit via DECIMAL(38,0)/HUGEINT where products can wrap), and
+the floor(x·1e6 + 0.5) quantization recipe for the one ln()-based gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+
+# --------------------------------------------------------------------------
+# txt_gopher_quality — Gopher rule battery (Rae et al. '21 §A1.1)
+# --------------------------------------------------------------------------
+
+
+def q_txt_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule battery over the corpus: per-document rule
+    measurements + failure bitmask + keep flag (operators/text.py
+    gopher_quality).  Thresholds are tuned to the fixture's word-soup
+    profile (min_words=20 / mean-len ≥ 4.0 / ≥ 1 stopword instead of
+    the paper's 50 / 3.0 / 2) so bits 1, 4 and 64 all split the corpus
+    and BOTH the keep and the drop path carry driver data; the rule set
+    and bit layout are the paper's."""
+    from .operators.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(
+        docs,
+        "doc_id",
+        "text",
+        min_words=20,
+        min_mean_word_len_micro=4_000_000,
+        min_stop_hits=1,
+    ).orderBy("doc_id")
+
+
+O_TXT_GOPHER_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS} AS tk FROM documents
+), m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         greatest(len(tk), 1) AS s,
+         COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) AS total,
+         len(text) - len(replace(text, '#', '')) AS hash_chars,
+         (len(text) - len(replace(text, '...', ''))) // 3 AS ell,
+         len(list_filter(tk, w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha,
+         (CASE WHEN list_contains(tk, 'the')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'be')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'to')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'of')   THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'and')  THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+        + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END) AS stop_hits
+  FROM toks
+), r AS (
+  SELECT doc_id, n_words,
+         (total * 1000000) // s AS mean_word_len_micro,
+         ((hash_chars + ell) * 1000000) // s AS symbol_ratio_micro,
+         (alpha * 1000000) // s AS alpha_word_frac_micro,
+         stop_hits
+  FROM m
+), k AS (
+  SELECT *,
+         (CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+        + CASE WHEN n_words > 100000 THEN 2 ELSE 0 END
+        + CASE WHEN mean_word_len_micro < 4000000 THEN 4 ELSE 0 END
+        + CASE WHEN mean_word_len_micro > 10000000 THEN 8 ELSE 0 END
+        + CASE WHEN symbol_ratio_micro > 100000 THEN 16 ELSE 0 END
+        + CASE WHEN alpha_word_frac_micro < 800000 THEN 32 ELSE 0 END
+        + CASE WHEN stop_hits < 1 THEN 64 ELSE 0 END) AS fail_mask
+  FROM r
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(mean_word_len_micro AS BIGINT) AS mean_word_len_micro,
+       CAST(symbol_ratio_micro AS BIGINT) AS symbol_ratio_micro,
+       CAST(alpha_word_frac_micro AS BIGINT) AS alpha_word_frac_micro,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(fail_mask AS BIGINT) AS fail_mask,
+       fail_mask = 0 AS keep
+FROM k ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# profile_drift_ks — two-sample KS statistic, exact integers
+# --------------------------------------------------------------------------
+
+
+def q_profile_drift_ks(spark, sf_dir):
+    """Two-sample KS drift statistic on the same snapshot split as the
+    PSI gate (reference = even doc_ids at true length band, current =
+    odd doc_ids with simulated +25% growth): where profile_drift_psi
+    weights all buckets, KS pins the single worst CDF gap — exact
+    integer cross-multiplication, no smoothing, no ln
+    (operators/profiling.py ks_drift)."""
+    from .operators.profiling import ks_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.expr("n_chars div 200").alias("band")
+    )
+    cur = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.expr("(n_chars * 5) div 800").alias("band")
+    )
+    return ks_drift(ref, cur, "band")
+
+
+O_PROFILE_DRIFT_KS = """
+WITH r AS (
+  SELECT n_chars // 200 AS bucket, count(*) AS n_ref
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+c AS (
+  SELECT (n_chars * 5) // 800 AS bucket, count(*) AS n_cur
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+  FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+),
+t AS (
+  SELECT *,
+         sum(n_ref) OVER () AS tref, sum(n_cur) OVER () AS tcur,
+         sum(n_ref) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cref,
+         sum(n_cur) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS ccur
+  FROM j
+),
+p AS (
+  SELECT bucket, n_ref, n_cur,
+         CAST((abs(CAST(cref AS HUGEINT) * CAST(tcur AS HUGEINT)
+                 - CAST(ccur AS HUGEINT) * CAST(tref AS HUGEINT)) * 1000000)
+              // (CAST(tref AS HUGEINT) * CAST(tcur AS HUGEINT))
+              AS BIGINT) AS ks_contrib_micro
+  FROM t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       ks_contrib_micro,
+       CAST(max(ks_contrib_micro) OVER () AS BIGINT) AS ks_stat_micro
+FROM p ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# privacy_dp_counts — seeded Laplace mechanism
+# --------------------------------------------------------------------------
+
+
+def q_privacy_dp_counts(spark, sf_dir):
+    """ε=1 differentially-private (lang, source) histogram of the corpus
+    via the seeded Laplace mechanism (operators/privacy.py
+    dp_group_counts) — completes the privacy family (k-anon /
+    suppression / l-diversity / t-closeness audit the RELEASE SHAPE;
+    this gate is the noised release itself).  True counts ride along as
+    audit columns for the parity check."""
+    from .operators.privacy import dp_group_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return dp_group_counts(docs, ["lang", "source"])
+
+
+_TWO60 = 1 << 60
+
+O_PRIVACY_DP_COUNTS = f"""
+WITH a AS (
+  SELECT lang AS g0, source AS g1, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+h AS (
+  SELECT g0, g1, n,
+         CAST(('0x' || substr(md5('dp:' || g0 || ':' || g1), 1, 15))
+              AS BIGINT) AS hh
+  FROM a
+),
+p AS (
+  SELECT g0, g1, n,
+         CAST(floor((
+           -(1000000.0 / 1000000)
+           * sign(2 * hh - {_TWO60})
+           * ln(CAST(greatest({_TWO60} - abs(2 * hh - {_TWO60}), 1) AS DOUBLE)
+                / CAST({_TWO60} AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS noise_micro
+  FROM h
+)
+SELECT g0, g1, CAST(n AS BIGINT) AS n, noise_micro,
+       CAST(n * 1000000 + noise_micro AS BIGINT) AS noisy_count_micro
+FROM p ORDER BY g0, g1
+"""
+
+
+# --------------------------------------------------------------------------
+# sketch_ams_f2 — AMS tug-of-war second moment
+# --------------------------------------------------------------------------
+
+
+def q_sketch_ams_f2(spark, sf_dir):
+    """AMS F₂ sketch over the corpus token-frequency vector (k=16
+    estimators, seeded signs) with the exact F₂ and relative error
+    carried — the self-join-size estimator, completing the sketch
+    family (HLL=F₀, CM=point frequency, KMV=distinct/overlap, AMS=F₂)
+    (operators/sketches.py ams_f2)."""
+    from .operators.sketches import ams_f2
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+        ).alias("tok")
+    )
+    return ams_f2(tok, "tok", k=16)
+
+
+O_SKETCH_AMS_F2 = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS v FROM documents
+),
+freq AS (SELECT v, count(*) AS f FROM tok GROUP BY v),
+sgn AS (
+  SELECT i, v, f,
+         1 - 2 * (CAST(('0x' || substr(md5('ams:' || i || ':' || v), 1, 15))
+                       AS BIGINT) % 2) AS s
+  FROM freq, (SELECT unnest(range(0, 16)) AS i)
+),
+per AS (SELECT i, CAST(sum(s * f) AS BIGINT) AS s_i FROM sgn GROUP BY i),
+sq AS (
+  SELECT i, s_i, CAST(s_i AS HUGEINT) * CAST(s_i AS HUGEINT) AS est_d
+  FROM per
+),
+ex AS (
+  SELECT sum(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS f2_d FROM freq
+),
+m AS (
+  SELECT sq.*, f2_d, (sum(est_d) OVER ()) // 16 AS mean_d FROM sq, ex
+)
+SELECT CAST(i AS BIGINT) AS estimator, s_i,
+       CAST(est_d AS BIGINT) AS est,
+       CAST(mean_d AS BIGINT) AS f2_est_mean,
+       CAST(f2_d AS BIGINT) AS f2_exact,
+       CAST((abs(mean_d - f2_d) * 1000000) // f2_d AS BIGINT) AS rel_err_micro
+FROM m ORDER BY estimator
+"""
+
+
+STAGED_REGISTRY: dict[str, tuple] = {
+    "txt_gopher_quality": (q_txt_gopher_quality, O_TXT_GOPHER_QUALITY),
+    "profile_drift_ks": (q_profile_drift_ks, O_PROFILE_DRIFT_KS),
+    "privacy_dp_counts": (q_privacy_dp_counts, O_PRIVACY_DP_COUNTS),
+    "sketch_ams_f2": (q_sketch_ams_f2, O_SKETCH_AMS_F2),
+}

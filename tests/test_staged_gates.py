@@ -1,0 +1,181 @@
+"""Round-7 staged operators (queries_staged.py — merged into the live
+registry at round 8): Gopher quality rules, two-sample KS drift, seeded
+Laplace DP counts, AMS F₂ sketch.  Hand-computed cases, defining
+invariants, and full oracle parity for every staged gate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------- gate parity
+
+
+def test_staged_gate_parity(spark):
+    from parity import compare, run_oracle
+
+    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+
+    assert len(STAGED_REGISTRY) == 4
+    for name, (fn, sql) in STAGED_REGISTRY.items():
+        sp = fn(spark, SF_DIR).toPandas()
+        problems = compare(sp, run_oracle(sql, SF_DIR))
+        assert not problems, f"{name}: {problems}"
+        assert len(sp) > 0, name
+
+
+# ----------------------------------------------------------- gopher quality
+
+
+def test_gopher_rules_hand_computed(spark):
+    from egraphdb_spark.operators.text import gopher_quality
+
+    rows = [
+        # passes everything (default thresholds except min_words=5)
+        (1, "the cat and the dog have fun with a ball of yarn"),
+        # too short (bit 1) + no stopwords (bit 64)
+        (2, "one two"),
+        # symbol-heavy: '#' per word > 0.1 (bit 16); contains stopwords
+        (3, "# # # the cat and dog # # # # play"),
+        # non-alpha words dominate (bit 32): 1/5 alpha < 0.8; short (bit 1)
+        (4, "12 34 56 78 the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_quality(df, min_words=5, min_stop_hits=2).collect()
+    }
+    assert out[1].fail_mask == 0 and out[1].keep
+    assert out[1].n_words == 12
+    assert out[2].fail_mask & 1 and out[2].fail_mask & 64 and not out[2].keep
+    assert out[3].fail_mask & 16
+    # doc 3: 7 '#' chars over 12 words = 583333 micro > 100000
+    assert out[3].symbol_ratio_micro == 7 * 1_000_000 // 12
+    assert out[4].fail_mask & 32
+    assert out[4].alpha_word_frac_micro == 1_000_000 // 5
+
+
+def test_gopher_ellipsis_and_empty(spark):
+    from egraphdb_spark.operators.text import gopher_quality
+
+    rows = [(1, "wait... what... no..."), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(df, min_words=1).collect()}
+    # 3 '...' over 3 words = ratio 1.0 → bit 16
+    assert out[1].symbol_ratio_micro == 1_000_000
+    assert out[1].fail_mask & 16
+    # empty/whitespace docs: 0 words → bit 1, ratios over the s=1 guard
+    for d in (2, 3):
+        assert out[d].n_words == 0
+        assert out[d].fail_mask & 1
+
+
+# ------------------------------------------------------------------ KS drift
+
+
+def test_ks_hand_computed(spark):
+    from egraphdb_spark.operators.profiling import ks_drift
+
+    # ref: bucket 0 ×3, bucket 1 ×1   (CDF: .75, 1.0)
+    # cur: bucket 0 ×1, bucket 1 ×3   (CDF: .25, 1.0)
+    ref = spark.createDataFrame([(0,), (0,), (0,), (1,)], "b long")
+    cur = spark.createDataFrame([(0,), (1,), (1,), (1,)], "b long")
+    out = {r.bucket: r for r in ks_drift(ref, cur, "b").collect()}
+    assert out[0].ks_contrib_micro == 500_000  # |3·4 − 1·4|·1e6 // 16
+    assert out[1].ks_contrib_micro == 0
+    assert out[0].ks_stat_micro == 500_000 == out[1].ks_stat_micro
+
+
+def test_ks_identical_and_disjoint(spark):
+    from egraphdb_spark.operators.profiling import ks_drift
+
+    same = spark.createDataFrame([(i % 5,) for i in range(50)], "b long")
+    out = ks_drift(same, same, "b").collect()
+    assert all(r.ks_contrib_micro == 0 for r in out)
+    # fully disjoint supports → D = 1
+    lo = spark.createDataFrame([(0,), (1,)], "b long")
+    hi = spark.createDataFrame([(9,), (10,)], "b long")
+    out = ks_drift(lo, hi, "b").collect()
+    assert max(r.ks_stat_micro for r in out) == 1_000_000
+
+
+# ------------------------------------------------------------------ DP counts
+
+
+def test_dp_counts_seeded_laplace(spark):
+    from egraphdb_spark.operators.privacy import dp_group_counts
+
+    rows = [(f"g{i % 20}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = dp_group_counts(df, ["g"]).collect()
+    assert len(out) == 20
+    assert all(r.n == 10 for r in out)
+    # reproducible: same salt → identical noise
+    again = dp_group_counts(df, ["g"]).collect()
+    assert [r.noise_micro for r in out] == [r.noise_micro for r in again]
+    # a different salt decorrelates the draw
+    other = dp_group_counts(df, ["g"], salt="dp2").collect()
+    assert [r.noise_micro for r in out] != [r.noise_micro for r in other]
+    # noisy = true·1e6 + noise, exactly
+    assert all(
+        r.noisy_count_micro == r.n * 1_000_000 + r.noise_micro for r in out
+    )
+    # Laplace(1/ε=1): median |noise| = ln(2) ≈ 0.693; with 20 draws just
+    # sanity-check the magnitude envelope and that both signs occur
+    signs = {r.noise_micro > 0 for r in out} | {r.noise_micro < 0 for r in out}
+    assert True in signs
+    assert all(abs(r.noise_micro) < 20_000_000 for r in out)
+
+
+def test_dp_counts_epsilon_scales_noise(spark):
+    from egraphdb_spark.operators.privacy import dp_group_counts
+
+    rows = [(f"g{i % 10}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    tight = dp_group_counts(df, ["g"], epsilon_micro=2_000_000).collect()
+    loose = dp_group_counts(df, ["g"], epsilon_micro=500_000).collect()
+    # same hash draw, b = 1/ε → noise scales exactly by ε-ratio (up to
+    # the final micro rounding)
+    for a, b in zip(sorted(tight, key=lambda r: r.g0), sorted(loose, key=lambda r: r.g0)):
+        assert abs(b.noise_micro - 4 * a.noise_micro) <= 4
+
+
+# ------------------------------------------------------------------- AMS F₂
+
+
+def test_ams_f2_hand_structure(spark):
+    from egraphdb_spark.operators.sketches import ams_f2
+
+    # frequency vector: a×4, b×2, c×1 → F₂ = 16+4+1 = 21
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "v string")
+    out = ams_f2(df, "v", k=8).collect()
+    assert len(out) == 8
+    assert all(r.f2_exact == 21 for r in out)
+    # every estimator is (±4 ±2 ±1)² ∈ {1, 9, 25, 49}
+    assert all(r.est == r.s_i * r.s_i for r in out)
+    assert all(r.est in (1, 9, 25, 49) for r in out)
+    mean = sum(r.est for r in out) // 8
+    assert all(r.f2_est_mean == mean for r in out)
+    assert all(
+        r.rel_err_micro == abs(mean - 21) * 1_000_000 // 21 for r in out
+    )
+
+
+def test_ams_f2_estimator_quality(spark):
+    from egraphdb_spark.operators.sketches import ams_f2
+
+    # Zipf-ish corpus: E[est] = F₂ and k=32 averaging should land the
+    # mean within a loose factor-2 envelope (variance ≤ 2·F₂²/k)
+    rows = [(f"w{j}",) for j in range(1, 60) for _ in range(60 // j)]
+    df = spark.createDataFrame(rows, "v string")
+    out = ams_f2(df, "v", k=32).collect()
+    f2 = out[0].f2_exact
+    mean = out[0].f2_est_mean
+    assert f2 == sum((60 // j) ** 2 for j in range(1, 60))
+    assert mean == pytest.approx(f2, rel=1.0)
