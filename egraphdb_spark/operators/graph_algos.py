@@ -1229,3 +1229,78 @@ def betweenness_k(
         .agg(F.sum("delta").cast("long").alias("bc_micro"))
         .orderBy("key")
     )
+
+
+def ktruss_peel(
+    edges: DataFrame, k: int = 4, rounds: int = 3
+) -> DataFrame:
+    """k-truss of an undirected simple graph (Cohen '08): the maximal
+    subgraph where every edge sits in ≥ k−2 triangles — the standard
+    cohesion refinement of k-core (every k-truss is a (k−1)-core, but
+    truss demands the support come from TRIANGLES, so it isolates
+    genuinely dense communities that degree alone can't).
+
+    Peeling with a FIXED round budget, like :func:`kcore_peel`: each
+    round enumerates triangles on the canonical (a < b) edge set via the
+    three-way wedge-closing join (each triangle found exactly once as
+    a < b < c), explodes each triangle's three edges, counts per-edge
+    support with one hash aggregate, and drops edges below k−2.  A
+    fixpoint inside the budget is reported honestly by the support
+    column of the FINAL survivor set (recomputed once after the last
+    peel, so callers can check every reported support ≥ k−2 ⇔
+    converged).  Output: ``(a, b, support)``, canonical, ascending.
+
+    Scale: per round, one self-join pair on the hub-capped edge table +
+    one map-side-combined aggregate; every survivor frame is
+    lineage-cut.  Triangle enumeration cost is Σ_e min-degree — callers
+    bound it upstream with the same max-fanout hub discipline as
+    bipartite_projection / neighbor-Jaccard (a truss never contains a
+    hubless triangle that the cap would have cut: dropped hubs can only
+    LOWER supports, so the cap is a documented approximation exactly as
+    in those operators).
+    """
+    und = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(cut_lineage)
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sides = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                )
+            ).alias("s")
+        ).select("s.a", "s.b")
+        return sides.groupBy("a", "b").agg(
+            F.count("*").cast("long").alias("support")
+        )
+
+    for _ in range(rounds):
+        sup = support(und)
+        und = (
+            und.join(sup, ["a", "b"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .transform(cut_lineage)
+        )
+    final = support(und)
+    return (
+        und.join(final, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        .orderBy("a", "b")
+    )

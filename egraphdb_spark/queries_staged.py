@@ -266,3 +266,92 @@ STAGED_REGISTRY: dict[str, tuple] = {
     "privacy_dp_counts": (q_privacy_dp_counts, O_PRIVACY_DP_COUNTS),
     "sketch_ams_f2": (q_sketch_ams_f2, O_SKETCH_AMS_F2),
 }
+
+
+# --------------------------------------------------------------------------
+# graph_ktruss — triangle-support peeling
+# --------------------------------------------------------------------------
+
+
+def q_graph_ktruss(spark, sf_dir):
+    """3-truss of the fixture graph augmented with customer/supplier →
+    region shortcuts (the same graph as graph_triangles: the base layered
+    DAG has zero triangles; each shortcut closes one through its nation
+    and region).  Every surviving edge must sit in ≥ 1 triangle, so the
+    peel removes the whole part↔supplier / customer→part supply
+    machinery in round 1 and keeps exactly the membership triangles,
+    with the (nation, region) edges' support = nation population —
+    varied, data-derived values, not a constant (operators/
+    graph_algos.py ktruss_peel; oracle unrolls identical rounds).
+    Completes the cohesion ladder: degree (k-core) → triangle support
+    (k-truss); the multi-round CASCADE path is pinned by the pytest
+    triangle-chain case (tests/test_staged_gates.py)."""
+    from .operators.graph_algos import ktruss_peel
+
+    from .queries import fixture
+
+    g = fixture(spark, sf_dir)
+    rel = F.get_json_object("details", "$.rel")
+    e = g.edges.select("src_key", "dst_key")
+    to_nation = g.edges.where(rel == "in_nation").select(
+        F.col("src_key").alias("x"), F.col("dst_key").alias("n")
+    )
+    to_region = g.edges.where(rel == "in_region").select(
+        F.col("src_key").alias("n"), F.col("dst_key").alias("r")
+    )
+    shortcuts = to_nation.join(F.broadcast(to_region), "n").select(
+        F.col("x").alias("src_key"), F.col("r").alias("dst_key")
+    )
+    aug = e.unionByName(shortcuts).select(
+        F.col("src_key").alias("a"), F.col("dst_key").alias("b")
+    )
+    return ktruss_peel(aug, k=3, rounds=2)
+
+
+def _ktruss_oracle(k: int = 3, rounds: int = 2) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # round-over-round references here would expand u0 exponentially
+    # (~4^rounds parquet rescans — it exhausted the fd limit in testing)
+    sql = """
+WITH e AS MATERIALIZED (
+  SELECT 'customer:' || c_custkey AS s, 'nation:' || c_nationkey AS d FROM customer
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+  UNION ALL SELECT DISTINCT 'customer:' || o_custkey, 'part:' || l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  UNION ALL SELECT DISTINCT 'part:' || l_partkey, 'supplier:' || l_suppkey FROM lineitem
+  UNION ALL SELECT 'customer:' || c_custkey, 'region:' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e WHERE s <> d
+)"""
+    prev = "u0"
+    for r in list(range(1, rounds + 1)) + ["f"]:
+        cur = f"u{r}" if r != "f" else None
+        sql += f""",
+t{r} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.b
+              JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b),
+s{r} AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+           SELECT x AS a, y AS b FROM t{r}
+           UNION ALL SELECT y, z FROM t{r}
+           UNION ALL SELECT x, z FROM t{r}) GROUP BY a, b)"""
+        if cur:
+            sql += f""",
+{cur} AS MATERIALIZED (SELECT {prev}.a, {prev}.b FROM {prev}
+          LEFT JOIN s{r} ON s{r}.a = {prev}.a AND s{r}.b = {prev}.b
+          WHERE COALESCE(sup, 0) >= {k - 2})"""
+            prev = cur
+    sql += f"""
+SELECT {prev}.a, {prev}.b, CAST(COALESCE(sup, 0) AS BIGINT) AS support
+FROM {prev} LEFT JOIN sf ON sf.a = {prev}.a AND sf.b = {prev}.b
+ORDER BY {prev}.a, {prev}.b"""
+    return sql
+
+
+O_GRAPH_KTRUSS = _ktruss_oracle()
+
+STAGED_REGISTRY["graph_ktruss"] = (q_graph_ktruss, O_GRAPH_KTRUSS)
