@@ -697,7 +697,8 @@ def ks_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame:
     Output per bucket, ascending: ``(bucket, n_ref, n_cur,
     ks_contrib_micro, ks_stat_micro)`` where ks_contrib_micro =
     (|c_ref·T_cur − c_cur·T_ref|·10⁶) div (T_ref·T_cur) and
-    ks_stat_micro = max_b contrib, carried per row.
+    ks_stat_micro = max_b contrib, carried per row.  An EMPTY side (a
+    zero total) is total drift by definition: every bucket reports 10⁶.
 
     Scale: two map-side-combined count aggregates, a full-outer join on
     bucket, and ordered windows over the BUCKET table only — safe
@@ -730,12 +731,18 @@ def ks_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame:
             "ccur": F.sum("n_cur").over(wc).cast("long"),
         }
     )
+    # an EMPTY side makes the denominator zero: Spark's decimal `div`
+    # would return NULL where DuckDB's `//` raises — a divergence, not a
+    # failure.  Comparing any non-empty sample to an empty one is total
+    # drift by definition, so that case is pinned to 10⁶ explicitly
+    # (identical CASE in the oracle).
     contrib = F.expr(
-        "cast((abs(cast(cref as decimal(38,0)) * cast(tcur as decimal(38,0))"
+        "case when tref = 0 or tcur = 0 then cast(1000000 as bigint)"
+        " else cast((abs(cast(cref as decimal(38,0)) * cast(tcur as decimal(38,0))"
         "        - cast(ccur as decimal(38,0)) * cast(tref as decimal(38,0)))"
         "      * 1000000)"
         " div (cast(tref as decimal(38,0)) * cast(tcur as decimal(38,0)))"
-        " as bigint)"
+        " as bigint) end"
     )
     per = cum.withColumn("ks_contrib_micro", contrib)
     return (

@@ -146,10 +146,11 @@ t AS (
 ),
 p AS (
   SELECT bucket, n_ref, n_cur,
-         CAST((abs(CAST(cref AS HUGEINT) * CAST(tcur AS HUGEINT)
+         CASE WHEN tref = 0 OR tcur = 0 THEN CAST(1000000 AS BIGINT)
+         ELSE CAST((abs(CAST(cref AS HUGEINT) * CAST(tcur AS HUGEINT)
                  - CAST(ccur AS HUGEINT) * CAST(tref AS HUGEINT)) * 1000000)
               // (CAST(tref AS HUGEINT) * CAST(tcur AS HUGEINT))
-              AS BIGINT) AS ks_contrib_micro
+              AS BIGINT) END AS ks_contrib_micro
   FROM t
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,

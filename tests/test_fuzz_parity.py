@@ -152,15 +152,27 @@ def _write_corpus(spark, texts: list[str]) -> str:
     return d
 
 
+# round-7 staged gates that read only the documents table fuzz here too,
+# pre-merge (graph_ktruss reads the TPC-H tables and is out of scope)
+STAGED_FUZZ_GATES = [
+    "txt_gopher_quality",
+    "profile_drift_ks",
+    "privacy_dp_counts",
+    "sketch_ams_f2",
+]
+
+
 @given(texts=st.lists(_DOC, min_size=1, max_size=8))
 @settings(**_SETTINGS)
 def test_gates_parity_on_hostile_corpus(spark, texts):
+    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+
     # one corpus write per example, all gates against it (a per-gate
     # parametrize would pay the corpus write FUZZ_GATES times over)
     sf_dir = _write_corpus(spark, texts)
     failures = []
-    for gate in FUZZ_GATES:
-        fn, sql = REGISTRY[gate]
+    for gate in FUZZ_GATES + STAGED_FUZZ_GATES:
+        fn, sql = {**REGISTRY, **STAGED_REGISTRY}[gate]
         spark_pdf = fn(spark, sf_dir).toPandas()
         oracle_pdf = run_oracle(sql, sf_dir)
         problems = compare(spark_pdf, oracle_pdf)

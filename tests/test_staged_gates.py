@@ -221,3 +221,14 @@ def test_ktruss_canonicalizes_and_dedupes(spark):
     out = ktruss_peel(df, k=3, rounds=1).collect()
     assert sorted((r.a, r.b) for r in out) == [("a","b"),("a","c"),("b","c")]
     assert all(r.support == 1 for r in out)
+
+
+def test_ks_one_side_empty_is_total_drift(spark):
+    from egraphdb_spark.operators.profiling import ks_drift
+
+    ref = spark.createDataFrame([(0,), (1,)], "b long")
+    cur = ref.where(F.lit(False))
+    out = ks_drift(ref, cur, "b").collect()
+    assert len(out) == 2
+    assert all(r.ks_contrib_micro == 1_000_000 for r in out)
+    assert all(r.ks_stat_micro == 1_000_000 for r in out)
