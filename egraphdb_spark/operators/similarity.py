@@ -1245,3 +1245,63 @@ def embedding_drift(
         F.round(cosine(F.col("va"), F.col("vb")), 6).alias("centroid_cos"),
         F.floor(l2 * 1000000.0).cast("long").alias("centroid_l2_micro"),
     )
+
+
+def kcenter_coreset(
+    emb: DataFrame, id_col: str, vec_col: str, k: int = 8
+) -> DataFrame:
+    """Greedy k-center coreset (farthest-point-first — Gonzalez '85
+    2-approximation; Sener & Savarese ICLR'18 as the data-curation /
+    active-learning selection rule): pick the smallest-id point as the
+    seed, then k−1 times pick the point FARTHEST (cosine distance) from
+    everything already chosen — the diversity-maximizing subset used to
+    seed clusterings, pick annotation batches, and build eval coresets.
+
+    Per round, each point's running distance-to-selected-set is updated
+    with one ``least`` against the new center (narrow map), and the next
+    center is one global argmax (TakeOrderedAndProject — no sort
+    shuffle; ties break to the smallest id).  The only driver transfer
+    is ONE ROW PER ROUND (the selected center) — the bounded-collect
+    centroid class of kmeans_anchors, k rows total, never data-sized.
+    Distances are round(1 − cosine, 6) with the family's sequential-fold
+    recipe, so the SQL oracle replays selection bit-for-bit.
+
+    Output: ``(rank, id, dist)`` for the k selected points, rank
+    ascending; dist = distance to the previously-selected set at
+    selection time (NULL for the unconditional seed).
+    """
+    spark = emb.sparkSession
+    v = emb.select(
+        F.col(id_col).cast("long").alias("id"), _as_double(vec_col).alias("vec")
+    )
+    seed_rows = v.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame([], "rank long, id long, dist double")
+    seed = seed_rows[0]
+
+    def _lit_vec(xs) -> Column:
+        return F.array(*[F.lit(float(x)) for x in xs]).cast("array<double>")
+
+    chosen: list[tuple[int, int, float | None]] = [(0, seed.id, None)]
+    cur = v.withColumn(
+        "dmin", F.round(F.lit(1.0) - cosine(F.col("vec"), _lit_vec(seed.vec)), 6)
+    ).transform(cut_lineage)
+    for r in range(1, k):
+        top = (
+            cur.where(~F.col("id").isin([c[1] for c in chosen]))
+            .orderBy(F.col("dmin").desc(), F.col("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        chosen.append((r, t.id, float(t.dmin)))
+        cur = cur.withColumn(
+            "dmin",
+            F.least(
+                "dmin",
+                F.round(F.lit(1.0) - cosine(F.col("vec"), _lit_vec(t.vec)), 6),
+            ),
+        ).transform(cut_lineage)
+    return spark.createDataFrame(chosen, "rank long, id long, dist double")

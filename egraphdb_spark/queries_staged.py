@@ -356,3 +356,79 @@ ORDER BY {prev}.a, {prev}.b"""
 O_GRAPH_KTRUSS = _ktruss_oracle()
 
 STAGED_REGISTRY["graph_ktruss"] = (q_graph_ktruss, O_GRAPH_KTRUSS)
+
+
+# --------------------------------------------------------------------------
+# sample_kcenter_coreset — greedy farthest-point diversity selection
+# --------------------------------------------------------------------------
+
+
+def q_sample_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (k=8) over the embeddings table — the
+    diversity-maximizing subset selection used for annotation batches
+    and eval coresets (operators/similarity.py kcenter_coreset; Gonzalez
+    '85 / Sener & Savarese '18).  The oracle unrolls the identical 8
+    selection rounds with MATERIALIZED CTEs and replays the argmax
+    (dmin desc, id asc) bit-for-bit via the family's sequential-fold +
+    round-6dp recipe."""
+    from .operators.similarity import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "vec_id", "embedding", k=8)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    def rawcos(a: str, b: str) -> str:
+        na = f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        nb = f"sqrt(list_sum(list_transform({b}, x -> x * x)))"
+        dot = (
+            f"list_sum(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)]))"
+        )
+        return (
+            f"CASE WHEN {na} * {nb} = 0 THEN 0.0"
+            f" ELSE {dot} / ({na} * {nb}) END"
+        )
+
+    def dist(a: str, b: str) -> str:
+        return f"round(1.0 - ({rawcos(a, b)}), 6)"
+
+    sql = f"""
+WITH v AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+c0 AS MATERIALIZED (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+d0 AS MATERIALIZED (
+  SELECT v.id, v.vec, {dist('v.vec', 'c0.vec')} AS dmin FROM v, c0
+)"""
+    for r in range(1, k):
+        excl = " UNION ALL ".join(f"SELECT id FROM c{i}" for i in range(r))
+        sql += f""",
+c{r} AS MATERIALIZED (
+  SELECT id, vec, dmin FROM d{r - 1}
+  WHERE id NOT IN ({excl})
+  ORDER BY dmin DESC, id LIMIT 1
+)"""
+        if r < k - 1:
+            sql += f""",
+d{r} AS MATERIALIZED (
+  SELECT d{r - 1}.id, d{r - 1}.vec,
+         least(d{r - 1}.dmin, {dist(f'd{r - 1}.vec', f'c{r}.vec')}) AS dmin
+  FROM d{r - 1}, c{r}
+)"""
+    parts = ["SELECT CAST(0 AS BIGINT) AS rank, id, CAST(NULL AS DOUBLE) AS dist FROM c0"]
+    parts += [
+        f"SELECT CAST({r} AS BIGINT), id, dmin FROM c{r}" for r in range(1, k)
+    ]
+    sql += "\n" + "\nUNION ALL ".join(parts) + "\nORDER BY rank"
+    return sql
+
+
+O_SAMPLE_KCENTER = _kcenter_oracle()
+
+STAGED_REGISTRY["sample_kcenter_coreset"] = (
+    q_sample_kcenter_coreset,
+    O_SAMPLE_KCENTER,
+)

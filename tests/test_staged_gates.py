@@ -1,7 +1,8 @@
 """Round-7 staged operators (queries_staged.py — merged into the live
 registry at round 8): Gopher quality rules, two-sample KS drift, seeded
-Laplace DP counts, AMS F₂ sketch, k-truss peeling.  Hand-computed cases,
-defining invariants, and full oracle parity for every staged gate."""
+Laplace DP counts, AMS F₂ sketch, k-truss peeling, k-center coreset.
+Hand-computed cases, defining invariants, and full oracle parity for
+every staged gate."""
 
 from __future__ import annotations
 
@@ -21,7 +22,7 @@ def test_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_REGISTRY
 
-    assert len(STAGED_REGISTRY) == 5
+    assert len(STAGED_REGISTRY) == 6
     for name, (fn, sql) in STAGED_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -232,3 +233,40 @@ def test_ks_one_side_empty_is_total_drift(spark):
     assert len(out) == 2
     assert all(r.ks_contrib_micro == 1_000_000 for r in out)
     assert all(r.ks_stat_micro == 1_000_000 for r in out)
+
+
+# ------------------------------------------------------------- k-center
+
+
+def test_kcenter_structure_and_monotone(spark):
+    from egraphdb_spark.operators.similarity import kcenter_coreset
+
+    # 2-D unit vectors at known angles; seed = id 0, then farthest-first
+    import math as m
+
+    pts = [(i, [m.cos(a), m.sin(a)]) for i, a in
+           [(0, 0.0), (1, 0.1), (2, 3.1), (3, 1.6), (4, 3.0)]]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, "vec_id", "embedding", k=4).collect()
+    assert [r.rank for r in out] == [0, 1, 2, 3]
+    assert out[0].id == 0 and out[0].dist is None
+    # farthest from id0 (angle 0) is angle 3.1 (id 2)
+    assert out[1].id == 2
+    # selection distances are non-increasing (Gonzalez invariant)
+    ds = [r.dist for r in out[1:]]
+    assert ds == sorted(ds, reverse=True)
+    assert len({r.id for r in out}) == 4
+
+
+def test_kcenter_k_exceeds_n_and_duplicates(spark):
+    from egraphdb_spark.operators.similarity import kcenter_coreset
+
+    pts = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, "vec_id", "embedding", k=10).collect()
+    # stops at n rows; duplicate of the seed is selected LAST (dist ~0)
+    assert len(out) == 3
+    assert [r.id for r in out] == [0, 2, 1]
+    assert abs(out[2].dist) < 1e-5
+    # empty input → empty typed frame
+    assert kcenter_coreset(df.where("vec_id < 0"), "vec_id", "embedding").count() == 0
