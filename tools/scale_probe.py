@@ -178,6 +178,13 @@ PROBES = [
     "clean_unicode_normalize",
     "dedup_cdc_chunks",
     "rag_mmr_rerank",
+    # round-7 staged gates (queries_staged.py; merge at round 8)
+    "txt_gopher_quality",
+    "profile_drift_ks",
+    "privacy_dp_counts",
+    "sketch_ams_f2",
+    "graph_ktruss",
+    "sample_kcenter_coreset",
 ]
 
 
@@ -204,7 +211,10 @@ def build(spark, k: int, dst: str) -> None:
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]
-    from egraphdb_spark.queries import REGISTRY, fixture
+    from egraphdb_spark.queries import REGISTRY as _LIVE, fixture
+    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+
+    REGISTRY = {**_LIVE, **STAGED_REGISTRY}
     from egraphdb_spark.queries_pipeline import doc_shingles
     from egraphdb_spark.session import get_spark
 
