@@ -289,7 +289,11 @@ def q_graph_ktruss(spark, sf_dir):
     graph_algos.py ktruss_peel; oracle unrolls identical rounds).
     Completes the cohesion ladder: degree (k-core) → triangle support
     (k-truss); the multi-round CASCADE path is pinned by the pytest
-    triangle-chain case (tests/test_staged_gates.py)."""
+    triangle-chain case (tests/test_staged_gates.py).  rounds=1 because
+    k=3 reaches its fixpoint in ONE peel by construction — every edge of
+    a triangle is kept alive by that same triangle, so survivors'
+    supports cannot drop; deeper k (pytest) is where extra rounds do
+    work."""
     from .operators.graph_algos import ktruss_peel
 
     from .queries import fixture
@@ -309,10 +313,10 @@ def q_graph_ktruss(spark, sf_dir):
     aug = e.unionByName(shortcuts).select(
         F.col("src_key").alias("a"), F.col("dst_key").alias("b")
     )
-    return ktruss_peel(aug, k=3, rounds=2)
+    return ktruss_peel(aug, k=3, rounds=1)
 
 
-def _ktruss_oracle(k: int = 3, rounds: int = 2) -> str:
+def _ktruss_oracle(k: int = 3, rounds: int = 1) -> str:
     # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
     # round-over-round references here would expand u0 exponentially
     # (~4^rounds parquet rescans — it exhausted the fd limit in testing)
