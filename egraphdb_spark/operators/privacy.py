@@ -369,3 +369,100 @@ def dp_group_counts(
         )
         .orderBy(*gnames)
     )
+
+
+def dp_group_mean(
+    df: DataFrame,
+    group: list[Column | str],
+    value: Column | str,
+    lo: float,
+    hi: float,
+    epsilon_micro: int = 1_000_000,
+    salt: str = "dpm",
+) -> DataFrame:
+    """ε-DP clipped mean per group — the standard Laplace mean release:
+    values are clipped to [lo, hi] (bounding each row's influence), then
+    the privacy budget is split ε/2 on the clipped SUM (sensitivity
+    hi−lo) and ε/2 on the COUNT (sensitivity 1); the released mean is
+    their ratio (Dwork & Roth '14 §3.4).  Noise draws are seeded from
+    md5₆₀(salt:kind:group) exactly like :func:`dp_group_counts`, so the
+    release is reproducible and hash-exact under the floor(x·10⁶ + 0.5)
+    recipe.
+
+    Output per group: ``(…group…, n, sum_clipped_cents,
+    noise_sum_micro, noise_cnt_micro, dp_mean_milli)`` with
+    dp_mean_milli = (noisy_sum·1000) div noisy_count in 128-bit
+    (NULL when the noisy count ≤ 0 — honest small-group failure, not a
+    fabricated value).  The true n / clipped sum are AUDIT columns; a
+    real release keeps only dp_mean_milli.
+
+    Scale: one map-side-combined aggregate + a group-row-only
+    projection, same as dp_group_counts.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in group]
+    named = [c.alias(f"g{i}") for i, c in enumerate(cols)]
+    gnames = [f"g{i}" for i in range(len(named))]
+    v = F.col(value) if isinstance(value, str) else value
+    clipped = F.least(F.greatest(v.cast("double"), F.lit(lo)), F.lit(hi))
+    agg = (
+        df.select(*named, clipped.alias("v"))
+        .groupBy(*gnames)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr("cast(round(100 * v) as bigint)")).alias(
+                "sum_clipped_cents"
+            ),
+        )
+    )
+    two60 = 1 << 60
+    sens_cents = int(round(100 * (hi - lo)))
+
+    def lap(kind: str, b_micro_expr: str) -> Column:
+        key = F.concat_ws(
+            ":", F.lit(salt), F.lit(kind),
+            *[F.col(g).cast("string") for g in gnames],
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        return F.expr(
+            f"cast(floor(("
+            f"  -({b_micro_expr})"
+            f"  * sign(2 * {'_h_' + kind} - {two60})"
+            f"  * ln(cast(greatest({two60} - abs(2 * {'_h_' + kind} - {two60}), 1) as double)"
+            f"       / {float(two60)})"
+            f") * 1000000.0 + 0.5) as bigint)"
+        ), h
+
+    # ε/2 each: b_sum = (hi−lo)/(ε/2) in cents·micro, b_cnt = 1/(ε/2)
+    noise_sum_expr, h_sum = lap("sum", f"{2 * sens_cents * 1000000.0} / {epsilon_micro}")
+    noise_cnt_expr, h_cnt = lap("cnt", f"{2 * 1000000.0} / {epsilon_micro}")
+    out = (
+        agg.withColumn("_h_sum", h_sum)
+        .withColumn("_h_cnt", h_cnt)
+        .withColumn("noise_sum_micro", noise_sum_expr)
+        .withColumn("noise_cnt_micro", noise_cnt_expr)
+    )
+    # noisy sum in cents·micro = sum_cents·1e6 + noise_sum_micro·?? — the
+    # sum noise is drawn in CENTS·micro units (b includes the ·100 cents
+    # scale), the count noise in row·micro units; the 128-bit ratio
+    # yields milli-units of the ORIGINAL value scale.
+    # the noisy sum is clamped at 0 (valid DP post-processing): a negative
+    # numerator would hit the one truncate-vs-floor divergence between
+    # Spark's `div` and DuckDB's `//`; with both operands non-negative the
+    # engines agree bit-exactly (t-closeness recipe)
+    mean_milli = F.expr(
+        "case when (n * 1000000 + noise_cnt_micro) <= 0 then null"
+        " else cast(greatest("
+        "   cast(sum_clipped_cents as decimal(38,0)) * 1000000"
+        "   + cast(noise_sum_micro as decimal(38,0)),"
+        "   cast(0 as decimal(38,0))) * 10"
+        " div (cast(n as decimal(38,0)) * 1000000"
+        "      + cast(noise_cnt_micro as decimal(38,0))) as bigint) end"
+    )
+    return out.select(
+        *gnames,
+        "n",
+        "sum_clipped_cents",
+        "noise_sum_micro",
+        "noise_cnt_micro",
+        mean_milli.alias("dp_mean_milli"),
+    ).orderBy(*gnames)

@@ -752,3 +752,4 @@ def ks_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame:
         .select("bucket", "n_ref", "n_cur", "ks_contrib_micro", "ks_stat_micro")
         .orderBy("bucket")
     )
+

@@ -439,3 +439,65 @@ STAGED_REGISTRY["sample_kcenter_coreset"] = (
     q_sample_kcenter_coreset,
     O_SAMPLE_KCENTER,
 )
+
+
+# --------------------------------------------------------------------------
+# privacy_dp_mean — seeded Laplace clipped-mean release
+# --------------------------------------------------------------------------
+
+
+def q_privacy_dp_mean(spark, sf_dir):
+    """ε=1 differentially-private mean document length per source —
+    clipped to [0, 400] chars, budget split ε/2 sum + ε/2 count
+    (operators/privacy.py dp_group_mean).  Extends privacy_dp_counts
+    from histogram release to the clipped-mean mechanism (Dwork & Roth
+    §3.4); true n / clipped sum ride as audit columns."""
+    from .operators.privacy import dp_group_mean
+
+    docs = _t(spark, sf_dir, "documents")
+    return dp_group_mean(docs, ["source"], "n_chars", lo=0.0, hi=400.0)
+
+
+O_PRIVACY_DP_MEAN = f"""
+WITH a AS (
+  SELECT source AS g0, count(*) AS n,
+         CAST(sum(CAST(round(100 * least(greatest(CAST(n_chars AS DOUBLE), 0.0),
+                                         400.0)) AS BIGINT)) AS BIGINT)
+           AS sum_clipped_cents
+  FROM documents GROUP BY 1
+),
+h AS (
+  SELECT g0, n, sum_clipped_cents,
+         CAST(('0x' || substr(md5('dpm:sum:' || g0), 1, 15)) AS BIGINT) AS hs,
+         CAST(('0x' || substr(md5('dpm:cnt:' || g0), 1, 15)) AS BIGINT) AS hc
+  FROM a
+),
+p AS (
+  SELECT g0, n, sum_clipped_cents,
+         CAST(floor((
+           -(80000.0)
+           * sign(2 * hs - {_TWO60})
+           * ln(CAST(greatest({_TWO60} - abs(2 * hs - {_TWO60}), 1) AS DOUBLE)
+                / CAST({_TWO60} AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS noise_sum_micro,
+         CAST(floor((
+           -(2.0)
+           * sign(2 * hc - {_TWO60})
+           * ln(CAST(greatest({_TWO60} - abs(2 * hc - {_TWO60}), 1) AS DOUBLE)
+                / CAST({_TWO60} AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS noise_cnt_micro
+  FROM h
+)
+SELECT g0, CAST(n AS BIGINT) AS n, sum_clipped_cents,
+       noise_sum_micro, noise_cnt_micro,
+       CASE WHEN (n * 1000000 + noise_cnt_micro) <= 0 THEN NULL
+       ELSE CAST(greatest(CAST(sum_clipped_cents AS HUGEINT) * 1000000
+                          + CAST(noise_sum_micro AS HUGEINT),
+                          CAST(0 AS HUGEINT)) * 10
+            // (CAST(n AS HUGEINT) * 1000000
+                + CAST(noise_cnt_micro AS HUGEINT)) AS BIGINT) END
+         AS dp_mean_milli
+FROM p ORDER BY g0
+"""
+
+STAGED_REGISTRY["privacy_dp_mean"] = (q_privacy_dp_mean, O_PRIVACY_DP_MEAN)

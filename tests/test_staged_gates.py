@@ -1,7 +1,7 @@
 """Round-7 staged operators (queries_staged.py — merged into the live
 registry at round 8): Gopher quality rules, two-sample KS drift, seeded
-Laplace DP counts, AMS F₂ sketch, k-truss peeling, k-center coreset.
-Hand-computed cases, defining invariants, and full oracle parity for
+Laplace DP counts + clipped DP mean, AMS F₂ sketch, k-truss peeling,
+k-center coreset.  Hand-computed cases, defining invariants, and full oracle parity for
 every staged gate."""
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ def test_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_REGISTRY
 
-    assert len(STAGED_REGISTRY) == 6
+    assert len(STAGED_REGISTRY) == 7
     for name, (fn, sql) in STAGED_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -270,3 +270,52 @@ def test_kcenter_k_exceeds_n_and_duplicates(spark):
     assert abs(out[2].dist) < 1e-5
     # empty input → empty typed frame
     assert kcenter_coreset(df.where("vec_id < 0"), "vec_id", "embedding").count() == 0
+
+
+# ------------------------------------------------------------------ DP mean
+
+
+def test_dp_mean_mechanics(spark):
+    from egraphdb_spark.operators.privacy import dp_group_mean
+
+    rows = [("a", float(v)) for v in range(100)] + [("b", 1e9), ("b", -50.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {r.g0: r for r in dp_group_mean(df, ["g"], "x", 0.0, 99.0).collect()}
+    # clipping: group b's 1e9 clips to 99, -50 clips to 0
+    assert out["b"].sum_clipped_cents == 9900
+    assert out["a"].sum_clipped_cents == 100 * 4950  # Σ0..99 ·100
+    # reproducible + epsilon-scaled like dp_group_counts
+    again = {r.g0: r for r in dp_group_mean(df, ["g"], "x", 0.0, 99.0).collect()}
+    assert out["a"].noise_sum_micro == again["a"].noise_sum_micro
+    # dp mean of the large clean group lands near the true mean (49.5):
+    # |noise_sum| ≤ ~6b_sum = 6·198 value-units, /100 rows → ±12 slack
+    assert abs(out["a"].dp_mean_milli - 49_500) < 15_000
+    # audit identity: mean = clamp(sum·1e6+noise,0)·10 div (n·1e6+noise)
+    import decimal
+    for r in out.values():
+        num = max(r.sum_clipped_cents * 10**6 + r.noise_sum_micro, 0) * 10
+        den = r.n * 10**6 + r.noise_cnt_micro
+        assert r.dp_mean_milli == num // den
+
+
+def test_dp_mean_noisy_count_nonpositive_is_null(spark):
+    from egraphdb_spark.operators.privacy import dp_group_mean
+
+    # tiny epsilon → huge count noise; single-row groups can go ≤ 0.
+    # scan salts until one yields a NULL release (deterministic given salt)
+    rows = [(f"g{i}", 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    for salt in ("s1", "s2", "s3", "s4"):
+        out = dp_group_mean(
+            df, ["g"], "x", 0.0, 1.0, epsilon_micro=10_000, salt=salt
+        ).collect()
+        if any(r.dp_mean_milli is None for r in out):
+            break
+    else:
+        raise AssertionError("no NULL release found across salts")
+    # and every non-null release is still the exact audit identity
+    for r in out:
+        if r.dp_mean_milli is not None:
+            num = max(r.sum_clipped_cents * 10**6 + r.noise_sum_micro, 0) * 10
+            den = r.n * 10**6 + r.noise_cnt_micro
+            assert den > 0 and r.dp_mean_milli == num // den
