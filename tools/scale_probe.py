@@ -185,6 +185,7 @@ PROBES = [
     "sketch_ams_f2",
     "graph_ktruss",
     "sample_kcenter_coreset",
+    "privacy_dp_mean",
 ]
 
 
