@@ -22,8 +22,10 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
 
     from pyspark.sql import SparkSession
 
@@ -36,10 +38,17 @@ def main() -> int:
     )
 
     import __spark_entry__ as entry
-    from parity import check_query
+    from parity import compare, run_oracle
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    qs = dict(entry.queries())
+    oracles = dict(entry.oracle_sql())
+    if staged:
+        # pre-merge sweep of queries_staged.py, same compare as the driver
+        from egraphdb_spark.queries_staged import STAGED_REGISTRY
+
+        for n, (fn, sql) in STAGED_REGISTRY.items():
+            qs[n] = fn
+            oracles[n] = sql
     names = [n for n in qs if not only or any(s in n for s in only)]
     print(f"registry: {len(qs)} queries, {len(oracles)} oracles; running {len(names)}")
 
@@ -47,7 +56,11 @@ def main() -> int:
     for name in names:
         t0 = time.perf_counter()
         try:
-            problems = check_query(spark, name, sf_dir)
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+            sql = oracles.get(name)
+            problems = (
+                compare(spark_pdf, run_oracle(sql, sf_dir)) if sql else []
+            )
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             problems = [f"EXC {type(exc).__name__}: {exc}"]
         dt = time.perf_counter() - t0
