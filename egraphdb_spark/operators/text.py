@@ -1207,3 +1207,55 @@ def gopher_quality(
     return base.withColumn("fail_mask", mask).withColumn(
         "keep", F.col("fail_mask") == 0
     )
+
+
+# Query parameters that carry tracking state, not content identity — the
+# standard crawl-dedup strip list (utm_* per Google's own spec; click ids).
+URL_TRACKING_PARAMS: tuple[str, ...] = ("fbclid", "gclid", "msclkid", "ref")
+_URL_RE = r"^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def url_canonicalize(url: str | Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key step before
+    URL-level dedup of a web crawl (two crawls of one page differ only
+    in case, default ports, tracking params, param order, fragments):
+
+      1. scheme and host lowercased
+      2. default port stripped (http :80 / https :443)
+      3. fragment dropped
+      4. tracking params dropped (``utm_*`` prefix + URL_TRACKING_PARAMS)
+      5. remaining query params sorted bytewise (duplicates preserved)
+      6. empty path → ``/``
+
+    Non-http(s) strings pass through UNCHANGED (mailto:, ftp:, relative
+    refs — canonicalizing what we can't parse would corrupt dedup keys).
+    Pure built-in expressions (one regexp parse + array ops, no UDF),
+    bytewise deterministic, mirrored verbatim by the DuckDB oracle.
+    Scale: a narrow projection — no shuffle.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    host = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, _URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(u, _URL_RE, 4)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != F.lit(""))
+        & ~F.substring_index(p, "=", 1).startswith("utm_")
+        & ~F.substring_index(p, "=", 1).isin(*URL_TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(keep), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(u.rlike(r"^(?i)https?://"), canon).otherwise(u)

@@ -501,3 +501,87 @@ FROM p ORDER BY g0
 """
 
 STAGED_REGISTRY["privacy_dp_mean"] = (q_privacy_dp_mean, O_PRIVACY_DP_MEAN)
+
+
+# --------------------------------------------------------------------------
+# clean_url_canon — URL canonicalization for crawl dedup
+# --------------------------------------------------------------------------
+
+
+def q_clean_url_canon(spark, sf_dir):
+    """URL canonicalization → dedup counts: five deterministic messy-URL
+    variants per document (case/port/fragment/tracking/param-order noise
+    synthesized from doc_id/source/lang — both engines build identical
+    strings) collapse to their canonical forms
+    (operators/text.py url_canonicalize); variant pairs 0≡1 and 2≡3 must
+    merge, the ftp variant must pass through untouched.  The crawl-dedup
+    primitive the corpus tables can't otherwise exercise (no URL
+    column)."""
+    from .operators.text import url_canonicalize
+
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.withColumn(
+        "url",
+        F.expr(
+            "case cast(doc_id % 5 as int)"
+            " when 0 then 'HTTPS://Example.COM:443/s/' || source ||"
+            "   '?utm_source=feed&b=2&a=1#frag'"
+            " when 1 then 'https://example.com/s/' || source || '?a=1&b=2'"
+            " when 2 then 'HTTP://Example.com:80/l/' || lang"
+            " when 3 then 'http://example.com/l/' || lang || '#x'"
+            " else 'ftp://archive.example/' || source end"
+        ),
+    )
+    return (
+        u.select(url_canonicalize("url").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("canon_url")
+    )
+
+
+_URL_RE_SQL = r"^(?i)(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+O_CLEAN_URL_CANON = f"""
+WITH u AS (
+  SELECT CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'HTTPS://Example.COM:443/s/' || source ||
+      '?utm_source=feed&b=2&a=1#frag'
+    WHEN 1 THEN 'https://example.com/s/' || source || '?a=1&b=2'
+    WHEN 2 THEN 'HTTP://Example.com:80/l/' || lang
+    WHEN 3 THEN 'http://example.com/l/' || lang || '#x'
+    ELSE 'ftp://archive.example/' || source END AS url
+  FROM documents
+),
+p AS (
+  SELECT url,
+         lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS host0,
+         regexp_extract(url, '{_URL_RE_SQL}', 3) AS path0,
+         -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+         -- array_join([]) is '' — the no-query path must not poison concat
+         COALESCE(array_to_string(list_sort(list_filter(
+           string_split(regexp_extract(url, '{_URL_RE_SQL}', 4), '&'),
+           q -> q <> '' AND NOT starts_with(split_part(q, '=', 1), 'utm_')
+                AND split_part(q, '=', 1)
+                    NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '')
+           AS qs
+  FROM u
+),
+c AS (
+  SELECT CASE WHEN regexp_matches(url, '^(?i)https?://') THEN
+           scheme || '://' ||
+           CASE scheme
+             WHEN 'http'  THEN regexp_replace(host0, ':80$', '')
+             WHEN 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END ||
+           CASE WHEN path0 = '' THEN '/' ELSE path0 END ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+         ELSE url END AS canon_url
+  FROM p
+)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+STAGED_REGISTRY["clean_url_canon"] = (q_clean_url_canon, O_CLEAN_URL_CANON)

@@ -156,6 +156,7 @@ def _write_corpus(spark, texts: list[str]) -> str:
 # pre-merge (graph_ktruss reads the TPC-H tables and is out of scope)
 STAGED_FUZZ_GATES = [
     "txt_gopher_quality",
+    "clean_url_canon",
     "privacy_dp_mean",
     "profile_drift_ks",
     "privacy_dp_counts",

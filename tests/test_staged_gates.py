@@ -22,7 +22,7 @@ def test_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_REGISTRY
 
-    assert len(STAGED_REGISTRY) == 7
+    assert len(STAGED_REGISTRY) == 8
     for name, (fn, sql) in STAGED_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -319,3 +319,33 @@ def test_dp_mean_noisy_count_nonpositive_is_null(spark):
             num = max(r.sum_clipped_cents * 10**6 + r.noise_sum_micro, 0) * 10
             den = r.n * 10**6 + r.noise_cnt_micro
             assert den > 0 and r.dp_mean_milli == num // den
+
+
+# ------------------------------------------------------------- URL canon
+
+
+def test_url_canonicalize_rules(spark):
+    from egraphdb_spark.operators.text import url_canonicalize
+
+    cases = {
+        # case/port/tracking/order/fragment noise → one canonical form
+        "HTTPS://Example.COM:443/a/b?utm_source=x&b=2&a=1#frag":
+            "https://example.com/a/b?a=1&b=2",
+        "https://example.com/a/b?a=1&b=2": "https://example.com/a/b?a=1&b=2",
+        # empty path → '/', default http port stripped
+        "HTTP://Example.com:80": "http://example.com/",
+        "http://example.com/#x": "http://example.com/",
+        # NON-default port preserved; click-id stripped
+        "https://example.com:8443/x?fbclid=123&z=9":
+            "https://example.com:8443/x?z=9",
+        # bare '?' dropped; duplicate params preserved and sorted
+        "http://EXAMPLE.com/path?": "http://example.com/path",
+        "http://a.com/?b=2&b=1&a=3": "http://a.com/?a=3&b=1&b=2",
+        # non-http(s) passes through untouched
+        "ftp://example.com/raw": "ftp://example.com/raw",
+        "mailto:a@b.c": "mailto:a@b.c",
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    out = {r.u: r.c for r in df.select("u", url_canonicalize("u").alias("c")).collect()}
+    assert out == cases

@@ -186,6 +186,7 @@ PROBES = [
     "graph_ktruss",
     "sample_kcenter_coreset",
     "privacy_dp_mean",
+    "clean_url_canon",
 ]
 
 
