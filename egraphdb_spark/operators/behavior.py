@@ -407,3 +407,76 @@ def markov_stationary(
         )
         .orderBy("state")
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    cohort: Column | str,
+    period: Column | str,
+    value: Column | str,
+) -> DataFrame:
+    """Difference-in-differences effect estimate — the 2×2 causal
+    primitive behind every launch/rollout readout (Card & Krueger '94
+    canonical form): with a treated and a control cohort observed before
+    and after an intervention,
+
+        DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+
+    cancels both the fixed cohort gap and the common time trend, leaving
+    the treatment effect under the parallel-trends assumption.
+    Complements evt_ab_test (randomized same-period comparison) with the
+    observational pre/post design.
+
+    ``cohort`` must evaluate to 'treat'/'control' and ``period`` to
+    'pre'/'post' (strings keep the output self-describing).  All
+    arithmetic is exact: values quantize to integer cents (the module's
+    money convention) before aggregation, cell means surface as
+    ``mean_milli = (sum_cents·10) div n`` (one integer floor per cell,
+    composition documented), and the effect is integer subtraction of
+    the four cell means — hash-exact on any engine.
+
+    Output: the four cells ``(period, cohort, n, sum_cents, mean_milli)``
+    ascending, with ``did_milli`` carried on every row (self-contained
+    frame, the psi_drift convention).  A missing cell (no rows) makes
+    the estimate undefined — did_milli is NULL on all rows rather than a
+    fabricated zero.
+
+    Scale: one map-side-combined 4-group aggregate + a broadcast of the
+    4-row cell table onto itself; input rows shuffle once, keyed by
+    (period, cohort).
+    """
+    c = F.col(cohort) if isinstance(cohort, str) else cohort
+    p = F.col(period) if isinstance(period, str) else period
+    v = F.col(value) if isinstance(value, str) else value
+    cells = df.withColumn("_v_", v).select(
+        p.alias("period"),
+        c.alias("cohort"),
+        F.expr("cast(round(100 * _v_) as bigint)").alias("cents"),
+    )
+    agg = cells.groupBy("period", "cohort").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).withColumn(
+        "mean_milli", F.expr("(sum_cents * 10) div n")
+    )
+    def cell(pd: str, ch: str):
+        return F.max(
+            F.when(
+                (F.col("period") == pd) & (F.col("cohort") == ch),
+                F.col("mean_milli"),
+            )
+        )
+
+    eff = agg.agg(
+        (
+            (cell("post", "treat") - cell("pre", "treat"))
+            - (cell("post", "control") - cell("pre", "control"))
+        )
+        .cast("long")
+        .alias("did_milli")
+    )
+    return (
+        agg.crossJoin(F.broadcast(eff))
+        .select("period", "cohort", "n", "sum_cents", "mean_milli", "did_milli")
+        .orderBy("period", "cohort")
+    )

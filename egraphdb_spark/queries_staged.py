@@ -11,7 +11,8 @@ and are merged into the live registry (queries.py) at the top of round
 Everything in this file follows the conventions of queries_pipeline.py:
 identical column aliases on both sides, exact integer arithmetic (micro
 units, 128-bit via DECIMAL(38,0)/HUGEINT where products can wrap), and
-the floor(x·1e6 + 0.5) quantization recipe for the one ln()-based gate.
+the floor(x·1e6 + 0.5) quantization recipe for the ln()-based gates
+(the seeded-Laplace DP pair).
 """
 
 from __future__ import annotations
@@ -585,3 +586,56 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 STAGED_REGISTRY["clean_url_canon"] = (q_clean_url_canon, O_CLEAN_URL_CANON)
+
+
+# --------------------------------------------------------------------------
+# evt_diff_in_diff — 2×2 causal effect estimate
+# --------------------------------------------------------------------------
+
+
+def q_evt_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences over the event stream: treated cohort =
+    odd user_ids, intervention at 2024-01-16 (the series midpoint),
+    outcome = event value in exact cents (operators/behavior.py
+    diff_in_diff).  Complements evt_ab_test's randomized same-period
+    comparison with the observational pre/post design; four cell rows +
+    the carried did_milli effect."""
+    from .operators.behavior import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        ev,
+        F.when(F.col("user_id") % 2 == 1, F.lit("treat")).otherwise("control"),
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("pre")).otherwise("post"),
+        "value",
+    )
+
+
+O_EVT_DIFF_IN_DIFF = """
+WITH cells AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'pre' ELSE 'post' END AS period,
+         CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END AS cohort,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT period, cohort, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM cells GROUP BY 1, 2
+),
+m AS (SELECT *, (sum_cents * 10) // n AS mean_milli FROM agg),
+eff AS (
+  SELECT CAST(
+    (max(CASE WHEN period = 'post' AND cohort = 'treat' THEN mean_milli END)
+     - max(CASE WHEN period = 'pre' AND cohort = 'treat' THEN mean_milli END))
+    - (max(CASE WHEN period = 'post' AND cohort = 'control' THEN mean_milli END)
+       - max(CASE WHEN period = 'pre' AND cohort = 'control' THEN mean_milli END))
+    AS BIGINT) AS did_milli
+  FROM m
+)
+SELECT period, cohort, n, sum_cents,
+       CAST(mean_milli AS BIGINT) AS mean_milli, did_milli
+FROM m, eff ORDER BY period, cohort
+"""
+
+STAGED_REGISTRY["evt_diff_in_diff"] = (q_evt_diff_in_diff, O_EVT_DIFF_IN_DIFF)

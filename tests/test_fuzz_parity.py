@@ -368,13 +368,19 @@ def _write_events(rows) -> str:
     return d
 
 
+# staged round-7 events gate fuzzes here pre-merge
+STAGED_EVT_GATES = ["evt_diff_in_diff"]
+
+
 @given(rows=st.lists(_EVT, min_size=1, max_size=20))
 @settings(**_SETTINGS)
 def test_event_gates_parity_on_tied_timestamps(spark, rows):
+    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+
     sf_dir = _write_events(rows)
     failures = []
-    for gate in EVT_GATES:
-        fn, sql = REGISTRY[gate]
+    for gate in EVT_GATES + STAGED_EVT_GATES:
+        fn, sql = {**REGISTRY, **STAGED_REGISTRY}[gate]
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:

@@ -22,7 +22,7 @@ def test_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_REGISTRY
 
-    assert len(STAGED_REGISTRY) == 8
+    assert len(STAGED_REGISTRY) == 9
     for name, (fn, sql) in STAGED_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -349,3 +349,37 @@ def test_url_canonicalize_rules(spark):
     df = spark.createDataFrame([(u,) for u in cases], "u string")
     out = {r.u: r.c for r in df.select("u", url_canonicalize("u").alias("c")).collect()}
     assert out == cases
+
+
+# ------------------------------------------------------- diff-in-differences
+
+
+def test_did_hand_computed(spark):
+    from egraphdb_spark.operators.behavior import diff_in_diff
+
+    # treat: 10 -> 14 (+4); control: 20 -> 21 (+1); DiD = +3.000
+    rows = [
+        ("treat", "pre", 10.0), ("treat", "post", 14.0),
+        ("control", "pre", 20.0), ("control", "post", 21.0),
+    ]
+    df = spark.createDataFrame(rows, "c string, p string, v double")
+    out = diff_in_diff(df, "c", "p", "v").collect()
+    assert len(out) == 4
+    assert all(r.did_milli == 3000 for r in out)
+    cells = {(r.period, r.cohort): r for r in out}
+    assert cells[("pre", "treat")].mean_milli == 10_000
+    assert cells[("post", "treat")].sum_cents == 1400
+
+
+def test_did_missing_cell_is_null(spark):
+    from egraphdb_spark.operators.behavior import diff_in_diff
+
+    # no control/post observations → effect undefined, not zero
+    rows = [
+        ("treat", "pre", 10.0), ("treat", "post", 14.0),
+        ("control", "pre", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "c string, p string, v double")
+    out = diff_in_diff(df, "c", "p", "v").collect()
+    assert len(out) == 3
+    assert all(r.did_milli is None for r in out)

@@ -187,6 +187,7 @@ PROBES = [
     "sample_kcenter_coreset",
     "privacy_dp_mean",
     "clean_url_canon",
+    "evt_diff_in_diff",
 ]
 
 
