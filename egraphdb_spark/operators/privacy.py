@@ -307,26 +307,59 @@ def t_closeness_report(
     )
 
 
+def _seed_component(c: Column) -> Column:
+    """NULL-safe, collision-free encoding of one noise-seed key component:
+    NULL → ``n``; a value → ``v<charlen>:<value>`` (length-prefixed so
+    distinct group tuples can never concatenate to the same key — e.g.
+    ('a:b',) vs ('a','b')).  Identical CASE/length expressions exist in
+    the SQL oracles; both engines count CHARACTERS."""
+    s = c.cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
+def _seed_key(parts: list[str], comps: list[Column]) -> Column:
+    """``part1:part2:enc(c1):enc(c2)…`` — fixed literal prefix parts, then
+    one length-prefixed component per group column."""
+    pieces: list[Column] = [F.lit(p) for p in parts]
+    for c in comps:
+        pieces.append(_seed_component(c))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = F.concat(out, F.lit(":"), p)
+    return out
+
+
 def dp_group_counts(
     df: DataFrame,
     group: list[Column | str],
     epsilon_micro: int = 1_000_000,
     salt: str = "dp",
 ) -> DataFrame:
-    """ε-differentially-private group counts via the Laplace mechanism
-    (Dwork et al. '06): count queries have sensitivity 1, so adding
-    Laplace(1/ε) noise to each group's count gives an ε-DP release — the
-    privacy-preserving aggregate a data-sharing pipeline publishes
-    instead of raw histograms.
+    """Laplace-mechanism group counts (Dwork et al. '06): count queries
+    have sensitivity 1, so adding Laplace(1/ε) noise to each group's
+    count is the textbook ε-DP histogram release.
 
-    The noise is SEEDED: u = md5₆₀(salt:group)/2⁶⁰ ∈ [0,1) feeds the
-    Laplace inverse CDF  noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|), so the
-    release is a pure function of (salt, group) — reproducible across
-    runs and engines, auditable, and still a correct Laplace draw for
-    any non-adversarial salt.  Determinism recipe: the hash and the
-    ln argument (a dyadic rational over 2⁶⁰) are exact; one fixed double
-    expression ends in floor(x·10⁶ + 0.5) micro-quantization (the PSI
-    recipe), so the gate is hash-exact.
+    **What this implementation is — and is not.**  The noise here is
+    SEEDED: u = md5₆₀(salt:group)/2⁶⁰ ∈ [0,1) feeds the Laplace inverse
+    CDF  noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|), so the output is a pure
+    function of (salt, group).  That makes it a REPRODUCIBLE SIMULATION
+    of the mechanism — distributionally a correct Laplace draw, built
+    for engine-parity testing (the DuckDB oracle replays it bit-exactly)
+    and for auditing the release pipeline's shape.  It is NOT a private
+    release under the default public salt: anyone who knows the salt
+    recomputes the noise and recovers the exact counts.  A production
+    ε-DP release MUST pass a caller-supplied secret, single-use salt per
+    release (and even then, determinism-given-the-secret means the salt
+    must never be reused across releases of the same data).
+
+    Determinism recipe: the hash and the ln argument (a dyadic rational
+    over 2⁶⁰) are exact; one fixed double expression ends in
+    floor(x·10⁶ + 0.5) micro-quantization (the PSI recipe), so the gate
+    is hash-exact.  Seed-key components are NULL-coalesced and
+    length-prefixed (:func:`_seed_component`) so NULL groups draw real
+    noise and distinct group tuples can never share a key.
 
     Output per group: ``(…group…, n, noise_micro, noisy_count_micro)``.
     ``n`` (the true count) is emitted for AUDIT/test parity only — a
@@ -342,7 +375,7 @@ def dp_group_counts(
     agg = df.select(*named).groupBy(*gnames).agg(
         F.count("*").cast("long").alias("n")
     )
-    key = F.concat_ws(":", F.lit(salt), *[F.col(g).cast("string") for g in gnames])
+    key = _seed_key([salt], [F.col(g) for g in gnames])
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     two60 = 1 << 60
     hashed = agg.withColumn("_h", h)
@@ -380,14 +413,19 @@ def dp_group_mean(
     epsilon_micro: int = 1_000_000,
     salt: str = "dpm",
 ) -> DataFrame:
-    """ε-DP clipped mean per group — the standard Laplace mean release:
+    """Laplace clipped-mean release shape (Dwork & Roth '14 §3.4):
     values are clipped to [lo, hi] (bounding each row's influence), then
     the privacy budget is split ε/2 on the clipped SUM (sensitivity
     hi−lo) and ε/2 on the COUNT (sensitivity 1); the released mean is
-    their ratio (Dwork & Roth '14 §3.4).  Noise draws are seeded from
-    md5₆₀(salt:kind:group) exactly like :func:`dp_group_counts`, so the
-    release is reproducible and hash-exact under the floor(x·10⁶ + 0.5)
-    recipe.
+    their ratio.  Noise draws are seeded from md5₆₀(salt:kind:group)
+    exactly like :func:`dp_group_counts` — the same caveat applies
+    verbatim: with the default public salt this is a REPRODUCIBLE
+    SIMULATION of the mechanism for engine-parity testing, NOT a private
+    release (the noise is recomputable by anyone who knows the salt); a
+    production ε-DP release requires a caller-supplied secret,
+    single-use salt.  Hash-exact under the floor(x·10⁶ + 0.5) recipe;
+    key components NULL-coalesced + length-prefixed via
+    :func:`_seed_component`.
 
     Output per group: ``(…group…, n, sum_clipped_cents,
     noise_sum_micro, noise_cnt_micro, dp_mean_milli)`` with
@@ -418,10 +456,7 @@ def dp_group_mean(
     sens_cents = int(round(100 * (hi - lo)))
 
     def lap(kind: str, b_micro_expr: str) -> Column:
-        key = F.concat_ws(
-            ":", F.lit(salt), F.lit(kind),
-            *[F.col(g).cast("string") for g in gnames],
-        )
+        key = _seed_key([salt, kind], [F.col(g) for g in gnames])
         h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
         return F.expr(
             f"cast(floor(("

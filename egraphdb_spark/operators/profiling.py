@@ -700,17 +700,31 @@ def ks_drift(ref: DataFrame, cur: DataFrame, bucket: Column | str) -> DataFrame:
     ks_stat_micro = max_b contrib, carried per row.  An EMPTY side (a
     zero total) is total drift by definition: every bucket reports 10⁶.
 
+    NULL buckets (an unmeasurable feature) are EXCLUDED from both
+    samples before counting: NULL keys never match in the full-outer
+    join, so they would otherwise yield two separate NULL-bucket rows
+    whose nondeterministic tie in the cumulative ORDER BY makes
+    cref/ccur order-dependent.  Callers that want NULLs measured must
+    coalesce to a sentinel bucket themselves; oracles mirror the
+    exclusion.
+
     Scale: two map-side-combined count aggregates, a full-outer join on
     bucket, and ordered windows over the BUCKET table only — safe
     because the bucket domain is bounded (bands/deciles/categories),
     never per-row; input rows are never shuffled.
     """
     b = F.col(bucket) if isinstance(bucket, str) else bucket
-    r = ref.select(b.cast("long").alias("bucket")).groupBy("bucket").agg(
-        F.count("*").cast("long").alias("n_ref")
+    r = (
+        ref.select(b.cast("long").alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_ref"))
     )
-    c = cur.select(b.cast("long").alias("bucket")).groupBy("bucket").agg(
-        F.count("*").cast("long").alias("n_cur")
+    c = (
+        cur.select(b.cast("long").alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_cur"))
     )
     joined = r.join(c, "bucket", "full_outer").select(
         "bucket",

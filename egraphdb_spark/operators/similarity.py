@@ -1269,11 +1269,17 @@ def kcenter_coreset(
     Output: ``(rank, id, dist)`` for the k selected points, rank
     ascending; dist = distance to the previously-selected set at
     selection time (NULL for the unconditional seed).
+
+    NULL/empty vectors are filtered up front — a farthest-point distance
+    to a missing vector is undefined, and a NULL cosine would otherwise
+    surface as an opaque TypeError at the per-round collect.  A NULL
+    dmin that still slips through (e.g. a dimension mismatch making the
+    dot product NULL) raises ValueError with the offending id.
     """
     spark = emb.sparkSession
     v = emb.select(
         F.col(id_col).cast("long").alias("id"), _as_double(vec_col).alias("vec")
-    )
+    ).where(F.col("vec").isNotNull() & (F.size("vec") > 0))
     seed_rows = v.orderBy("id").limit(1).collect()
     if not seed_rows:
         return spark.createDataFrame([], "rank long, id long, dist double")
@@ -1296,6 +1302,11 @@ def kcenter_coreset(
         if not top:
             break
         t = top[0]
+        if t.dmin is None:
+            raise ValueError(
+                f"kcenter_coreset: NULL distance for id={t.id} — "
+                "check vector dimensions are consistent across rows"
+            )
         chosen.append((r, t.id, float(t.dmin)))
         cur = cur.withColumn(
             "dmin",

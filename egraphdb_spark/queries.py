@@ -657,48 +657,46 @@ REGISTRY.update(PIPELINE_REGISTRY)
 REGISTRY.update(EXT_REGISTRY)
 REGISTRY.update(TPCH_REGISTRY)
 
+# Round-8 merge: the nine gates staged (with full oracle + probe contracts)
+# during the round-7 registry freeze go live.  queries_staged.py remains the
+# module of record for their implementations.
+from .queries_staged import STAGED_REGISTRY  # noqa: E402
+
+REGISTRY.update(STAGED_REGISTRY)
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver hard-checks the FIRST 50 queries in dict
 # order.  The window ROTATES per round so every gate earns a green row in
 # some CORRECTNESS_r{N}.json: rounds 2-6 converted 233 of 269 gates green
 # with zero gates ever left failing (see CORRECTNESS_r02..r06).
-# Round 7 clears the backlog: the 36 gates that have NEVER sat in a driver
-# window (the full privacy quartet first, the BPE trio adjacent — they
-# share the merge-table fixture — then the remaining never-checked set in
-# registry order), plus the 14 STALEST re-checks, all last driver-green in
-# r2 four rounds ago (the §2 scan/search spine, models/
-# egraph_detail_model.erl / egraph_index_model.erl semantics).  After this
-# window lands green, cumulative driver coverage = 269/269 and every
-# registry gate is driver-proven.  Registry growth is FROZEN at 269 for
-# round 7 (round-6 verdict item 2).
-# From round 8 on, the window is emitted mechanically by
-# tools/next_window.py (staleness budget: never-checked first, then oldest
-# most-recent driver check) so no gate's evidence ages beyond ~4 rounds.
+# Round 8: emitted mechanically by tools/next_window.py (staleness budget:
+# never-checked first, then oldest most-recent driver check) so no gate's
+# evidence ages beyond ~4 rounds.  Cumulative after r7: 269/269 driver-green.
+# This window fronts the 9 newly-merged round-8 gates (never checked), then
+# the 33 remaining r2-era re-checks, then the 8 oldest r3 re-checks.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- privacy quartet (verdict item 5: never driver-checked family) --
-    "privacy_k_anon", "privacy_k_suppress", "privacy_l_diversity",
-    "privacy_t_closeness",
-    # -- BPE trio, adjacent (verdict item 6: shared merge-table fixture) --
-    "txt_bpe_train", "txt_bpe_vocab_tokens", "txt_bpe_fertility",
-    # -- remaining 29 never-checked, registry order --
-    "dedup_lsh_recall", "sketch_kmv_distinct", "sketch_kmv_overlap",
-    "layout_bucket_join", "emb_truncate_recall", "emb_drift",
-    "sim_mips_topk", "mm_binary_ingest", "clean_impute_median",
-    "txt_rake_keyphrases", "pipe_fim_split", "txt_skipgram_cooc",
-    "sample_neyman", "pipe_epoch_shuffle", "profile_drift_psi",
-    "clean_unicode_normalize", "dedup_cdc_chunks", "rag_mmr_rerank",
-    "graph_betweenness", "evt_stickiness", "evt_holt_winters",
-    "evt_forecast_mae", "evt_survival_km", "evt_markov_stationary",
-    "evt_rate_wilson", "clean_quantile_norm", "graph_scc",
-    "evt_attribution", "io_schema_evolution",
-    # -- 14 stalest re-checks: §2 spine, last driver-green r2 --
-    "s1_point_lookup", "s2_multi_get", "s3_full_scan_page",
-    "s4_time_range_scan", "s5_edge_scan", "s6_edge_lookup",
-    "s7_index_exact", "s7_index_exact_lowercase", "s8_index_range",
-    "s10_geo_distance", "s11_index_dump", "p1_selected_paths",
-    "p2_search_filters", "u1_union_distinct",
+    # -- 9 round-8 merges, never driver-checked --
+    "txt_gopher_quality", "profile_drift_ks", "privacy_dp_counts",
+    "sketch_ams_f2", "graph_ktruss", "sample_kcenter_coreset",
+    "privacy_dp_mean", "clean_url_canon", "evt_diff_in_diff",
+    # -- 33 stalest re-checks, last driver-green r2 --
+    "g1_khop", "w4_topk", "agg_q1_pricing_summary",
+    "agg_q3_shipping_priority", "agg_q5_region_revenue", "agg_rollup",
+    "win_rank", "win_lag", "set_intersect", "set_except",
+    "evt_window_hourly", "txt_stats", "dedup_exact",
+    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs", "dedup_jaccard_pairs",
+    "dedup_embedding_pairs", "sim_ivf_topk", "sim_kmeans_topk",
+    "pipe_corpus_clean", "s15_latest_versions", "s9_geo_exact",
+    "j2_adjacency_details", "w5_time_probe", "p5_keytype_rawhex",
+    "g2_dfs_path", "io_csv_roundtrip", "io_json_roundtrip",
+    "io_parquet_roundtrip", "io_framedbin_roundtrip", "s15_upsert_version",
+    "s15_logtable_persisted", "s18_delete_nodes",
+    # -- 8 next-stalest re-checks, last driver-green r3 --
+    "txt_bm25_topk", "agg_percentile", "dedup_contamination",
+    "layout_zorder_prune", "profile_table", "agg_q13_order_histogram",
+    "graph_sssp_weighted", "stream_static_join",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -19,7 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .queries import _t
+
+def _t(spark, sf_dir, name):
+    # local twin of queries._t — queries.py imports this module at its
+    # end (the round-8 registry merge), so a top-level import back into
+    # queries would be circular when queries_staged loads first
+    from .graph import load_tables
+
+    return load_tables(spark, sf_dir)[name]
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
@@ -129,12 +136,13 @@ def q_profile_drift_ks(spark, sf_dir):
 
 O_PROFILE_DRIFT_KS = """
 WITH r AS (
+  -- n_chars IS NOT NULL mirrors ks_drift's NULL-bucket exclusion
   SELECT n_chars // 200 AS bucket, count(*) AS n_ref
-  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+  FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1
 ),
 c AS (
   SELECT (n_chars * 5) // 800 AS bucket, count(*) AS n_cur
-  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+  FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1
 ),
 j AS (
   SELECT COALESCE(r.bucket, c.bucket) AS bucket,
@@ -175,8 +183,11 @@ def q_privacy_dp_counts(spark, sf_dir):
     via the seeded Laplace mechanism (operators/privacy.py
     dp_group_counts) — completes the privacy family (k-anon /
     suppression / l-diversity / t-closeness audit the RELEASE SHAPE;
-    this gate is the noised release itself).  True counts ride along as
-    audit columns for the parity check."""
+    this gate exercises the noising step).  The default public salt
+    makes this a reproducible SIMULATION of the mechanism for
+    engine-parity testing, not a private release — see the operator
+    docstring.  True counts ride along as audit columns for the parity
+    check."""
     from .operators.privacy import dp_group_counts
 
     docs = _t(spark, sf_dir, "documents")
@@ -185,6 +196,18 @@ def q_privacy_dp_counts(spark, sf_dir):
 
 _TWO60 = 1 << 60
 
+
+def _sql_enc(col: str) -> str:
+    """Mirror of privacy._seed_component: NULL → 'n', value →
+    'v<charlen>:<value>' — NULL-safe ('' || NULL would poison the key)
+    and collision-free across distinct group tuples."""
+    return (
+        f"CASE WHEN {col} IS NULL THEN 'n'"
+        f" ELSE 'v' || length(CAST({col} AS VARCHAR)) || ':'"
+        f" || CAST({col} AS VARCHAR) END"
+    )
+
+
 O_PRIVACY_DP_COUNTS = f"""
 WITH a AS (
   SELECT lang AS g0, source AS g1, count(*) AS n
@@ -192,7 +215,8 @@ WITH a AS (
 ),
 h AS (
   SELECT g0, g1, n,
-         CAST(('0x' || substr(md5('dp:' || g0 || ':' || g1), 1, 15))
+         CAST(('0x' || substr(md5('dp:' || {_sql_enc('g0')} || ':'
+                                  || {_sql_enc('g1')}), 1, 15))
               AS BIGINT) AS hh
   FROM a
 ),
@@ -469,8 +493,10 @@ WITH a AS (
 ),
 h AS (
   SELECT g0, n, sum_clipped_cents,
-         CAST(('0x' || substr(md5('dpm:sum:' || g0), 1, 15)) AS BIGINT) AS hs,
-         CAST(('0x' || substr(md5('dpm:cnt:' || g0), 1, 15)) AS BIGINT) AS hc
+         CAST(('0x' || substr(md5('dpm:sum:' || {_sql_enc('g0')}), 1, 15))
+              AS BIGINT) AS hs,
+         CAST(('0x' || substr(md5('dpm:cnt:' || {_sql_enc('g0')}), 1, 15))
+              AS BIGINT) AS hc
   FROM a
 ),
 p AS (

@@ -127,9 +127,9 @@ def test_dp_counts_seeded_laplace(spark):
         r.noisy_count_micro == r.n * 1_000_000 + r.noise_micro for r in out
     )
     # Laplace(1/ε=1): median |noise| = ln(2) ≈ 0.693; with 20 draws just
-    # sanity-check the magnitude envelope and that both signs occur
-    signs = {r.noise_micro > 0 for r in out} | {r.noise_micro < 0 for r in out}
-    assert True in signs
+    # sanity-check the magnitude envelope and that BOTH signs occur
+    assert any(r.noise_micro > 0 for r in out)
+    assert any(r.noise_micro < 0 for r in out)
     assert all(abs(r.noise_micro) < 20_000_000 for r in out)
 
 
