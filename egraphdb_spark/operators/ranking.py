@@ -484,3 +484,96 @@ def mmr_rerank(
         .applyInPandas(_greedy, out_schema)
         .orderBy("rank")
     )
+
+
+def _log2_literals(k: int) -> list[float]:
+    """log2(i+1) for ranks i = 1..k as Python doubles.  Injected as
+    LITERALS into both engines' expressions (repr round-trips the exact
+    double), so neither engine's log2 implementation is on the parity
+    path — the one historical source of last-ulp drift."""
+    import math
+
+    return [math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    group_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k — the standard graded-relevance retrieval metric
+    (Järvelin & Kekäläinen '02), the eval readout for every ranked
+    retriever in this family (BM25, cosine/IVF/PQ top-k, RRF, MMR):
+
+        DCG@k  = Σ_{i=1..k} (2^rel_i − 1) / log2(i + 1)
+        NDCG@k = DCG@k / IDCG@k     (IDCG = DCG of the rel-sorted ideal)
+
+    Determinism: each term is a pure function of (rel, i) — gain
+    2^rel − 1 is an exact integer (shiftleft), log2(i+1) is a PRECOMPUTED
+    double literal shared verbatim with the SQL oracle, and every term is
+    quantized floor(x·10⁶ + 0.5) BEFORE the integer sum, so no
+    float-accumulation order exists.  ndcg_micro = dcg·10⁶ div idcg
+    (NULL when every gain is zero — honest, not a fabricated 0).
+
+    Input: one row per (group, rank) with an integer relevance grade;
+    rows with rank > k are ignored.  The ideal ordering re-ranks the SAME
+    top-k items by (rel desc, rank asc) — NDCG's standard local-ideal
+    form for judging a fixed result list.
+
+    Output per group: ``(group, k, dcg_micro, idcg_micro, ndcg_micro)``.
+
+    Scale: one filter + two windowed passes over k-bounded rows per
+    group (k rows per group, never corpus-sized) and a map-side-combined
+    sum — group-parallel at any scale.
+    """
+    from pyspark.sql import Window
+
+    logs = _log2_literals(k)
+    g = F.col(group_col).alias("grp")
+    base = ranked.select(
+        g,
+        F.col(rank_col).cast("long").alias("rank"),
+        F.col(rel_col).cast("long").alias("rel"),
+    ).where(F.col("rank") <= k)
+
+    def term(rank_expr: str) -> F.Column:
+        c = F.lit(None).cast("long")
+        for i, L in enumerate(logs, start=1):
+            c = F.when(
+                F.expr(rank_expr) == i,
+                F.expr(
+                    f"cast(floor((cast(shiftleft(1, cast(rel as int)) - 1"
+                    f" as double)) * 1000000.0 / {L!r} + 0.5) as bigint)"
+                ),
+            ).otherwise(c)
+        return c
+
+    ideal_w = Window.partitionBy("grp").orderBy(
+        F.col("rel").desc(), F.col("rank").asc()
+    )
+    scored = base.withColumn("irank", F.row_number().over(ideal_w)).select(
+        "grp",
+        term("rank").alias("term_micro"),
+        term("irank").alias("iterm_micro"),
+    )
+    return (
+        scored.groupBy("grp")
+        .agg(
+            F.sum("term_micro").cast("long").alias("dcg_micro"),
+            F.sum("iterm_micro").cast("long").alias("idcg_micro"),
+        )
+        .select(
+            "grp",
+            F.lit(k).cast("long").alias("k"),
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "case when idcg_micro = 0 then null"
+                " else cast((cast(dcg_micro as decimal(38,0)) * 1000000)"
+                " div idcg_micro as bigint) end"
+            ).alias("ndcg_micro"),
+        )
+        .orderBy("grp")
+    )

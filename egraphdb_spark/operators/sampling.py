@@ -476,3 +476,104 @@ def epoch_shuffle(
             "shard", (F.col("order_key") % F.lit(int(n_shards))).cast("long")
         )
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "pps",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (Madow '49)
+    — the fixed-size weighted design production samplers use when
+    per-row Bernoulli draws can't guarantee the budget: lay the units
+    along the cumulative-weight line, drop exactly ``k`` equally-spaced
+    selection points, and take every unit an interval lands in.  Exactly
+    k selections always; a unit with w > W/k is drawn multiple times
+    (its multiplicity is reported, the standard PPS-with-replacement
+    readout).
+
+    All arithmetic is exact integers: with cumulative weights C_i, total
+    W, and a seeded anchor U = md5₆₀(salt) mod W,
+
+        hits_i = (C_i·k + U) div W − ((C_i − w_i)·k + U) div W
+
+    — every operand non-negative, so Spark ``div`` ≡ DuckDB ``//`` ≡
+    floor, and the whole draw is a pure function of (salt, data).
+
+    The cumulative sum is built SCALE-SAFELY — never a single-partition
+    global window: units bucket by ``id div bucket_width``; each
+    bucket's local cumsum is a bucket-partitioned window (parallel), and
+    the bucket offsets come from a window over the BUCKET TOTALS table
+    (rows = n/bucket_width, e.g. 100 M buckets for 100 G rows at the
+    default width — still driver-safe as a shuffle, tiny at any
+    realistic width) joined back.  A SQL oracle can use a plain ordered
+    cumsum; the VALUES agree, only the plan differs.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    unit has selection probability zero by definition; negative weights
+    are a caller bug surfaced by exclusion, mirrored in oracles).
+
+    Output, ordered by id: ``(id, w, cum_w, n_hits)`` for selected units
+    (n_hits ≥ 1); sum(n_hits) == k by construction.
+    """
+    if k < 1:
+        raise ValueError(f"pps_systematic: k={k} must be >= 1")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), w.cast("long").alias("w")
+    ).where(F.col("w").isNotNull() & (F.col("w") > 0) & F.col("id").isNotNull())
+
+    from pyspark.sql import Window
+
+    bkt = F.expr(f"id div {int(bucket_width)}")
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("bucket", bkt).withColumn(
+        "local_cum", F.sum("w").over(local_w).cast("long")
+    )
+    totals = local.groupBy("bucket").agg(F.sum("w").cast("long").alias("bw"))
+    off_w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bw").over(off_w), F.lit(0)).cast("long")
+    ).select("bucket", "offset")
+    cum = local.join(offsets, "bucket").withColumn(
+        "cum_w", (F.col("offset") + F.col("local_cum")).cast("long")
+    )
+    # tot_w/anchor_u, not W/U: Spark resolution is case-insensitive, so a
+    # total named "W" collides with the per-row weight "w"
+    anchor = (
+        base.agg(F.sum("w").cast("long").alias("tot_w"))
+        .withColumn(
+            "anchor_u",
+            F.expr(
+                f"cast(conv(substring(md5('{salt}'), 1, 15), 16, 10)"
+                f" as bigint) % tot_w"
+            ).cast("long"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "n_hits",
+            F.expr(
+                f"cast((cast(cum_w as decimal(38,0)) * {k} + anchor_u)"
+                f" div tot_w"
+                f" - (cast(cum_w - w as decimal(38,0)) * {k} + anchor_u)"
+                f" div tot_w"
+                " as bigint)"
+            ),
+        )
+        .where(F.col("n_hits") >= 1)
+        .select("id", "w", "cum_w", "n_hits")
+        .orderBy("id")
+    )

@@ -942,3 +942,95 @@ def ams_f2(df: DataFrame, col: str, k: int = 16, salt: str = "ams") -> DataFrame
         .orderBy("estimator")
     )
     return rep
+
+
+def moments_chebyshev(
+    df: DataFrame,
+    value: str,
+    deviations: list[int] = (25, 50, 100, 200),
+) -> DataFrame:
+    """Moments sketch + Chebyshev tail certification over an integer
+    column: maintain only the power sums (n, S₁ = Σx, S₂ = Σx²) — the
+    moments-sketch idea (Gan et al. VLDB'18) reduced to its exact
+    first two moments — and read out, for each deviation radius ``a``,
+    the Chebyshev bound  P(|X − μ| ≥ a) ≤ σ²/a²  next to the EXACT
+    empirical exceed fraction, certifying the bound holds on real data.
+
+    Everything is exact integer arithmetic:
+
+      σ²/a² = (n·S₂ − S₁²) / (n²·a²)       (both sides integers)
+      |x − μ| ≥ a  ⇔  |x·n − S₁| ≥ a·n     (cross-multiplied, no division)
+
+    so bound_micro = min(10⁶, (n·S₂ − S₁²)·10⁶ div (n²·a²)) and
+    actual_micro = (#exceed·10⁶) div n are hash-exact in 128-bit
+    (DECIMAL(38,0) / HUGEINT).
+
+    Why it earns a row in the sketch family: (n, S₁, S₂) is the
+    archetypal MERGEABLE summary — partial aggregates add; at 100 TB the
+    sketch is one map-side-combined aggregate (three longs per partition)
+    and the exceed counts are a second map-only pass against broadcast
+    scalars.  HLL covers F₀, CM point frequency, KMV overlap, AMS F₂ —
+    this adds the moment/tail-bound readout.
+
+    Output, one row per radius: ``(a, n, s1, s2, mean_milli,
+    bound_micro, actual_micro)`` with mean_milli = S₁·1000 div n.
+    """
+    x = F.col(value).cast("long")
+    base = df.select(x.alias("x")).where(F.col("x").isNotNull())
+    mom = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("s2d"),
+    )
+    devs = [int(a) for a in deviations]
+    if any(a < 1 for a in devs):
+        raise ValueError(f"moments_chebyshev: deviations {devs} must be >= 1")
+    # all radii in ONE conditional-sum pass (2 scans total: moments, exceeds)
+    exc = base.crossJoin(F.broadcast(mom)).agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"cast(abs(cast(x as decimal(38,0)) * n - s1)"
+                    f" >= cast({a} as decimal(38,0)) * n as long)"
+                )
+            )
+            .cast("long")
+            .alias(f"e_{a}")
+            for a in devs
+        ]
+    )
+    exceeds = exc.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).cast("long").alias("a"),
+                        F.col(f"e_{a}").alias("n_exceed"),
+                    )
+                    for a in devs
+                ]
+            )
+        ).alias("r")
+    ).select("r.a", "r.n_exceed")
+    return (
+        exceeds.crossJoin(F.broadcast(mom))
+        .select(
+            "a",
+            "n",
+            "s1",
+            F.col("s2d").cast("long").alias("s2"),
+            F.expr("cast((cast(s1 as decimal(38,0)) * 1000) div n as bigint)").alias(
+                "mean_milli"
+            ),
+            F.expr(
+                "cast(least(cast(1000000 as decimal(38,0)),"
+                " ((cast(n as decimal(38,0)) * s2d - cast(s1 as decimal(38,0)) * s1)"
+                "  * 1000000)"
+                " div (cast(n as decimal(38,0)) * n * a * a)) as bigint)"
+            ).alias("bound_micro"),
+            F.expr("cast((cast(n_exceed as decimal(38,0)) * 1000000) div n as bigint)").alias(
+                "actual_micro"
+            ),
+        )
+        .orderBy("a")
+    )

@@ -1259,3 +1259,333 @@ def url_canonicalize(url: str | Column) -> Column:
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
     return F.when(u.rlike(r"^(?i)https?://"), canon).otherwise(u)
+
+
+# 2^21 positions per document (2 MB of normalized text) — the winnowing
+# tie-break packs (hash, pos) into one orderable long: key = h·2²¹ +
+# (2²¹−1−pos), so MIN(key) picks the smallest hash and, on ties, the
+# RIGHTMOST position (the rule from Schleimer et al. §5 that makes the
+# fingerprint set a function of content alone, not window phase).
+_WINNOW_POS_BASE = 1 << 21
+
+
+def winnow_fingerprints(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 — the MOSS algorithm): the local fingerprinting scheme
+    behind plagiarism detection and crawl near-dup mining.  Guarantees
+    that any shared substring of length ≥ k + w − 1 between two documents
+    yields at least one SHARED fingerprint, while selecting only ~2/(w+1)
+    of all k-gram hashes — the property plain "every n-th hash" sampling
+    (0 mod p) lacks.
+
+    Pipeline: lowercase + strip ALL whitespace (classic normalization),
+    slide k-char grams, hash each gram to 32 bits (md5 prefix — identical
+    on any engine), then over every window of w consecutive hashes select
+    the minimum (ties → rightmost).  A window START exists at every
+    position 1..max(n_grams − w + 1, 1), so even short documents
+    (1 ≤ n_grams < w) emit one fingerprint.
+
+    Output: distinct ``(id, pos, fp)`` selected fingerprints, pos = the
+    1-based gram position of the selected hash.  Complements the dedup
+    family: txt_fingerprint samples hashes globally (mod-p), MinHash/
+    SimHash sketch the whole document — winnowing is the POSITIONAL
+    near-dup primitive (which spans match, not just whether).
+
+    Scale: one narrow projection per document (explode to one row per
+    gram), one windowed MIN partitioned by document — at 100 TB each
+    document's grams co-locate in one task after the hash partition on
+    id; nothing crosses documents.  The pair-mining step over the
+    emitted fingerprints is a band-join on fp, LSH-style, never all-pairs.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnow_fingerprints: k={k} and w={w} must be >= 1")
+    from pyspark.sql import Window
+
+    z = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        z.alias("z"),
+        (F.length(z) - F.lit(k) + 1).cast("long").alias("n_grams"),
+    ).where(F.col("n_grams") >= 1)
+    grams = base.select(
+        "id",
+        "n_grams",
+        F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
+        "z",
+    ).select(
+        "id",
+        "n_grams",
+        "pos",
+        F.conv(
+            F.substring(F.md5(F.substring(F.col("z"), F.col("pos"), k)), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    key = (
+        F.col("h") * F.lit(_WINNOW_POS_BASE)
+        + (F.lit(_WINNOW_POS_BASE - 1) - F.col("pos"))
+    ).alias("key")
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    starts = (
+        grams.select("id", "n_grams", "pos", key)
+        .withColumn("wkey", F.min("key").over(win))
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - F.lit(w - 1), F.lit(1)))
+    )
+    return (
+        starts.select(
+            "id",
+            (
+                F.lit(_WINNOW_POS_BASE - 1)
+                - F.col("wkey") % F.lit(_WINNOW_POS_BASE)
+            )
+            .cast("long")
+            .alias("pos"),
+            F.expr(f"wkey div {_WINNOW_POS_BASE}").cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def kneser_ney_bigrams(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> "DataFrame":
+    """Interpolated Kneser–Ney bigram probabilities for the corpus'
+    ``top_n`` most frequent bigrams — the smoothing that made n-gram LMs
+    state of the art (Kneser & Ney '95; Chen & Goodman '99 found the
+    interpolated form best) and the reference scorer n-gram pipelines
+    still use for perplexity filtering.  Complements :func:`bigram_nll`:
+    that gate interpolates with a UNIGRAM frequency model; KN replaces it
+    with the CONTINUATION distribution (how many distinct contexts a word
+    follows), which is what fixes the "San Francisco" pathology —
+    "francisco" is frequent but follows almost nothing else.
+
+        P_KN(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·) + d·N₁₊(w₁·)/c(w₁·) · P_cont(w₂)
+        P_cont(w₂)  = N₁₊(·w₂) / N₁₊(··)
+
+    with the textbook discount d = 0.75 = 3/4 — RATIONAL, so for observed
+    bigrams (c ≥ 1) the whole probability is one exact fraction:
+
+        P_KN = [ (4c − 3)·N₁₊(··) + 3·N₁₊(w₁·)·N₁₊(·w₂) ]
+               / [ 4·c(w₁·)·N₁₊(··) ]
+
+    quantized once: kn_prob_micro = (num·10⁶) div den in 128-bit — no
+    float anywhere, any engine reproduces it bit-for-bit.
+
+    Output, ordered (c desc, w1, w2), one row per top bigram:
+    ``(w1, w2, c, c_w1, n1p_fwd, n1p_cont, n_bigram_types,
+    kn_prob_micro)``.
+
+    Scale: one linear bigram explode; every statistic is a map-side-
+    combined count over the bigram TYPE table (vocabulary-sized, not
+    corpus-sized); the final top-n is a TakeOrdered.  At 100 TB the type
+    table still fits executor memory for natural-language vocabularies
+    and the joins on w1/w2 broadcast.
+    """
+    c = F.col(text_col)
+    base = docs.select(F.col(id_col).alias("id"), tokens(F.lower(c)).alias("t"))
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "if(size(t) < 2, array(),"
+                " transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)))"
+            )
+        ).alias("bg"),
+    ).select("bg.w1", "bg.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    fwd = bg.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c_w1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_cont"))
+    types = bg.agg(F.count("*").cast("long").alias("n_bigram_types"))
+    return (
+        bg.join(fwd, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .withColumn(
+            "kn_prob_micro",
+            F.expr(
+                "cast(((cast(4 * c - 3 as decimal(38,0)) * n_bigram_types"
+                "   + cast(3 as decimal(38,0)) * n1p_fwd * n1p_cont)"
+                "   * 1000000)"
+                " div (cast(4 as decimal(38,0)) * c_w1 * n_bigram_types)"
+                " as bigint)"
+            ),
+        )
+        .select(
+            "w1", "w2", "c", "c_w1", "n1p_fwd", "n1p_cont",
+            "n_bigram_types", "kn_prob_micro",
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(top_n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Messy-date normalization: regex parse + pure-integer civil→epoch math.
+# The ENGINE DATE PARSERS ARE NEVER ON THE PARITY PATH — to_timestamp /
+# strptime differ across engines in lenience, locale and zone handling, so
+# both sides run the same regexes and the same Hinnant days-from-civil
+# integer formula, emitted from ONE template (_date_norm_exprs) with only
+# the integer-division token differing ('div' vs '//').
+# ---------------------------------------------------------------------------
+
+# [0-9] instead of \d: Spark SQL string literals process backslash
+# escapes while DuckDB's do not — a literal class parses identically in
+# both and keeps the template dialect-free.
+_D = "[0-9]"
+_DATE_RE_ISO_DT = (
+    f"^({_D}{{4}})-({_D}{{2}})-({_D}{{2}})[T ]({_D}{{2}}):({_D}{{2}}):({_D}{{2}})$"
+)
+_DATE_RE_ISO_D = f"^({_D}{{4}})-({_D}{{2}})-({_D}{{2}})$"
+_DATE_RE_US = f"^({_D}{{1,2}})/({_D}{{1,2}})/({_D}{{4}})$"
+_DATE_RE_EPOCH = f"^{_D}{{9,10}}$"
+_DATE_RE_RFC = (
+    f"^({_D}{{1,2}}) (Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) ({_D}{{4}})$"
+)
+
+_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+
+
+def _days_from_civil(y: str, m: str, d: str, idiv: str) -> str:
+    """Hinnant's days_from_civil as pure non-negative integer SQL (valid
+    for years ≥ 1583, where era/yoe stay non-negative and truncating and
+    flooring division coincide — the t-closeness recipe)."""
+    yp = f"({y} - (case when {m} <= 2 then 1 else 0 end))"
+    era = f"(({yp}) {idiv} 400)"
+    yoe = f"(({yp}) - {era} * 400)"
+    doy = (
+        f"(((153 * ({m} + (case when {m} > 2 then -3 else 9 end)) + 2)"
+        f" {idiv} 5) + {d} - 1)"
+    )
+    doe = f"({yoe} * 365 + ({yoe} {idiv} 4) - ({yoe} {idiv} 100) + {doy})"
+    return f"({era} * 146097 + {doe} - 719468)"
+
+
+def _date_norm_exprs(col: str, dialect: str) -> tuple[str, str]:
+    """(fmt_expr, epoch_expr) SQL strings for the given dialect
+    ('spark' or 'duckdb').  fmt ∈ iso_datetime | iso_date | us_date |
+    epoch_secs | rfc_date | invalid | unknown; epoch_expr is epoch
+    SECONDS (bigint) or NULL when fmt is invalid/unknown."""
+    if dialect == "spark":
+        idiv, big = "div", "bigint"
+
+        def rx(pat: str, g: int) -> str:
+            return f"cast(regexp_extract({col}, '{pat}', {g}) as {big})"
+
+        def matches(pat: str) -> str:
+            return f"{col} rlike '{pat}'"
+    elif dialect == "duckdb":
+        idiv, big = "//", "BIGINT"
+
+        def rx(pat: str, g: int) -> str:
+            return f"CAST(regexp_extract({col}, '{pat}', {g}) AS {big})"
+
+        def matches(pat: str) -> str:
+            return f"regexp_matches({col}, '{pat}')"
+    else:  # pragma: no cover
+        raise ValueError(f"unknown dialect {dialect}")
+
+    mon_case = (
+        "(case "
+        + " ".join(
+            f"when {{m}} = '{name}' then {i + 1}"
+            for i, name in enumerate(_MONTHS)
+        )
+        + " end)"
+    )
+
+    def civil_epoch(y: str, m: str, d: str, hms: str = "0") -> str:
+        return f"({_days_from_civil(y, m, d, idiv)} * 86400 + {hms})"
+
+    def valid(m: str, d: str) -> str:
+        return f"({m} between 1 and 12 and {d} between 1 and 31)"
+
+    iso_dt = (_DATE_RE_ISO_DT, "iso_datetime")
+    iso_d = (_DATE_RE_ISO_D, "iso_date")
+    us = (_DATE_RE_US, "us_date")
+    rfc = (_DATE_RE_RFC, "rfc_date")
+
+    fmt = (
+        f"case when {matches(iso_dt[0])} then"
+        f" (case when {valid(rx(iso_dt[0], 2), rx(iso_dt[0], 3))}"
+        f"   then 'iso_datetime' else 'invalid' end)"
+        f" when {matches(iso_d[0])} then"
+        f" (case when {valid(rx(iso_d[0], 2), rx(iso_d[0], 3))}"
+        f"   then 'iso_date' else 'invalid' end)"
+        f" when {matches(us[0])} then"
+        f" (case when {valid(rx(us[0], 1), rx(us[0], 2))}"
+        f"   then 'us_date' else 'invalid' end)"
+        f" when {matches(_DATE_RE_EPOCH)} then 'epoch_secs'"
+        f" when {matches(rfc[0])} then"
+        f" (case when {rx(rfc[0], 3)} >= 1583"
+        f"       and {rx(rfc[0], 1)} between 1 and 31"
+        f"   then 'rfc_date' else 'invalid' end)"
+        f" else 'unknown' end"
+    )
+    rfc_m = mon_case.format(m=f"regexp_extract({col}, '{rfc[0]}', 2)")
+    epoch = (
+        f"case when {matches(iso_dt[0])}"
+        f"      and {valid(rx(iso_dt[0], 2), rx(iso_dt[0], 3))} then"
+        f" {civil_epoch(rx(iso_dt[0], 1), rx(iso_dt[0], 2), rx(iso_dt[0], 3), f'{rx(iso_dt[0], 4)} * 3600 + {rx(iso_dt[0], 5)} * 60 + {rx(iso_dt[0], 6)}')}"
+        f" when {matches(iso_d[0])}"
+        f"      and {valid(rx(iso_d[0], 2), rx(iso_d[0], 3))} then"
+        f" {civil_epoch(rx(iso_d[0], 1), rx(iso_d[0], 2), rx(iso_d[0], 3))}"
+        f" when {matches(us[0])}"
+        f"      and {valid(rx(us[0], 1), rx(us[0], 2))} then"
+        f" {civil_epoch(rx(us[0], 3), rx(us[0], 1), rx(us[0], 2))}"
+        f" when {matches(_DATE_RE_EPOCH)} then cast({col} as {big})"
+        f" when {matches(rfc[0])} and {rx(rfc[0], 3)} >= 1583"
+        f"      and {rx(rfc[0], 1)} between 1 and 31 then"
+        f" {civil_epoch(rx(rfc[0], 3), rfc_m, rx(rfc[0], 1))}"
+        f" else cast(null as {big}) end"
+    )
+    return fmt, epoch
+
+
+def normalize_datestrings(
+    df: "DataFrame", col: str, out_fmt: str = "fmt", out_epoch: str = "epoch_sec"
+) -> "DataFrame":
+    """Multi-format messy-date normalization — the crawl-metadata
+    cleaning step that turns free-form date strings (ISO datetime/date,
+    US MM/DD/YYYY, epoch seconds, 'DD Mon YYYY') into one canonical
+    epoch-seconds column plus a format tag (invalid = matched a shape
+    but failed range checks; unknown = no shape matched).
+
+    Engine date parsers are deliberately bypassed: parsing is regex
+    capture + Hinnant's days-from-civil integer formula, emitted from a
+    single template for both Spark and any SQL oracle
+    (:func:`_date_norm_exprs`), so results are bit-identical with no
+    locale/zone/lenience surface.  NULL input → ('unknown', NULL).
+
+    Scale: map-only narrow projection — a handful of regexes per row, no
+    shuffle, no UDF; whole-stage codegen keeps it JVM-side.
+    """
+    fmt, epoch = _date_norm_exprs(col, "spark")
+    return df.withColumns(
+        {
+            out_fmt: F.expr(f"case when {col} is null then 'unknown' else {fmt} end"),
+            out_epoch: F.expr(
+                f"case when {col} is null then cast(null as bigint) else {epoch} end"
+            ),
+        }
+    )

@@ -664,6 +664,12 @@ from .queries_staged import STAGED_REGISTRY  # noqa: E402
 
 REGISTRY.update(STAGED_REGISTRY)
 
+# Round-8 additions (no freeze this round, so they register live and front
+# the round-9 driver window as the only never-checked gates).
+from .queries_r8 import R8_REGISTRY  # noqa: E402
+
+REGISTRY.update(R8_REGISTRY)
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver hard-checks the FIRST 50 queries in dict
 # order.  The window ROTATES per round so every gate earns a green row in

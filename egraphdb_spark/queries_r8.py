@@ -1,0 +1,454 @@
+"""Round-8 gate additions — six operators, each with the full contract
+(Spark implementation in its topical operator module, hand-written DuckDB
+oracle here, pytest parity in tests/test_r8_gates.py, fuzz enrollment for
+the documents-only gates, 10× scale probe before merge).
+
+Unlike round 7 there is no registry freeze, so these register LIVE;
+tools/next_window.py fronts them in the round-9 driver window as the only
+never-checked gates.
+
+Conventions are queries_staged.py's: identical column aliases on both
+engines, exact integer arithmetic (micro units; DECIMAL(38,0)/HUGEINT
+where products can wrap), floor(x·1e6 + 0.5) quantization for the few
+float-bearing terms, and any float constant injected as ONE literal shared
+by both engines (the NDCG log2 table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    from .graph import load_tables
+
+    return load_tables(spark, sf_dir)[name]
+
+
+R8_REGISTRY: dict[str, tuple] = {}
+
+
+# --------------------------------------------------------------------------
+# txt_winnow_fingerprints — Schleimer/Wilkerson/Aiken winnowing (MOSS)
+# --------------------------------------------------------------------------
+
+
+def q_txt_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint summary per document (k=8-char grams,
+    w=4 windows; operators/text.py winnow_fingerprints): count, min/max/
+    sum of the selected 32-bit fingerprints and the selection density —
+    the positional near-dup primitive (guaranteed shared fingerprint for
+    any shared substring ≥ k+w−1 chars) that complements the whole-doc
+    sketches (MinHash/SimHash) and global mod-p sampling
+    (txt_fingerprint)."""
+    from .operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    z = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.length(z) - F.lit(7)).cast("long").alias("n_grams"),
+    ).where(F.col("n_grams") >= 1)
+    return (
+        fps.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_fps"),
+            F.min("fp").cast("long").alias("fp_min"),
+            F.max("fp").cast("long").alias("fp_max"),
+            F.sum("fp").cast("long").alias("fp_sum"),
+        )
+        .join(grams, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_fps",
+            "fp_min",
+            "fp_max",
+            "fp_sum",
+            F.expr("(n_fps * 1000000) div n_grams").cast("long").alias(
+                "density_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WB = 1 << 21  # text.py _WINNOW_POS_BASE
+
+O_TXT_WINNOW = f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS z
+  FROM documents
+),
+b AS (
+  SELECT doc_id, z, CAST(length(z) - 7 AS BIGINT) AS n_grams
+  FROM s WHERE length(z) >= 8
+),
+g AS (
+  SELECT doc_id, n_grams,
+         CAST(unnest(range(1, n_grams + 1)) AS BIGINT) AS pos, z
+  FROM b
+),
+h AS (
+  SELECT doc_id, n_grams, pos,
+         CAST(('0x' || substr(md5(substr(z, CAST(pos AS INT), 8)), 1, 8))
+              AS BIGINT) AS hh
+  FROM g
+),
+k AS (
+  SELECT doc_id, n_grams, pos,
+         hh * {_WB} + ({_WB - 1} - pos) AS key
+  FROM h
+),
+w AS (
+  SELECT doc_id, n_grams, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+  FROM k
+),
+sel AS (
+  -- DISTINCT over (pos, fp) PAIRS, not fp alone: winnowing's output is
+  -- positional — the same hash selected at two positions is two
+  -- fingerprints (mirrors winnow_fingerprints' distinct)
+  SELECT DISTINCT doc_id, n_grams,
+         wkey // {_WB} AS fp,
+         {_WB - 1} - (wkey % {_WB}) AS fpos
+  FROM w WHERE pos <= greatest(n_grams - 3, 1)
+)
+SELECT doc_id, n_grams,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(min(fp) AS BIGINT) AS fp_min,
+       CAST(max(fp) AS BIGINT) AS fp_max,
+       CAST(sum(fp) AS BIGINT) AS fp_sum,
+       CAST((count(*) * 1000000) // n_grams AS BIGINT) AS density_micro
+FROM sel GROUP BY doc_id, n_grams ORDER BY doc_id
+"""
+
+R8_REGISTRY["txt_winnow_fingerprints"] = (q_txt_winnow_fingerprints, O_TXT_WINNOW)
+
+
+# --------------------------------------------------------------------------
+# txt_kneser_ney — interpolated KN bigram smoothing
+# --------------------------------------------------------------------------
+
+
+def q_txt_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser–Ney probabilities for the corpus' top-50
+    bigrams with d = 3/4 — one exact fraction per bigram, 128-bit
+    quantized (operators/text.py kneser_ney_bigrams).  Complements
+    txt_bigram_nll (unigram-interpolated MLE) with the continuation-
+    count smoothing real n-gram perplexity filters use."""
+    from .operators.text import kneser_ney_bigrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_bigrams(docs, "doc_id", "text", top_n=50)
+
+
+O_TXT_KNESER_NEY = r"""
+WITH base AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT t, CAST(unnest(range(1, CAST(len(t) AS BIGINT))) AS INT) AS i
+  FROM base WHERE len(t) >= 2
+),
+pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+bg AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+fwd AS (SELECT w1, sum(c) AS c_w1, count(*) AS n1p_fwd FROM bg GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p_cont FROM bg GROUP BY 1),
+ty AS (SELECT count(*) AS n_bigram_types FROM bg)
+SELECT w1, w2, CAST(c AS BIGINT) AS c, CAST(c_w1 AS BIGINT) AS c_w1,
+       CAST(n1p_fwd AS BIGINT) AS n1p_fwd,
+       CAST(n1p_cont AS BIGINT) AS n1p_cont,
+       CAST(n_bigram_types AS BIGINT) AS n_bigram_types,
+       CAST(((CAST(4 * c - 3 AS HUGEINT) * n_bigram_types
+              + CAST(3 AS HUGEINT) * n1p_fwd * n1p_cont) * 1000000)
+            // (CAST(4 AS HUGEINT) * c_w1 * n_bigram_types) AS BIGINT)
+         AS kn_prob_micro
+FROM bg JOIN fwd USING (w1) JOIN cont USING (w2), ty
+ORDER BY c DESC, w1, w2 LIMIT 50
+"""
+
+R8_REGISTRY["txt_kneser_ney"] = (q_txt_kneser_ney, O_TXT_KNESER_NEY)
+
+
+# --------------------------------------------------------------------------
+# sketch_moments_chebyshev — mergeable moments + tail-bound certification
+# --------------------------------------------------------------------------
+
+
+def q_sketch_moments_chebyshev(spark, sf_dir):
+    """Moments sketch (n, ΣX, ΣX²) over document lengths with the
+    Chebyshev tail bound P(|X−μ| ≥ a) ≤ σ²/a² read out next to the exact
+    empirical exceed fraction for a ∈ {25,50,100,200} chars — all
+    cross-multiplied exact integers (operators/sketches.py
+    moments_chebyshev).  Adds the moment/tail readout to the sketch
+    family (HLL F₀, CM frequency, KMV overlap, AMS F₂)."""
+    from .operators.sketches import moments_chebyshev
+
+    docs = _t(spark, sf_dir, "documents")
+    return moments_chebyshev(docs, "n_chars", deviations=[25, 50, 100, 200])
+
+
+O_SKETCH_MOMENTS = """
+WITH m AS (
+  SELECT count(*) AS n, sum(n_chars) AS s1,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2d
+  FROM documents WHERE n_chars IS NOT NULL
+),
+e AS (
+  SELECT CAST(a AS BIGINT) AS a,
+         (SELECT count(*) FROM documents d, m
+          WHERE d.n_chars IS NOT NULL
+            AND abs(CAST(d.n_chars AS HUGEINT) * m.n - m.s1)
+                >= CAST(a AS HUGEINT) * m.n) AS n_exceed
+  FROM (SELECT unnest([25, 50, 100, 200]) AS a)
+)
+SELECT a, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+       CAST(s2d AS BIGINT) AS s2,
+       CAST((CAST(s1 AS HUGEINT) * 1000) // n AS BIGINT) AS mean_milli,
+       CAST(least(CAST(1000000 AS HUGEINT),
+                  ((CAST(n AS HUGEINT) * s2d - CAST(s1 AS HUGEINT) * s1)
+                   * 1000000)
+                  // (CAST(n AS HUGEINT) * n * a * a)) AS BIGINT)
+         AS bound_micro,
+       CAST((CAST(n_exceed AS HUGEINT) * 1000000) // n AS BIGINT)
+         AS actual_micro
+FROM e, m ORDER BY a
+"""
+
+R8_REGISTRY["sketch_moments_chebyshev"] = (
+    q_sketch_moments_chebyshev,
+    O_SKETCH_MOMENTS,
+)
+
+
+# --------------------------------------------------------------------------
+# rag_ndcg — graded-relevance retrieval eval
+# --------------------------------------------------------------------------
+
+
+def _log2_lits(k: int) -> list[float]:
+    import math
+
+    return [math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def q_rag_ndcg(spark, sf_dir):
+    """NDCG@10 per language for a deterministic ranking (docs by n_chars
+    desc, doc_id tie-break) against deterministic graded labels
+    rel = 3 − doc_id % 4 (operators/ranking.py ndcg_at_k) — the eval
+    readout the retrieval family (BM25/cosine/IVF/RRF/MMR) reports
+    against; complements sim_recall_at_k's binary hit-rate with graded
+    gain.  log2 discounts are shared double literals; every term is
+    micro-quantized before the integer sum, so the gate is hash-exact."""
+    from pyspark.sql import Window
+
+    from .operators.ranking import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .withColumn("rel", F.expr("3 - doc_id % 4"))
+    )
+    return ndcg_at_k(ranked, "lang", "rank", "rel", k=10).withColumnRenamed(
+        "grp", "lang"
+    )
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    logs = _log2_lits(k)
+
+    def case(rank_col: str) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN CAST(floor(CAST((1 << rel) - 1 AS DOUBLE)"
+            f" * 1000000.0 / {L!r} + 0.5) AS BIGINT)"
+            for i, L in enumerate(logs, start=1)
+        )
+        return f"CASE {rank_col} {whens} END"
+
+    return f"""
+WITH ranked AS (
+  SELECT lang, doc_id, 3 - doc_id % 4 AS rel,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {k}),
+ideal AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY rel DESC, rank) AS irank
+  FROM topk
+),
+terms AS (
+  SELECT lang, {case('rank')} AS term_micro, {case('irank')} AS iterm_micro
+  FROM ideal
+),
+agg AS (
+  SELECT lang, CAST(sum(term_micro) AS BIGINT) AS dcg_micro,
+         CAST(sum(iterm_micro) AS BIGINT) AS idcg_micro
+  FROM terms GROUP BY lang
+)
+SELECT lang, CAST({k} AS BIGINT) AS k, dcg_micro, idcg_micro,
+       CASE WHEN idcg_micro = 0 THEN NULL
+       ELSE CAST((CAST(dcg_micro AS HUGEINT) * 1000000) // idcg_micro
+                 AS BIGINT) END AS ndcg_micro
+FROM agg ORDER BY lang
+"""
+
+
+O_RAG_NDCG = _ndcg_oracle()
+
+R8_REGISTRY["rag_ndcg"] = (q_rag_ndcg, O_RAG_NDCG)
+
+
+# --------------------------------------------------------------------------
+# sample_pps_systematic — fixed-size weighted sampling
+# --------------------------------------------------------------------------
+
+
+def q_sample_pps_systematic(spark, sf_dir):
+    """PPS systematic sample of exactly k=40 documents weighted by
+    n_chars, seeded anchor (operators/sampling.py pps_systematic) —
+    the fixed-budget weighted design next to the family's Bernoulli
+    (sample_hash_docs), stratified, Neyman and reservoir draws; reports
+    multiplicity for over-weight units.  The Spark plan builds the
+    cumulative-weight line with the two-level bucket cumsum (never a
+    single-partition global window); the oracle uses a plain ordered
+    cumsum — identical values, different plan."""
+    from .operators.sampling import pps_systematic
+
+    docs = _t(spark, sf_dir, "documents")
+    return pps_systematic(docs, "doc_id", "n_chars", k=40, salt="pps")
+
+
+O_SAMPLE_PPS = """
+WITH b AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+),
+c AS (
+  SELECT id, w,
+         CAST(sum(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_w
+  FROM b
+),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM b),
+a AS (
+  SELECT tot_w,
+         CAST(('0x' || substr(md5('pps'), 1, 15)) AS BIGINT) % tot_w
+           AS anchor_u
+  FROM t
+),
+hits AS (
+  SELECT id, w, cum_w,
+         CAST((CAST(cum_w AS HUGEINT) * 40 + anchor_u) // tot_w
+              - (CAST(cum_w - w AS HUGEINT) * 40 + anchor_u) // tot_w
+              AS BIGINT)
+           AS n_hits
+  FROM c, a
+)
+SELECT id, w, cum_w, n_hits FROM hits WHERE n_hits >= 1 ORDER BY id
+"""
+
+R8_REGISTRY["sample_pps_systematic"] = (q_sample_pps_systematic, O_SAMPLE_PPS)
+
+
+# --------------------------------------------------------------------------
+# clean_dates_normalize — messy-date parsing without engine date parsers
+# --------------------------------------------------------------------------
+
+
+def q_clean_dates_normalize(spark, sf_dir):
+    """Multi-format date-string normalization over six deterministic
+    messy variants synthesized from events.ts (ISO datetime, ISO date,
+    unpadded US M/D/YYYY, epoch seconds, 'D Mon YYYY', and junk) —
+    regex + integer civil→epoch math on BOTH engines, never an engine
+    date parser (operators/text.py normalize_datestrings).  Output: per
+    format tag, row count, parse count and exact epoch aggregates; the
+    junk variant must land in 'unknown' with NULL epochs."""
+    from .operators.text import normalize_datestrings
+
+    ev = _t(spark, sf_dir, "events")
+    mon = (
+        "case month(ts) when 1 then 'Jan' when 2 then 'Feb' when 3 then 'Mar'"
+        " when 4 then 'Apr' when 5 then 'May' when 6 then 'Jun'"
+        " when 7 then 'Jul' when 8 then 'Aug' when 9 then 'Sep'"
+        " when 10 then 'Oct' when 11 then 'Nov' else 'Dec' end"
+    )
+    raw = ev.withColumn(
+        "raw",
+        F.expr(
+            "case cast(event_id % 6 as int)"
+            " when 0 then date_format(ts, 'yyyy-MM-dd') || 'T' ||"
+            "   date_format(ts, 'HH:mm:ss')"
+            " when 1 then date_format(ts, 'yyyy-MM-dd')"
+            " when 2 then cast(month(ts) as string) || '/' ||"
+            "   cast(day(ts) as string) || '/' || cast(year(ts) as string)"
+            " when 3 then cast(unix_seconds(date_trunc('second', ts)) as string)"
+            f" when 4 then cast(day(ts) as string) || ' ' || {mon} || ' ' ||"
+            "   cast(year(ts) as string)"
+            " else 'not-a-date-' || cast(event_id as string) end"
+        ),
+    )
+    out = normalize_datestrings(raw, "raw")
+    return (
+        out.groupBy("fmt")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("epoch_sec").cast("long").alias("n_parsed"),
+            F.min("epoch_sec").cast("long").alias("min_epoch"),
+            F.max("epoch_sec").cast("long").alias("max_epoch"),
+            F.sum("epoch_sec").cast("long").alias("sum_epoch"),
+        )
+        .orderBy("fmt")
+    )
+
+
+def _dates_oracle() -> str:
+    from .operators.text import _date_norm_exprs
+
+    fmt, epoch = _date_norm_exprs("raw", "duckdb")
+    mon = (
+        "CASE month(ts) WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar'"
+        " WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun'"
+        " WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep'"
+        " WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' ELSE 'Dec' END"
+    )
+    return f"""
+WITH raw AS (
+  SELECT CASE CAST(event_id % 6 AS INT)
+    WHEN 0 THEN strftime(ts, '%Y-%m-%d') || 'T' || strftime(ts, '%H:%M:%S')
+    WHEN 1 THEN strftime(ts, '%Y-%m-%d')
+    WHEN 2 THEN CAST(month(ts) AS VARCHAR) || '/' ||
+      CAST(day(ts) AS VARCHAR) || '/' || CAST(year(ts) AS VARCHAR)
+    WHEN 3 THEN CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                     AS VARCHAR)
+    WHEN 4 THEN CAST(day(ts) AS VARCHAR) || ' ' || {mon} || ' ' ||
+      CAST(year(ts) AS VARCHAR)
+    ELSE 'not-a-date-' || CAST(event_id AS VARCHAR) END AS raw
+  FROM events
+),
+norm AS (
+  SELECT CASE WHEN raw IS NULL THEN 'unknown' ELSE {fmt} END AS fmt,
+         CASE WHEN raw IS NULL THEN CAST(NULL AS BIGINT)
+              ELSE {epoch} END AS epoch_sec
+  FROM raw
+)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(epoch_sec) AS BIGINT) AS n_parsed,
+       CAST(min(epoch_sec) AS BIGINT) AS min_epoch,
+       CAST(max(epoch_sec) AS BIGINT) AS max_epoch,
+       CAST(sum(epoch_sec) AS BIGINT) AS sum_epoch
+FROM norm GROUP BY fmt ORDER BY fmt
+"""
+
+
+O_CLEAN_DATES = _dates_oracle()
+
+R8_REGISTRY["clean_dates_normalize"] = (q_clean_dates_normalize, O_CLEAN_DATES)

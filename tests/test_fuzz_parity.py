@@ -163,6 +163,16 @@ STAGED_FUZZ_GATES = [
     "sketch_ams_f2",
 ]
 
+# round-8 gates that read only the documents table (queries_r8.py);
+# clean_dates_normalize reads events and fuzzes in the events battery
+R8_FUZZ_GATES = [
+    "txt_winnow_fingerprints",
+    "txt_kneser_ney",
+    "sketch_moments_chebyshev",
+    "rag_ndcg",
+    "sample_pps_systematic",
+]
+
 
 @given(texts=st.lists(_DOC, min_size=1, max_size=8))
 @settings(**_SETTINGS)
@@ -173,7 +183,7 @@ def test_gates_parity_on_hostile_corpus(spark, texts):
     # parametrize would pay the corpus write FUZZ_GATES times over)
     sf_dir = _write_corpus(spark, texts)
     failures = []
-    for gate in FUZZ_GATES + STAGED_FUZZ_GATES:
+    for gate in FUZZ_GATES + STAGED_FUZZ_GATES + R8_FUZZ_GATES:
         fn, sql = {**REGISTRY, **STAGED_REGISTRY}[gate]
         spark_pdf = fn(spark, sf_dir).toPandas()
         oracle_pdf = run_oracle(sql, sf_dir)
@@ -371,6 +381,9 @@ def _write_events(rows) -> str:
 # staged round-7 events gate fuzzes here pre-merge
 STAGED_EVT_GATES = ["evt_diff_in_diff"]
 
+# round-8 events gate: messy-date synthesis + regex/civil-math parse
+R8_EVT_GATES = ["clean_dates_normalize"]
+
 
 @given(rows=st.lists(_EVT, min_size=1, max_size=20))
 @settings(**_SETTINGS)
@@ -379,7 +392,7 @@ def test_event_gates_parity_on_tied_timestamps(spark, rows):
 
     sf_dir = _write_events(rows)
     failures = []
-    for gate in EVT_GATES + STAGED_EVT_GATES:
+    for gate in EVT_GATES + STAGED_EVT_GATES + R8_EVT_GATES:
         fn, sql = {**REGISTRY, **STAGED_REGISTRY}[gate]
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()

@@ -1,0 +1,358 @@
+"""Round-8 gate additions (queries_r8.py): winnowing fingerprints,
+Kneser-Ney bigram smoothing, moments/Chebyshev sketch, NDCG@k, PPS
+systematic sampling, messy-date normalization.  Hand-computed cases,
+defining invariants (winnowing's shared-substring guarantee, Chebyshev's
+bound >= empirical, systematic sampling's exact-k and floor/ceil hit
+counts), and full oracle parity for every gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------- gate parity
+
+
+def test_r8_gate_parity(spark):
+    from parity import compare, run_oracle
+
+    from egraphdb_spark.queries_r8 import R8_REGISTRY
+
+    assert len(R8_REGISTRY) == 6
+    for name, (fn, sql) in R8_REGISTRY.items():
+        sp = fn(spark, SF_DIR).toPandas()
+        problems = compare(sp, run_oracle(sql, SF_DIR))
+        assert not problems, f"{name}: {problems}"
+        assert len(sp) > 0, name
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Independent pure-Python winnowing reference (Schleimer et al. §5:
+    min of each window, rightmost on ties; distinct (pos, hash))."""
+    z = "".join(text.lower().split())
+    grams = [
+        int(hashlib.md5(z[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(z) - k + 1)
+    ]
+    n = len(grams)
+    if n == 0:
+        return set()
+    out: set[tuple[int, int]] = set()
+    for start in range(max(n - w + 1, 1)):
+        window = grams[start : start + w]
+        m = min(window)
+        # rightmost occurrence of the min in this window
+        pos = start + max(i for i, h in enumerate(window) if h == m)
+        out.add((pos + 1, m))  # operator positions are 1-based
+    return out
+
+
+@pytest.mark.parametrize("k,w", [(2, 2), (3, 4), (8, 4)])
+def test_winnow_matches_pure_python_reference(spark, k, w):
+    from egraphdb_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE QUICK  brown\tfox jumps over the lazy dog"),  # normalizes to 1
+        (3, "aaaaaaaaaaaa"),  # constant grams: tie-break path
+        (4, "ab"),  # shorter than k for k>2
+        (5, "abcdefgh"),  # exactly k grams=1 (k=8): single window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.id, set()).add((r.pos, r.fp))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _winnow_ref(text, k, w), (doc_id, k, w)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # any shared substring of length >= k + w - 1 yields a shared fingerprint
+    from egraphdb_spark.operators.text import winnow_fingerprints
+
+    k, w = 4, 3
+    shared = "commonsubstringpayload"  # len 22 >= k + w - 1 = 6
+    rows = [(1, "xxxx" + shared + "qqqq"), (2, "zz" + shared + "pp")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        fps[r.id].add(r.fp)
+    assert fps[1] & fps[2], "winnowing guarantee violated"
+
+
+def test_winnow_normalization_and_short_docs(spark):
+    from egraphdb_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "helloworld"), (3, "hi")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r.id, set()).add((r.pos, r.fp))
+    # case/whitespace-normalized twins fingerprint identically
+    assert by_doc[1] == by_doc[2] and by_doc[1]
+    # doc 3: len 2 < k -> zero grams -> absent
+    assert 3 not in by_doc
+    # short docs with 1 <= n_grams < w still emit exactly one window
+    df2 = spark.createDataFrame([(9, "abcde")], "doc_id long, text string")
+    out2 = winnow_fingerprints(df2, k=4, w=4).collect()  # n_grams = 2
+    assert len(out2) == 1
+
+
+# --------------------------------------------------------------- Kneser-Ney
+
+
+def test_kneser_ney_hand_computed(spark):
+    from egraphdb_spark.operators.text import kneser_ney_bigrams
+
+    # corpus: "a b a b a c" -> bigrams: ab ba ab ba ac
+    df = spark.createDataFrame([(1, "a b a b a c")], "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in kneser_ney_bigrams(df).collect()}
+    # counts: c(ab)=2 c(ba)=2 c(ac)=1; c(a.)=3, c(b.)=2
+    # N1+(a.)=2 {b,c}, N1+(b.)=1 {a}; N1+(.b)=1 {a}, N1+(.a)=1 {b}, N1+(.c)=1
+    # N1+(..)=3 types
+    r = out[("a", "b")]
+    assert (r.c, r.c_w1, r.n1p_fwd, r.n1p_cont, r.n_bigram_types) == (2, 3, 2, 1, 3)
+    # P = [(4*2-3)*3 + 3*2*1] / [4*3*3] = (15+6)/36 = 21/36
+    assert r.kn_prob_micro == 21 * 1_000_000 * 1 // 36
+    r = out[("b", "a")]
+    # P = [(8-3)*3 + 3*1*1] / [4*2*3] = 18/24 = 3/4
+    assert r.kn_prob_micro == 750_000
+    r = out[("a", "c")]
+    # P = [(4-3)*3 + 3*2*1] / 36 = 9/36 = 1/4
+    assert r.kn_prob_micro == 250_000
+
+
+def test_kneser_ney_conditional_mass_bounded(spark):
+    # sum over OBSERVED continuations of P_KN(w2|w1) must stay <= 1:
+    # the discount reserves mass and P_cont sums to 1 over the whole vocab
+    from egraphdb_spark.operators.text import kneser_ney_bigrams
+
+    from egraphdb_spark.graph import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    rows = kneser_ney_bigrams(docs, top_n=500).collect()
+    by_w1: dict[str, int] = {}
+    for r in rows:
+        by_w1[r.w1] = by_w1.get(r.w1, 0) + r.kn_prob_micro
+    # top-500 truncates some w1 groups; the bound must hold regardless
+    assert all(v <= 1_000_000 for v in by_w1.values()), max(by_w1.values())
+
+
+# --------------------------------------------------------- moments sketch
+
+
+def test_moments_chebyshev_hand_computed(spark):
+    from egraphdb_spark.operators.sketches import moments_chebyshev
+
+    df = spark.createDataFrame([(0,), (10,)], "x long")
+    out = {r.a: r for r in moments_chebyshev(df, "x", deviations=[5, 6]).collect()}
+    r = out[5]
+    assert (r.n, r.s1, r.s2, r.mean_milli) == (2, 10, 100, 5000)
+    # sigma^2 = (2*100 - 100)/4 = 25; bound(5) = min(1, 25/25) = 1
+    assert r.bound_micro == 1_000_000
+    # both points are exactly 5 away -> |x*n - s1| = 10 >= 5*2 -> exceed
+    assert r.actual_micro == 1_000_000
+    # bound(6) = 25/36; neither point is 6 away
+    assert out[6].bound_micro == 25 * 1_000_000 // 36
+    assert out[6].actual_micro == 0
+
+
+def test_moments_chebyshev_bound_dominates_empirical(spark):
+    from egraphdb_spark.operators.sketches import moments_chebyshev
+
+    from egraphdb_spark.graph import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    for r in moments_chebyshev(docs, "n_chars").collect():
+        assert r.actual_micro <= r.bound_micro, r
+
+
+def test_moments_merge_by_addition(spark):
+    from egraphdb_spark.operators.sketches import moments_chebyshev
+
+    a = spark.createDataFrame([(1,), (2,)], "x long")
+    b = spark.createDataFrame([(3,), (4,)], "x long")
+    u = a.unionByName(b)
+    ra = moments_chebyshev(a, "x", deviations=[1]).collect()[0]
+    rb = moments_chebyshev(b, "x", deviations=[1]).collect()[0]
+    ru = moments_chebyshev(u, "x", deviations=[1]).collect()[0]
+    assert (ru.n, ru.s1, ru.s2) == (ra.n + rb.n, ra.s1 + rb.s1, ra.s2 + rb.s2)
+
+
+# -------------------------------------------------------------------- NDCG
+
+
+def _term(rel: int, i: int) -> int:
+    return int(math.floor(((1 << rel) - 1) * 1_000_000.0 / math.log2(i + 1) + 0.5))
+
+
+def test_ndcg_hand_computed(spark):
+    from egraphdb_spark.operators.ranking import ndcg_at_k
+
+    rows = [("q", 1, 3), ("q", 2, 0), ("q", 3, 1)]
+    df = spark.createDataFrame(rows, "grp_in string, rank long, rel long")
+    r = ndcg_at_k(df, "grp_in", "rank", "rel", k=10).collect()[0]
+    dcg = _term(3, 1) + _term(0, 2) + _term(1, 3)
+    idcg = _term(3, 1) + _term(1, 2) + _term(0, 3)
+    assert r.dcg_micro == dcg
+    assert r.idcg_micro == idcg
+    assert r.ndcg_micro == dcg * 1_000_000 // idcg
+
+
+def test_ndcg_perfect_and_degenerate(spark):
+    from egraphdb_spark.operators.ranking import ndcg_at_k
+
+    # already-ideal ranking -> NDCG exactly 1
+    rows = [("p", i, 5 - i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "g string, rank long, rel long")
+    r = ndcg_at_k(df, "g", "rank", "rel", k=4).collect()[0]
+    assert r.ndcg_micro == 1_000_000
+    # all-zero relevance -> idcg 0 -> NULL, not a fabricated score
+    rows = [("z", i, 0) for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "g string, rank long, rel long")
+    r = ndcg_at_k(df, "g", "rank", "rel", k=4).collect()[0]
+    assert r.idcg_micro == 0 and r.ndcg_micro is None
+
+
+def test_ndcg_ignores_ranks_beyond_k(spark):
+    from egraphdb_spark.operators.ranking import ndcg_at_k
+
+    rows = [("g", 1, 2), ("g", 2, 1), ("g", 3, 3)]
+    df = spark.createDataFrame(rows, "g string, rank long, rel long")
+    r = ndcg_at_k(df, "g", "rank", "rel", k=2).collect()[0]
+    assert r.dcg_micro == _term(2, 1) + _term(1, 2)
+
+
+# ----------------------------------------------------------- PPS systematic
+
+
+def test_pps_exactly_k_and_hit_bounds(spark):
+    from egraphdb_spark.operators.sampling import pps_systematic
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    k = 10
+    out = pps_systematic(df, "id", "w", k=k).collect()
+    assert sum(r.n_hits for r in out) == k
+    W = sum(w for _, w in rows)
+    for r in out:
+        lo, hi = (r.w * k) // W, -((-r.w * k) // W)  # floor, ceil
+        assert lo <= r.n_hits <= max(hi, 1), r
+
+
+def test_pps_heavy_unit_multiplicity(spark):
+    from egraphdb_spark.operators.sampling import pps_systematic
+
+    # one unit holds half the weight -> with k=10 it must be hit >= 4 times
+    rows = [(0, 100)] + [(i, 2) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {r.id: r.n_hits for r in pps_systematic(df, "id", "w", k=10).collect()}
+    assert out.get(0, 0) >= 4
+    assert sum(out.values()) == 10
+
+
+def test_pps_deterministic_and_salt_sensitive(spark):
+    from egraphdb_spark.operators.sampling import pps_systematic
+
+    rows = [(i, 1 + i % 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    a = sorted((r.id, r.n_hits) for r in pps_systematic(df, "id", "w", k=7).collect())
+    b = sorted((r.id, r.n_hits) for r in pps_systematic(df, "id", "w", k=7).collect())
+    assert a == b
+    c = sorted(
+        (r.id, r.n_hits)
+        for r in pps_systematic(df, "id", "w", k=7, salt="other").collect()
+    )
+    assert sum(h for _, h in c) == 7  # still exactly k under any salt
+
+
+def test_pps_excludes_nonpositive_weights(spark):
+    from egraphdb_spark.operators.sampling import pps_systematic
+
+    rows = [(1, 5), (2, 0), (3, -3), (4, None), (5, 5)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = pps_systematic(df, "id", "w", k=2).collect()
+    assert {r.id for r in out} <= {1, 5}
+    assert sum(r.n_hits for r in out) == 2
+
+
+def test_pps_bucketed_cumsum_matches_plain(spark):
+    # the two-level bucket cumsum must equal a plain ordered cumsum
+    from egraphdb_spark.operators.sampling import pps_systematic
+
+    rows = [(i * 3 + 1, 1 + (i * 11) % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = {r.id: r.cum_w for r in pps_systematic(df, "id", "w", k=200, bucket_width=16).collect()}
+    cum, expect = 0, {}
+    for i, w in sorted(rows):
+        cum += w
+        expect[i] = cum
+    assert all(out[i] == expect[i] for i in out)
+
+
+# ------------------------------------------------------- date normalization
+
+
+def _epoch(*args) -> int:
+    return int(dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp())
+
+
+def test_dates_hand_computed(spark):
+    from egraphdb_spark.operators.text import normalize_datestrings
+
+    rows = [
+        (1, "2024-01-16T12:30:45"),
+        (2, "2024-01-16 12:30:45"),
+        (3, "1999-12-31"),
+        (4, "1/5/1999"),
+        (5, "946684800"),
+        (6, "16 Jan 2024"),
+        (7, "2024-13-01"),      # month out of range
+        (8, "99/99/2024"),      # matched US shape, invalid fields
+        (9, "not a date"),
+        (10, None),
+        (11, "29 Feb 2024"),    # leap day, civil math must be exact
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {r.id: r for r in normalize_datestrings(df, "s").collect()}
+    assert (out[1].fmt, out[1].epoch_sec) == ("iso_datetime", _epoch(2024, 1, 16, 12, 30, 45))
+    assert (out[2].fmt, out[2].epoch_sec) == ("iso_datetime", _epoch(2024, 1, 16, 12, 30, 45))
+    assert (out[3].fmt, out[3].epoch_sec) == ("iso_date", _epoch(1999, 12, 31))
+    assert (out[4].fmt, out[4].epoch_sec) == ("us_date", _epoch(1999, 1, 5))
+    assert (out[5].fmt, out[5].epoch_sec) == ("epoch_secs", 946684800)
+    assert (out[6].fmt, out[6].epoch_sec) == ("rfc_date", _epoch(2024, 1, 16))
+    assert (out[7].fmt, out[7].epoch_sec) == ("invalid", None)
+    assert (out[8].fmt, out[8].epoch_sec) == ("invalid", None)
+    assert (out[9].fmt, out[9].epoch_sec) == ("unknown", None)
+    assert (out[10].fmt, out[10].epoch_sec) == ("unknown", None)
+    assert (out[11].fmt, out[11].epoch_sec) == ("rfc_date", _epoch(2024, 2, 29))
+
+
+def test_dates_civil_math_sweeps_calendar(spark):
+    # every month boundary + leap rules across a century, vs Python's
+    # proleptic-Gregorian datetime as the independent reference
+    from egraphdb_spark.operators.text import normalize_datestrings
+
+    cases = []
+    for y in (1970, 1999, 2000, 2024, 2038, 2100):
+        for m in (1, 2, 3, 12):
+            for d in (1, 28):
+                cases.append(f"{y:04d}-{m:02d}-{d:02d}")
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "id long, s string")
+    out = {r.s: r.epoch_sec for r in normalize_datestrings(df, "s").collect()}
+    for s in cases:
+        y, m, d = map(int, s.split("-"))
+        assert out[s] == _epoch(y, m, d), s

@@ -188,6 +188,13 @@ PROBES = [
     "privacy_dp_mean",
     "clean_url_canon",
     "evt_diff_in_diff",
+    # round-8 additions (queries_r8.py)
+    "txt_winnow_fingerprints",
+    "txt_kneser_ney",
+    "sketch_moments_chebyshev",
+    "rag_ndcg",
+    "sample_pps_systematic",
+    "clean_dates_normalize",
 ]
 
 
