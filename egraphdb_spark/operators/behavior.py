@@ -480,3 +480,121 @@ def diff_in_diff(
         .select("period", "cohort", "n", "sum_cents", "mean_milli", "did_milli")
         .orderBy("period", "cohort")
     )
+
+
+# Poisson(1) inverse-CDF thresholds at 2^60 scale (P(X<=j) for j=0..4),
+# computed once with 60-digit Decimal arithmetic and frozen as integers —
+# both engines compare the same 60-bit uniform against the same constants,
+# so the multiplicity draw is bit-exact.  Mass beyond 4 (~0.366%) maps to
+# m=5 (a truncated-at-5 Poisson; the truncation is part of the operator's
+# definition, documented, and identical on both engines).
+_POISSON1_T60 = (
+    424136118829305329,    # P(0)
+    848272237658610659,    # P(<=1)
+    1060340297073263324,   # P(<=2)
+    1131029650211480879,   # P(<=3)
+    1148701988496035267,   # P(<=4)
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group: str,
+    id_col: str,
+    value: str,
+    n_boot: int = 32,
+    salt: str = "bs",
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-group mean —
+    THE bootstrap that works on distributed data (Chamandy et al.,
+    Google '12; Kleiner et al.'s BLB is its heavyweight cousin): instead
+    of resampling n rows with replacement (which needs global
+    coordination), each row enters resample b with multiplicity
+    m ~ Poisson(1), independent per (row, b) — a pure MAP over the data.
+
+    Here the Poisson draw is SEEDED — u = md5₆₀(salt:b:id)/2⁶⁰ against
+    frozen inverse-CDF thresholds (:data:`_POISSON1_T60`, truncated at
+    m=5) — so every resample is a deterministic function of (salt, data)
+    and the SQL oracle replays all ``n_boot`` resamples bit-for-bit.
+
+    Readout per group: the exact point mean plus the [5%, 95%] interval
+    of the resample means by ORDER STATISTICS (ranks
+    lo = (nv·50) div 1000 + 1 and hi = (nv·950 + 999) div 1000 over the
+    nv valid resamples — for nv=32 the 2nd and 31st), all integer
+    arithmetic in milli-units of the value.  Resamples whose total
+    multiplicity is 0 are invalid and excluded (counted in
+    n_boot_valid).
+
+    Output per group: ``(group, n_events, mean_milli, n_boot_valid,
+    boot_lo_milli, boot_hi_milli)``.
+
+    Scale: the n_boot× blowup is COMPUTE inside the map stage — the
+    shuffle carries only (group, b) partial sums (map-side combine), and
+    the order-statistics window runs over n_boot rows per group, never
+    data-sized rows.
+    """
+    from pyspark.sql import Window
+
+    cents = F.expr(f"cast(round(100 * {value}) as bigint)")
+    base = df.select(
+        F.col(group).alias("grp"),
+        F.col(id_col).cast("string").alias("rid"),
+        cents.alias("cents"),
+    )
+    # sign·(|sum| div n): Spark div truncates toward zero, DuckDB //
+    # floors — identical only when the numerator is non-negative
+    point = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast((case when sum(cents) < 0 then -1 else 1 end)"
+            " * ((abs(sum(cents)) * 10) div count(*)) as bigint)"
+        ).alias("mean_milli"),
+    )
+    t = _POISSON1_T60
+    m_expr = (
+        f"case when _u < {t[0]} then 0 when _u < {t[1]} then 1"
+        f" when _u < {t[2]} then 2 when _u < {t[3]} then 3"
+        f" when _u < {t[4]} then 4 else 5 end"
+    )
+    rep = (
+        base.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+        .withColumn(
+            "_u",
+            F.expr(
+                f"cast(conv(substring(md5('{salt}:' || cast(b as string)"
+                f" || ':' || coalesce(rid, chr(0))), 1, 15), 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("m", F.expr(m_expr).cast("long"))
+    )
+    boots = rep.groupBy("grp", "b").agg(
+        F.sum(F.col("m") * F.col("cents")).cast("long").alias("sum_mc"),
+        F.sum("m").cast("long").alias("sum_m"),
+    ).where(F.col("sum_m") > 0).withColumn(
+        "bmean_milli",
+        F.expr(
+            "cast((case when sum_mc < 0 then -1 else 1 end)"
+            " * ((abs(sum_mc) * 10) div sum_m) as bigint)"
+        ),
+    )
+    w = Window.partitionBy("grp").orderBy("bmean_milli", "b")
+    ranked = boots.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nv", F.count("*").over(Window.partitionBy("grp")).cast("long")
+    )
+    ci = (
+        ranked.where(
+            (F.col("rk") == F.expr("(nv * 50) div 1000 + 1"))
+            | (F.col("rk") == F.expr("(nv * 950 + 999) div 1000"))
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("nv").alias("n_boot_valid"),
+            F.min("bmean_milli").cast("long").alias("boot_lo_milli"),
+            F.max("bmean_milli").cast("long").alias("boot_hi_milli"),
+        )
+    )
+    return point.join(ci, "grp", "left").select(
+        "grp", "n_events", "mean_milli",
+        F.coalesce("n_boot_valid", F.lit(0)).cast("long").alias("n_boot_valid"),
+        "boot_lo_milli", "boot_hi_milli",
+    ).orderBy("grp")

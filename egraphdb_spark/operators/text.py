@@ -1589,3 +1589,100 @@ def normalize_datestrings(
             ),
         }
     )
+
+
+def zipf_fit(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_r: int = 100,
+) -> "DataFrame":
+    """Zipf rank-frequency fit over the corpus unigram table — the
+    oldest corpus-health diagnostic there is: natural text follows
+    freq ∝ rank^s with s ≈ −1 (Zipf 1935); generated word-soup, boiler-
+    plate floods and template spam bend the slope, so the fitted s is a
+    one-number corpus-quality alarm next to the per-doc Gopher rules.
+
+    Fit: least squares of y = ln(freq) on x = ln(rank) over the top
+    ``top_r`` terms (frequency desc, term asc tie-break).  Both ln calls
+    are the engine's (the BM25/unigram trust base) and each coordinate
+    is quantized floor(x·10⁶ + 0.5) BEFORE any sum, so the regression
+    inputs are integers and the slope is one 128-bit fraction:
+
+        slope_milli = (R·Σxy − Σx·Σy)·1000 div (R·Σx² − (Σx)²)
+        intercept_micro = (Σy div R) − (slope_milli·(Σx div R)) div 1000
+
+    (intercept definition uses the same floor-div composition on both
+    engines; R < 2 or a degenerate x-variance yields NULLs, honest).
+
+    Output, one row: ``(r_eff, n_types, n_tokens, top_freq, slope_milli,
+    intercept_micro)``.
+
+    Scale: one token explode + one vocabulary-sized count aggregate;
+    the rank window runs over the top-R table only (TakeOrdered-bounded)
+    and the regression is a 6-term map-side-combined sum.
+    """
+    c = F.col(text_col)
+    toks = docs.select(tokens(F.lower(c)).alias("t")).select(
+        F.explode("t").alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
+    corpus = uni.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("freq").desc(), "term")
+    top = (
+        uni.orderBy(F.col("freq").desc(), "term")
+        .limit(top_r)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "freq",
+            F.expr("cast(floor(ln(cast(rank as double)) * 1000000.0 + 0.5) as bigint)").alias("x"),
+            F.expr("cast(floor(ln(cast(freq as double)) * 1000000.0 + 0.5) as bigint)").alias("y"),
+        )
+    )
+    reg = top.agg(
+        F.count("*").cast("long").alias("r_eff"),
+        F.max(F.when(F.col("rank") == 1, F.col("freq"))).cast("long").alias(
+            "top_freq"
+        ),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+    )
+    return (
+        reg.crossJoin(F.broadcast(corpus))
+        .select(
+            "r_eff",
+            "n_types",
+            "n_tokens",
+            "top_freq",
+            # slope's numerator is NEGATIVE for Zipfian text, and Spark's
+            # decimal `div` truncates toward zero where DuckDB's `//`
+            # floors — so both engines apply sign·(|num| div den), which is
+            # identical truncation-toward-zero by construction (den, the
+            # x-variance, is always >= 0)
+            F.expr(
+                "case when r_eff < 2 or (r_eff * sxx - sx * sx) = 0 then null"
+                " else cast("
+                "   (case when (r_eff * sxy - sx * sy) < 0 then -1 else 1 end)"
+                "   * ((abs(r_eff * sxy - sx * sy) * 1000)"
+                "      div (r_eff * sxx - sx * sx)) as bigint) end"
+            ).alias("slope_milli"),
+            F.expr(
+                "case when r_eff < 2 or (r_eff * sxx - sx * sx) = 0 then null"
+                " else cast((sy div r_eff)"
+                " - (case when (r_eff * sxy - sx * sy) < 0 then -1 else 1 end)"
+                "   * ((abs(cast("
+                "       (case when (r_eff * sxy - sx * sy) < 0 then -1 else 1 end)"
+                "       * ((abs(r_eff * sxy - sx * sy) * 1000)"
+                "          div (r_eff * sxx - sx * sx)) as decimal(38,0)))"
+                "      * (sx div r_eff)) div 1000) as bigint) end"
+            ).alias("intercept_micro"),
+        )
+    )

@@ -452,3 +452,245 @@ FROM norm GROUP BY fmt ORDER BY fmt
 O_CLEAN_DATES = _dates_oracle()
 
 R8_REGISTRY["clean_dates_normalize"] = (q_clean_dates_normalize, O_CLEAN_DATES)
+
+
+# --------------------------------------------------------------------------
+# evt_bootstrap_ci — seeded Poisson bootstrap CI
+# --------------------------------------------------------------------------
+
+
+def q_evt_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 90% CI for the mean event value per event_type
+    (32 seeded resamples; operators/behavior.py poisson_bootstrap_ci) —
+    the distributed bootstrap (per-row Poisson(1) multiplicities, a pure
+    map) that gives pipeline metrics error bars without global
+    resampling; completes the inference family next to evt_ab_test /
+    evt_rate_wilson / evt_diff_in_diff."""
+    from .operators.behavior import poisson_bootstrap_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(ev, "event_type", "event_id", "value", n_boot=32)
+
+
+_P1 = (
+    424136118829305329,
+    848272237658610659,
+    1060340297073263324,
+    1131029650211480879,
+    1148701988496035267,
+)
+
+O_EVT_BOOTSTRAP = f"""
+WITH base AS (
+  SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS rid,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM events
+),
+point AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_events,
+         CAST((CASE WHEN sum(cents) < 0 THEN -1 ELSE 1 END)
+              * ((abs(sum(cents)) * 10) // count(*)) AS BIGINT) AS mean_milli
+  FROM base GROUP BY grp
+),
+rep AS (
+  SELECT grp, rid, cents, CAST(unnest(range(0, 32)) AS BIGINT) AS b
+  FROM base
+),
+draws AS (
+  SELECT grp, b, cents,
+         CAST(('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':'
+                                  || coalesce(rid, chr(0))), 1, 15))
+              AS BIGINT) AS u
+  FROM rep
+),
+mult AS (
+  SELECT grp, b, cents,
+         CASE WHEN u < {_P1[0]} THEN 0 WHEN u < {_P1[1]} THEN 1
+              WHEN u < {_P1[2]} THEN 2 WHEN u < {_P1[3]} THEN 3
+              WHEN u < {_P1[4]} THEN 4 ELSE 5 END AS m
+  FROM draws
+),
+boots AS (
+  SELECT grp, b, sum(m * cents) AS sum_mc, sum(m) AS sum_m
+  FROM mult GROUP BY grp, b HAVING sum(m) > 0
+),
+bm AS (
+  SELECT grp, b,
+         CAST((CASE WHEN sum_mc < 0 THEN -1 ELSE 1 END)
+              * ((abs(sum_mc) * 10) // sum_m) AS BIGINT) AS bmean_milli
+  FROM boots
+),
+ranked AS (
+  SELECT grp, bmean_milli,
+         row_number() OVER (PARTITION BY grp ORDER BY bmean_milli, b) AS rk,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS nv
+  FROM bm
+),
+ci AS (
+  SELECT grp, max(nv) AS n_boot_valid,
+         CAST(min(bmean_milli) AS BIGINT) AS boot_lo_milli,
+         CAST(max(bmean_milli) AS BIGINT) AS boot_hi_milli
+  FROM ranked
+  WHERE rk = (nv * 50) // 1000 + 1 OR rk = (nv * 950 + 999) // 1000
+  GROUP BY grp
+)
+SELECT point.grp, n_events, mean_milli,
+       CAST(coalesce(n_boot_valid, 0) AS BIGINT) AS n_boot_valid,
+       boot_lo_milli, boot_hi_milli
+FROM point LEFT JOIN ci ON point.grp = ci.grp
+ORDER BY point.grp
+"""
+
+R8_REGISTRY["evt_bootstrap_ci"] = (q_evt_bootstrap_ci, O_EVT_BOOTSTRAP)
+
+
+# --------------------------------------------------------------------------
+# profile_gini — Lorenz/Gini concentration
+# --------------------------------------------------------------------------
+
+
+def q_profile_gini(spark, sf_dir):
+    """Gini coefficient of document length per language
+    (operators/profiling.py gini_concentration) — the corpus-
+    concentration alarm: G → 0 when sources contribute evenly, → 1 when
+    one document class hoards the characters.  Exact grouped-rank
+    integer arithmetic over the bounded length domain; rows are counted
+    once and never sorted."""
+    from .operators.profiling import gini_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_concentration(docs, "lang", "n_chars")
+
+
+O_PROFILE_GINI = """
+WITH counts AS (
+  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT grp, v, c,
+         CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM counts
+),
+agg AS (
+  SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(v AS HUGEINT) * c) AS sx_d,
+         sum(CAST(v AS HUGEINT)
+             * (c * CAST(cb AS HUGEINT) + (c * (c + 1)) // 2)) AS six_d
+  FROM ranked GROUP BY grp
+)
+SELECT grp, n, CAST(sx_d AS BIGINT) AS sum_x,
+       CASE WHEN n = 0 OR sx_d = 0 THEN NULL
+       ELSE CAST(((2 * six_d - (n + 1) * sx_d) * 1000000)
+                 // (CAST(n AS HUGEINT) * sx_d) AS BIGINT) END AS gini_micro
+FROM agg ORDER BY grp
+"""
+
+R8_REGISTRY["profile_gini"] = (q_profile_gini, O_PROFILE_GINI)
+
+
+# --------------------------------------------------------------------------
+# txt_zipf_fit — rank-frequency slope
+# --------------------------------------------------------------------------
+
+
+def q_txt_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency regression over the corpus' top-100 unigrams
+    (operators/text.py zipf_fit): micro-quantized ln coordinates →
+    exact 128-bit least squares; slope_milli ≈ −1000 is the natural-text
+    signature, the corpus-level alarm next to the per-doc Gopher
+    battery."""
+    from .operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_r=100)
+
+
+O_TXT_ZIPF = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(freq) AS BIGINT) AS n_tokens
+  FROM uni
+),
+top AS (
+  SELECT freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+  FROM uni ORDER BY freq DESC, term LIMIT 100
+),
+xy AS (
+  SELECT rank, freq,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM top
+),
+reg AS (
+  SELECT CAST(count(*) AS BIGINT) AS r_eff,
+         CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM xy
+)
+SELECT r_eff, n_types, n_tokens, top_freq,
+       CASE WHEN r_eff < 2 OR (r_eff * sxx - sx * sx) = 0 THEN NULL
+       ELSE CAST((CASE WHEN (r_eff * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+                 * ((abs(r_eff * sxy - sx * sy) * 1000)
+                    // (r_eff * sxx - sx * sx)) AS BIGINT) END AS slope_milli,
+       CASE WHEN r_eff < 2 OR (r_eff * sxx - sx * sx) = 0 THEN NULL
+       ELSE CAST((sy // r_eff)
+                 - (CASE WHEN (r_eff * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+                   * ((abs(CAST(
+                        (CASE WHEN (r_eff * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+                        * ((abs(r_eff * sxy - sx * sy) * 1000)
+                           // (r_eff * sxx - sx * sx)) AS HUGEINT))
+                      * (sx // r_eff)) // 1000) AS BIGINT) END
+         AS intercept_micro
+FROM reg, corpus
+"""
+
+R8_REGISTRY["txt_zipf_fit"] = (q_txt_zipf_fit, O_TXT_ZIPF)
+
+
+# --------------------------------------------------------------------------
+# stream_moments — the moments sketch as a streaming aggregate
+# --------------------------------------------------------------------------
+
+
+def q_stream_moments(spark, sf_dir):
+    """REAL streaming moments: readStream → watermark → 1-hour tumbling
+    windows → (n, Σcents, Σcents²) power sums + exact integer mean →
+    availableNow → memory sink (streaming/stream.py windowed_moments).
+    The mergeable-by-addition property that makes moments_chebyshev a
+    sketch is exactly what makes it stream-legal: state per window is
+    one 3-number row regardless of event volume."""
+    from .streaming.stream import read_events_stream, run_to_memory, windowed_moments
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_to_memory(windowed_moments(ev, "1 hour"), "stream_moments_tbl")
+    return out.orderBy("window_start")
+
+
+O_STREAM_MOMENTS = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM events
+)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS s1_cents,
+       CAST(sum(CAST(cents AS HUGEINT) * cents) AS BIGINT) AS s2_cents2,
+       CAST((CASE WHEN sum(cents) < 0 THEN -1 ELSE 1 END)
+            * ((abs(sum(cents)) * 10) // count(*)) AS BIGINT) AS mean_milli
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+R8_REGISTRY["stream_moments"] = (q_stream_moments, O_STREAM_MOMENTS)

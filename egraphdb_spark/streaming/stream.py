@@ -537,3 +537,41 @@ def windowed_cm_registers(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.end").alias("window_end"), "row", "bucket", "cnt")
     )
+
+
+def windowed_moments(events: DataFrame, window: str = "1 hour",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Streaming moments sketch: per tumbling window, the mergeable
+    (n, Σcents, Σcents²) power sums plus the exact integer mean — the
+    streaming twin of operators/sketches.moments_chebyshev, and the
+    demonstration that the sketch's merge-by-addition property IS its
+    incremental-execution property: Spark's state store keeps exactly
+    three numbers per window however many events arrive, and partial
+    (micro-batch) sums merge by the same addition the batch sketch uses
+    across partitions.
+
+    All stream-legal declarative aggregates (sum/count), integer-exact:
+    cents = round(100·value) as BIGINT, squares in DECIMAL(38,0) —
+    state per window is ONE row.
+    """
+    e = events.withWatermark("ts", watermark).select(
+        "ts", F.expr("cast(round(100 * value) as bigint)").alias("cents")
+    )
+    return (
+        e.groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s1_cents"),
+            F.sum(F.expr("cast(cents as decimal(38,0)) * cents")).alias("_s2d"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            "s1_cents",
+            F.col("_s2d").cast("long").alias("s2_cents2"),
+            F.expr(
+                "cast((case when s1_cents < 0 then -1 else 1 end)"
+                " * ((abs(s1_cents) * 10) div n) as bigint)"
+            ).alias("mean_milli"),
+        )
+    )

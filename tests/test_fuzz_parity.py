@@ -171,6 +171,8 @@ R8_FUZZ_GATES = [
     "sketch_moments_chebyshev",
     "rag_ndcg",
     "sample_pps_systematic",
+    "profile_gini",
+    "txt_zipf_fit",
 ]
 
 
@@ -382,7 +384,7 @@ def _write_events(rows) -> str:
 STAGED_EVT_GATES = ["evt_diff_in_diff"]
 
 # round-8 events gate: messy-date synthesis + regex/civil-math parse
-R8_EVT_GATES = ["clean_dates_normalize"]
+R8_EVT_GATES = ["clean_dates_normalize", "evt_bootstrap_ci"]
 
 
 @given(rows=st.lists(_EVT, min_size=1, max_size=20))

@@ -25,7 +25,7 @@ def test_r8_gate_parity(spark):
 
     from egraphdb_spark.queries_r8 import R8_REGISTRY
 
-    assert len(R8_REGISTRY) == 6
+    assert len(R8_REGISTRY) == 10
     for name, (fn, sql) in R8_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -356,3 +356,145 @@ def test_dates_civil_math_sweeps_calendar(spark):
     for s in cases:
         y, m, d = map(int, s.split("-"))
         assert out[s] == _epoch(y, m, d), s
+
+
+# -------------------------------------------------------- Poisson bootstrap
+
+
+def test_bootstrap_point_mean_exact_and_reproducible(spark):
+    from egraphdb_spark.operators.behavior import poisson_bootstrap_ci
+
+    rows = [("a", i, float(1 + i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = poisson_bootstrap_ci(df, "g", "id", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    total_cents = sum(int(round(100 * v)) for _, _, v in rows)
+    assert r.n_events == 60
+    assert r.mean_milli == total_cents * 10 // 60
+    assert r.boot_lo_milli <= r.boot_hi_milli
+    assert 1 <= r.n_boot_valid <= 32
+    again = poisson_bootstrap_ci(df, "g", "id", "v").collect()[0]
+    assert (again.boot_lo_milli, again.boot_hi_milli) == (
+        r.boot_lo_milli,
+        r.boot_hi_milli,
+    )
+
+
+def test_bootstrap_multiplicities_average_one(spark):
+    # the seeded Poisson(1) draw must average ~1 over (row, resample)
+    from egraphdb_spark.operators.behavior import _POISSON1_T60
+
+    import hashlib
+
+    n, B, total = 200, 32, 0
+    for rid in range(n):
+        for b in range(B):
+            u = int(hashlib.md5(f"bs:{b}:{rid}".encode()).hexdigest()[:15], 16)
+            m = 0
+            for j, t in enumerate(_POISSON1_T60):
+                if u < t:
+                    m = j
+                    break
+            else:
+                m = 5
+            total += m
+    assert abs(total - n * B) / (n * B) < 0.05, total / (n * B)
+
+
+def test_bootstrap_interval_brackets_truth_on_iid_data(spark):
+    # iid values with mean 5.0: the 90% interval should bracket it here
+    # (a deterministic fixture, so this is a regression pin, not a flaky
+    # statistical assertion)
+    from egraphdb_spark.operators.behavior import poisson_bootstrap_ci
+
+    rows = [("g", i, 5.0 + (1 if i % 2 else -1) * (i % 7) / 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    r = poisson_bootstrap_ci(df, "g", "id", "v").collect()[0]
+    assert r.boot_lo_milli <= 5000 <= r.boot_hi_milli
+    assert r.n_boot_valid == 32
+
+
+# --------------------------------------------------------------------- Gini
+
+
+def test_gini_hand_computed(spark):
+    from egraphdb_spark.operators.profiling import gini_concentration
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 10), ("b", 5), ("b", 5), ("b", 5)],
+        "g string, v long",
+    )
+    out = {r.grp: r for r in gini_concentration(df, "g", "v").collect()}
+    # sorted a: 0,0,10 -> G = (2*30 - 4*10) / (3*10) = 2/3
+    assert out["a"].gini_micro == 2 * 1_000_000 // 3
+    # equal values -> perfect equality
+    assert out["b"].gini_micro == 0
+    assert out["a"].n == 3 and out["a"].sum_x == 10
+
+
+def test_gini_bounds_and_exclusions(spark):
+    from egraphdb_spark.operators.profiling import gini_concentration
+
+    rows = [("g", i % 17) for i in range(100)] + [("g", None), ("g", -5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = gini_concentration(df, "g", "v").collect()[0]
+    assert r.n == 100  # NULL and negative excluded
+    assert 0 <= r.gini_micro < 1_000_000
+    # all-zero measure -> NULL, not 0
+    z = spark.createDataFrame([("z", 0), ("z", 0)], "g string, v long")
+    rz = gini_concentration(z, "g", "v").collect()[0]
+    assert rz.gini_micro is None
+
+
+# --------------------------------------------------------------------- Zipf
+
+
+def test_zipf_recovers_power_law_slopes(spark):
+    from egraphdb_spark.operators.text import zipf_fit
+
+    # freq = 3600 / r^2 exactly for r=1..5 -> slope must be -2 (milli)
+    freqs = [3600, 900, 400, 225, 144]
+    words = []
+    for i, f in enumerate(freqs):
+        words += [f"w{i}"] * f
+    # pack into docs of 50 words
+    docs = [
+        (i, " ".join(words[i * 50 : (i + 1) * 50]))
+        for i in range((len(words) + 49) // 50)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = zipf_fit(df, top_r=5).collect()[0]
+    assert r.r_eff == 5 and r.top_freq == 3600
+    assert abs(r.slope_milli + 2000) <= 2, r.slope_milli
+    # intercept ~ ln(3600) = 8.188689...; micro-quantized composition
+    assert abs(r.intercept_micro - 8_188_689) <= 2_000, r.intercept_micro
+
+
+def test_zipf_degenerate_single_type(spark):
+    from egraphdb_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame([(1, "same same same")], "doc_id long, text string")
+    r = zipf_fit(df).collect()[0]
+    assert r.r_eff == 1 and r.slope_milli is None and r.intercept_micro is None
+
+
+# ---------------------------------------------------------- stream moments
+
+
+def test_stream_moments_matches_batch(spark):
+    # the streaming power sums must equal a batch groupBy over the same
+    # data (availableNow = batch-parity), and merge by addition
+    from egraphdb_spark.queries_r8 import q_stream_moments
+
+    from egraphdb_spark.graph import load_tables
+
+    out = {r.window_start: r for r in q_stream_moments(spark, SF_DIR).collect()}
+    ev = load_tables(spark, SF_DIR)["events"]
+    batch = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("cast(round(100 * value) as bigint)")).alias("s1"),
+    )
+    for b in batch.collect():
+        r = out[b.w.start]
+        assert (r.n, r.s1_cents) == (b.n, b.s1)

@@ -195,6 +195,10 @@ PROBES = [
     "rag_ndcg",
     "sample_pps_systematic",
     "clean_dates_normalize",
+    "evt_bootstrap_ci",
+    "profile_gini",
+    "txt_zipf_fit",
+    "stream_moments",
 ]
 
 
