@@ -1068,3 +1068,54 @@ def cdc_chunks(
             "n_tokens",
         )
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    MOSS pair-mining step over :func:`operators.text.winnow_fingerprints`:
+    two documents sharing ≥ ``min_shared`` selected fingerprints share
+    (with the winnowing guarantee) substrings of length ≥ k, localized —
+    the positional complement to MinHash-LSH's whole-document candidates.
+
+    The join is BANDED, never all-pairs: fingerprints whose document
+    frequency exceeds ``max_df`` are dropped first (MOSS's "ignore
+    fingerprints in too many submissions" rule — boilerplate n-grams
+    would otherwise pair everything with everything, the same hot-bucket
+    pathology LSH banding caps), so the self-join fan-out per fingerprint
+    is ≤ max_df², and total candidate volume is Σ_fp df² ≤ max_df·Σdf —
+    linear in the fingerprint stream.
+
+    Output: ``(id_a, id_b, n_shared)`` with id_a < id_b, ordered.
+
+    Scale: fingerprinting is per-document map+window work; the df cap is
+    one count aggregate over fingerprint VALUES; the pair join shuffles
+    the capped fingerprint table on fp — bounded fan-out by construction.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k=k, w=w).select(
+        "id", "fp"
+    ).distinct()
+    df_counts = fps.groupBy("fp").agg(F.count("*").cast("long").alias("df"))
+    kept = fps.join(
+        df_counts.where(F.col("df") <= max_df).select("fp"), "fp"
+    )
+    a = kept.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = kept.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )

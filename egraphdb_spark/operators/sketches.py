@@ -413,20 +413,11 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def bloom_probe_summary(
-    sketch: DataFrame, probe: DataFrame, probe_col: str, truth: DataFrame
-) -> DataFrame:
-    """Probe every ``probe`` key against the filter; summarize accuracy.
-
-    ``truth`` is a 1-column DataFrame of the keys actually inserted.
-    Returns ONE row (n_probe, n_true, n_bloom_hits, n_false_pos); the
-    no-false-negative law (hits ⊇ truth) makes n_bloom_hits − n_false_pos
-    = n_true an invariant the gate checks for free.
-
-    Shape: 4 position rows per probe key joined against the ≤1024-row
-    sketch — Catalyst broadcasts the sketch side; the per-key verdict
-    (all k bits set) is a map-side combinable groupBy(key).
-    """
+def bloom_hits(sketch: DataFrame, probe: DataFrame, probe_col: str) -> DataFrame:
+    """Per-key Bloom verdict: (key, bloom_hit ∈ {0,1}) for every distinct
+    probe key — the reusable membership core of :func:`bloom_probe_summary`
+    and the join-prefilter path (broadcast the ≤1024-row sketch, test all
+    k bits map-side, no shuffle beyond the per-key combine)."""
     pos = _bloom_pos(F.col("key"))
     exploded = probe.select(F.col(probe_col).alias("key")).distinct().select(
         "key", F.explode(F.array(*pos)).alias("pos")
@@ -435,7 +426,7 @@ def bloom_probe_summary(
         F.expr("pos div 64").alias("word"),
         F.expr("cast(pos % 64 as int)").alias("bit"),
     )
-    hits = (
+    return (
         exploded.join(F.broadcast(sketch), "word", "left")
         .select(
             "key",
@@ -450,6 +441,23 @@ def bloom_probe_summary(
         .groupBy("key")
         .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_hit"))
     )
+
+
+def bloom_probe_summary(
+    sketch: DataFrame, probe: DataFrame, probe_col: str, truth: DataFrame
+) -> DataFrame:
+    """Probe every ``probe`` key against the filter; summarize accuracy.
+
+    ``truth`` is a 1-column DataFrame of the keys actually inserted.
+    Returns ONE row (n_probe, n_true, n_bloom_hits, n_false_pos); the
+    no-false-negative law (hits ⊇ truth) makes n_bloom_hits − n_false_pos
+    = n_true an invariant the gate checks for free.
+
+    Shape: 4 position rows per probe key joined against the ≤1024-row
+    sketch — Catalyst broadcasts the sketch side; the per-key verdict
+    (all k bits set) is a map-side combinable groupBy(key).
+    """
+    hits = bloom_hits(sketch, probe, probe_col)
     tname = truth.columns[0]
     marked = hits.join(
         F.broadcast(truth.select(F.col(tname).alias("key")).distinct().withColumn("is_true", F.lit(1))),

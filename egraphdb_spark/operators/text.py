@@ -1686,3 +1686,109 @@ def zipf_fit(
             ).alias("intercept_micro"),
         )
     )
+
+
+def gopher_line_rules(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_bullet_frac_micro: int = 900_000,
+    max_ellipsis_frac_micro: int = 300_000,
+) -> "DataFrame":
+    """The LINE-LEVEL half of the Gopher rule battery (Rae et al. '21
+    §A1.1) that :func:`gopher_quality` deliberately leaves out: documents
+    where > 90% of lines start with a bullet ('•', '-', '*') or > 30% end
+    with an ellipsis are dropped — the navigation-menu / truncated-
+    preview shapes that per-document word statistics can't see.
+
+    Per document: n_lines (blank lines excluded), n_bullet, n_ellipsis,
+    both fractions in exact micro units (·10⁶ div n_lines), a fail mask
+    (bit 1 = bullet rule, bit 2 = ellipsis rule) and ``keep``.  A
+    document with no non-blank lines fails nothing (vacuous — the word-
+    level battery owns the empty case).
+
+    All integer arithmetic; the line predicates are anchored regexes
+    identical in any engine (``^\\s*[-•*]`` after trim ≡ starts_with on
+    the trimmed line; ellipsis = trimmed line ends with '...' or '…').
+
+    Scale: one line explode (output rows = line count, linear) + one
+    map-side-combined per-doc aggregate; no joins, no windows.
+    """
+    c = F.col(text_col)
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(c, "\n")).alias("line"),
+    ).select("id", F.trim(F.col("line")).alias("l")).where(F.col("l") != "")
+    agg = lines.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            (
+                F.col("l").startswith("-")
+                | F.col("l").startswith("•")
+                | F.col("l").startswith("*")
+            ).cast("long")
+        ).cast("long").alias("n_bullet"),
+        F.sum(
+            (F.col("l").endswith("...") | F.col("l").endswith("…")).cast("long")
+        ).cast("long").alias("n_ellipsis"),
+    )
+    return agg.select(
+        "id",
+        "n_lines",
+        "n_bullet",
+        "n_ellipsis",
+        F.expr("(n_bullet * 1000000) div n_lines").cast("long").alias(
+            "bullet_frac_micro"
+        ),
+        F.expr("(n_ellipsis * 1000000) div n_lines").cast("long").alias(
+            "ellipsis_frac_micro"
+        ),
+        (
+            F.expr(
+                f"case when (n_bullet * 1000000) div n_lines"
+                f" > {max_bullet_frac_micro} then 1 else 0 end"
+            )
+            + F.expr(
+                f"case when (n_ellipsis * 1000000) div n_lines"
+                f" > {max_ellipsis_frac_micro} then 2 else 0 end"
+            )
+        ).cast("long").alias("fail_mask"),
+    ).withColumn("keep", F.col("fail_mask") == 0)
+
+
+# Entity decode order matters: named/numeric entities first, '&amp;' LAST —
+# so '&amp;lt;' decodes to the literal '&lt;', never double-decodes to '<'.
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def strip_html(col: str | Column) -> Column:
+    """Crawl-cleaning HTML stripper: remove tags (``<[^>]*>`` → one
+    space), decode the six ubiquitous entities (named first, ``&amp;``
+    last), collapse whitespace runs, trim.  Pure built-in expressions —
+    regexp_replace + chained replace — identical in any engine; a
+    deliberately conservative, deterministic subset of a real HTML
+    parser (no script/style content removal: that needs non-greedy
+    multiline matching whose semantics differ across regex engines, so
+    it stays OUT of the parity surface).
+
+    Scale: map-only narrow projection, whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def strip_html_sql(col: str) -> str:
+    """DuckDB mirror of :func:`strip_html` (same operation order)."""
+    out = f"regexp_replace({col}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -694,3 +694,198 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 R8_REGISTRY["stream_moments"] = (q_stream_moments, O_STREAM_MOMENTS)
+
+
+# --------------------------------------------------------------------------
+# txt_gopher_lines — the line-level Gopher rules
+# --------------------------------------------------------------------------
+
+
+def q_txt_gopher_lines(spark, sf_dir):
+    """Line-level Gopher rules (bullet-start > 90%, ellipsis-end > 30%)
+    over four deterministic multi-line variants synthesized per document
+    (all-bullet list, ellipsis-preview stack, normal two-liner, mixed) —
+    the half of Rae et al.'s battery that txt_gopher_quality's per-doc
+    word statistics can't express (operators/text.py gopher_line_rules).
+    Variants 0 and 1 must fail bits 1 and 2 respectively; 2 and 3 must
+    pass."""
+    from .operators.text import gopher_line_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "mtext",
+        F.expr(
+            "case cast(doc_id % 4 as int)"
+            " when 0 then '- alpha ' || source || chr(10) || '- beta item'"
+            "   || chr(10) || '- gamma item'"
+            " when 1 then 'intro ' || source || chr(10) || 'preview one...'"
+            "   || chr(10) || 'preview two...' || chr(10) || 'preview three...'"
+            " when 2 then substring(text, 1, 40) || chr(10)"
+            "   || substring(text, 41, 40)"
+            " else '• ' || lang || ' item' || chr(10) || 'plain tail line' end"
+        ),
+    )
+    return gopher_line_rules(synth, "doc_id", "mtext").orderBy("id")
+
+
+O_TXT_GOPHER_LINES = """
+WITH synth AS (
+  SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN '- alpha ' || source || chr(10) || '- beta item'
+      || chr(10) || '- gamma item'
+    WHEN 1 THEN 'intro ' || source || chr(10) || 'preview one...'
+      || chr(10) || 'preview two...' || chr(10) || 'preview three...'
+    WHEN 2 THEN substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+    ELSE '• ' || lang || ' item' || chr(10) || 'plain tail line' END AS mtext
+  FROM documents
+),
+lines AS (
+  SELECT doc_id AS id, trim(unnest(string_split(mtext, chr(10)))) AS l
+  FROM synth
+),
+nz AS (SELECT id, l FROM lines WHERE l <> ''),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN starts_with(l, '-') OR starts_with(l, '•')
+                        OR starts_with(l, '*') THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bullet,
+         CAST(sum(CASE WHEN l LIKE '%...' OR l LIKE '%…' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_ellipsis
+  FROM nz GROUP BY id
+)
+SELECT id, n_lines, n_bullet, n_ellipsis,
+       CAST((n_bullet * 1000000) // n_lines AS BIGINT) AS bullet_frac_micro,
+       CAST((n_ellipsis * 1000000) // n_lines AS BIGINT) AS ellipsis_frac_micro,
+       CAST((CASE WHEN (n_bullet * 1000000) // n_lines > 900000
+                  THEN 1 ELSE 0 END)
+            + (CASE WHEN (n_ellipsis * 1000000) // n_lines > 300000
+                    THEN 2 ELSE 0 END) AS BIGINT) AS fail_mask,
+       ((CASE WHEN (n_bullet * 1000000) // n_lines > 900000 THEN 1 ELSE 0 END)
+        + (CASE WHEN (n_ellipsis * 1000000) // n_lines > 300000
+                THEN 2 ELSE 0 END)) = 0 AS keep
+FROM agg ORDER BY id
+"""
+
+R8_REGISTRY["txt_gopher_lines"] = (q_txt_gopher_lines, O_TXT_GOPHER_LINES)
+
+
+# --------------------------------------------------------------------------
+# dedup_winnow_pairs — MOSS pair mining over winnowing fingerprints
+# --------------------------------------------------------------------------
+
+
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs sharing ≥ 2 winnowing fingerprints after
+    the MOSS document-frequency cap (df ≤ 10 — boilerplate fingerprints
+    are dropped before the band join, so fan-out per fingerprint is
+    bounded; operators/dedup.py winnow_pairs).  The positional
+    complement to dedup_minhash_lsh_pairs' whole-document banding."""
+    from .operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(docs, "doc_id", "text", k=8, w=4, max_df=10, min_shared=2)
+
+
+O_DEDUP_WINNOW_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', '', 'g') AS z
+  FROM documents
+),
+b AS (
+  SELECT doc_id, z, CAST(length(z) - 7 AS BIGINT) AS n_grams
+  FROM s WHERE length(z) >= 8
+),
+g AS (
+  SELECT doc_id, n_grams,
+         CAST(unnest(range(1, n_grams + 1)) AS BIGINT) AS pos, z
+  FROM b
+),
+h AS (
+  SELECT doc_id, n_grams, pos,
+         CAST(('0x' || substr(md5(substr(z, CAST(pos AS INT), 8)), 1, 8))
+              AS BIGINT) AS hh
+  FROM g
+),
+k AS (
+  SELECT doc_id, n_grams, pos, hh * {_WB} + ({_WB - 1} - pos) AS key FROM h
+),
+w AS (
+  SELECT doc_id, n_grams, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey
+  FROM k
+),
+fps AS (
+  SELECT DISTINCT doc_id AS id, wkey // {_WB} AS fp
+  FROM w WHERE pos <= greatest(n_grams - 3, 1)
+),
+dfc AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 10),
+kept AS (SELECT fps.id, fps.fp FROM fps JOIN dfc USING (fp)),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b, count(*) AS n_shared
+  FROM kept a JOIN kept b2 ON a.fp = b2.fp AND a.id < b2.id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs ORDER BY id_a, id_b
+"""
+
+R8_REGISTRY["dedup_winnow_pairs"] = (q_dedup_winnow_pairs, O_DEDUP_WINNOW_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# clean_html_strip — crawl HTML cleaning
+# --------------------------------------------------------------------------
+
+
+def q_clean_html_strip(spark, sf_dir):
+    """HTML tag stripping + entity decode + whitespace collapse over
+    three deterministic markup variants per document (full page, inline
+    div with &nbsp;, plain passthrough) — the first cleaning step of
+    every crawl pipeline (operators/text.py strip_html; the DuckDB side
+    is emitted by strip_html_sql from the same entity table, so decode
+    ORDER — &amp; last — is pinned identically)."""
+    from .operators.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.withColumn(
+        "html",
+        F.expr(
+            "case cast(doc_id % 3 as int)"
+            " when 0 then '<html><body><h1>' || source || '</h1><p>'"
+            "   || substring(text, 1, 60) || ' &amp; more &lt;tags&gt;</p></body></html>'"
+            " when 1 then '<div class=\"x\">' || substring(text, 1, 40)"
+            "   || '</div>&nbsp;<span>tail &#39;q&#39;</span>'"
+            " else text end"
+        ),
+    )
+    return raw.select(
+        "doc_id",
+        strip_html("html").alias("clean_text"),
+    ).withColumn("n_chars_clean", F.length("clean_text").cast("long")).orderBy(
+        "doc_id"
+    )
+
+
+def _html_oracle() -> str:
+    from .operators.text import strip_html_sql
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN '<html><body><h1>' || source || '</h1><p>'
+      || substr(text, 1, 60) || ' &amp; more &lt;tags&gt;</p></body></html>'
+    WHEN 1 THEN '<div class="x">' || substr(text, 1, 40)
+      || '</div>&nbsp;<span>tail &#39;q&#39;</span>'
+    ELSE text END AS html
+  FROM documents
+)
+SELECT doc_id, {strip_html_sql('html')} AS clean_text,
+       CAST(length({strip_html_sql('html')}) AS BIGINT) AS n_chars_clean
+FROM raw ORDER BY doc_id
+"""
+
+
+O_CLEAN_HTML = _html_oracle()
+
+R8_REGISTRY["clean_html_strip"] = (q_clean_html_strip, O_CLEAN_HTML)

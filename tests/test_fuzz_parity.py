@@ -173,6 +173,9 @@ R8_FUZZ_GATES = [
     "sample_pps_systematic",
     "profile_gini",
     "txt_zipf_fit",
+    "txt_gopher_lines",
+    "dedup_winnow_pairs",
+    "clean_html_strip",
 ]
 
 

@@ -25,7 +25,7 @@ def test_r8_gate_parity(spark):
 
     from egraphdb_spark.queries_r8 import R8_REGISTRY
 
-    assert len(R8_REGISTRY) == 10
+    assert len(R8_REGISTRY) == 13
     for name, (fn, sql) in R8_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -498,3 +498,100 @@ def test_stream_moments_matches_batch(spark):
     for b in batch.collect():
         r = out[b.w.start]
         assert (r.n, r.s1_cents) == (b.n, b.s1)
+
+
+# -------------------------------------------------------- gopher line rules
+
+
+def test_gopher_lines_hand_computed(spark):
+    from egraphdb_spark.operators.text import gopher_line_rules
+
+    rows = [
+        (1, "- a\n- b\n- c"),                 # 3/3 bullets -> fail bit 1
+        (2, "x...\ny...\nz...\nplain"),       # 3/4 ellipsis -> fail bit 2
+        (3, "one\ntwo\nthree"),               # clean
+        (4, "- a\nplain\n\n  \n• b\nother"),  # 2/4 bullets (blanks dropped)
+        (5, "trunc…"),                        # 1/1 unicode ellipsis -> bit 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in gopher_line_rules(df).collect()}
+    assert out[1].fail_mask == 1 and not out[1].keep
+    assert out[1].bullet_frac_micro == 1_000_000
+    assert out[2].fail_mask == 2 and out[2].ellipsis_frac_micro == 750_000
+    assert out[3].fail_mask == 0 and out[3].keep
+    assert out[4].n_lines == 4 and out[4].n_bullet == 2 and out[4].fail_mask == 0
+    assert out[5].fail_mask == 2
+    # all-blank document: no non-blank lines -> absent (vacuous)
+    blank = spark.createDataFrame([(9, "\n \n")], "doc_id long, text string")
+    assert gopher_line_rules(blank).collect() == []
+
+
+# --------------------------------------------------------- winnowing pairs
+
+
+def test_winnow_pairs_finds_planted_near_dup(spark):
+    from egraphdb_spark.operators.dedup import winnow_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [(1, "prefix one " + shared), (2, shared + " suffix two")]
+        + [(10 + i, f"unrelated text number {i} about topic {i * 7}") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in winnow_pairs(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    from egraphdb_spark.operators.dedup import winnow_pairs
+
+    # 12 docs all sharing one boilerplate string: with max_df=10 every
+    # boilerplate fingerprint has df=12 > 10, so NO pairs survive
+    rows = [(i, "identical boilerplate appears everywhere here") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert winnow_pairs(df, max_df=10).collect() == []
+    # raising the cap reinstates them
+    assert len(winnow_pairs(df, max_df=12).collect()) == 66  # C(12,2)
+
+
+# -------------------------------------------------------------- HTML strip
+
+
+def test_strip_html_hand_cases(spark):
+    from egraphdb_spark.operators.text import strip_html
+
+    rows = [
+        (1, "<p>hello <b>world</b></p>"),
+        (2, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+        (3, "no markup at all"),
+        (4, "x&amp;lt;y"),          # &amp; decodes LAST: literal '&lt;'
+        (5, "<div>a</div><div>b</div>"),
+        (6, "spaces\t\n  <br/>   everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {r.id: r.c for r in df.select("id", strip_html("s").alias("c")).collect()}
+    assert out[1] == "hello world"
+    assert out[2] == 'a & b <tag> "q" \'s\''
+    assert out[3] == "no markup at all"
+    assert out[4] == "x&lt;y"
+    assert out[5] == "a b"
+    assert out[6] == "spaces everywhere"
+
+
+# ------------------------------------------------------ bloom prefilter join
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from egraphdb_spark.operators import sketches
+
+    dim = spark.createDataFrame([(i * 3,) for i in range(40)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    sk = sketches.bloom_build(dim, "k")
+    hits = {r.key: r.bloom_hit for r in sketches.bloom_hits(sk, probe, "k").collect()}
+    # every true member must pass (no false negatives, the Bloom law)
+    for i in range(40):
+        if i * 3 < 200:
+            assert hits[i * 3] == 1, i * 3
+    # and the pass-set is a (possibly proper) superset of the truth
+    n_pass = sum(hits.values())
+    assert n_pass >= sum(1 for i in range(40) if i * 3 < 200)

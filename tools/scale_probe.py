@@ -199,6 +199,9 @@ PROBES = [
     "profile_gini",
     "txt_zipf_fit",
     "stream_moments",
+    "txt_gopher_lines",
+    "dedup_winnow_pairs",
+    "clean_html_strip",
 ]
 
 
