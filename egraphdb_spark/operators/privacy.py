@@ -501,3 +501,68 @@ def dp_group_mean(
         "noise_cnt_micro",
         mean_milli.alias("dp_mean_milli"),
     ).orderBy(*gnames)
+
+
+def dp_topk_exponential(
+    df: DataFrame,
+    group: list[Column | str],
+    k: int = 5,
+    epsilon_micro: int = 1_000_000,
+    salt: str = "dpx",
+) -> DataFrame:
+    """Exponential-mechanism top-k selection (McSherry & Talwar '07) via
+    the report-noisy-max / Gumbel-max equivalence (Durfee & Rogers '19):
+    selecting argmax(ε·u/(2Δu) + Gumbel(0,1)) over candidates with
+    utility u IS the exponential mechanism — here u = group count
+    (Δu = 1), the "which categories may we publish?" selection step that
+    complements the numeric releases (:func:`dp_group_counts` histogram,
+    :func:`dp_group_mean`).  Composing k picks without replacement is
+    equivalent to taking the top-k scores at once (Gumbel-max property).
+
+    SAME CAVEAT as the other two mechanisms, verbatim: the Gumbel draws
+    are SEEDED — u₆₀ = md5₆₀(salt:group) via :func:`_seed_key`, g =
+    −ln(−ln(u₆₀/2⁶⁰)) — so with the default public salt this is a
+    REPRODUCIBLE SIMULATION of the mechanism for engine-parity testing,
+    NOT a private release; production requires a caller-supplied secret,
+    single-use salt.
+
+    Determinism: both ln calls are the cross-engine trust base composed
+    in one fixed expression; the score is quantized floor(x·10⁶ + 0.5)
+    ONCE, ties break on the group key.  Output, rank ascending:
+    ``(rank, …group…, n, score_micro)`` — ``n`` is an AUDIT column (a
+    real release publishes the selected identities, and rank order,
+    only).
+
+    Scale: one map-side-combined count aggregate, per-GROUP-row noise,
+    one TakeOrdered top-k — never row-scaled beyond the count.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in group]
+    named = [c.alias(f"g{i}") for i, c in enumerate(cols)]
+    gnames = [f"g{i}" for i in range(len(named))]
+    agg = df.select(*named).groupBy(*gnames).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    key = _seed_key([salt], [F.col(g) for g in gnames])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    two60 = 1 << 60
+    scored = agg.withColumn("_h", h).withColumn(
+        "score_micro",
+        F.expr(
+            f"cast(floor(("
+            f"  ({epsilon_micro} / 1000000.0) * n / 2.0"
+            f"  - ln(-ln(cast(greatest(_h, 1) as double) / {float(two60)}))"
+            f") * 1000000.0 + 0.5) as bigint)"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("score_micro").desc(), *[F.col(g) for g in gnames]
+    )
+    return (
+        scored.orderBy(F.col("score_micro").desc(), *gnames)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", *gnames, "n", "score_micro")
+        .orderBy("rank")
+    )

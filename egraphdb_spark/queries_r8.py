@@ -889,3 +889,60 @@ FROM raw ORDER BY doc_id
 O_CLEAN_HTML = _html_oracle()
 
 R8_REGISTRY["clean_html_strip"] = (q_clean_html_strip, O_CLEAN_HTML)
+
+
+# --------------------------------------------------------------------------
+# privacy_dp_topk — exponential mechanism (selection), Gumbel-max form
+# --------------------------------------------------------------------------
+
+
+def q_privacy_dp_topk(spark, sf_dir):
+    """ε=1 exponential-mechanism top-5 (lang, source) selection via
+    seeded Gumbel-max (operators/privacy.py dp_topk_exponential) —
+    completes the DP-mechanism trio: Laplace histogram (numeric),
+    Laplace clipped mean (numeric), exponential mechanism (selection).
+    Default-public-salt caveat as documented on the operator: this is a
+    reproducible simulation of the mechanism for engine parity, not a
+    private release.  True counts ride as audit columns."""
+    from .operators.privacy import dp_topk_exponential
+
+    docs = _t(spark, sf_dir, "documents")
+    return dp_topk_exponential(docs, ["lang", "source"], k=5)
+
+
+def _dp_topk_oracle() -> str:
+    from .queries_staged import _TWO60, _sql_enc
+
+    return f"""
+WITH a AS (
+  SELECT lang AS g0, source AS g1, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+h AS (
+  SELECT g0, g1, n,
+         CAST(('0x' || substr(md5('dpx:' || {_sql_enc('g0')} || ':'
+                                  || {_sql_enc('g1')}), 1, 15))
+              AS BIGINT) AS hh
+  FROM a
+),
+s AS (
+  SELECT g0, g1, n,
+         CAST(floor((
+           (1000000 / 1000000.0) * n / 2.0
+           - ln(-ln(CAST(greatest(hh, 1) AS DOUBLE) / {float(_TWO60)}))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+  FROM h
+),
+top AS (
+  SELECT * FROM s ORDER BY score_micro DESC, g0, g1 LIMIT 5
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, g0, g1) AS BIGINT)
+         AS rank,
+       g0, g1, n, score_micro
+FROM top ORDER BY rank
+"""
+
+
+O_PRIVACY_DP_TOPK = _dp_topk_oracle()
+
+R8_REGISTRY["privacy_dp_topk"] = (q_privacy_dp_topk, O_PRIVACY_DP_TOPK)

@@ -176,6 +176,7 @@ R8_FUZZ_GATES = [
     "txt_gopher_lines",
     "dedup_winnow_pairs",
     "clean_html_strip",
+    "privacy_dp_topk",
 ]
 
 

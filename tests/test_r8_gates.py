@@ -25,7 +25,7 @@ def test_r8_gate_parity(spark):
 
     from egraphdb_spark.queries_r8 import R8_REGISTRY
 
-    assert len(R8_REGISTRY) == 13
+    assert len(R8_REGISTRY) == 14
     for name, (fn, sql) in R8_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -595,3 +595,43 @@ def test_bloom_prefilter_no_false_negatives(spark):
     # and the pass-set is a (possibly proper) superset of the truth
     n_pass = sum(hits.values())
     assert n_pass >= sum(1 for i in range(40) if i * 3 < 200)
+
+
+# ------------------------------------------------------------- DP top-k
+
+
+def test_dp_topk_matches_pure_python_replay(spark):
+    from egraphdb_spark.operators.privacy import dp_topk_exponential
+
+    rows = [(f"g{i % 6}", j) for i in range(6) for j in range(10 + 7 * (i % 6))]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = dp_topk_exponential(df, ["g"], k=3).collect()
+    # independent replay: seeded Gumbel-max with the same key encoding
+    counts: dict[str, int] = {}
+    for g, _ in rows:
+        counts[g] = counts.get(g, 0) + 1
+    scored = []
+    for g, n in counts.items():
+        key = f"dpx:v{len(g)}:{g}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        u = max(h, 1) / float(1 << 60)
+        score = int(math.floor((1.0 * n / 2.0 - math.log(-math.log(u))) * 1e6 + 0.5))
+        scored.append((-score, g))
+    scored.sort()
+    expect = [(i + 1, g, counts[g], -s) for i, (s, g) in enumerate(scored[:3])]
+    got = [(r.rank, r.g0, r.n, r.score_micro) for r in out]
+    assert got == expect
+
+
+def test_dp_topk_epsilon_dominates_noise_eventually(spark):
+    from egraphdb_spark.operators.privacy import dp_topk_exponential
+
+    # with a huge epsilon the utility term dwarfs Gumbel noise, so the
+    # selection must equal the true top-k by count
+    rows = [("a", i) for i in range(50)] + [("b", i) for i in range(30)] + [
+        ("c", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = dp_topk_exponential(df, ["g"], k=2, epsilon_micro=100_000_000).collect()
+    assert [r.g0 for r in out] == ["a", "b"]
+    assert [r.n for r in out] == [50, 30]

@@ -202,6 +202,7 @@ PROBES = [
     "txt_gopher_lines",
     "dedup_winnow_pairs",
     "clean_html_strip",
+    "privacy_dp_topk",
 ]
 
 
