@@ -201,6 +201,30 @@ BENCH_QUERIES = [
     "clean_unicode_normalize",
     "dedup_cdc_chunks",
     "rag_mmr_rerank",
+    # round-8: the nine merged round-7 staged gates + fourteen new
+    "txt_gopher_quality",
+    "profile_drift_ks",
+    "privacy_dp_counts",
+    "privacy_dp_mean",
+    "sketch_ams_f2",
+    "graph_ktruss",
+    "sample_kcenter_coreset",
+    "clean_url_canon",
+    "evt_diff_in_diff",
+    "txt_winnow_fingerprints",
+    "txt_kneser_ney",
+    "sketch_moments_chebyshev",
+    "rag_ndcg",
+    "sample_pps_systematic",
+    "clean_dates_normalize",
+    "evt_bootstrap_ci",
+    "profile_gini",
+    "txt_zipf_fit",
+    "stream_moments",
+    "txt_gopher_lines",
+    "dedup_winnow_pairs",
+    "clean_html_strip",
+    "privacy_dp_topk",
 ]
 
 # FROZEN cross-round comparator (round-5 verdict #3) — a fixed core set,
