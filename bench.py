@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "dedup_winnow_pairs",
     "clean_html_strip",
     "privacy_dp_topk",
+    "txt_heaps_fit",
 ]
 
 # FROZEN cross-round comparator (round-5 verdict #3) — a fixed core set,

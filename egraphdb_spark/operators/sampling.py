@@ -478,6 +478,49 @@ def epoch_shuffle(
     )
 
 
+def bucketed_cumsum(
+    df: DataFrame, id_col: str, val_col: str, bucket_width: int = 1024
+) -> DataFrame:
+    """Scale-safe cumulative sum of ``val_col`` in ``id_col`` order —
+    NEVER a single-partition global window: rows bucket by
+    ``id div bucket_width``; each bucket's local cumsum is a
+    bucket-partitioned window (parallel), and bucket offsets come from a
+    window over the BUCKET TOTALS table (rows = n/bucket_width) joined
+    back.  Returns the input columns plus ``cum`` (inclusive prefix sum).
+
+    The shared cumulative-line primitive under PPS systematic sampling
+    and the Heaps-law checkpoints; a SQL oracle may use a plain ordered
+    cumsum — identical VALUES, different plan.
+    """
+    from pyspark.sql import Window
+
+    bkt = F.expr(f"{id_col} div {int(bucket_width)}")
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("__bucket", bkt).withColumn(
+        "__local_cum", F.sum(val_col).over(local_w).cast("long")
+    )
+    totals = local.groupBy("__bucket").agg(
+        F.sum(val_col).cast("long").alias("__bw")
+    )
+    off_w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__bw").over(off_w), F.lit(0)).cast("long")
+    ).select("__bucket", "__offset")
+    return (
+        local.join(offsets, "__bucket")
+        .withColumn("cum", (F.col("__offset") + F.col("__local_cum")).cast("long"))
+        .drop("__bucket", "__local_cum", "__offset")
+    )
+
+
 def pps_systematic(
     df: DataFrame,
     id_col: str,
@@ -526,28 +569,8 @@ def pps_systematic(
         F.col(id_col).cast("long").alias("id"), w.cast("long").alias("w")
     ).where(F.col("w").isNotNull() & (F.col("w") > 0) & F.col("id").isNotNull())
 
-    from pyspark.sql import Window
-
-    bkt = F.expr(f"id div {int(bucket_width)}")
-    local_w = (
-        Window.partitionBy("bucket")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = base.withColumn("bucket", bkt).withColumn(
-        "local_cum", F.sum("w").over(local_w).cast("long")
-    )
-    totals = local.groupBy("bucket").agg(F.sum("w").cast("long").alias("bw"))
-    off_w = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.withColumn(
-        "offset", F.coalesce(F.sum("bw").over(off_w), F.lit(0)).cast("long")
-    ).select("bucket", "offset")
-    cum = local.join(offsets, "bucket").withColumn(
-        "cum_w", (F.col("offset") + F.col("local_cum")).cast("long")
+    cum = bucketed_cumsum(base, "id", "w", bucket_width).withColumnRenamed(
+        "cum", "cum_w"
     )
     # tot_w/anchor_u, not W/U: Spark resolution is case-insensitive, so a
     # total named "W" collides with the per-row weight "w"

@@ -1792,3 +1792,116 @@ def strip_html_sql(col: str) -> str:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def heaps_fit(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 50,
+    bucket_width: int = 1024,
+) -> "DataFrame":
+    """Heaps'-law vocabulary-growth fit — Zipf's companion corpus-health
+    diagnostic: natural text grows its vocabulary as V(N) ≈ K·N^β with
+    β ≈ 0.4–0.6 (Heaps '78); template floods flatten β toward 0,
+    id-stuffed machine text pushes it toward 1.  With
+    :func:`zipf_fit` this pair is the two-line fingerprint every corpus
+    intake report carries.
+
+    Construction (all relational, nothing quadratic):
+      * a term's FIRST document = min(doc id) over its postings — one
+        vocabulary-sized aggregate, so new-type counts per document
+        (f_d) and tokens per document need no prefix-distinct machinery;
+      * V_d and N_d are cumulative sums of f_d / tokens_d in doc order,
+        built with :func:`operators.sampling.bucketed_cumsum` (the
+        scale-safe two-level cumsum — never a single-partition window
+        over the corpus);
+      * checkpoints: every ``checkpoint_every``-th document (by the
+        dense doc rank, so gaps in ids don't skew spacing);
+      * ln V vs ln N at the checkpoints feeds the same micro-quantized
+        exact integer least squares as zipf_fit, with the identical
+        sign·(|num| div den) truncation recipe.
+
+    Output, one row: ``(n_checkpoints, n_docs, vocab_final,
+    tokens_final, slope_milli, intercept_micro)`` — slope_milli is β in
+    milli-units.
+    """
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), tokens(F.lower(c)).alias("t")
+    ).where(F.col("id").isNotNull())
+    toks = base.select("id", F.explode("t").alias("term"))
+    first = toks.groupBy("term").agg(F.min("id").alias("fid"))
+    new_types = first.groupBy(F.col("fid").alias("id")).agg(
+        F.count("*").cast("long").alias("f")
+    )
+    per_doc = (
+        base.select("id", F.size("t").cast("long").alias("ntok"))
+        .join(new_types, "id", "left")
+        .select("id", "ntok", F.coalesce("f", F.lit(0)).cast("long").alias("f"))
+    )
+    from .checkpoint import cut_lineage
+    from ..operators.sampling import bucketed_cumsum
+
+    per_doc = per_doc.transform(cut_lineage)  # feeds two cumsum passes
+    cum_v = bucketed_cumsum(per_doc, "id", "f", bucket_width).withColumnRenamed(
+        "cum", "v"
+    )
+    cum = bucketed_cumsum(cum_v, "id", "ntok", bucket_width).withColumnRenamed(
+        "cum", "n_tok"
+    )
+    # dense doc rank via the same bucket trick: cumsum over a ones column
+    ranked = bucketed_cumsum(
+        cum.withColumn("one", F.lit(1).cast("long")), "id", "one", bucket_width
+    ).withColumnRenamed("cum", "rank")
+    pts = ranked.where(
+        (F.col("rank") % checkpoint_every == 0)
+        & (F.col("v") >= 1)
+        & (F.col("n_tok") >= 1)
+    ).select(
+        "rank",
+        "v",
+        "n_tok",
+        F.expr("cast(floor(ln(cast(n_tok as double)) * 1000000.0 + 0.5) as bigint)").alias("x"),
+        F.expr("cast(floor(ln(cast(v as double)) * 1000000.0 + 0.5) as bigint)").alias("y"),
+    )
+    finals = cum.orderBy(F.col("id").desc()).limit(1).select(
+        F.col("v").alias("vocab_final"), F.col("n_tok").alias("tokens_final")
+    )
+    ndocs = per_doc.agg(F.count("*").cast("long").alias("n_docs"))
+    reg = pts.agg(
+        F.count("*").cast("long").alias("n_checkpoints"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("sx"),
+        F.sum(F.expr("cast(y as decimal(38,0))")).alias("sy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("sxx"),
+    )
+    return (
+        reg.crossJoin(F.broadcast(ndocs))
+        .crossJoin(F.broadcast(finals))
+        .select(
+            "n_checkpoints",
+            "n_docs",
+            "vocab_final",
+            "tokens_final",
+            F.expr(
+                "case when n_checkpoints < 2"
+                " or (n_checkpoints * sxx - sx * sx) = 0 then null"
+                " else cast("
+                "   (case when (n_checkpoints * sxy - sx * sy) < 0 then -1 else 1 end)"
+                "   * ((abs(n_checkpoints * sxy - sx * sy) * 1000)"
+                "      div (n_checkpoints * sxx - sx * sx)) as bigint) end"
+            ).alias("slope_milli"),
+            F.expr(
+                "case when n_checkpoints < 2"
+                " or (n_checkpoints * sxx - sx * sx) = 0 then null"
+                " else cast((sy div n_checkpoints)"
+                " - (case when (n_checkpoints * sxy - sx * sy) < 0 then -1 else 1 end)"
+                "   * ((abs(cast("
+                "       (case when (n_checkpoints * sxy - sx * sy) < 0 then -1 else 1 end)"
+                "       * ((abs(n_checkpoints * sxy - sx * sy) * 1000)"
+                "          div (n_checkpoints * sxx - sx * sx)) as decimal(38,0)))"
+                "      * (sx div n_checkpoints)) div 1000) as bigint) end"
+            ).alias("intercept_micro"),
+        )
+    )

@@ -946,3 +946,88 @@ FROM top ORDER BY rank
 O_PRIVACY_DP_TOPK = _dp_topk_oracle()
 
 R8_REGISTRY["privacy_dp_topk"] = (q_privacy_dp_topk, O_PRIVACY_DP_TOPK)
+
+
+# --------------------------------------------------------------------------
+# txt_heaps_fit — Heaps'-law vocabulary growth
+# --------------------------------------------------------------------------
+
+
+def q_txt_heaps_fit(spark, sf_dir):
+    """Heaps'-law V(N) ≈ K·N^β fit over the corpus in doc-id order,
+    checkpoints every 50 docs (operators/text.py heaps_fit) — Zipf's
+    companion corpus-health number: the first-occurrence trick
+    (min doc id per term) makes vocabulary growth one vocabulary-sized
+    aggregate plus scale-safe bucketed cumsums, no prefix-distinct
+    machinery.  Same micro-quantized integer least squares and
+    sign·(|num| div den) recipe as txt_zipf_fit."""
+    from .operators.text import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_fit(docs, checkpoint_every=50)
+
+
+O_TXT_HEAPS = r"""
+WITH base AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id IS NOT NULL
+),
+toks AS (SELECT id, unnest(t) AS term FROM base),
+first AS (SELECT term, min(id) AS fid FROM toks GROUP BY term),
+newt AS (SELECT fid AS id, CAST(count(*) AS BIGINT) AS f FROM first GROUP BY fid),
+per_doc AS (
+  SELECT base.id, CAST(len(t) AS BIGINT) AS ntok,
+         CAST(coalesce(f, 0) AS BIGINT) AS f
+  FROM base LEFT JOIN newt ON base.id = newt.id
+),
+cum AS (
+  SELECT id, ntok, f,
+         CAST(sum(f) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v,
+         CAST(sum(ntok) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_tok,
+         CAST(row_number() OVER (ORDER BY id) AS BIGINT) AS rank
+  FROM per_doc
+),
+pts AS (
+  SELECT rank, v, n_tok,
+         CAST(floor(ln(CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+  FROM cum WHERE rank % 50 = 0 AND v >= 1 AND n_tok >= 1
+),
+finals AS (
+  SELECT v AS vocab_final, n_tok AS tokens_final FROM cum
+  ORDER BY id DESC LIMIT 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM per_doc),
+reg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checkpoints,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts
+)
+SELECT n_checkpoints, n_docs, vocab_final, tokens_final,
+       CASE WHEN n_checkpoints < 2
+            OR (n_checkpoints * sxx - sx * sx) = 0 THEN NULL
+       ELSE CAST((CASE WHEN (n_checkpoints * sxy - sx * sy) < 0
+                       THEN -1 ELSE 1 END)
+                 * ((abs(n_checkpoints * sxy - sx * sy) * 1000)
+                    // (n_checkpoints * sxx - sx * sx)) AS BIGINT) END
+         AS slope_milli,
+       CASE WHEN n_checkpoints < 2
+            OR (n_checkpoints * sxx - sx * sx) = 0 THEN NULL
+       ELSE CAST((sy // n_checkpoints)
+                 - (CASE WHEN (n_checkpoints * sxy - sx * sy) < 0
+                         THEN -1 ELSE 1 END)
+                   * ((abs(CAST(
+                        (CASE WHEN (n_checkpoints * sxy - sx * sy) < 0
+                              THEN -1 ELSE 1 END)
+                        * ((abs(n_checkpoints * sxy - sx * sy) * 1000)
+                           // (n_checkpoints * sxx - sx * sx)) AS HUGEINT))
+                      * (sx // n_checkpoints)) // 1000) AS BIGINT) END
+         AS intercept_micro
+FROM reg, nd, finals
+"""
+
+R8_REGISTRY["txt_heaps_fit"] = (q_txt_heaps_fit, O_TXT_HEAPS)

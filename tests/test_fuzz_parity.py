@@ -177,6 +177,7 @@ R8_FUZZ_GATES = [
     "dedup_winnow_pairs",
     "clean_html_strip",
     "privacy_dp_topk",
+    "txt_heaps_fit",
 ]
 
 

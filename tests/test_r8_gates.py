@@ -25,7 +25,7 @@ def test_r8_gate_parity(spark):
 
     from egraphdb_spark.queries_r8 import R8_REGISTRY
 
-    assert len(R8_REGISTRY) == 14
+    assert len(R8_REGISTRY) == 15
     for name, (fn, sql) in R8_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -635,3 +635,41 @@ def test_dp_topk_epsilon_dominates_noise_eventually(spark):
     out = dp_topk_exponential(df, ["g"], k=2, epsilon_micro=100_000_000).collect()
     assert [r.g0 for r in out] == ["a", "b"]
     assert [r.n for r in out] == [50, 30]
+
+
+# --------------------------------------------------------------- Heaps' law
+
+
+def test_heaps_growing_vocab_vs_closed_vocab(spark):
+    from egraphdb_spark.operators.text import heaps_fit
+
+    # growing vocabulary: every doc introduces new types -> beta near 1
+    grow = [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(100)]
+    df = spark.createDataFrame(grow, "doc_id long, text string")
+    r = heaps_fit(df, checkpoint_every=10).collect()[0]
+    assert r.n_checkpoints == 10 and r.vocab_final == 2000
+    assert 900 <= r.slope_milli <= 1100, r.slope_milli
+    # closed 5-word vocabulary: V saturates -> beta ~ 0
+    closed = [(i, "a b c d e " * 4) for i in range(100)]
+    df2 = spark.createDataFrame(closed, "doc_id long, text string")
+    r2 = heaps_fit(df2, checkpoint_every=10).collect()[0]
+    assert r2.vocab_final == 5 and abs(r2.slope_milli) <= 10
+
+
+def test_heaps_first_occurrence_counting_exact(spark):
+    from egraphdb_spark.operators.text import heaps_fit
+
+    rows = [(1, "a b"), (2, "b c"), (3, "a d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(df, checkpoint_every=1).collect()[0]
+    # V by doc: 2, 3, 5; N by doc: 2, 4, 7
+    assert (r.vocab_final, r.tokens_final, r.n_docs) == (5, 7, 3)
+    assert r.n_checkpoints == 3
+
+
+def test_heaps_degenerate_single_checkpoint(spark):
+    from egraphdb_spark.operators.text import heaps_fit
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    r = heaps_fit(df, checkpoint_every=1).collect()[0]
+    assert r.n_checkpoints == 1 and r.slope_milli is None

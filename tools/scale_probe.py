@@ -203,6 +203,7 @@ PROBES = [
     "dedup_winnow_pairs",
     "clean_html_strip",
     "privacy_dp_topk",
+    "txt_heaps_fit",
 ]
 
 
