@@ -84,24 +84,31 @@ def with_shingles(df: DataFrame, text_col: str, out: str = "shingle") -> DataFra
     n = SHINGLE_LEN
     return (
         df.withColumn("norm_t", normalize(text_col))
+        # shingles slice a pre-split CODEPOINT ARRAY, not substring(norm_t,
+        # i, n): UTF8String.substring walks from byte 0 to the i-th
+        # codepoint, so per-position extraction over a whole document is
+        # O(len²) — a 200k-char document costs ~90 s of one executor core
+        # (measured on winnow_fingerprints, same pattern).  Array element
+        # access is O(1) → O(len·n) total.  Output identical: split('')
+        # yields codepoints exactly like substring counts them.
+        .withColumn("cs", F.split(F.col("norm_t"), ""))
         .withColumn(
             out,
             # short-doc guard: sequence(1, 0) is DESCENDING [1, 0] in Spark
-            # and substring(_, 0, n) aliases position 1 — a doc shorter
-            # than the shingle width would emit its whole text as a
-            # phantom shingle while the SQL oracle (range(), half-open)
-            # correctly emits none.  Such docs have no shingles.
+            # — a doc shorter than the shingle width would emit a phantom
+            # shingle while the SQL oracle (range(), half-open) correctly
+            # emits none.  Such docs have no shingles.
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        f"if(length(norm_t) < {n}, array(),"
-                        f" transform(sequence(1, length(norm_t) - {n - 1}),"
-                        f" i -> substring(norm_t, i, {n})))"
+                        f"if(size(cs) < {n}, array(),"
+                        f" transform(sequence(1, size(cs) - {n - 1}),"
+                        f" i -> array_join(slice(cs, i, {n}), '')))"
                     )
                 )
             ),
         )
-        .drop("norm_t")
+        .drop("norm_t", "cs")
     )
 
 
@@ -1118,4 +1125,155 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sh_hi, sh_lo) — 64-bit sign-aggregated fingerprint as two
+    32-bit halves.
+
+    The 32-bit :func:`simhash` saturates on large corpora: with 2³²
+    distinct codes and millions of documents, unrelated documents start
+    colliding within small Hamming radii (birthday pressure), so radius
+    joins over it mine noise at 100 TB scale.  The 64-bit variant doubles
+    the code length — per-bit votes come from BOTH 32-bit halves of the
+    shingle's md5 (chars 1-8 → bits 0..31, chars 9-16 → bits 32..63),
+    engine-portable exactly like shingle_hash32.
+
+    Stored as two non-negative 32-bit halves in BIGINTs (never one
+    64-bit long): bit 63 would make a packed long negative, and signed
+    overflow semantics are the kind of cross-engine trap the repo's
+    parity rules exist to avoid.  Hamming distance over the pair is
+    ``bit_count(xor(hi)) + bit_count(xor(lo))`` — identical algebra on
+    both engines.
+
+    One groupBy(id) with 64 branch-free conditional sums, map-side
+    combined; the shuffle carries 65 longs per document, never text.
+    ``shingles``: optional pre-built :func:`shingle_table`.
+    """
+    if shingles is None:
+        shingles = shingle_table(df, id_col, text_col)
+    ex = shingles.select(
+        "id",
+        F.col("h").alias("hh"),  # md5 chars 1-8 (same 32 bits as simhash)
+        F.conv(F.substring(F.md5("shingle"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("hl"),
+    )
+    sums = [
+        F.sum(F.shiftright(F.col(src), i).bitwiseAND(F.lit(1))).alias(
+            f"{src}b{i}"
+        )
+        for src in ("hh", "hl")
+        for i in range(32)
+    ]
+    agg = ex.groupBy("id").agg(*sums, F.count("*").alias("n"))
+
+    def _half(src: str) -> Column:
+        fp = None
+        for i in range(32):
+            bit = F.when(
+                F.col(f"{src}b{i}") * 2 > F.col("n"),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            fp = bit if fp is None else fp + bit
+        return fp
+
+    return agg.select(
+        "id", _half("hh").alias("sh_hi"), _half("hl").alias("sh_lo")
+    )
+
+
+def hamming64_pairs(
+    sh: DataFrame,
+    radius: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance ≤ ``radius``
+    over 64-bit simhash codes — the multi-index trick (Manku, Jain &
+    Das Sarma, WWW'07 §3, applied to web-crawl simhash dedup at Google):
+    split the 64 bits into FOUR 16-bit bands used as equi-join keys; by
+    pigeonhole, ≤ 3 flipped bits cannot touch all 4 bands, so every pair
+    within radius 3 shares at least one EXACT band — candidate
+    generation is a plain hash join on (band, value), never all-pairs,
+    and the true distance check after the join makes the result exact.
+
+    ``radius`` must be ≤ 3: at radius 4 the pigeonhole guarantee breaks
+    (one flip per band) and silently missing pairs is precisely the kind
+    of quiet wrongness this repo rejects — callers wanting r ≥ 4 need
+    more/narrower bands (C(4,2)=6 pairs of 16-bit bands for r ≤ 7, etc.),
+    a different operator.
+
+    ``max_band_df``: optional hot-bucket cap — band values shared by
+    more than this many documents are dropped BEFORE the self-join (the
+    same boilerplate guard as winnow_pairs' MOSS df cap: a million-doc
+    template cluster would otherwise fan out quadratically in one
+    bucket).  Pairs pruned this way are overwhelmingly real duplicates
+    of a mega-cluster whose membership is better mined by exact_dedup;
+    the cap trades them for a Σ df² ≤ max_band_df·Σdf bound.  None = no
+    cap (exact within radius).
+
+    Scale: 4 narrow rows per document (id, band, value, hi, lo); one
+    shuffle on (band, value); AQE handles residual skew.  The distinct
+    at the end dedups pairs found via several shared bands.
+    """
+    if not 1 <= radius <= 3:
+        raise ValueError(
+            f"hamming64_pairs: radius={radius} outside [1, 3] — 4×16-bit "
+            "bands only guarantee recall for radius <= 3 (pigeonhole)"
+        )
+    blocked = sh.select(
+        "id",
+        "sh_hi",
+        "sh_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftright(F.col(col), shift)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("val"),
+                    )
+                    for k, (col, shift) in enumerate(
+                        [("sh_hi", 16), ("sh_hi", 0), ("sh_lo", 16), ("sh_lo", 0)]
+                    )
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "id", "sh_hi", "sh_lo", F.col("b.blk").alias("blk"), F.col("b.val").alias("val")
+    )
+    if max_band_df is not None:
+        band_df = blocked.groupBy("blk", "val").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        blocked = blocked.join(
+            band_df.where(F.col("df") <= max_band_df).select("blk", "val"),
+            ["blk", "val"],
+        )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = (
+        F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+        + F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(ham <= radius)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )

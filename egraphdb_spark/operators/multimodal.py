@@ -259,11 +259,22 @@ def payload_simhash_pairs(
     grams = (
         media.select(
             F.col(id_col).alias("id"),
+            # hoisted OUTSIDE the transform lambda — split-in-lambda would
+            # re-split per chunk and stay quadratic
+            F.split(F.hex("payload"), "").alias("hs"),
+        )
+        .select(
+            "id",
+            # chunks slice a pre-split char array: substring(hexstr, 1+8k,
+            # 8) re-scans the hex string from position 0 per chunk —
+            # O(len²) for a multi-MB payload (same UTF8String.substring
+            # trap as dedup.with_shingles); slice on the array is O(1)
+            # per element.  Output identical (hex is single-byte chars).
             F.explode(
                 F.expr(
-                    "if(length(hex(payload)) < 8, array(),"
-                    " transform(sequence(0, length(hex(payload)) div 8 - 1),"
-                    " k -> substring(hex(payload), 1 + 8 * k, 8)))"
+                    "if(size(hs) < 8, array(),"
+                    " transform(sequence(0, size(hs) div 8 - 1),"
+                    " k -> array_join(slice(hs, 1 + 8 * k, 8), '')))"
                 )
             ).alias("gram"),
         )

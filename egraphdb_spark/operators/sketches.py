@@ -1032,9 +1032,14 @@ def moments_chebyshev(
             "n",
             "s1",
             F.col("s2d").cast("long").alias("s2"),
-            F.expr("cast((cast(s1 as decimal(38,0)) * 1000) div n as bigint)").alias(
-                "mean_milli"
-            ),
+            # sign·(|s1| div n): Spark decimal `div` truncates toward zero
+            # while DuckDB `//` floors, so a negative-sum column would break
+            # hash parity without the recipe (r8 ADVICE low; windowed_moments
+            # already used it)
+            F.expr(
+                "cast((case when s1 < 0 then -1 else 1 end)"
+                " * ((abs(cast(s1 as decimal(38,0))) * 1000) div n) as bigint)"
+            ).alias("mean_milli"),
             F.expr(
                 "cast(least(cast(1000000 as decimal(38,0)),"
                 " ((cast(n as decimal(38,0)) * s2d - cast(s1 as decimal(38,0)) * s1)"

@@ -1261,12 +1261,17 @@ def url_canonicalize(url: str | Column) -> Column:
     return F.when(u.rlike(r"^(?i)https?://"), canon).otherwise(u)
 
 
-# 2^21 positions per document (2 MB of normalized text) — the winnowing
-# tie-break packs (hash, pos) into one orderable long: key = h·2²¹ +
-# (2²¹−1−pos), so MIN(key) picks the smallest hash and, on ties, the
-# RIGHTMOST position (the rule from Schleimer et al. §5 that makes the
-# fingerprint set a function of content alone, not window phase).
-_WINNOW_POS_BASE = 1 << 21
+# 2^31 positions per document — the winnowing tie-break packs (hash, pos)
+# into one orderable long: key = h·2³¹ + (2³¹−1−pos), so MIN(key) picks the
+# smallest hash and, on ties, the RIGHTMOST position (the rule from
+# Schleimer et al. §5 that makes the fingerprint set a function of content
+# alone, not window phase).  No overflow: h ≤ 2³²−1 (md5 8-hex prefix) and
+# pos ≥ 1, so key ≤ (2³²−1)·2³¹ + 2³¹−2 = 2⁶³−2 < Long.MAX.  The base was
+# 2²¹ through round 8; a >2M-char document would then have borrowed the pos
+# field into the hash field and decoded wrongly (r8 ADVICE low) — 2³¹
+# covers any representable string (Spark/JVM strings cap at 2³¹−1 chars),
+# and the explicit n_grams guard below documents the domain bound anyway.
+_WINNOW_POS_BASE = 1 << 31
 
 
 def winnow_fingerprints(
@@ -1309,22 +1314,37 @@ def winnow_fingerprints(
     from pyspark.sql import Window
 
     z = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
+    # grams are sliced from a pre-split CODEPOINT ARRAY, not substring(z,
+    # pos, k): UTF8String.substring re-scans from byte 0 to find the
+    # pos-th codepoint, making per-gram extraction O(pos) and the whole
+    # document O(n²) — measured 91 s for ONE 200k-char doc, i.e. a real
+    # crawl document would wedge an executor.  Array element access is
+    # O(1), so slice+join is O(k) per gram, O(n·k) per document.  The
+    # array rides the same whole-stage-codegen pipeline as the explode
+    # (no materialization boundary until the narrow (id, pos, h) rows).
     base = docs.select(
         F.col(id_col).alias("id"),
-        z.alias("z"),
+        F.split(z, "").alias("cs"),
         (F.length(z) - F.lit(k) + 1).cast("long").alias("n_grams"),
-    ).where(F.col("n_grams") >= 1)
+    ).where(
+        # upper bound: pos must fit its field in the packed key (the pack
+        # is silently wrong past it, so the domain bound is enforced, not
+        # assumed); unreachable for any JVM string, mirrored by the oracle
+        (F.col("n_grams") >= 1) & (F.col("n_grams") < F.lit(_WINNOW_POS_BASE))
+    )
     grams = base.select(
         "id",
         "n_grams",
         F.explode(F.sequence(F.lit(1), F.col("n_grams"))).alias("pos"),
-        "z",
+        "cs",
     ).select(
         "id",
         "n_grams",
         "pos",
         F.conv(
-            F.substring(F.md5(F.substring(F.col("z"), F.col("pos"), k)), 1, 8),
+            F.substring(
+                F.md5(F.expr(f"array_join(slice(cs, pos, {k}), '')")), 1, 8
+            ),
             16,
             10,
         )
@@ -1517,8 +1537,14 @@ def _date_norm_exprs(col: str, dialect: str) -> tuple[str, str]:
     def civil_epoch(y: str, m: str, d: str, hms: str = "0") -> str:
         return f"({_days_from_civil(y, m, d, idiv)} * 86400 + {hms})"
 
-    def valid(m: str, d: str) -> str:
-        return f"({m} between 1 and 12 and {d} between 1 and 31)"
+    def valid(y: str, m: str, d: str) -> str:
+        # y >= 1583 on EVERY path (not just RFC): _days_from_civil is only
+        # truncate/floor-equivalent for non-negative shifted years, so a
+        # year-0 input would make Spark's `div` (truncate) and DuckDB's `//`
+        # (floor) disagree by a full 146097-day era (r8 ADVICE medium).
+        return (
+            f"({y} >= 1583 and {m} between 1 and 12 and {d} between 1 and 31)"
+        )
 
     iso_dt = (_DATE_RE_ISO_DT, "iso_datetime")
     iso_d = (_DATE_RE_ISO_D, "iso_date")
@@ -1527,13 +1553,13 @@ def _date_norm_exprs(col: str, dialect: str) -> tuple[str, str]:
 
     fmt = (
         f"case when {matches(iso_dt[0])} then"
-        f" (case when {valid(rx(iso_dt[0], 2), rx(iso_dt[0], 3))}"
+        f" (case when {valid(rx(iso_dt[0], 1), rx(iso_dt[0], 2), rx(iso_dt[0], 3))}"
         f"   then 'iso_datetime' else 'invalid' end)"
         f" when {matches(iso_d[0])} then"
-        f" (case when {valid(rx(iso_d[0], 2), rx(iso_d[0], 3))}"
+        f" (case when {valid(rx(iso_d[0], 1), rx(iso_d[0], 2), rx(iso_d[0], 3))}"
         f"   then 'iso_date' else 'invalid' end)"
         f" when {matches(us[0])} then"
-        f" (case when {valid(rx(us[0], 1), rx(us[0], 2))}"
+        f" (case when {valid(rx(us[0], 3), rx(us[0], 1), rx(us[0], 2))}"
         f"   then 'us_date' else 'invalid' end)"
         f" when {matches(_DATE_RE_EPOCH)} then 'epoch_secs'"
         f" when {matches(rfc[0])} then"
@@ -1545,13 +1571,13 @@ def _date_norm_exprs(col: str, dialect: str) -> tuple[str, str]:
     rfc_m = mon_case.format(m=f"regexp_extract({col}, '{rfc[0]}', 2)")
     epoch = (
         f"case when {matches(iso_dt[0])}"
-        f"      and {valid(rx(iso_dt[0], 2), rx(iso_dt[0], 3))} then"
+        f"      and {valid(rx(iso_dt[0], 1), rx(iso_dt[0], 2), rx(iso_dt[0], 3))} then"
         f" {civil_epoch(rx(iso_dt[0], 1), rx(iso_dt[0], 2), rx(iso_dt[0], 3), f'{rx(iso_dt[0], 4)} * 3600 + {rx(iso_dt[0], 5)} * 60 + {rx(iso_dt[0], 6)}')}"
         f" when {matches(iso_d[0])}"
-        f"      and {valid(rx(iso_d[0], 2), rx(iso_d[0], 3))} then"
+        f"      and {valid(rx(iso_d[0], 1), rx(iso_d[0], 2), rx(iso_d[0], 3))} then"
         f" {civil_epoch(rx(iso_d[0], 1), rx(iso_d[0], 2), rx(iso_d[0], 3))}"
         f" when {matches(us[0])}"
-        f"      and {valid(rx(us[0], 1), rx(us[0], 2))} then"
+        f"      and {valid(rx(us[0], 3), rx(us[0], 1), rx(us[0], 2))} then"
         f" {civil_epoch(rx(us[0], 3), rx(us[0], 1), rx(us[0], 2))}"
         f" when {matches(_DATE_RE_EPOCH)} then cast({col} as {big})"
         f" when {matches(rfc[0])} and {rx(rfc[0], 3)} >= 1583"
@@ -1905,3 +1931,120 @@ def heaps_fit(
             ).alias("intercept_micro"),
         )
     )
+
+
+def dup_structure_stats(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Duplicate-LINE / duplicate-PARAGRAPH fractions per document — the
+    remaining half of Gopher's repetition battery (Rae et al. '21 §A1.1:
+    "fraction of lines/paragraphs that are duplicates" and "fraction of
+    characters in duplicated lines/paragraphs"; repetition_stats covers
+    the top-n-gram rules, gopher_line_rules the bullet/ellipsis shapes).
+    Boilerplate pages — headers repeated per section, scraped menus,
+    pagination blocks — show up here and nowhere else.
+
+    Definitions (exact integers, micro fractions):
+      * unit = trimmed non-empty line (split on \\n) or paragraph
+        (split on blank-line runs, \\n{2,});
+      * a unit occurrence is a DUPLICATE if an identical unit occurred
+        earlier in the same document → dup count for a unit with c
+        occurrences is c − 1;
+      * dup_*_frac_micro   = Σ(c−1) · 10⁶ div Σc
+      * dup_*_char_frac_micro = Σ(c−1)·len(unit) · 10⁶ div Σ c·len(unit)
+      * keep (Gopher thresholds): dup-line ≤ 30%, dup-para ≤ 30%,
+        dup-line-chars ≤ 20%, dup-para-chars ≤ 20%.
+
+    Documents with no non-empty lines emit NULL fractions and keep=false
+    (nothing to certify).  Empty-paragraph docs likewise NULL the para
+    fractions only.
+
+    Scale shape: ONE tagged explode (kind byte 'l'/'p', the
+    repetition_stats trick) → groupBy(doc, kind, unit) → groupBy(doc) —
+    linear in corpus characters, two map-side-combined shuffles, no join,
+    no window; the shuffle carries md5 of each unit, never the unit text.
+    """
+    def _units(pat: str, kind: str) -> Column:
+        parts = F.split(F.col(text_col), pat)
+        trimmed = F.transform(parts, lambda s: F.trim(F.regexp_replace(s, r"\s+", " ")))
+        nonempty = F.filter(trimmed, lambda s: s != F.lit(""))
+        return F.transform(
+            nonempty,
+            lambda s: F.struct(
+                F.lit(kind).alias("kind"),
+                # hash the unit: the (doc, kind, unit) shuffle then carries
+                # 16 bytes per unit, not paragraph text
+                F.md5(s).alias("unit"),
+                F.length(s).cast("long").alias("ln"),
+            ),
+        )
+
+    lines = _units(r"\n", "l")
+    paras = _units(r"\n{2,}", "p")
+    is_l = F.col("kind") == "l"
+    agg = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            # explode_OUTER: a whitespace-only document has no units but
+            # must still emit its (NULL fractions, keep=false) row
+            F.explode_outer(F.concat(lines, paras)).alias("x"),
+        )
+        .select("id", "x.kind", "x.unit", "x.ln")
+        .groupBy("id", "kind", "unit")
+        # identical units have identical lengths; min() is the
+        # deterministic way to say "the" length
+        .agg(F.count("*").alias("c"), F.min("ln").alias("ln"))
+        .groupBy("id")
+        .agg(
+            F.coalesce(F.sum(F.when(is_l, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_lines"),
+            F.coalesce(F.sum(F.when(is_l, F.col("c") - 1)), F.lit(0))
+            .cast("long")
+            .alias("d_lines"),
+            F.coalesce(F.sum(F.when(is_l, F.col("c") * F.col("ln"))), F.lit(0))
+            .cast("long")
+            .alias("ch_lines"),
+            F.coalesce(
+                F.sum(F.when(is_l, (F.col("c") - 1) * F.col("ln"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dch_lines"),
+            F.coalesce(F.sum(F.when(~is_l, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_paras"),
+            F.coalesce(F.sum(F.when(~is_l, F.col("c") - 1)), F.lit(0))
+            .cast("long")
+            .alias("d_paras"),
+            F.coalesce(F.sum(F.when(~is_l, F.col("c") * F.col("ln"))), F.lit(0))
+            .cast("long")
+            .alias("ch_paras"),
+            F.coalesce(
+                F.sum(F.when(~is_l, (F.col("c") - 1) * F.col("ln"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("dch_paras"),
+        )
+    )
+
+    def q(num: str, den: str) -> Column:
+        return F.expr(
+            f"case when {den} > 0 then ({num} * 1000000) div {den} end"
+        ).cast("long")
+
+    out = agg.select(
+        "id",
+        "n_lines",
+        q("d_lines", "n_lines").alias("dup_line_frac_micro"),
+        q("dch_lines", "ch_lines").alias("dup_line_char_frac_micro"),
+        "n_paras",
+        q("d_paras", "n_paras").alias("dup_para_frac_micro"),
+        q("dch_paras", "ch_paras").alias("dup_para_char_frac_micro"),
+    )
+    keep = (
+        (F.col("dup_line_frac_micro") <= 300000)
+        & (F.col("dup_line_char_frac_micro") <= 200000)
+        & (F.col("dup_para_frac_micro") <= 300000)
+        & (F.col("dup_para_char_frac_micro") <= 200000)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))

@@ -677,32 +677,33 @@ REGISTRY.update(R8_REGISTRY)
 # with zero gates ever left failing (see CORRECTNESS_r02..r06).
 # Round 8: emitted mechanically by tools/next_window.py (staleness budget:
 # never-checked first, then oldest most-recent driver check) so no gate's
-# evidence ages beyond ~4 rounds.  Cumulative after r7: 269/269 driver-green.
-# This window fronts the 9 newly-merged round-8 gates (never checked), then
-# the 33 remaining r2-era re-checks, then the 8 oldest r3 re-checks.
+# evidence ages beyond ~4 rounds.  Cumulative after r8: 278/278 driver-green
+# (union of CORRECTNESS_r01..r08), 15 queries_r8.py gates never checked.
+# Round 9 (emitted by tools/next_window.py): fronts those 15, then the 28
+# stalest r3-era re-checks, then the 7 oldest r4 re-checks.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- 9 round-8 merges, never driver-checked --
-    "txt_gopher_quality", "profile_drift_ks", "privacy_dp_counts",
-    "sketch_ams_f2", "graph_ktruss", "sample_kcenter_coreset",
-    "privacy_dp_mean", "clean_url_canon", "evt_diff_in_diff",
-    # -- 33 stalest re-checks, last driver-green r2 --
-    "g1_khop", "w4_topk", "agg_q1_pricing_summary",
-    "agg_q3_shipping_priority", "agg_q5_region_revenue", "agg_rollup",
-    "win_rank", "win_lag", "set_intersect", "set_except",
-    "evt_window_hourly", "txt_stats", "dedup_exact",
-    "dedup_minhash_lsh_pairs", "dedup_simhash_pairs", "dedup_jaccard_pairs",
-    "dedup_embedding_pairs", "sim_ivf_topk", "sim_kmeans_topk",
-    "pipe_corpus_clean", "s15_latest_versions", "s9_geo_exact",
-    "j2_adjacency_details", "w5_time_probe", "p5_keytype_rawhex",
-    "g2_dfs_path", "io_csv_roundtrip", "io_json_roundtrip",
-    "io_parquet_roundtrip", "io_framedbin_roundtrip", "s15_upsert_version",
-    "s15_logtable_persisted", "s18_delete_nodes",
-    # -- 8 next-stalest re-checks, last driver-green r3 --
-    "txt_bm25_topk", "agg_percentile", "dedup_contamination",
-    "layout_zorder_prune", "profile_table", "agg_q13_order_histogram",
-    "graph_sssp_weighted", "stream_static_join",
+    # -- 15 round-8 additions, never driver-checked --
+    "txt_winnow_fingerprints", "txt_kneser_ney", "sketch_moments_chebyshev",
+    "rag_ndcg", "sample_pps_systematic", "clean_dates_normalize",
+    "evt_bootstrap_ci", "profile_gini", "txt_zipf_fit", "stream_moments",
+    "txt_gopher_lines", "dedup_winnow_pairs", "clean_html_strip",
+    "privacy_dp_topk", "txt_heaps_fit",
+    # -- 28 stalest re-checks, last driver-green r3 --
+    "stream_stream_join", "agg_distinct_2phase", "agg_q10_returned_revenue",
+    "evt_rollup_cascade", "evt_funnel", "evt_transitions",
+    "stream_stateful_counts", "stream_logtable_cdc", "agg_above_segment_avg",
+    "join_asof", "join_range_bands", "graph_cc", "graph_triangles",
+    "graph_bfs_levels", "agg_q6_forecast_revenue", "agg_cube",
+    "agg_count_distinct", "win_running_sum", "win_frames",
+    "agg_q4_order_priority", "sql_grouping_sets", "stream_window_counts",
+    "stream_dedup", "evt_session_window", "agg_q2_min_cost_supp",
+    "agg_q16_supplier_cnt", "agg_q20_promo_suppliers",
+    "agg_q21_waiting_supplier",
+    # -- 7 next-stalest re-checks, last driver-green r4 --
+    "pipe_seq_pack", "pipe_mixture", "pipe_chunking", "pipe_assemble",
+    "rag_hybrid_rrf", "txt_tfidf_keywords", "sample_source_quota",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

@@ -74,7 +74,7 @@ def q_txt_winnow_fingerprints(spark, sf_dir):
     )
 
 
-_WB = 1 << 21  # text.py _WINNOW_POS_BASE
+_WB = 1 << 31  # text.py _WINNOW_POS_BASE (widened from 2^21, r8 ADVICE low)
 
 O_TXT_WINNOW = f"""
 WITH s AS (
@@ -82,8 +82,9 @@ WITH s AS (
   FROM documents
 ),
 b AS (
+  -- n_grams < 2^31 mirrors winnow_fingerprints' packed-key domain guard
   SELECT doc_id, z, CAST(length(z) - 7 AS BIGINT) AS n_grams
-  FROM s WHERE length(z) >= 8
+  FROM s WHERE length(z) >= 8 AND length(z) - 7 < {_WB}
 ),
 g AS (
   SELECT doc_id, n_grams,
@@ -208,7 +209,9 @@ e AS (
 )
 SELECT a, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
        CAST(s2d AS BIGINT) AS s2,
-       CAST((CAST(s1 AS HUGEINT) * 1000) // n AS BIGINT) AS mean_milli,
+       CAST((CASE WHEN s1 < 0 THEN -1 ELSE 1 END)
+            * ((abs(CAST(s1 AS HUGEINT)) * 1000) // n) AS BIGINT)
+         AS mean_milli,
        CAST(least(CAST(1000000 AS HUGEINT),
                   ((CAST(n AS HUGEINT) * s2d - CAST(s1 AS HUGEINT) * s1)
                    * 1000000)
@@ -708,7 +711,10 @@ def q_txt_gopher_lines(spark, sf_dir):
     the half of Rae et al.'s battery that txt_gopher_quality's per-doc
     word statistics can't express (operators/text.py gopher_line_rules).
     Variants 0 and 1 must fail bits 1 and 2 respectively; 2 and 3 must
-    pass."""
+    pass — variant 2's lines are wrapped in fixed non-bullet /
+    non-ellipsis literals ('x ' prefix, ' y' suffix) so the pass
+    contract holds for ANY corpus, not just one whose text happens to
+    avoid leading bullets and trailing '...' (r8 ADVICE low)."""
     from .operators.text import gopher_line_rules
 
     docs = _t(spark, sf_dir, "documents")
@@ -720,8 +726,8 @@ def q_txt_gopher_lines(spark, sf_dir):
             "   || chr(10) || '- gamma item'"
             " when 1 then 'intro ' || source || chr(10) || 'preview one...'"
             "   || chr(10) || 'preview two...' || chr(10) || 'preview three...'"
-            " when 2 then substring(text, 1, 40) || chr(10)"
-            "   || substring(text, 41, 40)"
+            " when 2 then 'x ' || substring(text, 1, 40) || ' y' || chr(10)"
+            "   || 'x ' || substring(text, 41, 40) || ' y'"
             " else '• ' || lang || ' item' || chr(10) || 'plain tail line' end"
         ),
     )
@@ -735,7 +741,8 @@ WITH synth AS (
       || chr(10) || '- gamma item'
     WHEN 1 THEN 'intro ' || source || chr(10) || 'preview one...'
       || chr(10) || 'preview two...' || chr(10) || 'preview three...'
-    WHEN 2 THEN substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+    WHEN 2 THEN 'x ' || substr(text, 1, 40) || ' y' || chr(10)
+      || 'x ' || substr(text, 41, 40) || ' y'
     ELSE '• ' || lang || ' item' || chr(10) || 'plain tail line' END AS mtext
   FROM documents
 ),
@@ -792,8 +799,9 @@ WITH s AS (
   FROM documents
 ),
 b AS (
+  -- n_grams < 2^31 mirrors winnow_fingerprints' packed-key domain guard
   SELECT doc_id, z, CAST(length(z) - 7 AS BIGINT) AS n_grams
-  FROM s WHERE length(z) >= 8
+  FROM s WHERE length(z) >= 8 AND length(z) - 7 < {_WB}
 ),
 g AS (
   SELECT doc_id, n_grams,

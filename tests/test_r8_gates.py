@@ -76,6 +76,48 @@ def test_winnow_matches_pure_python_reference(spark, k, w):
         assert got.get(doc_id, set()) == _winnow_ref(text, k, w), (doc_id, k, w)
 
 
+def test_winnow_positions_past_2m_chars_decode_correctly(spark):
+    # r8 ADVICE low: the packed key's pos field was 21 bits, so a document
+    # with > ~2M normalized chars borrowed pos into the hash field and
+    # decoded both wrongly.  The base is now 2^31 (any JVM string fits).
+    # A just-past-the-old-boundary document must emit positions BEYOND
+    # 2^21 that decode into [1, n_grams] with 32-bit fingerprints.
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.text import (
+        _WINNOW_POS_BASE,
+        winnow_fingerprints,
+    )
+
+    assert _WINNOW_POS_BASE == 1 << 31
+    k, w, old_base = 8, 4, 1 << 21
+    n_chars = old_base + 200  # n_grams = old_base + 193 > old 21-bit field
+    # non-periodic text so gram hashes vary (itoa stream, truncated)
+    df = spark.range(1).select(
+        F.lit(1).alias("doc_id"),
+        # itoa(1..420000) is ~2.41M chars — comfortably past the 2^21+200
+        # cut (itoa(1..300000) would be only ~1.69M and miss the boundary)
+        F.expr(
+            f"substring(concat_ws('', transform(sequence(1, 420000),"
+            f" i -> cast(i as string))), 1, {n_chars})"
+        ).alias("text"),
+    )
+    stats = (
+        winnow_fingerprints(df, k=k, w=w)
+        .agg(
+            F.min("pos").alias("pmin"),
+            F.max("pos").alias("pmax"),
+            F.min("fp").alias("fmin"),
+            F.max("fp").alias("fmax"),
+        )
+        .collect()[0]
+    )
+    n_grams = n_chars - k + 1
+    assert 1 <= stats.pmin and stats.pmax <= n_grams
+    assert stats.pmax > old_base, "no position past the old 21-bit boundary"
+    assert 0 <= stats.fmin and stats.fmax < 1 << 32
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # any shared substring of length >= k + w - 1 yields a shared fingerprint
     from egraphdb_spark.operators.text import winnow_fingerprints
@@ -178,6 +220,27 @@ def test_moments_chebyshev_bound_dominates_empirical(spark):
     docs = load_tables(spark, SF_DIR)["documents"]
     for r in moments_chebyshev(docs, "n_chars").collect():
         assert r.actual_micro <= r.bound_micro, r
+
+
+def test_moments_chebyshev_negative_sum_mean_floors_like_duckdb(spark):
+    # r8 ADVICE low: mean_milli must use the sign·(|s1| div n) recipe so a
+    # negative sum truncates toward zero on BOTH engines (DuckDB `//`
+    # floors; Spark decimal `div` truncates).  s1 = -5, n = 2:
+    # sign(-5)·((5·1000) div 2) = -2500, whereas floor((-5000)/2) = -2500
+    # too — so pick s1 = -5, n = 3: trunc = -1666, floor = -1667.  The
+    # recipe pins -1666 on both engines.
+    import duckdb
+
+    from egraphdb_spark.operators.sketches import moments_chebyshev
+
+    df = spark.createDataFrame([(-2,), (-2,), (-1,)], "x long")
+    r = moments_chebyshev(df, "x", deviations=[1]).collect()[0]
+    assert (r.n, r.s1, r.mean_milli) == (3, -5, -1666)
+    got = duckdb.sql(
+        "SELECT (CASE WHEN -5 < 0 THEN -1 ELSE 1 END)"
+        " * ((abs(CAST(-5 AS HUGEINT)) * 1000) // 3)"
+    ).fetchone()[0]
+    assert got == -1666
 
 
 def test_moments_merge_by_addition(spark):
@@ -339,6 +402,59 @@ def test_dates_hand_computed(spark):
     assert (out[9].fmt, out[9].epoch_sec) == ("unknown", None)
     assert (out[10].fmt, out[10].epoch_sec) == ("unknown", None)
     assert (out[11].fmt, out[11].epoch_sec) == ("rfc_date", _epoch(2024, 2, 29))
+
+
+def test_dates_pre_gregorian_years_invalid_on_every_path(spark):
+    # r8 ADVICE medium: _days_from_civil is truncate/floor-equivalent only
+    # for year >= 1583 (shifted era stays non-negative).  Years below that
+    # must classify as 'invalid' on the ISO and US paths too (the RFC path
+    # already did), or Spark `div` vs DuckDB `//` diverge by a 146097-day
+    # era on junk like '0000-01-15'.  Assert BOTH the classification and
+    # literal cross-engine parity of the emitted expressions.
+    import duckdb
+
+    from egraphdb_spark.operators.text import (
+        _date_norm_exprs,
+        normalize_datestrings,
+    )
+
+    cases = [
+        ("0000-01-15", "invalid"),
+        ("0000-02-01", "invalid"),
+        ("0001-01-01", "invalid"),
+        ("1582-12-31", "invalid"),
+        ("1/5/0000", "invalid"),
+        ("2/1/1582", "invalid"),
+        ("0000-01-15T00:00:01", "invalid"),
+        ("1583-01-01", "iso_date"),
+        ("1/5/1583", "us_date"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "id long, s string"
+    )
+    out = {r.s: r for r in normalize_datestrings(df, "s").collect()}
+    for s, want_fmt in cases:
+        assert out[s].fmt == want_fmt, s
+        if want_fmt == "invalid":
+            assert out[s].epoch_sec is None, s
+    assert out["1583-01-01"].epoch_sec == (
+        dt.date(1583, 1, 1) - dt.date(1970, 1, 1)
+    ).days * 86400
+
+    fmt_sql, epoch_sql = _date_norm_exprs("raw", "duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE raws(raw VARCHAR); INSERT INTO raws VALUES "
+        + ", ".join(f"('{s}')" for s, _ in cases)
+    )
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT raw, {fmt_sql} AS fmt, {epoch_sql} AS e FROM raws"
+        ).fetchall()
+    }
+    for s, _ in cases:
+        assert duck[s] == (out[s].fmt, out[s].epoch_sec), s
 
 
 def test_dates_civil_math_sweeps_calendar(spark):
