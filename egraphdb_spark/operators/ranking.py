@@ -577,3 +577,166 @@ def ndcg_at_k(
         )
         .orderBy("grp")
     )
+
+
+def weighted_fusion(
+    rankings: list[tuple[DataFrame, int]],
+    k: int = 15,
+    mnz: bool = True,
+) -> DataFrame:
+    """Fuse (id, score_micro) top lists by WEIGHTED NORMALIZED SCORE —
+    CombSUM/CombMNZ (Fox & Shaw, TREC-2; Shaw & Fox '94), the score-based
+    complement to :func:`rrf_fuse`'s rank-based fusion: RRF discards score
+    magnitudes (a 10× BM25 gap and a 1.001× gap fuse identically); Comb*
+    keeps them, which is what a BM25+vector hybrid wants when one
+    retriever is confidently right.
+
+    Each input is ``(df, weight_milli)`` where df has (id, score_micro)
+    integer scores.  Per list, scores are min-max normalized to
+    [0, 10⁶] in integer arithmetic — norm = ((s − min)·10⁶) div
+    (max − min), a constant list (max == min) normalizing to 10⁶ — then
+    fused = Σ weight_milli · norm, and with ``mnz`` the sum is multiplied
+    by the number of lists the id appears in (CombMNZ's hit-count boost,
+    the TREC-proven default).  All integer: bit-identical across engines.
+
+    Output: (id, fused_scaled, n_lists) ordered desc / id asc, limit k.
+
+    Scale: inputs are top-k lists (k·m rows total); each min/max is a
+    1-row broadcast aggregate attached by crossJoin (the scalar-attach
+    pattern — no shuffle of the list itself); the fuse is one tiny
+    groupBy.  The corpus-sized work lives in the upstream retrievers.
+    """
+    parts = None
+    for df, w in rankings:
+        mm = df.agg(
+            F.min("score_micro").alias("_mn"), F.max("score_micro").alias("_mx")
+        )
+        norm = df.crossJoin(F.broadcast(mm)).select(
+            "id",
+            F.expr(
+                "cast(case when _mx = _mn then 1000000 else"
+                " ((score_micro - _mn) * 1000000) div (_mx - _mn) end"
+                " as bigint)"
+            ).alias("norm"),
+        ).select(
+            "id", (F.col("norm") * F.lit(int(w))).alias("part")
+        )
+        parts = norm if parts is None else parts.unionByName(norm)
+    fused = parts.groupBy("id").agg(
+        F.sum("part").alias("wsum"), F.count("*").cast("long").alias("n_lists")
+    )
+    score = (
+        (F.col("wsum") * F.col("n_lists")) if mnz else F.col("wsum")
+    ).alias("fused_scaled")
+    return (
+        fused.select("id", score, "n_lists")
+        .orderBy(F.desc("fused_scaled"), "id")
+        .limit(k)
+    )
+
+
+def calibrate_isotonic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a score against
+    a non-negative outcome — the standard post-hoc calibrator for
+    retrieval/quality/classifier scores (Zadrozny & Elkan KDD'02; what
+    sklearn's IsotonicRegression fits), here as an exact integer plan.
+
+    Scores are binned into ``n_bins`` equal-width integer bins (bounds
+    from one broadcast min/max aggregate); per occupied bin the empirical
+    rate is sum(label)/count.  The isotonic fit uses the min-max identity
+    (Robertson-Wright-Dykstra '88 §1.2, the closed form PAVA converges
+    to):
+
+        fit_b = max_{i ≤ b} min_{j ≥ b} avg(bin i..j)
+
+    with every candidate average floor-quantized to micro BEFORE the
+    min/max (floor is monotone, so the fitted sequence stays
+    non-decreasing and both engines agree bit-for-bit).
+
+    Labels must be non-negative (0/1 for probability calibration);
+    NULL scores/labels are excluded.
+
+    Output per occupied bin: ``(bin, n, pos, rate_micro, fit_micro)``
+    ordered by bin; fit_micro is non-decreasing in bin.
+
+    Scale: ONE full-data pass (the binned aggregate, map-side combined,
+    ≤ n_bins rows out) + min/max scalar attach; everything after —
+    prefix sums, the (i, j) average table, the min-max reduction — runs
+    on ≤ n_bins·(n_bins+1)/2 rows (n_bins ≤ 64 enforced), a broadcast-
+    sized lattice regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    if not 2 <= n_bins <= 64:
+        raise ValueError(
+            f"calibrate_isotonic: n_bins={n_bins} outside [2, 64] — the "
+            "min-max lattice is O(n_bins³); bin the score coarser"
+        )
+    base = df.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    ).where(
+        F.col("s").isNotNull() & F.col("y").isNotNull() & (F.col("y") >= 0)
+    )
+    mm = base.agg(F.min("s").alias("_lo"), F.max("s").alias("_hi"))
+    binned = base.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"cast(least({n_bins - 1},"
+            f" ((s - _lo) * {n_bins}) div (_hi - _lo + 1)) as bigint)"
+        ).alias("bin"),
+        "y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    # prefix sums over the ≤ n_bins aggregated rows — bounded-domain
+    # window (the gini/ccnet precedent), never over raw data
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cs"),
+    )
+    i = pre.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cs") - F.col("pos")).alias("cs0"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"), F.col("cn").alias("cnj"), F.col("cs").alias("csj")
+    )
+    avg_ij = (
+        i.join(j, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr("((csj - cs0) * 1000000) div (cnj - cn0)").alias("q"),
+        )
+    )
+    b = pre.select(F.col("bin").alias("b"))
+    fit = (
+        avg_ij.join(b, (F.col("i") <= F.col("b")) & (F.col("j") >= F.col("b")))
+        .groupBy("b", "i")
+        .agg(F.min("q").alias("m"))
+        .groupBy("b")
+        .agg(F.max("m").alias("fit_micro"))
+    )
+    return (
+        bins.join(fit, bins.bin == fit.b)
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.expr("(pos * 1000000) div n").alias("rate_micro"),
+            F.col("fit_micro").cast("long").alias("fit_micro"),
+        )
+        .orderBy("bin")
+    )

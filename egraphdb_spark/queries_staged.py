@@ -665,3 +665,385 @@ FROM m, eff ORDER BY period, cohort
 """
 
 STAGED_REGISTRY["evt_diff_in_diff"] = (q_evt_diff_in_diff, O_EVT_DIFF_IN_DIFF)
+
+
+# ===========================================================================
+# Round-9 staging (merge at round 10): STAGED_R9_REGISTRY
+#
+# Per the round-8 verdict (item 5): new operators land HERE with the full
+# gate contract — Spark implementation, hand-written DuckDB oracle, pytest
+# enrollment (tests/test_staged_gates.py), 10× scale probe BEFORE staging —
+# and are NOT merged into the live registry this round (tools/
+# verify_sweep.py --staged proves them in the same fresh-process session).
+# ===========================================================================
+
+STAGED_R9_REGISTRY: dict[str, tuple] = {}
+
+
+# --------------------------------------------------------------------------
+# dedup_hamming64_pairs — 64-bit simhash + multi-index Hamming-radius join
+# --------------------------------------------------------------------------
+
+
+def q_dedup_hamming64_pairs(spark, sf_dir):
+    """Hamming-radius-≤3 pairs over 64-BIT simhash codes via the
+    Manku-Jain-Das Sarma multi-index trick (4×16-bit bands as exact join
+    keys; pigeonhole makes radius ≤ 3 exact) — operators/dedup.py
+    simhash64 + hamming64_pairs.  The corpus is documents ∪ two planted
+    families: near-copies (' qq' appended, doc_id%25==0, +1000000) and
+    exact copies (doc_id%25==13, +2000000), so the gate exercises
+    hamming 0 and small-positive distances on any corpus.  Band hot
+    buckets are df-capped at 20 (mirrored)."""
+    from .operators.dedup import hamming64_pairs, simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.selectExpr("doc_id as id", "text")
+        .unionByName(
+            docs.where("doc_id % 25 = 0").selectExpr(
+                "doc_id + 1000000 as id", "text || ' qq' as text"
+            )
+        )
+        .unionByName(
+            docs.where("doc_id % 25 = 13").selectExpr(
+                "doc_id + 2000000 as id", "text"
+            )
+        )
+    )
+    sh = simhash64(uni, "id", "text")
+    return hamming64_pairs(sh, radius=3, max_band_df=20).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _hamming64_oracle() -> str:
+    from .operators.dedup import SHINGLE_LEN
+
+    n = SHINGLE_LEN
+    sums = ",\n         ".join(
+        f"sum((h{half} >> {i}) & 1) AS {half}b{i}"
+        for half in ("h", "l")
+        for i in range(32)
+    )
+    fp = {
+        half: " + ".join(
+            f"(CASE WHEN {half}b{i} * 2 > n THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE 0 END)"
+            for i in range(32)
+        )
+        for half in ("h", "l")
+    }
+    return f"""
+WITH uni AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' qq' FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 25 = 13
+),
+norm AS (
+  SELECT id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM uni
+),
+sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 0) + 1),
+           i -> substr(t, CAST(i AS INT), {n})))) AS shingle
+  FROM norm
+),
+hashed AS (
+  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS hh,
+         CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS hl
+  FROM sh
+),
+sums AS (
+  SELECT id,
+         {sums},
+         count(*) AS n
+  FROM hashed GROUP BY id
+),
+simh AS (SELECT id, {fp['h']} AS sh_hi, {fp['l']} AS sh_lo FROM sums),
+blk AS (
+  SELECT id, sh_hi, sh_lo, t.b AS blk,
+         CASE t.b WHEN 0 THEN (sh_hi >> 16) & 65535
+                  WHEN 1 THEN sh_hi & 65535
+                  WHEN 2 THEN (sh_lo >> 16) & 65535
+                  ELSE sh_lo & 65535 END AS val
+  FROM simh, (SELECT unnest(range(0, 4)) AS b) t
+),
+cap AS (SELECT blk, val FROM blk GROUP BY blk, val HAVING count(*) <= 20),
+kept AS (SELECT blk.* FROM blk JOIN cap USING (blk, val))
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+            + bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+FROM kept a JOIN kept b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+WHERE bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+STAGED_R9_REGISTRY["dedup_hamming64_pairs"] = (
+    q_dedup_hamming64_pairs,
+    _hamming64_oracle(),
+)
+
+
+# --------------------------------------------------------------------------
+# rag_fusion_weighted — CombMNZ score fusion of BM25 + cosine top lists
+# --------------------------------------------------------------------------
+
+
+def q_rag_fusion_weighted(spark, sf_dir):
+    """Weighted CombMNZ score fusion of BM25 top-50 (lexical) and cosine
+    top-50 (semantic) into one top-15 (operators/ranking.py
+    weighted_fusion) — the score-preserving complement to
+    rag_hybrid_rrf's rank-only fusion: min-max-normalized integer scores,
+    weights 700/300 milli, hit-count (MNZ) boost.  Same retriever pair
+    and fixtures as rag_hybrid_rrf, so the two gates are directly
+    comparable."""
+    from .operators import ranking, similarity
+    from .queries_pipeline import QUERY_VEC, _BM25_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = ranking.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50).select(
+        F.col("doc_id").alias("id"),
+        F.expr("cast(round(score * 1000000) as bigint)").alias("score_micro"),
+    )
+    sem = similarity.cosine_topk(emb, "vec_id", "embedding", QUERY_VEC, k=50).select(
+        "id",
+        F.expr("cast(round(cosine * 1000000) as bigint)").alias("score_micro"),
+    )
+    return ranking.weighted_fusion([(lex, 700), (sem, 300)], k=15, mnz=True)
+
+
+def _fusion_oracle() -> str:
+    from .operators import ranking
+    from .queries_pipeline import _BM25_TERMS, _QV_SQL
+
+    bm25 = ranking.bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=50)
+    return f"""
+WITH lex AS ({bm25}),
+lex0 AS (SELECT doc_id AS id, CAST(round(score * 1000000) AS BIGINT) AS s
+         FROM lex),
+lexmm AS (SELECT min(s) AS mn, max(s) AS mx FROM lex0),
+lexn AS (
+  SELECT id, CAST(CASE WHEN mx = mn THEN 1000000
+                       ELSE ((s - mn) * 1000000) // (mx - mn) END
+                  AS BIGINT) * 700 AS part
+  FROM lex0, lexmm
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), q AS (SELECT {_QV_SQL} AS qv),
+sem AS (
+  SELECT vec_id AS id,
+         round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
+  FROM v, q ORDER BY cosine DESC, vec_id LIMIT 50
+),
+sem0 AS (SELECT id, CAST(round(cosine * 1000000) AS BIGINT) AS s FROM sem),
+semmm AS (SELECT min(s) AS mn, max(s) AS mx FROM sem0),
+semn AS (
+  SELECT id, CAST(CASE WHEN mx = mn THEN 1000000
+                       ELSE ((s - mn) * 1000000) // (mx - mn) END
+                  AS BIGINT) * 300 AS part
+  FROM sem0, semmm
+),
+parts AS (SELECT * FROM lexn UNION ALL SELECT * FROM semn),
+f AS (SELECT id, sum(part) AS wsum, CAST(count(*) AS BIGINT) AS n_lists
+      FROM parts GROUP BY id)
+SELECT id, CAST(wsum * n_lists AS BIGINT) AS fused_scaled, n_lists
+FROM f ORDER BY fused_scaled DESC, id LIMIT 15
+"""
+
+
+STAGED_R9_REGISTRY["rag_fusion_weighted"] = (
+    q_rag_fusion_weighted,
+    _fusion_oracle(),
+)
+
+
+# --------------------------------------------------------------------------
+# clean_isotonic_calibrate — monotone score calibration (min-max identity)
+# --------------------------------------------------------------------------
+
+
+def q_clean_isotonic_calibrate(spark, sf_dir):
+    """Isotonic calibration of the event value (cents) against a
+    deterministic noisy-monotone 0/1 label — operators/ranking.py
+    calibrate_isotonic: 12 equal-width bins, exact min-max/PAVA fit in
+    floor-quantized micro units.  The label rule abs(cents)%97 <
+    20 + least(60, abs(cents) div 100) rises with the score (base rate
+    ~20% climbing to ~80%), so the fit is a non-trivial increasing step
+    function; abs() keeps %-and-div identical across engines on any sign."""
+    from .operators.ranking import calibrate_isotonic
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.expr("cast(round(100 * value) as bigint)").alias("s"),
+    ).select(
+        "s",
+        F.expr(
+            "case when (abs(s) % 97) < (20 + least(60, abs(s) div 100))"
+            " then 1 else 0 end"
+        ).alias("y"),
+    )
+    return calibrate_isotonic(scored, "s", "y", n_bins=12)
+
+
+O_CLEAN_ISOTONIC = """
+WITH base AS (
+  SELECT s, CASE WHEN (abs(s) % 97) < (20 + least(60, abs(s) // 100))
+                 THEN 1 ELSE 0 END AS y
+  FROM (SELECT CAST(round(100 * value) AS BIGINT) AS s
+        FROM events WHERE value IS NOT NULL)
+  WHERE s IS NOT NULL
+),
+mm AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+binned AS (
+  SELECT CAST(least(11, ((s - lo) * 12) // (hi - lo + 1)) AS BIGINT) AS bin, y
+  FROM base, mm
+),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+pre AS (
+  SELECT bin, n, pos,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cs
+  FROM bins
+),
+ij AS (
+  SELECT i.bin AS i, j.bin AS j,
+         ((j.cs - (i.cs - i.pos)) * 1000000) // (j.cn - (i.cn - i.n)) AS q
+  FROM pre i JOIN pre j ON i.bin <= j.bin
+),
+mi AS (
+  SELECT p.bin AS b, ij.i, min(ij.q) AS m
+  FROM ij JOIN pre p ON ij.i <= p.bin AND ij.j >= p.bin
+  GROUP BY p.bin, ij.i
+),
+fit AS (SELECT b, max(m) AS fm FROM mi GROUP BY b)
+SELECT bins.bin, bins.n, bins.pos,
+       CAST((bins.pos * 1000000) // bins.n AS BIGINT) AS rate_micro,
+       CAST(fit.fm AS BIGINT) AS fit_micro
+FROM bins JOIN fit ON bins.bin = fit.b
+ORDER BY bin
+"""
+
+STAGED_R9_REGISTRY["clean_isotonic_calibrate"] = (
+    q_clean_isotonic_calibrate,
+    O_CLEAN_ISOTONIC,
+)
+
+
+# --------------------------------------------------------------------------
+# txt_dup_structure — duplicate line/paragraph fractions (Gopher repetition)
+# --------------------------------------------------------------------------
+
+
+def q_txt_dup_structure(spark, sf_dir):
+    """Duplicate-line / duplicate-paragraph fractions over four
+    deterministic multi-line variants per document (repeated-line doc,
+    repeated-paragraph doc, clean two-liner with fixed distinct
+    prefixes, clean source/lang pair) — operators/text.py
+    dup_structure_stats, the remaining half of Gopher §A1.1's repetition
+    battery (repetition_stats holds the top-n-gram half).  Variants 0
+    and 1 must fail (dup-line 50%, dup-para 33%); 2 and 3 must pass for
+    ANY corpus (fixed distinct literals bracket the text slices)."""
+    from .operators.text import dup_structure_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.withColumn(
+        "mtext",
+        F.expr(
+            "case cast(doc_id % 4 as int)"
+            " when 0 then 'dup line' || chr(10) || 'dup line' || chr(10)"
+            "   || 'dup line' || chr(10) || 'uniq ' || source"
+            " when 1 then 'para one ' || lang || chr(10) || chr(10)"
+            "   || 'same para' || chr(10) || chr(10) || 'same para'"
+            " when 2 then 'x ' || substring(text, 1, 30) || ' y' || chr(10)"
+            "   || 'z ' || substring(text, 31, 30) || ' w'"
+            " else 'a ' || source || chr(10) || 'b ' || lang end"
+        ),
+    )
+    return dup_structure_stats(synth, "doc_id", "mtext").orderBy("id")
+
+
+O_TXT_DUP_STRUCTURE = r"""
+WITH synth AS (
+  SELECT doc_id AS id, CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'dup line' || chr(10) || 'dup line' || chr(10)
+      || 'dup line' || chr(10) || 'uniq ' || source
+    WHEN 1 THEN 'para one ' || lang || chr(10) || chr(10)
+      || 'same para' || chr(10) || chr(10) || 'same para'
+    WHEN 2 THEN 'x ' || substr(text, 1, 30) || ' y' || chr(10)
+      || 'z ' || substr(text, 31, 30) || ' w'
+    ELSE 'a ' || source || chr(10) || 'b ' || lang END AS mtext
+  FROM documents
+),
+lu AS (
+  SELECT id, trim(regexp_replace(u, '\s+', ' ', 'g')) AS unit
+  FROM (SELECT id, unnest(string_split_regex(mtext, '\n')) AS u FROM synth)
+),
+lf AS (
+  SELECT id, unit, count(*) AS c, min(length(unit)) AS ln
+  FROM lu WHERE unit <> '' GROUP BY id, unit
+),
+la AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(c - 1) AS BIGINT) AS d,
+         CAST(sum(c * ln) AS BIGINT) AS ch,
+         CAST(sum((c - 1) * ln) AS BIGINT) AS dch
+  FROM lf GROUP BY id
+),
+pu AS (
+  SELECT id, trim(regexp_replace(u, '\s+', ' ', 'g')) AS unit
+  FROM (SELECT id, unnest(string_split_regex(mtext, '\n{2,}')) AS u
+        FROM synth)
+),
+pf AS (
+  SELECT id, unit, count(*) AS c, min(length(unit)) AS ln
+  FROM pu WHERE unit <> '' GROUP BY id, unit
+),
+pa AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_paras,
+         CAST(sum(c - 1) AS BIGINT) AS d,
+         CAST(sum(c * ln) AS BIGINT) AS ch,
+         CAST(sum((c - 1) * ln) AS BIGINT) AS dch
+  FROM pf GROUP BY id
+),
+ids AS (SELECT DISTINCT id FROM synth)
+SELECT ids.id,
+       COALESCE(la.n_lines, 0) AS n_lines,
+       CASE WHEN la.n_lines > 0
+            THEN CAST((la.d * 1000000) // la.n_lines AS BIGINT) END
+         AS dup_line_frac_micro,
+       CASE WHEN la.ch > 0
+            THEN CAST((la.dch * 1000000) // la.ch AS BIGINT) END
+         AS dup_line_char_frac_micro,
+       COALESCE(pa.n_paras, 0) AS n_paras,
+       CASE WHEN pa.n_paras > 0
+            THEN CAST((pa.d * 1000000) // pa.n_paras AS BIGINT) END
+         AS dup_para_frac_micro,
+       CASE WHEN pa.ch > 0
+            THEN CAST((pa.dch * 1000000) // pa.ch AS BIGINT) END
+         AS dup_para_char_frac_micro,
+       COALESCE(
+         (la.d * 1000000) // la.n_lines <= 300000
+         AND (la.dch * 1000000) // la.ch <= 200000
+         AND (pa.d * 1000000) // pa.n_paras <= 300000
+         AND (pa.dch * 1000000) // pa.ch <= 200000,
+         FALSE) AS keep
+FROM ids
+LEFT JOIN la ON ids.id = la.id
+LEFT JOIN pa ON ids.id = pa.id
+ORDER BY ids.id
+"""
+
+STAGED_R9_REGISTRY["txt_dup_structure"] = (
+    q_txt_dup_structure,
+    O_TXT_DUP_STRUCTURE,
+)

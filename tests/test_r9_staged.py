@@ -1,0 +1,243 @@
+"""Round-9 staged operators (queries_staged.py STAGED_R9_REGISTRY — merge
+at round 10): 64-bit simhash multi-index Hamming join, weighted CombMNZ
+score fusion, isotonic calibration (min-max identity), duplicate
+line/paragraph fractions.  Hand-computed cases, defining invariants, and
+full oracle parity for every staged gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------------------- gate parity
+
+
+def test_r9_staged_gate_parity(spark):
+    from parity import compare, run_oracle
+
+    from egraphdb_spark.queries_staged import STAGED_R9_REGISTRY
+
+    assert len(STAGED_R9_REGISTRY) == 4
+    for name, (fn, sql) in STAGED_R9_REGISTRY.items():
+        sp = fn(spark, SF_DIR).toPandas()
+        problems = compare(sp, run_oracle(sql, SF_DIR))
+        assert not problems, f"{name}: {problems}"
+        assert len(sp) > 0, name
+
+
+# ---------------------------------------------------- hamming64 multi-index
+
+
+def test_simhash64_exact_dup_is_distance_zero(spark):
+    from egraphdb_spark.operators.dedup import hamming64_pairs, simhash64
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different content about astronomy and star dust"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming64_pairs(simhash64(df, "doc_id", "text")).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_hamming64_matches_brute_force_within_radius(spark):
+    # the multi-index join must find EXACTLY the brute-force pairs at
+    # radius <= 3 (pigeonhole guarantee; no cap)
+    from egraphdb_spark.operators.dedup import hamming64_pairs, simhash64
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    rows = [(i, base + f"suffix {i % 7}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash64(df, "doc_id", "text")
+    codes = {r.id: (r.sh_hi, r.sh_lo) for r in sh.collect()}
+    want = {}
+    ids = sorted(codes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin(codes[a][0] ^ codes[b][0]).count("1") + bin(
+                codes[a][1] ^ codes[b][1]
+            ).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming64_pairs(sh, radius=3).collect()
+    }
+    assert got == want
+
+
+def test_hamming64_radius_guard_and_band_cap(spark):
+    from egraphdb_spark.operators.dedup import hamming64_pairs, simhash64
+
+    df = spark.createDataFrame([(1, "aaa bbb ccc")], "doc_id long, text string")
+    sh = simhash64(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="radius"):
+        hamming64_pairs(sh, radius=4)
+    # a 12-doc exact-dup clique: every band bucket has 12 members; cap 10
+    # drops all four bands -> zero pairs; cap 12 keeps C(12,2)=66 pairs
+    clique = spark.createDataFrame(
+        [(i, "identical text body for the clique") for i in range(12)],
+        "doc_id long, text string",
+    )
+    shc = simhash64(clique, "doc_id", "text")
+    assert hamming64_pairs(shc, radius=3, max_band_df=10).count() == 0
+    assert hamming64_pairs(shc, radius=3, max_band_df=12).count() == 66
+
+
+def test_simhash64_hi_half_matches_simhash32(spark):
+    # bits 0..31 of simhash64 are voted by the SAME md5 prefix as the
+    # 32-bit simhash -> sh_hi must equal the existing fingerprint
+    from egraphdb_spark.operators.dedup import simhash, simhash64
+
+    rows = [(1, "the quick brown fox"), (2, "pack my box with five dozen")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    h32 = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    h64 = {r.id: r.sh_hi for r in simhash64(df, "doc_id", "text").collect()}
+    assert h32 == h64
+
+
+# ------------------------------------------------------------ score fusion
+
+
+def test_weighted_fusion_hand_computed(spark):
+    from egraphdb_spark.operators.ranking import weighted_fusion
+
+    l1 = spark.createDataFrame(
+        [(1, 900000), (2, 500000), (3, 100000)], "id long, score_micro long"
+    )
+    l2 = spark.createDataFrame(
+        [(2, 80), (3, 70), (4, 10)], "id long, score_micro long"
+    )
+    out = {
+        r.id: (r.fused_scaled, r.n_lists)
+        for r in weighted_fusion([(l1, 700), (l2, 300)], k=4).collect()
+    }
+    # l1 norms: 1 -> 1e6, 2 -> 500000, 3 -> 0; l2: 2 -> 1e6, 3 -> 857142, 4 -> 0
+    assert out[1] == (700 * 1_000_000 * 1, 1)
+    assert out[2] == ((700 * 500_000 + 300 * 1_000_000) * 2, 2)
+    assert out[3] == ((0 + 300 * 857_142) * 2, 2)
+    assert out[4] == (0, 1)
+
+
+def test_weighted_fusion_constant_list_and_combsum(spark):
+    from egraphdb_spark.operators.ranking import weighted_fusion
+
+    const = spark.createDataFrame(
+        [(1, 42), (2, 42)], "id long, score_micro long"
+    )
+    out = {
+        r.id: r.fused_scaled
+        for r in weighted_fusion([(const, 1000)], k=5, mnz=False).collect()
+    }
+    # max == min -> every member normalizes to the full 1e6
+    assert out == {1: 10**9, 2: 10**9}
+
+
+# ------------------------------------------------------------ isotonic fit
+
+
+def _minmax_ref(bins):
+    """Pure-Python min-max isotonic reference with identical quantization."""
+    cn, cs = [0], [0]
+    for n, p in bins:
+        cn.append(cn[-1] + n)
+        cs.append(cs[-1] + p)
+
+    def q(i, j):
+        return ((cs[j + 1] - cs[i]) * 1_000_000) // (cn[j + 1] - cn[i])
+
+    B = len(bins)
+    return [
+        max(min(q(i, j) for j in range(b, B)) for i in range(b + 1))
+        for b in range(B)
+    ]
+
+
+def test_isotonic_hand_computed_vs_reference(spark):
+    from egraphdb_spark.operators.ranking import calibrate_isotonic
+
+    rows = list(zip(range(10), [0, 1, 0, 0, 1, 1, 0, 1, 1, 1]))
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = calibrate_isotonic(df, "s", "y", n_bins=5).collect()
+    ref = _minmax_ref([(2, 1), (2, 0), (2, 2), (2, 1), (2, 2)])
+    assert [r.fit_micro for r in out] == ref
+    assert [r.rate_micro for r in out] == [500000, 0, 1000000, 500000, 1000000]
+
+
+def test_isotonic_fit_is_monotone_and_identity_on_sorted(spark):
+    from egraphdb_spark.operators.ranking import calibrate_isotonic
+
+    # already-isotonic data: fit == rate in every bin
+    rows = [(i, 1 if i % 10 < i // 10 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    out = calibrate_isotonic(df, "s", "y", n_bins=10).collect()
+    fits = [r.fit_micro for r in out]
+    assert fits == sorted(fits)
+    rates = [r.rate_micro for r in out]
+    assert rates == sorted(rates)  # construction: rate rises with bin
+    assert fits == rates
+
+
+def test_isotonic_nbins_guard_and_label_filter(spark):
+    from egraphdb_spark.operators.ranking import calibrate_isotonic
+
+    df = spark.createDataFrame([(1, 1)], "s long, y long")
+    with pytest.raises(ValueError, match="n_bins"):
+        calibrate_isotonic(df, "s", "y", n_bins=65)
+    mixed = spark.createDataFrame(
+        [(1, 1), (2, None), (None, 1), (3, -5), (4, 0)],
+        "s long, y long",
+    )
+    out = calibrate_isotonic(mixed, "s", "y", n_bins=2).collect()
+    # only (1,1) and (4,0) survive (NULLs and negative labels excluded)
+    assert sum(r.n for r in out) == 2
+
+
+# ---------------------------------------------------------- dup structure
+
+
+def test_dup_structure_hand_computed(spark):
+    from egraphdb_spark.operators.text import dup_structure_stats
+
+    rows = [
+        (1, "alpha\nbeta\nalpha\n\ngamma para\n\ngamma para"),
+        (2, "one\ntwo\nthree"),
+        (3, "\n\n \n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in dup_structure_stats(df).collect()}
+    r1 = out[1]
+    # lines: alpha, beta, alpha, gamma para, gamma para -> 2 dup of 5
+    assert (r1.n_lines, r1.dup_line_frac_micro) == (5, 400000)
+    # dup chars: alpha(5) + gamma para(10) = 15 of 34 total line chars
+    assert r1.dup_line_char_frac_micro == 15 * 1_000_000 // 34
+    # paras: 'alpha beta alpha', 'gamma para', 'gamma para' -> 1 dup of 3
+    assert (r1.n_paras, r1.dup_para_frac_micro) == (3, 333333)
+    assert r1.dup_para_char_frac_micro == 10 * 1_000_000 // 36
+    assert not r1.keep
+    r2 = out[2]
+    assert (r2.n_lines, r2.dup_line_frac_micro, r2.keep) == (3, 0, True)
+    r3 = out[3]  # whitespace-only doc still emits its row
+    assert (r3.n_lines, r3.dup_line_frac_micro, r3.keep) == (0, None, False)
+
+
+def test_dup_structure_gate_contract(spark):
+    # synthesized variants: 0 and 1 fail, 2 and 3 keep — for ANY corpus
+    from egraphdb_spark.queries_staged import q_txt_dup_structure
+
+    for r in q_txt_dup_structure(spark, SF_DIR).collect():
+        v = r.id % 4
+        if v == 0:
+            assert r.dup_line_frac_micro == 500000 and not r.keep, r
+        elif v == 1:
+            assert r.dup_para_frac_micro == 333333 and not r.keep, r
+        else:
+            assert r.keep, r

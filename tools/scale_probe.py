@@ -204,6 +204,11 @@ PROBES = [
     "clean_html_strip",
     "privacy_dp_topk",
     "txt_heaps_fit",
+    # round-9 staged gates (queries_staged.py STAGED_R9_REGISTRY)
+    "dedup_hamming64_pairs",
+    "rag_fusion_weighted",
+    "clean_isotonic_calibrate",
+    "txt_dup_structure",
 ]
 
 
@@ -231,9 +236,12 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     only = sys.argv[2:]
     from egraphdb_spark.queries import REGISTRY as _LIVE, fixture
-    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+    from egraphdb_spark.queries_staged import (
+        STAGED_R9_REGISTRY,
+        STAGED_REGISTRY,
+    )
 
-    REGISTRY = {**_LIVE, **STAGED_REGISTRY}
+    REGISTRY = {**_LIVE, **STAGED_REGISTRY, **STAGED_R9_REGISTRY}
     from egraphdb_spark.queries_pipeline import doc_shingles
     from egraphdb_spark.session import get_spark
 

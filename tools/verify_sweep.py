@@ -44,11 +44,17 @@ def main() -> int:
     oracles = dict(entry.oracle_sql())
     if staged:
         # pre-merge sweep of queries_staged.py, same compare as the driver
-        from egraphdb_spark.queries_staged import STAGED_REGISTRY
+        # (STAGED_REGISTRY is merged-live since r8 — harmless re-add;
+        # STAGED_R9_REGISTRY is the round-9 pre-merge batch)
+        from egraphdb_spark.queries_staged import (
+            STAGED_R9_REGISTRY,
+            STAGED_REGISTRY,
+        )
 
-        for n, (fn, sql) in STAGED_REGISTRY.items():
-            qs[n] = fn
-            oracles[n] = sql
+        for reg in (STAGED_REGISTRY, STAGED_R9_REGISTRY):
+            for n, (fn, sql) in reg.items():
+                qs[n] = fn
+                oracles[n] = sql
     names = [n for n in qs if not only or any(s in n for s in only)]
     print(f"registry: {len(qs)} queries, {len(oracles)} oracles; running {len(names)}")
 
