@@ -1047,3 +1047,97 @@ STAGED_R9_REGISTRY["txt_dup_structure"] = (
     q_txt_dup_structure,
     O_TXT_DUP_STRUCTURE,
 )
+
+
+# --------------------------------------------------------------------------
+# evt_cuped — variance-reduced A/B comparison (CUPED)
+# --------------------------------------------------------------------------
+
+
+def q_evt_cuped(spark, sf_dir):
+    """CUPED-adjusted arm comparison over the event stream
+    (operators/behavior.py cuped_adjust): units = users active in BOTH
+    halves of the series (split at 2024-01-16, the evt_diff_in_diff
+    midpoint), covariate X = pre-period spend (cents), metric Y =
+    post-period spend, arms = user_id parity.  Output: per arm the raw
+    and adjusted means plus the carried θ and ρ² diagnostics — the
+    randomized-experiment complement to evt_diff_in_diff."""
+    from .operators.behavior import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "case when ts < timestamp '2024-01-16' then"
+                " cast(round(100 * value) as bigint) end"
+            ).alias("pre_c"),
+            F.expr(
+                "case when ts >= timestamp '2024-01-16' then"
+                " cast(round(100 * value) as bigint) end"
+            ).alias("post_c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("pre_c").alias("x_cents"),
+            F.sum("post_c").alias("y_cents"),
+        )
+        .where(F.col("x_cents").isNotNull() & F.col("y_cents").isNotNull())
+        .select(
+            F.expr(
+                "case when user_id % 2 = 1 then 'treat' else 'control' end"
+            ).alias("arm"),
+            "x_cents",
+            "y_cents",
+        )
+    )
+    return cuped_adjust(per_user)
+
+
+O_EVT_CUPED = """
+WITH pu AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(100 * value) AS BIGINT) END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(100 * value) AS BIGINT) END) AS y
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END AS arm,
+         CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM pu WHERE x IS NOT NULL AND y IS NOT NULL
+),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM base
+),
+a AS (
+  SELECT arm, CAST(count(*) AS HUGEINT) AS na, sum(x) AS sxa, sum(y) AS sya
+  FROM base GROUP BY arm
+)
+SELECT arm, CAST(na AS BIGINT) AS n_units,
+       CAST((CASE WHEN sya < 0 THEN -1 ELSE 1 END)
+            * ((abs(sya) * 1000) // na) AS BIGINT) AS mean_y_milli,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((CASE WHEN (sya * (n * sxx - sx * sx) * n
+                          - (n * sxy - sx * sy) * (sxa * n - sx * na)) < 0
+                    THEN -1 ELSE 1 END)
+              * ((abs(sya * (n * sxx - sx * sx) * n
+                      - (n * sxy - sx * sy) * (sxa * n - sx * na)) * 1000)
+                 // ((n * sxx - sx * sx) * na * n)) AS BIGINT) END
+         AS adj_mean_milli,
+       CASE WHEN (n * sxx - sx * sx) = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((CASE WHEN (n * sxy - sx * sy) < 0 THEN -1 ELSE 1 END)
+              * ((abs(n * sxy - sx * sy) * 1000)
+                 // (n * sxx - sx * sx)) AS BIGINT) END AS theta_milli,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN CAST(NULL AS BIGINT) ELSE
+         CAST(((abs(n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx))
+              * ((abs(n * sxy - sx * sy) * 1000) // (n * syy - sy * sy))
+              AS BIGINT) END AS rho2_micro
+FROM a, g ORDER BY arm
+"""
+
+STAGED_R9_REGISTRY["evt_cuped"] = (q_evt_cuped, O_EVT_CUPED)

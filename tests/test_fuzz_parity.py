@@ -165,6 +165,15 @@ STAGED_FUZZ_GATES = [
 
 # round-8 gates that read only the documents table (queries_r8.py);
 # clean_dates_normalize reads events and fuzzes in the events battery
+# round-9 staged gates (STAGED_R9_REGISTRY, pre-merge): documents-shaped
+# (rag_fusion_weighted's embeddings side is the fixed symlinked table —
+# its hostile surface is the BM25-over-hostile-docs half)
+STAGED_R9_FUZZ_GATES = [
+    "dedup_hamming64_pairs",
+    "txt_dup_structure",
+    "rag_fusion_weighted",
+]
+
 R8_FUZZ_GATES = [
     "txt_winnow_fingerprints",
     "txt_kneser_ney",
@@ -184,14 +193,17 @@ R8_FUZZ_GATES = [
 @given(texts=st.lists(_DOC, min_size=1, max_size=8))
 @settings(**_SETTINGS)
 def test_gates_parity_on_hostile_corpus(spark, texts):
-    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+    from egraphdb_spark.queries_staged import (
+        STAGED_R9_REGISTRY,
+        STAGED_REGISTRY,
+    )
 
     # one corpus write per example, all gates against it (a per-gate
     # parametrize would pay the corpus write FUZZ_GATES times over)
     sf_dir = _write_corpus(spark, texts)
     failures = []
-    for gate in FUZZ_GATES + STAGED_FUZZ_GATES + R8_FUZZ_GATES:
-        fn, sql = {**REGISTRY, **STAGED_REGISTRY}[gate]
+    for gate in FUZZ_GATES + STAGED_FUZZ_GATES + R8_FUZZ_GATES + STAGED_R9_FUZZ_GATES:
+        fn, sql = {**REGISTRY, **STAGED_REGISTRY, **STAGED_R9_REGISTRY}[gate]
         spark_pdf = fn(spark, sf_dir).toPandas()
         oracle_pdf = run_oracle(sql, sf_dir)
         problems = compare(spark_pdf, oracle_pdf)
@@ -391,16 +403,23 @@ STAGED_EVT_GATES = ["evt_diff_in_diff"]
 # round-8 events gate: messy-date synthesis + regex/civil-math parse
 R8_EVT_GATES = ["clean_dates_normalize", "evt_bootstrap_ci"]
 
+# round-9 staged events gates: binning + min-max isotonic fit; CUPED
+# exact-moment adjustment
+STAGED_R9_EVT_GATES = ["clean_isotonic_calibrate", "evt_cuped"]
+
 
 @given(rows=st.lists(_EVT, min_size=1, max_size=20))
 @settings(**_SETTINGS)
 def test_event_gates_parity_on_tied_timestamps(spark, rows):
-    from egraphdb_spark.queries_staged import STAGED_REGISTRY
+    from egraphdb_spark.queries_staged import (
+        STAGED_R9_REGISTRY,
+        STAGED_REGISTRY,
+    )
 
     sf_dir = _write_events(rows)
     failures = []
-    for gate in EVT_GATES + STAGED_EVT_GATES + R8_EVT_GATES:
-        fn, sql = {**REGISTRY, **STAGED_REGISTRY}[gate]
+    for gate in EVT_GATES + STAGED_EVT_GATES + R8_EVT_GATES + STAGED_R9_EVT_GATES:
+        fn, sql = {**REGISTRY, **STAGED_REGISTRY, **STAGED_R9_REGISTRY}[gate]
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:

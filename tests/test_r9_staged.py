@@ -1,8 +1,9 @@
 """Round-9 staged operators (queries_staged.py STAGED_R9_REGISTRY — merge
 at round 10): 64-bit simhash multi-index Hamming join, weighted CombMNZ
 score fusion, isotonic calibration (min-max identity), duplicate
-line/paragraph fractions.  Hand-computed cases, defining invariants, and
-full oracle parity for every staged gate."""
+line/paragraph fractions, CUPED variance-reduced A/B adjustment.
+Hand-computed cases, defining invariants, and full oracle parity for
+every staged gate."""
 
 from __future__ import annotations
 
@@ -20,7 +21,7 @@ def test_r9_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_R9_REGISTRY
 
-    assert len(STAGED_R9_REGISTRY) == 4
+    assert len(STAGED_R9_REGISTRY) == 5
     for name, (fn, sql) in STAGED_R9_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -241,3 +242,75 @@ def test_dup_structure_gate_contract(spark):
             assert r.dup_para_frac_micro == 333333 and not r.keep, r
         else:
             assert r.keep, r
+
+
+# ------------------------------------------------------------------- CUPED
+
+
+def test_cuped_hand_computed_vs_reference(spark):
+    from fractions import Fraction
+
+    from egraphdb_spark.operators.behavior import cuped_adjust
+
+    rows = [
+        ("a", 10, 100), ("a", 20, 210), ("a", 30, 290),
+        ("b", 12, 140), ("b", 25, 260), ("b", 31, 330),
+    ]
+    df = spark.createDataFrame(rows, "arm string, x_cents long, y_cents long")
+    out = {r.arm: r for r in cuped_adjust(df).collect()}
+
+    xs = [x for _, x, _ in rows]
+    ys = [y for _, _, y in rows]
+    n = len(rows)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    covn, varn, varyn = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+
+    def milli(fr: Fraction) -> int:
+        s = -1 if fr < 0 else 1
+        return s * ((abs(fr.numerator) * 1000) // fr.denominator)
+
+    for arm in ("a", "b"):
+        axs = [x for a, x, _ in rows if a == arm]
+        ays = [y for a, _, y in rows if a == arm]
+        na, sxa, sya = len(axs), sum(axs), sum(ays)
+        adj = Fraction(sya * varn * n - covn * (sxa * n - sx * na), varn * na * n)
+        assert out[arm].n_units == na
+        assert out[arm].mean_y_milli == (sya * 1000) // na
+        assert out[arm].adj_mean_milli == milli(adj)
+    th = out["a"].theta_milli
+    assert th == (1 if covn >= 0 else -1) * ((abs(covn) * 1000) // varn)
+    rho2 = ((abs(covn) * 1000) // varn) * ((abs(covn) * 1000) // varyn)
+    assert out["a"].rho2_micro == rho2 == out["b"].rho2_micro
+    assert 0 <= rho2 <= 1_000_000
+
+
+def test_cuped_constant_covariate_is_null_and_unbiased_mean(spark):
+    from egraphdb_spark.operators.behavior import cuped_adjust
+
+    df = spark.createDataFrame(
+        [("a", 5, 100), ("a", 5, 200), ("b", 5, 400)],
+        "arm string, x_cents long, y_cents long",
+    )
+    out = {r.arm: r for r in cuped_adjust(df).collect()}
+    assert out["a"].adj_mean_milli is None and out["a"].theta_milli is None
+    assert out["a"].rho2_micro is None
+    assert out["a"].mean_y_milli == 150000 and out["b"].mean_y_milli == 400000
+
+
+def test_cuped_perfectly_correlated_covariate(spark):
+    # y = 10x exactly: rho^2 -> ~1e6, adjusted means of both arms collapse
+    # toward the global mean direction (theta = 10)
+    from egraphdb_spark.operators.behavior import cuped_adjust
+
+    rows = [("a", x, 10 * x) for x in (1, 2, 3)] + [
+        ("b", x, 10 * x) for x in (4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "arm string, x_cents long, y_cents long")
+    out = {r.arm: r for r in cuped_adjust(df).collect()}
+    assert out["a"].theta_milli == 10000
+    assert out["a"].rho2_micro == 1000000
+    # full adjustment: both arms land exactly on the global mean (35)
+    assert out["a"].adj_mean_milli == out["b"].adj_mean_milli == 35000

@@ -209,6 +209,7 @@ PROBES = [
     "rag_fusion_weighted",
     "clean_isotonic_calibrate",
     "txt_dup_structure",
+    "evt_cuped",
 ]
 
 
