@@ -1227,6 +1227,12 @@ def hamming64_pairs(
             f"hamming64_pairs: radius={radius} outside [1, 3] — 4×16-bit "
             "bands only guarantee recall for radius <= 3 (pigeonhole)"
         )
+    # cut_lineage: the code table is referenced THREE times (both join
+    # sides + the band-df cap) — without the cut Spark re-runs the whole
+    # upstream simhash pipeline (shingle explode + 64-sum aggregate) per
+    # reference (measured 12 logical source scans in the plan);
+    # materializing 3 longs/doc is free
+    sh = cut_lineage(sh.select("id", "sh_hi", "sh_lo"))
     blocked = sh.select(
         "id",
         "sh_hi",

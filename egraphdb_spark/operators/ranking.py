@@ -606,8 +606,15 @@ def weighted_fusion(
     pattern — no shuffle of the list itself); the fuse is one tiny
     groupBy.  The corpus-sized work lives in the upstream retrievers.
     """
+    from .checkpoint import cut_lineage
+
     parts = None
     for df, w in rankings:
+        # cut_lineage: each top list is referenced twice (its min/max
+        # aggregate + the normalize projection) — without the cut the
+        # upstream retriever (BM25 posting scan, cosine scan) runs twice;
+        # materializing a k-row list is free
+        df = cut_lineage(df.select("id", "score_micro"))
         mm = df.agg(
             F.min("score_micro").alias("_mn"), F.max("score_micro").alias("_mx")
         )
@@ -691,10 +698,18 @@ def calibrate_isotonic(
         ).alias("bin"),
         "y",
     )
+    from .checkpoint import cut_lineage
+
+    # cut_lineage: the ≤ n_bins-row bin table feeds SEVEN downstream
+    # frames (prefix sums, i, j, the (i,j) lattice, the min-max
+    # reduction, and the final join) — without the cut Spark re-derives
+    # the corpus-sized aggregate for each reference (measured: 8 logical
+    # scans of the source in the physical plan); materializing ≤ 64
+    # rows is free
     bins = binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).transform(cut_lineage)
     # prefix sums over the ≤ n_bins aggregated rows — bounded-domain
     # window (the gini/ccnet precedent), never over raw data
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)

@@ -602,3 +602,66 @@ def test_zipf_top_r_take_ordered(spark):
 def test_dp_topk_take_ordered_over_group_table(spark):
     p = plan_of(q(spark, "privacy_dp_topk"))
     assert "TakeOrderedAndProject" in p
+
+
+# ---------------------------------------------------------------------------
+# Round-9 staged gates (STAGED_R9_REGISTRY — pre-merge plan shapes)
+# ---------------------------------------------------------------------------
+
+
+def q9(spark, name):
+    from egraphdb_spark.queries_staged import STAGED_R9_REGISTRY
+
+    fn, _ = STAGED_R9_REGISTRY[name]
+    return fn(spark, SF_SMOKE)
+
+
+def test_hamming64_band_join_is_hash_join_not_cartesian(spark):
+    p = plan_of(q9(spark, "dedup_hamming64_pairs"))
+    # candidate generation is an equi-join on (band, value) — a hash
+    # join with a shuffle/broadcast on the band keys, NEVER all-pairs
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # the code table is lineage-cut: the simhash pipeline (shingle
+    # explode + 64-sum aggregate) runs ONCE, not once per reference —
+    # the three blocked references read the checkpointed codes
+    assert "Scan parquet" not in p
+
+
+def test_weighted_fusion_topk_and_broadcast_minmax(spark):
+    p = plan_of(q9(spark, "rag_fusion_weighted"))
+    # final top-15 never fully sorts; the per-list min/max scalars attach
+    # by broadcast, not shuffle
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # each retriever (BM25 posting scan, cosine scan) runs ONCE: the
+    # k-row top lists are lineage-cut before the double reference
+    assert "Scan parquet" not in p
+
+
+def test_isotonic_single_data_pass_then_bounded_lattice(spark):
+    p = plan_of(q9(spark, "clean_isotonic_calibrate"))
+    # the corpus is touched by ONE binned aggregate (map-side combined);
+    # the min-max lattice joins run on <= n_bins-row frames afterwards.
+    # events parquet is scanned at most twice (tree + detail print of the
+    # single logical scan; min/max scalar attach reuses the same scan)
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p or "Broadcast" in p
+    assert p.count("Scan parquet") <= 4
+
+
+def test_dup_structure_no_window_no_join(spark):
+    p = plan_of(q9(spark, "txt_dup_structure"))
+    # tagged explode + two hash aggregates: no window, no join anywhere
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "HashAggregate" in p
+
+
+def test_cuped_moments_broadcast_to_arms(spark):
+    p = plan_of(q9(spark, "evt_cuped"))
+    # the 1-row global moments frame attaches to the 2-row arm table by
+    # broadcast; both aggregates are map-side combined
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+    assert "CartesianProduct" not in p
