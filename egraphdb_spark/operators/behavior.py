@@ -57,14 +57,22 @@ def funnel_steps(
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
+    from .checkpoint import cut_lineage
+
     u, ts, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
     ev = events.select(u.alias("u"), ts.alias("ts"), ty.alias("ty"))
+    # cut_lineage per stage: each stage frame is referenced twice (its
+    # count aggregate + the next stage's join, and stage 0 a third time
+    # as the conversion base) — uncut, stage i re-derives the whole
+    # event-scan chain per reference (7 source scans measured); each
+    # checkpointed stage is one |users|-row frame
     stage = (
         ev.where(F.col("ty") == steps[0])
         .groupBy("u")
         .agg(F.min("ts").alias("t"))
         .withColumn("t0", F.col("t"))
         .withColumn("deadline", F.expr(f"t + INTERVAL {int(horizon_days)} DAY"))
+        .transform(cut_lineage)
     )
     lag_secs = F.expr("unix_timestamp(t) - unix_timestamp(t0)")
     counts = [
@@ -80,6 +88,7 @@ def funnel_steps(
             .groupBy("u", "t0", "deadline")
             .agg(F.min("ts_s").alias("t"))
             .select("u", "t", "t0", "deadline")
+            .transform(cut_lineage)
         )
         counts.append(
             stage.agg(
@@ -366,7 +375,15 @@ def markov_stationary(
     """
     from pyspark.sql import Window
 
+    from .checkpoint import cut_lineage
+
     w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    # cut_lineage: trans is referenced by its own row-sum self-join, BOTH
+    # sides of the states union, every power-iteration round, and the
+    # final join — without the cut each reference re-derives the per-user
+    # lead() window + count aggregate from the raw events (measured: 16
+    # source scans in the physical plan; at 100 TB that is 16 corpus
+    # passes for a |states|²-row table)
     trans = (
         events.select(
             F.col(user_col), F.col(ts_col), F.col(order_col),
@@ -376,6 +393,7 @@ def markov_stationary(
         .where(F.col("s2").isNotNull())
         .groupBy("s", "s2")
         .agg(F.count("*").alias("c"))
+        .transform(cut_lineage)
     )
     trans = trans.join(
         trans.groupBy("s").agg(F.sum("c").alias("r")), "s"

@@ -278,11 +278,24 @@ def tfidf_sim_pairs(
     max_df); the pair aggregation shuffles (id_a, id_b) partial sums.
     Output: (id_a, id_b, cosine) with cosine ≥ threshold, 6 dp.
     """
+    from .checkpoint import cut_lineage
+
     base = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = base.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # cut_lineage at each multiply-referenced derived table: tf feeds the
+    # df aggregate AND the index join; index feeds norms AND both join
+    # sides; norms feeds na AND nb.  Without the cuts every reference
+    # re-derives from the raw corpus (measured 12 source scans in the
+    # physical plan — 12 corpus passes at 100 TB).  Materializing the
+    # posting list IS the inverted-index build; each later stage then
+    # reads it once.
+    tf = (
+        base.groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .transform(cut_lineage)
+    )
     n_docs = docs.select(F.count("*").alias("n_docs"))
     df_ = (
         tf.groupBy("term")
@@ -298,8 +311,13 @@ def tfidf_sim_pairs(
             "id",
             F.floor(F.col("tf") * idf * F.lit(TFIDF_Q)).cast("long").alias("wq"),
         )
+        .transform(cut_lineage)
     )
-    norms = index.groupBy("id").agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+    norms = (
+        index.groupBy("id")
+        .agg(F.sum(F.col("wq") * F.col("wq")).alias("nq"))
+        .transform(cut_lineage)
+    )
     a = index.select(F.col("term"), F.col("id").alias("id_a"), F.col("wq").alias("wa"))
     b = index.select(F.col("term"), F.col("id").alias("id_b"), F.col("wq").alias("wb"))
     dots = (

@@ -386,7 +386,15 @@ def neyman_allocation_sample(
         "  / (cast(n_rows as double) * cast(n_rows as double)))"
         ") * 1000) as bigint)"
     )
-    weighted = stats.select("g", "n_rows", w_milli.alias("weight_milli"))
+    from .checkpoint import cut_lineage
+
+    # cut_lineage on the |strata|-row tables: weighted feeds the wsum
+    # scalar AND the allocation; alloc feeds the membership join AND the
+    # final readout — uncut, each reference re-derived the full-data
+    # moments aggregate (5 source scans measured)
+    weighted = stats.select(
+        "g", "n_rows", w_milli.alias("weight_milli")
+    ).transform(cut_lineage)
     tot = weighted.agg(F.sum("weight_milli").alias("wsum"))
     alloc = weighted.crossJoin(F.broadcast(tot)).select(
         "g", "n_rows", "weight_milli",
@@ -394,7 +402,7 @@ def neyman_allocation_sample(
             F.col("n_rows"),
             F.expr(f"({int(budget)} * weight_milli) div nullif(wsum, 0)"),
         ).alias("alloc"),
-    )
+    ).transform(cut_lineage)
     ranked = df.select(
         F.col(stratum_col).alias("g"),
         F.col(id_col).alias("id"),

@@ -269,7 +269,14 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
-    a = anchors.select(F.col("anchor_id"), _as_double("vec").alias("avec"))
+    from .checkpoint import cut_lineage
+
+    # anchors are referenced by every scoring branch and are typically
+    # DERIVED from the embeddings table (prefix_anchors/k-means) — the
+    # cut stops each reference re-scanning the corpus for a tiny table
+    a = cut_lineage(
+        anchors.select(F.col("anchor_id"), _as_double("vec").alias("avec"))
+    )
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     ).repartition("id")
@@ -319,10 +326,15 @@ def knn_graph(
     nrm = lambda v: F.sqrt(  # noqa: E731
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # cut_lineage: assignments feeds BOTH the probe side and the primary
+    # side of the candidate join — uncut, the entire assignment scoring
+    # (every vector × every probed anchor) runs twice (8 embeddings
+    # scans measured in the gate's plan)
     assignments = (
         scored.withColumn("rn", F.row_number().over(w_a))
         .where(F.col("rn") <= n_probe)
         .select("id", "vec", "anchor_id", "rn", nrm(F.col("vec")).alias("na"))
+        .transform(cut_lineage)
     )
     probes = assignments
     primary = assignments.where(F.col("rn") == 1).select(
@@ -1082,7 +1094,13 @@ def truncated_recall(
     shuffle); |dims| scans total, embarrassingly parallel, no joins on
     the big side.
     """
-    full = cosine_topk(emb, id_col, vec_col, query_vec, k).select("id")
+    from .checkpoint import cut_lineage
+
+    # cut_lineage: the k-row exact top-k is joined against once PER
+    # dimension — uncut, the full-width scoring scan re-runs |dims| times
+    full = cut_lineage(
+        cosine_topk(emb, id_col, vec_col, query_vec, k).select("id")
+    )
     out = None
     for d in dims:
         q = F.array(*[F.lit(float(x)) for x in query_vec[:d]]).cast(

@@ -342,9 +342,16 @@ def cm_estimate(df: DataFrame, col: str, candidates: DataFrame) -> DataFrame:
     only (collisions add).  The grid and the candidate probe are both
     broadcast-size; nothing large shuffles.
     """
+    from .checkpoint import cut_lineage
+
     grid = cm_counters(df, col)
     key = F.col(col).cast("string")
     probes = []
+    # cut_lineage: the candidate list is referenced once per sketch row
+    # (CM_DEPTH times) — when callers derive it from the data (the usual
+    # distinct-keys probe) each reference re-scanned the source; the
+    # candidate table is small by contract
+    candidates = cut_lineage(candidates)
     cname = candidates.columns[0]
     for d in range(CM_DEPTH):
         hd = F.conv(

@@ -112,9 +112,15 @@ def bloom_prefilter_join(
     The ORACLE for any gate over this operator is the plain join — the
     equivalence IS the contract being checked.
     """
+    from .checkpoint import cut_lineage
     from .sketches import _bloom_pos, bloom_build
 
-    words = bloom_build(build.select(F.col(build_key)), build_key)
+    # cut_lineage: the ≤1024-row filter is probed once per hash position
+    # (k=4 broadcast joins) — uncut, each join re-built the bloom from a
+    # fresh scan of the build side (4 extra scans measured)
+    words = cut_lineage(
+        bloom_build(build.select(F.col(build_key)), build_key)
+    )
     key = F.col(probe_key)
     pruned = probe
     member = None

@@ -219,13 +219,22 @@ def unigram_nll(
     broadcastable for natural-language vocabularies), one map-side-
     combined per-doc sum.
     """
+    from .checkpoint import cut_lineage
+
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
         )
     )
-    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # cut_lineage on the VOCABULARY-sized counts (it feeds the corpus
+    # scalar and the scoring join — uncut, each re-derives the token
+    # aggregate from the raw corpus).  toks itself stays uncut by
+    # choice: it is corpus-TOKEN-sized, so materializing it would cost
+    # more storage than the one extra map-only scan it saves.
+    counts = (
+        toks.groupBy("term").agg(F.count("*").alias("c")).transform(cut_lineage)
+    )
     corpus = counts.agg(
         F.sum("c").alias("T"), F.count("*").alias("V")
     )
@@ -383,9 +392,19 @@ def pmi_collocations(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    bg_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    from .checkpoint import cut_lineage
+
+    # cut_lineage on both count tables: bg_counts feeds the B scalar and
+    # the scored join, uni feeds the N scalar and TWO broadcast joins —
+    # uncut, each reference re-derived the explode+count from the corpus
+    # (5 source scans measured); both tables are vocabulary-bounded
+    bg_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .transform(cut_lineage)
+    )
     toks = base.select(F.explode("t").alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c")).transform(cut_lineage)
     corpus = uni.agg(F.sum("c").cast("long").alias("N")).crossJoin(
         bg_counts.agg(F.sum("c12").cast("long").alias("B"))
     )
@@ -540,6 +559,8 @@ def source_jsd(
     scan, persist the exploded token stream — a memory-for-IO trade the
     caller owns, not this operator.
     """
+    from .checkpoint import cut_lineage
+
     c = F.col(text_col)
     toks = docs.select(
         F.col(domain_col).alias("g"), F.explode(tokens(F.lower(c))).alias("term")
@@ -555,9 +576,16 @@ def source_jsd(
         .alias("t2"),
     )
     # every downstream table derives from src_counts (corpus-per-term =
-    # Σ over sources), so the mapped token stream aggregates exactly once;
-    # the |sources|·(V+1)-row result is cheap to re-derive from
-    src_counts = mapped.groupBy("g", "t2").agg(F.count("*").alias("c_st"))
+    # Σ over sources) — and src_counts is REFERENCED three times
+    # (src_tot, corp2, the grid join), so it is lineage-cut: uncut, each
+    # reference re-derived the whole explode→top-V→bucketed-count
+    # pipeline from the raw corpus (8 source scans measured).  The
+    # |sources|·(V+1)-row table is free to materialize.
+    src_counts = (
+        mapped.groupBy("g", "t2")
+        .agg(F.count("*").alias("c_st"))
+        .transform(cut_lineage)
+    )
     src_tot = src_counts.groupBy("g").agg(F.sum("c_st").alias("ts"))
     corp2 = src_counts.groupBy("t2").agg(F.sum("c_st").alias("c_t"))
     corp_tot = corp2.agg(F.sum("c_t").alias("t"))
@@ -995,6 +1023,8 @@ def skipgram_cooc(
     counts, one trust-base ln per surviving row, floor micro-nats,
     (w1, w2) tie-break, TakeOrdered top-k.
     """
+    from .checkpoint import cut_lineage
+
     base = docs.select(tokens(F.lower(F.col(text_col))).alias("t"))
     offs = ", ".join(
         f"if(size(t) < {d + 1}, array(), transform(sequence(1, size(t) - {d}),"
@@ -1005,9 +1035,15 @@ def skipgram_cooc(
     pairs = base.select(
         F.explode(F.expr(f"flatten(array({offs}))")).alias("p")
     ).select("p.w1", "p.w2")
-    pc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # same multi-reference cut as pmi_collocations: pc feeds B + scored,
+    # uni feeds N + two broadcast joins — vocabulary-bounded tables
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .transform(cut_lineage)
+    )
     toks = base.select(F.explode("t").alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("c")).transform(cut_lineage)
     corpus = uni.agg(F.sum("c").cast("long").alias("N")).crossJoin(
         pc.agg(F.sum("c12").cast("long").alias("B"))
     )

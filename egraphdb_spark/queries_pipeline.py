@@ -1870,14 +1870,23 @@ def q_pipe_ccnet_buckets(spark, sf_dir):
     docs (no NLL row) land in an explicit 'empty' bucket."""
     from pyspark.sql import Window as W
 
+    from .operators.checkpoint import cut_lineage
+
     docs = _t(spark, sf_dir, "documents")
-    nll = text.unigram_nll(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), "avg_nll_micro"
+    # cut_lineage: nll feeds the distinct-value aggregate AND the final
+    # join; dv feeds the bucket totals, the intra-bucket cumsum and the
+    # corpus total — uncut, the whole unigram-LM scoring re-derived per
+    # reference (13 source scans measured in the physical plan)
+    nll = (
+        text.unigram_nll(docs, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "avg_nll_micro")
+        .transform(cut_lineage)
     )
     dv = (
         nll.groupBy("avg_nll_micro")
         .agg(F.count("*").alias("c"))
         .withColumn("b", F.expr("avg_nll_micro div 1048576"))
+        .transform(cut_lineage)
     )
     wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
     bt = (
