@@ -715,3 +715,135 @@ def cuped_adjust(
             f" * ((abs({covn}) * 1000) div {varyn}) as bigint) end"
         ).alias("rho2_micro"),
     ).orderBy("arm")
+
+
+def conformal_interval(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    alpha_milli: int = 100,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group, with their
+    empirical coverage measured on a held-out half — the
+    distribution-FREE uncertainty wrapper (Vovk et al. '05; Lei et al.
+    JASA'18) every model-eval pipeline wants around a point predictor:
+    no matter how wrong the predictor is, the interval
+    ŷ ± q covers ≥ 1−α of fresh points (marginally, in expectation over
+    splits).
+
+    Construction, all exact integers:
+      * split units by the portable 60-bit hash of id (even →
+        CALIBRATION, odd → TEST) — deterministic, engine-identical;
+      * predictor: the calibration mean per group, milli-quantized with
+        the sign·(|Σ| div n) recipe (leakage-free: test rows never touch
+        it);
+      * nonconformity: absolute residual |y − ŷ| in milli;
+      * conformal quantile q = the k-th smallest calibration residual,
+        k = ceil((1−α)·(n_cal+1)) — the finite-sample-corrected TYPE-1
+        rank (row_number over (residual, id), never interpolation: the
+        repo's integer-quantile discipline);
+      * if k > n_cal the interval is infinite: q_milli is NULL and every
+        test point counts covered (the honest small-sample answer).
+
+    Output per group: ``(grp, n_cal, n_test, yhat_milli, q_milli,
+    n_covered, coverage_micro)`` ordered by group.
+
+    Scale: one groupBy for the calibration means (map-side combined,
+    broadcast back), ONE group-partitioned window over calibration
+    residuals for the rank (the win_rank shape — partitioned by group,
+    never SinglePartition), one broadcast join + aggregate for test
+    coverage.  Groups are independent; skewed groups ride AQE.
+    """
+    if not 0 < alpha_milli < 1000:
+        raise ValueError(
+            f"conformal_interval: alpha_milli={alpha_milli} outside (0, 1000)"
+        )
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _u60
+    from .checkpoint import cut_lineage
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        (F.col(value_col).cast("long") * 1000).alias("y_milli"),
+    ).where(F.col("y_milli").isNotNull())
+    base = base.withColumn(
+        "is_cal", _u60(F.concat(F.lit("conf:"), F.col("id"))) % 2 == 0
+    )
+    cal = base.where("is_cal")
+    # leakage-free predictor: calibration mean only; referenced by both
+    # the residual rank and the test coverage join -> lineage-cut
+    pred = cut_lineage(
+        cal.groupBy("grp").agg(
+            F.count("*").cast("long").alias("n_cal"),
+            F.expr(
+                "cast((case when sum(y_milli) < 0 then -1 else 1 end)"
+                " * (abs(sum(y_milli)) div count(*)) as bigint)"
+            ).alias("yhat_milli"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("r", "id")
+    ranked = (
+        cal.join(F.broadcast(pred), "grp")
+        .select(
+            "grp",
+            "id",
+            "n_cal",
+            F.abs(F.col("y_milli") - F.col("yhat_milli")).alias("r"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    # k = ceil((1000 - alpha)*(n_cal + 1) / 1000) in pure integers
+    k = F.expr(
+        f"cast(((1000 - {int(alpha_milli)}) * (n_cal + 1) + 999)"
+        " div 1000 as bigint)"
+    )
+    q = cut_lineage(
+        ranked.where(F.col("rn") == k).select(
+            "grp", F.col("r").alias("q_milli")
+        )
+    )
+    test = base.where(~F.col("is_cal"))
+    cov = (
+        test.join(F.broadcast(pred), "grp")
+        .join(F.broadcast(q), "grp", "left")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("q_milli").isNull()
+                    | (
+                        F.abs(F.col("y_milli") - F.col("yhat_milli"))
+                        <= F.col("q_milli")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        pred.join(q, "grp", "left")
+        .join(cov, "grp", "left")
+        .select(
+            "grp",
+            "n_cal",
+            F.coalesce(F.col("n_test"), F.lit(0)).cast("long").alias("n_test"),
+            "yhat_milli",
+            F.col("q_milli").cast("long").alias("q_milli"),
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.expr(
+                "case when coalesce(n_test, 0) > 0 then"
+                " (coalesce(n_covered, 0) * 1000000) div n_test end"
+            )
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+        .orderBy("grp")
+    )

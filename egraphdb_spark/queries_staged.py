@@ -1141,3 +1141,82 @@ FROM a, g ORDER BY arm
 """
 
 STAGED_R9_REGISTRY["evt_cuped"] = (q_evt_cuped, O_EVT_CUPED)
+
+
+# --------------------------------------------------------------------------
+# evt_conformal — split-conformal intervals + empirical coverage
+# --------------------------------------------------------------------------
+
+
+def q_evt_conformal(spark, sf_dir):
+    """Split-conformal prediction interval per event_type over the event
+    value (cents), with held-out coverage (operators/behavior.py
+    conformal_interval): hash-even units calibrate a group-mean
+    predictor and the finite-sample-corrected type-1 residual quantile
+    (α = 10%); hash-odd units measure coverage.  The distribution-free
+    uncertainty readout that completes the experiment family
+    (evt_ab_test / diff_in_diff / cuped / bootstrap_ci)."""
+    from .operators.behavior import conformal_interval
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(100 * value) as bigint)").alias("cents"),
+    )
+    return conformal_interval(
+        scored, "event_type", "event_id", "cents", alpha_milli=100
+    )
+
+
+O_EVT_CONFORMAL = """
+WITH base AS (
+  SELECT event_type AS grp, event_id AS id,
+         CAST(round(100 * value) AS BIGINT) * 1000 AS y
+  FROM events WHERE value IS NOT NULL
+),
+split AS (
+  SELECT grp, id, y,
+         (CAST(('0x' || substr(md5('conf:' || CAST(id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2 = 0) AS is_cal
+  FROM base
+),
+pred AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+         CAST((CASE WHEN sum(y) < 0 THEN -1 ELSE 1 END)
+              * (abs(sum(y)) // count(*)) AS BIGINT) AS yhat_milli
+  FROM split WHERE is_cal GROUP BY grp
+),
+ranked AS (
+  SELECT s.grp, abs(s.y - p.yhat_milli) AS r, p.n_cal,
+         row_number() OVER (PARTITION BY s.grp
+                            ORDER BY abs(s.y - p.yhat_milli), s.id) AS rn
+  FROM split s JOIN pred p USING (grp) WHERE s.is_cal
+),
+qv AS (
+  SELECT grp AS qgrp, CAST(r AS BIGINT) AS q_milli FROM ranked
+  WHERE rn = (900 * (n_cal + 1) + 999) // 1000
+),
+cov AS (
+  SELECT s.grp AS cgrp, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN qv.q_milli IS NULL
+                        OR abs(s.y - p.yhat_milli) <= qv.q_milli
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM split s JOIN pred p USING (grp)
+  LEFT JOIN qv ON qv.qgrp = s.grp
+  WHERE NOT s.is_cal GROUP BY s.grp
+)
+SELECT p.grp, p.n_cal,
+       COALESCE(c.n_test, 0) AS n_test,
+       p.yhat_milli, qv.q_milli,
+       COALESCE(c.n_covered, 0) AS n_covered,
+       CASE WHEN COALESCE(c.n_test, 0) > 0 THEN
+         CAST((COALESCE(c.n_covered, 0) * 1000000) // c.n_test AS BIGINT) END
+         AS coverage_micro
+FROM pred p
+LEFT JOIN qv ON qv.qgrp = p.grp
+LEFT JOIN cov c ON c.cgrp = p.grp
+ORDER BY p.grp
+"""
+
+STAGED_R9_REGISTRY["evt_conformal"] = (q_evt_conformal, O_EVT_CONFORMAL)

@@ -404,8 +404,8 @@ STAGED_EVT_GATES = ["evt_diff_in_diff"]
 R8_EVT_GATES = ["clean_dates_normalize", "evt_bootstrap_ci"]
 
 # round-9 staged events gates: binning + min-max isotonic fit; CUPED
-# exact-moment adjustment
-STAGED_R9_EVT_GATES = ["clean_isotonic_calibrate", "evt_cuped"]
+# exact-moment adjustment; split-conformal intervals
+STAGED_R9_EVT_GATES = ["clean_isotonic_calibrate", "evt_cuped", "evt_conformal"]
 
 
 @given(rows=st.lists(_EVT, min_size=1, max_size=20))

@@ -1,9 +1,9 @@
 """Round-9 staged operators (queries_staged.py STAGED_R9_REGISTRY — merge
 at round 10): 64-bit simhash multi-index Hamming join, weighted CombMNZ
 score fusion, isotonic calibration (min-max identity), duplicate
-line/paragraph fractions, CUPED variance-reduced A/B adjustment.
-Hand-computed cases, defining invariants, and full oracle parity for
-every staged gate."""
+line/paragraph fractions, CUPED variance-reduced A/B adjustment,
+split-conformal prediction intervals.  Hand-computed cases, defining
+invariants, and full oracle parity for every staged gate."""
 
 from __future__ import annotations
 
@@ -21,7 +21,7 @@ def test_r9_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_R9_REGISTRY
 
-    assert len(STAGED_R9_REGISTRY) == 5
+    assert len(STAGED_R9_REGISTRY) == 6
     for name, (fn, sql) in STAGED_R9_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -314,3 +314,66 @@ def test_cuped_perfectly_correlated_covariate(spark):
     assert out["a"].rho2_micro == 1000000
     # full adjustment: both arms land exactly on the global mean (35)
     assert out["a"].adj_mean_milli == out["b"].adj_mean_milli == 35000
+
+
+# ---------------------------------------------------------------- conformal
+
+
+def test_conformal_matches_pure_python_replay(spark):
+    import hashlib
+
+    from egraphdb_spark.operators.behavior import conformal_interval
+
+    rows = [("g", i, (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = conformal_interval(df, "grp", "id", "v", alpha_milli=100).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def u60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    cal = [(i, v * 1000) for _, i, v in rows if u60(f"conf:{i}") % 2 == 0]
+    test = [(i, v * 1000) for _, i, v in rows if u60(f"conf:{i}") % 2 == 1]
+    s = sum(v for _, v in cal)
+    yhat = (1 if s >= 0 else -1) * (abs(s) // len(cal))
+    rs = sorted((abs(v - yhat), i) for i, v in cal)
+    k = (900 * (len(cal) + 1) + 999) // 1000
+    q = rs[k - 1][0]
+    ncov = sum(1 for _, v in test if abs(v - yhat) <= q)
+    assert (r.n_cal, r.n_test, r.yhat_milli, r.q_milli, r.n_covered) == (
+        len(cal), len(test), yhat, q, ncov,
+    )
+    assert r.coverage_micro == (ncov * 1_000_000) // len(test)
+
+
+def test_conformal_small_group_infinite_interval(spark):
+    # k = ceil(0.9 * (n_cal + 1)) > n_cal for tiny calibration sets ->
+    # NULL quantile, every test point covered (the honest answer)
+    from egraphdb_spark.operators.behavior import conformal_interval
+
+    rows = [("g", i, i) for i in range(6)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    r = conformal_interval(df, "grp", "id", "v", alpha_milli=100).collect()[0]
+    k = (900 * (r.n_cal + 1) + 999) // 1000
+    assert k > r.n_cal
+    assert r.q_milli is None
+    assert r.n_covered == r.n_test
+    if r.n_test:
+        assert r.coverage_micro == 1_000_000
+
+
+def test_conformal_alpha_guard_and_loose_coverage(spark):
+    import pytest as _pytest
+
+    from egraphdb_spark.operators.behavior import conformal_interval
+
+    df = spark.createDataFrame([("g", 1, 1)], "grp string, id long, v long")
+    with _pytest.raises(ValueError, match="alpha_milli"):
+        conformal_interval(df, "grp", "id", "v", alpha_milli=0)
+    # coverage sanity on a bigger i.i.d.-ish sample: within [0.8, 1.0]
+    # for alpha = 0.1 (marginal guarantee is in expectation over splits)
+    rows = [("g", i, (i * 131) % 997) for i in range(2000)]
+    big = spark.createDataFrame(rows, "grp string, id long, v long")
+    r = conformal_interval(big, "grp", "id", "v", alpha_milli=100).collect()[0]
+    assert 800_000 <= r.coverage_micro <= 1_000_000

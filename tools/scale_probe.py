@@ -210,6 +210,7 @@ PROBES = [
     "clean_isotonic_calibrate",
     "txt_dup_structure",
     "evt_cuped",
+    "evt_conformal",
 ]
 
 
