@@ -226,6 +226,13 @@ BENCH_QUERIES = [
     "clean_html_strip",
     "privacy_dp_topk",
     "txt_heaps_fit",
+    # round-10: the six merged round-9 staged gates
+    "dedup_hamming64_pairs",
+    "rag_fusion_weighted",
+    "clean_isotonic_calibrate",
+    "txt_dup_structure",
+    "evt_cuped",
+    "evt_conformal",
 ]
 
 # FROZEN cross-round comparator (round-5 verdict #3) — a fixed core set,

@@ -647,7 +647,10 @@ def cuped_adjust(
 
     milli-quantized with the sign·(|num|·1000 div den) recipe (den > 0
     whenever var(X) > 0).  All products stay < 10³⁰ for cent-scale
-    inputs at 10⁵ users — inside both DECIMAL(38,0) and HUGEINT.
+    inputs at 10⁵ users — inside both DECIMAL(38,0) and HUGEINT — and
+    the bound is ENFORCED: a double-precision magnitude estimate of the
+    largest products raises a clear rescale-your-inputs error at 10³⁶
+    instead of letting ANSI decimal overflow fail opaquely mid-query.
     A constant covariate (var_n = 0) yields NULL θ/adjusted means —
     honest, not a fabricated fallback to the raw mean.
 
@@ -686,6 +689,25 @@ def cuped_adjust(
     varyn = "(n * syy - sy * sy)"
     num = f"(sya * {varn} * n - {covn} * (sxa * n - sx * na))"
     den = f"({varn} * na * n)"
+    # DECIMAL(38,0) domain guard (r9 ADVICE): the adjusted-mean fraction's
+    # largest products are |num|*1000 ~ n^3*x^2*y*1000 and den = varn*na*n
+    # ~ n^4*x^2 -- both CAN exceed 38 digits for plausible large inputs
+    # (~10^7 units at dollar-scale cents), which would surface as an opaque
+    # ANSI decimal-overflow failure mid-query.  Estimate the magnitudes in
+    # double (a guard needs no exactness; |num| <= 2*max(term1, term2)) and
+    # raise loudly with a rescale hint at 1e36 -- ~50x of safety before the
+    # true 1e38 bound.  winnow_fingerprints' packed-key n_grams filter is
+    # the sibling guarded-domain discipline.
+    guard = (
+        "(greatest("
+        f" abs(cast(sya as double) * cast({varn} as double)"
+        "      * cast(n as double)),"
+        f" abs(cast({covn} as double))"
+        "   * (abs(cast(sxa as double)) * cast(n as double)"
+        "      + abs(cast(sx as double)) * cast(na as double)),"
+        f" cast({varn} as double) * cast(na as double) * cast(n as double)"
+        ") * 1000.0)"
+    )
     return j.select(
         "arm",
         F.col("na").cast("long").alias("n_units"),
@@ -694,7 +716,11 @@ def cuped_adjust(
             " * ((abs(sya) * 1000) div na) as bigint)"
         ).alias("mean_y_milli"),
         F.expr(
-            f"case when {varn} = 0 then cast(null as bigint) else"
+            f"case when {guard} >= 1e36 then"
+            " cast(raise_error('cuped_adjust: moment magnitudes approach"
+            " the DECIMAL(38,0) bound; rescale the inputs (e.g. dollars"
+            " instead of cents) and re-run') as bigint)"
+            f" when {varn} = 0 then cast(null as bigint) else"
             f" cast((case when {num} < 0 then -1 else 1 end)"
             f" * ((abs({num}) * 1000) div {den}) as bigint) end"
         ).alias("adj_mean_milli"),
@@ -747,7 +773,12 @@ def conformal_interval(
         test point counts covered (the honest small-sample answer).
 
     Output per group: ``(grp, n_cal, n_test, yhat_milli, q_milli,
-    n_covered, coverage_micro)`` ordered by group.
+    n_covered, coverage_micro)`` ordered by group.  A group whose rows
+    ALL hash to the test half (no calibration rows) is OMITTED from the
+    output — with zero calibration points there is no predictor and no
+    quantile to report, and fabricating one would be dishonest; callers
+    needing every group present should anchor on
+    ``df.select(group_col).distinct()`` and left-join this result.
 
     Scale: one groupBy for the calibration means (map-side combined,
     broadcast back), ONE group-partitioned window over calibration

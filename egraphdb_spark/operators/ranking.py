@@ -626,6 +626,8 @@ def weighted_fusion(
     """
     from .checkpoint import cut_lineage
 
+    if not rankings:
+        raise ValueError("weighted_fusion: rankings must be non-empty")
     parts = None
     for df, w in rankings:
         # cut_lineage: each top list is referenced twice (its min/max

@@ -670,6 +670,13 @@ from .queries_r8 import R8_REGISTRY  # noqa: E402
 
 REGISTRY.update(R8_REGISTRY)
 
+# Round-10 merge (round-9 verdict item 1): the six gates staged during
+# round 9 under the full contract (oracle + pytest + fuzz + 10x probes,
+# swept green at sf0.001 and sf0.01 pre-merge) go live: registry 293 -> 299.
+from .queries_staged import STAGED_R9_REGISTRY  # noqa: E402
+
+REGISTRY.update(STAGED_R9_REGISTRY)
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver hard-checks the FIRST 50 queries in dict
 # order.  The window ROTATES per round so every gate earns a green row in
@@ -679,31 +686,37 @@ REGISTRY.update(R8_REGISTRY)
 # never-checked first, then oldest most-recent driver check) so no gate's
 # evidence ages beyond ~4 rounds.  Cumulative after r8: 278/278 driver-green
 # (union of CORRECTNESS_r01..r08), 15 queries_r8.py gates never checked.
-# Round 9 (emitted by tools/next_window.py): fronts those 15, then the 28
-# stalest r3-era re-checks, then the 7 oldest r4 re-checks.
+# Round 9 (emitted by tools/next_window.py): fronted the 15 r8 gates, then
+# the 28 stalest r3-era re-checks, then the 7 oldest r4 re-checks.
+# Round 10 (emitted by tools/next_window.py): fronts the 6 newly merged
+# round-9 staged gates (never driver-checked), then the 43 stalest r4
+# re-checks + 1 r5 re-check — this closes the rotation: after the r10
+# window, no gate's driver evidence is older than r5.
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- 15 round-8 additions, never driver-checked --
-    "txt_winnow_fingerprints", "txt_kneser_ney", "sketch_moments_chebyshev",
-    "rag_ndcg", "sample_pps_systematic", "clean_dates_normalize",
-    "evt_bootstrap_ci", "profile_gini", "txt_zipf_fit", "stream_moments",
-    "txt_gopher_lines", "dedup_winnow_pairs", "clean_html_strip",
-    "privacy_dp_topk", "txt_heaps_fit",
-    # -- 28 stalest re-checks, last driver-green r3 --
-    "stream_stream_join", "agg_distinct_2phase", "agg_q10_returned_revenue",
-    "evt_rollup_cascade", "evt_funnel", "evt_transitions",
-    "stream_stateful_counts", "stream_logtable_cdc", "agg_above_segment_avg",
-    "join_asof", "join_range_bands", "graph_cc", "graph_triangles",
-    "graph_bfs_levels", "agg_q6_forecast_revenue", "agg_cube",
-    "agg_count_distinct", "win_running_sum", "win_frames",
-    "agg_q4_order_priority", "sql_grouping_sets", "stream_window_counts",
-    "stream_dedup", "evt_session_window", "agg_q2_min_cost_supp",
-    "agg_q16_supplier_cnt", "agg_q20_promo_suppliers",
-    "agg_q21_waiting_supplier",
-    # -- 7 next-stalest re-checks, last driver-green r4 --
-    "pipe_seq_pack", "pipe_mixture", "pipe_chunking", "pipe_assemble",
-    "rag_hybrid_rrf", "txt_tfidf_keywords", "sample_source_quota",
+    # -- 6 round-9 staged gates merged this round, never driver-checked --
+    "dedup_hamming64_pairs", "rag_fusion_weighted",
+    "clean_isotonic_calibrate", "txt_dup_structure", "evt_cuped",
+    "evt_conformal",
+    # -- 43 stalest re-checks, last driver-green r4 --
+    "dedup_repeated_spans", "dedup_incremental_lsh", "sample_token_budget",
+    "emb_label_centroids", "sim_pq_codes", "sim_pq_topk", "sim_lsh_topk",
+    "txt_bpe_tokens", "txt_repetition", "txt_pii_scrub", "txt_lang_id",
+    "txt_fingerprint", "dedup_near_clusters", "emb_quantize_int8",
+    "sketch_hll_distinct", "sketch_cm_heavy", "sketch_hist_quantiles",
+    "sketch_bloom_fp", "sample_train_test", "sample_stratified",
+    "mm_meta", "mm_features", "mm_payload_dedup", "mm_frame_sample",
+    "agg_q7_nation_volume", "agg_q18_large_orders",
+    "agg_q19_disjunctive_revenue", "agg_q22_idle_rich",
+    "skew_salted_topn", "skew_salted_join", "graph_pagerank",
+    "evt_props_json", "agg_q12_priority_flags", "stream_user_profile",
+    "join_asof_tolerance", "graph_kcore", "evt_spikes",
+    "agg_q14_promo_share", "agg_q8_market_share", "agg_q9_product_profit",
+    "agg_q11_important_stock", "agg_q15_top_supplier",
+    "agg_q17_small_qty_revenue",
+    # -- 1 next-stalest re-check, last driver-green r5 --
+    "pipe_pack_pairs",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))

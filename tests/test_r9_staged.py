@@ -377,3 +377,61 @@ def test_conformal_alpha_guard_and_loose_coverage(spark):
     big = spark.createDataFrame(rows, "grp string, id long, v long")
     r = conformal_interval(big, "grp", "id", "v", alpha_milli=100).collect()[0]
     assert 800_000 <= r.coverage_micro <= 1_000_000
+
+
+# ------------------------------------------------- round-10 ADVICE fixes
+
+
+def test_cuped_decimal_bound_guard_raises_with_rescale_hint(spark):
+    # r9 ADVICE: the documented DECIMAL(38,0) bound is now ENFORCED --
+    # inputs whose moment products approach 38 digits must raise the
+    # clear rescale error, not an opaque ANSI decimal overflow.
+    from egraphdb_spark.operators.behavior import cuped_adjust
+
+    big = 10**15
+    rows = [
+        ("a", big, big), ("a", 2 * big, 2 * big),
+        ("b", 3 * big, 3 * big), ("b", 4 * big, 4 * big),
+    ]
+    df = spark.createDataFrame(rows, "arm string, x_cents long, y_cents long")
+    with pytest.raises(Exception, match="DECIMAL"):
+        cuped_adjust(df).collect()
+
+
+def test_cuped_guard_is_silent_on_normal_inputs(spark):
+    # the guard must not perturb the documented domain (cent-scale, 1e5
+    # users): same hand-computed case as above still passes untouched
+    from egraphdb_spark.operators.behavior import cuped_adjust
+
+    rows = [("a", 10, 100), ("a", 20, 210), ("b", 25, 260), ("b", 31, 330)]
+    df = spark.createDataFrame(rows, "arm string, x_cents long, y_cents long")
+    out = {r.arm: r for r in cuped_adjust(df).collect()}
+    assert out["a"].adj_mean_milli is not None
+    assert out["b"].adj_mean_milli is not None
+
+
+def test_conformal_calibrationless_group_is_omitted(spark):
+    # r9 ADVICE: documented semantics -- a group whose rows ALL hash to
+    # the test half has no predictor and is omitted from the output.
+    import hashlib
+
+    from egraphdb_spark.operators.behavior import conformal_interval
+
+    def u60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    odd_ids = [i for i in range(2000) if u60(f"conf:{i}") % 2 == 1][:10]
+    rows = [("present", i, i) for i in range(100)] + [
+        ("calless", i, i) for i in odd_ids
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = conformal_interval(df, "grp", "id", "v").collect()
+    assert [r.grp for r in out] == ["present"]
+
+
+def test_weighted_fusion_empty_rankings_raises_value_error(spark):
+    # r9 ADVICE: empty input -> clear ValueError, not AttributeError
+    from egraphdb_spark.operators.ranking import weighted_fusion
+
+    with pytest.raises(ValueError, match="non-empty"):
+        weighted_fusion([])
