@@ -1283,3 +1283,123 @@ def hamming64_pairs(
         )
         .distinct()
     )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document EXACT-substring duplication coverage at SPAN
+    granularity — the distributed re-expression of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): their suffix-array pass marks every token inside a
+    substring of >= L tokens that occurs twice anywhere in the corpus;
+    this operator computes the same token cover via the L-gram identity
+    (a substring of >= L tokens repeats iff ALL of its L-grams repeat,
+    so the union of repeated-L-gram extents equals — up to gram-boundary
+    slack < L at span edges — the union of repeated substrings) without
+    ever materializing a suffix array, which does not distribute.
+
+    Pipeline, all built-ins:
+      1. one explode of L-gram START positions (pos, 60-bit md5 gram
+         hash) — the shuffle carries (id, pos, hash), never gram text;
+      2. global occurrence counts per hash; grams with
+         >= ``min_occurrences`` occurrences (within-doc repeats count,
+         exactly as ExactSubstr's suffix array does) are "duplicated";
+      3. per document, duplicated start positions merge into MAXIMAL
+         spans by interval union: start pos covers tokens
+         [pos, pos+L-1], so a gap of more than L tokens between
+         consecutive duplicated starts breaks the span (lag + running
+         sum — the gaps-and-islands shape, window partitioned by doc);
+      4. per-doc rollup joined back to every document (docs with no
+         duplicated span report zeros).
+
+    Output per document: ``(doc_id, n_toks, n_spans, dup_tokens,
+    max_span_tokens, dup_permille)`` — dup_tokens is the EXACT size of
+    the covered-token union (spans are disjoint after the merge),
+    dup_permille = dup_tokens·1000 div n_toks is the per-doc removal
+    fraction Lee et al. report (their Fig. 2).
+
+    Scale: the only corpus-sized shuffles are the gram-hash groupBy
+    (map-side combined: counts, not postings) and the posting semi-join
+    on the 8-byte hash; windows are per-document.  The 60-bit hash makes
+    a false gram collision ~n²/2⁶¹ — at 10⁹ grams ~0.3 expected extra
+    "duplicated" grams corpus-wide, each inflating one doc's cover by
+    <= L tokens; the oracle derives identical hashes so parity is exact
+    regardless.
+    """
+    toks = cut_lineage(
+        df.select(
+            F.col(id_col).alias("id"), normalize(text_col).alias("norm_t")
+        )
+        .withColumn("toks", F.split(F.col("norm_t"), " "))
+        .select("id", F.col("toks"), F.size("toks").cast("long").alias("n_toks"))
+    )
+    L = int(n_tokens)
+    starts = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"if(size(toks) < {L}, array(),"
+                f" transform(sequence(1, size(toks) - {L - 1}),"
+                f" i -> struct(cast(i as bigint) as pos,"
+                f"   cast(conv(substring(md5(array_join(slice(toks, i, {L}),"
+                f" ' ')), 1, 15), 16, 10) as bigint) as g)))"
+            )
+        ).alias("sg"),
+    ).select("id", "sg.pos", "sg.g")
+    # the posting table feeds BOTH the count and the semi-join probe
+    starts = cut_lineage(starts)
+    dup_g = (
+        starts.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= int(min_occurrences))
+        .select("g")
+    )
+    dup_pos = starts.join(dup_g, "g", "left_semi").select("id", "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        dup_pos.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(L), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                Window.partitionBy("id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id", "island")
+        .agg((F.max("pos") - F.min("pos") + F.lit(L)).alias("cov"))
+    )
+    per_doc = isl.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("cov").cast("long").alias("dup_tokens"),
+        F.max("cov").cast("long").alias("max_span_tokens"),
+    )
+    return (
+        toks.select("id", "n_toks")
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id"),
+            "n_toks",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+            F.expr(
+                "coalesce(dup_tokens, 0) * 1000 div greatest(n_toks, 1)"
+            ).alias("dup_permille"),
+        )
+    )

@@ -286,3 +286,146 @@ def payload_simhash_pairs(
     )
     sh = simhash(media, id_col, "payload", shingles=grams)
     return simhash_pairs(sh, max_hamming=max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) — DCT-shaped 64-bit fingerprint of the payload
+# ---------------------------------------------------------------------------
+
+# DCT-II basis cos(pi*(2x+1)*u/16), quantized to 1e4 fixed-point ONCE and
+# frozen as literals (not recomputed via math.cos at import: libm values
+# sit microscopically close to the rounding boundary for some entries, and
+# the oracle must embed bit-identical integers).  u indexes frequency,
+# x indexes position; row u=0 is the DC row.
+PHASH_DCT_MILLI = (
+    (10000, 10000, 10000, 10000, 10000, 10000, 10000, 10000),
+    (9808, 8315, 5556, 1951, -1951, -5556, -8315, -9808),
+    (9239, 3827, -3827, -9239, -9239, -3827, 3827, 9239),
+    (8315, -1951, -9808, -5556, 5556, 9808, 1951, -8315),
+    (7071, -7071, -7071, 7071, 7071, -7071, -7071, 7071),
+    (5556, -9808, 1951, 8315, -8315, -1951, 9808, -5556),
+    (3827, -9239, 9239, -3827, -3827, 9239, -9239, 3827),
+    (1951, -5556, 8315, -9808, 9808, -8315, 5556, -1951),
+)
+
+
+def phash64(media: DataFrame, id_col: str = "id") -> DataFrame:
+    """64-bit PERCEPTUAL hash of each payload — the DCT-shaped twin of
+    the byte-gram :func:`payload_simhash_pairs` (classic pHash: grayscale
+    → DCT-II → low-frequency coefficients → median threshold).  The
+    decode step is this environment's deterministic stand-in (PIL is the
+    env-gated hook in :func:`decode_image`): the payload is folded into
+    an 8×8 "luma" grid of byte-stripe sums — contiguous, so small payload
+    edits perturb few cells, which is exactly the robustness property the
+    DCT thresholding then spreads across bits.  A deployment swaps the
+    stripe fold for a real decode+resample; everything from the grid on
+    (the DCT, the median threshold, the banding downstream) is the
+    production computation.
+
+    Pipeline, all built-ins / integer arithmetic:
+      1. stripe sums: payload bytes (via the pre-split hex-char array —
+         the O(len) slicing discipline of payload_simhash_pairs) split
+         into 64 contiguous stripes of width n_bytes div 64 (stripe 63
+         takes the remainder); payloads under 64 bytes are dropped (no
+         stable grid exists — documented, not silent: they can't hash);
+      2. 2-D DCT-II as two 8×8 integer matrix multiplies against the
+         frozen 1e4 fixed-point basis (row pass then column pass — two
+         broadcast joins + map-side-combined sums, never a 4096-row
+         basis);
+      3. threshold: each of the 63 AC coefficients against their LOWER
+         MEDIAN (the 32nd smallest, row_number over a per-id 63-row
+         window — bounded, never SinglePartition); bit = coeff > median;
+         the DC bit is 0 (pHash convention: DC carries brightness, not
+         structure);
+      4. pack into (sh_hi, sh_lo) — :func:`~.dedup.hamming64_pairs`'s
+         exact input shape, so Hamming-radius pairing reuses the proven
+         Manku-Jain-Das Sarma 4×16-bit multi-index join.
+
+    Output: (id, sh_hi, sh_lo).  Scale: the only payload-sized work is
+    the one stripe-fold projection; everything after is 64 rows/doc
+    through two broadcast joins and per-id windows.  Integer bounds:
+    cell ≤ 255·n_bytes, stage-2 coefficient ≤ 64·cell·10⁸ — inside int64
+    for payloads to ~1 GB.
+    """
+    cmat = media.sparkSession.createDataFrame(
+        [
+            (u, x, b)
+            for u, row in enumerate(PHASH_DCT_MILLI)
+            for x, b in enumerate(row)
+        ],
+        "u int, x int, b long",
+    )
+    cells = (
+        media.select(
+            F.col(id_col).alias("id"),
+            F.split(F.hex("payload"), "").alias("hs"),
+            F.expr("octet_length(payload)").cast("long").alias("nb"),
+        )
+        .where(F.col("nb") >= 64)
+        .select(
+            "id",
+            F.expr(
+                "transform(sequence(1, cast(nb as int)), j ->"
+                " cast(conv(concat(element_at(hs, 2*j - 1),"
+                " element_at(hs, 2*j)), 16, 10) as bigint))"
+            ).alias("bytes"),
+            "nb",
+        )
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 63), k -> aggregate("
+                    " slice(bytes, cast(k * (nb div 64) + 1 as int),"
+                    "  cast(if(k = 63, nb - 63 * (nb div 64), nb div 64)"
+                    "   as int)),"
+                    " cast(0 as bigint), (acc, x) -> acc + x))"
+                )
+            ).alias("idx", "val"),
+        )
+        .select(
+            "id",
+            (F.col("idx") % 8).alias("c"),
+            (F.col("idx") / 8).cast("int").alias("r"),
+            "val",
+        )
+    )
+    t1 = (
+        cells.join(F.broadcast(cmat), cells.r == cmat.x)
+        .groupBy("id", "u", "c")
+        .agg(F.sum(F.col("val") * F.col("b")).alias("v1"))
+    )
+    cmat2 = cmat.select(
+        F.col("u").alias("v"), F.col("x").alias("c2"), F.col("b").alias("b2")
+    )
+    t2 = (
+        t1.join(F.broadcast(cmat2), t1.c == cmat2.c2)
+        .groupBy("id", "u", "v")
+        .agg(F.sum(F.col("v1") * F.col("b2")).alias("coeff"))
+    )
+    from pyspark.sql import Window
+
+    ac = t2.where(~((F.col("u") == 0) & (F.col("v") == 0)))
+    w = Window.partitionBy("id").orderBy("coeff", "u", "v")
+    med = (
+        ac.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 32)
+        .select("id", F.col("coeff").alias("med"))
+    )
+    bits = ac.join(med, "id").select(
+        "id",
+        (F.col("u") * 8 + F.col("v")).alias("pos"),
+        F.when(F.col("coeff") > F.col("med"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bit"),
+    )
+    return bits.groupBy("id").agg(
+        F.sum(
+            F.expr("if(bit = 1 and pos < 32, shiftleft(cast(1 as bigint),"
+                   " cast(pos as int)), cast(0 as bigint))")
+        ).alias("sh_hi"),
+        F.sum(
+            F.expr("if(bit = 1 and pos >= 32, shiftleft(cast(1 as bigint),"
+                   " cast(pos - 32 as int)), cast(0 as bigint))")
+        ).alias("sh_lo"),
+    )

@@ -775,3 +775,110 @@ def calibrate_isotonic(
         )
         .orderBy("bin")
     )
+
+
+def feature_rerank(
+    lex: DataFrame,
+    sem: DataFrame,
+    weights_milli: tuple[int, int, int, int, int] = (500, 300, 100, 100, 200),
+    k: int = 15,
+) -> DataFrame:
+    """CROSS-ENCODER-STYLE feature rerank over the union of two retriever
+    top lists — the third rung of the retrieval ladder after rank fusion
+    (:func:`rrf_fuse`) and score fusion (:func:`weighted_fusion`):
+    assemble an explicit per-candidate FEATURE VECTOR and score it with a
+    model.  Production rerankers (Nogueira & Cho '19 monoBERT and every
+    learning-to-rank stack before them) swap the scorer; the Spark-side
+    contribution — candidate union, per-list normalization, missing-list
+    imputation, feature assembly — is this operator, and the scorer here
+    is a fixed INTEGER linear model so the gate is engine-reproducible
+    (a deployment replaces the one ``score_scaled`` expression with a
+    model UDF over the same feature columns).
+
+    Inputs: two top lists ``(id, score_micro)`` (lexical, semantic).
+    Features per candidate id (FULL OUTER join of the lists — a
+    candidate found by one retriever still reranks, with the other
+    list's features imputed to 0):
+
+      f_lex_norm, f_sem_norm   min-max normalized scores in [0, 10⁶]
+                               (constant list → 10⁶, the weighted_fusion
+                               convention); 0 when absent
+      f_lex_rrf,  f_sem_rrf    10⁶ div (60 + rank) reciprocal-rank
+                               features (rank over (score_micro desc,
+                               id) — integer-deterministic); 0 absent
+      n_lists                  1 or 2 (the CombMNZ evidence count)
+
+    score_scaled = w₀·f_lex_norm + w₁·f_sem_norm + w₂·f_lex_rrf
+                 + w₃·f_sem_rrf + w₄·1000·n_lists  (weights in milli).
+
+    Output: (id, f_lex_norm, f_sem_norm, f_lex_rrf, f_sem_rrf, n_lists,
+    score_scaled) ordered desc/id asc, limit k — feature columns kept in
+    the output so reranks are AUDITABLE (which signal won).
+
+    Scale: inputs are top-k lists; min/max are 1-row broadcast
+    aggregates (scalar-attach), the rank windows sort k rows on one core
+    (the with_rank shape), the outer join is k-vs-k.  Corpus-sized work
+    lives in the upstream retrievers.
+    """
+    from pyspark.sql import Window
+
+    from .checkpoint import cut_lineage
+
+    if len(weights_milli) != 5:
+        raise ValueError(
+            f"feature_rerank: need 5 weights, got {len(weights_milli)}"
+        )
+
+    def featurize(df: DataFrame, prefix: str) -> DataFrame:
+        # each list is referenced by its min/max aggregate, the rank
+        # window and the join — cut so the retriever runs once
+        df = cut_lineage(df.select("id", "score_micro"))
+        mm = df.agg(
+            F.min("score_micro").alias("_mn"),
+            F.max("score_micro").alias("_mx"),
+        )
+        w = Window.orderBy(F.desc("score_micro"), "id")
+        return (
+            df.withColumn("_rnk", F.row_number().over(w))
+            .crossJoin(F.broadcast(mm))
+            .select(
+                "id",
+                F.expr(
+                    "cast(case when _mx = _mn then 1000000 else"
+                    " ((score_micro - _mn) * 1000000) div (_mx - _mn) end"
+                    " as bigint)"
+                ).alias(f"f_{prefix}_norm"),
+                F.expr("cast(1000000 div (60 + _rnk) as bigint)").alias(
+                    f"f_{prefix}_rrf"
+                ),
+            )
+        )
+
+    lf, sf_ = featurize(lex, "lex"), featurize(sem, "sem")
+    j = lf.join(sf_, "id", "full_outer")
+    w0, w1, w2, w3, w4 = (int(w) for w in weights_milli)
+    feats = j.select(
+        "id",
+        F.coalesce("f_lex_norm", F.lit(0)).alias("f_lex_norm"),
+        F.coalesce("f_sem_norm", F.lit(0)).alias("f_sem_norm"),
+        F.coalesce("f_lex_rrf", F.lit(0)).alias("f_lex_rrf"),
+        F.coalesce("f_sem_rrf", F.lit(0)).alias("f_sem_rrf"),
+        (
+            F.when(F.col("f_lex_norm").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("f_sem_norm").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_lists"),
+    )
+    return (
+        feats.withColumn(
+            "score_scaled",
+            F.expr(
+                f"{w0} * f_lex_norm + {w1} * f_sem_norm"
+                f" + {w2} * f_lex_rrf + {w3} * f_sem_rrf"
+                f" + {w4} * 1000 * n_lists"
+            ).cast("long"),
+        )
+        .orderBy(F.desc("score_scaled"), "id")
+        .limit(k)
+    )

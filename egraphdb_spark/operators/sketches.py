@@ -1059,3 +1059,96 @@ def moments_chebyshev(
         )
         .orderBy("a")
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    level: int = 3,
+    qs_permille: tuple[int, ...] = (250, 500, 750, 900, 990),
+    salt: str = "sq",
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from a deterministic hash sample —
+    the mergeable quantile sketch completing the family's quantile story
+    beyond :func:`histogram_quantiles`' equi-width buckets (whose error
+    is bounded by bucket width, bad for skewed tails): sample at rate
+    2^-level keyed on md5(salt:key), then take exact type-1 quantiles OF
+    THE SAMPLE, whose rank error is O(sqrt(ln(1/δ)/n_sample)) by
+    Dvoretzky-Kiefer-Wolfowitz — the estimator KLL/t-digest refine.
+    Chosen over a KLL port deliberately: KLL's compactor schedule is
+    sequential (order-dependent coin flips — not reproducible across
+    partitionings, so no exact oracle can exist), while a keyed-hash
+    Bernoulli sample is partition-order-FREE, trivially mergeable
+    (sample(A ∪ B) = sample(A) ∪ sample(B) under one hash), incremental
+    (a stored sample absorbs new batches with no recompute), and
+    engine-exact.
+
+    Estimate: k-th smallest sampled value (milli/cent-quantized integers;
+    ties broken by key for full determinism), k = max(1,
+    ceil(q·n_sample/1000)) — the type-1 rank recipe every quantile gate
+    here uses, never interpolation.
+
+    Output: ``(grp, q_permille, n_sample, est)`` — n_sample carried so
+    consumers can apply the DKW band themselves.  Groups with an empty
+    sample are (honestly) absent.
+
+    Scale: the corpus pass is one hash-filter (map-only, pushed to the
+    scan); everything after runs on the 2^-level sample — the per-group
+    rank window sorts n_g/2^level rows, so ``level`` is the knob that
+    trades error for window size (level ≈ log2(n_g/10⁵) keeps windows
+    flat at any corpus size).  The rank targets are a groupBy(grp) count
+    crossJoined with the |qs| literal quantile list (broadcast).
+    """
+    if not 0 <= int(level) <= 59:
+        raise ValueError(f"sampled_quantiles: level={level} outside [0, 59]")
+    if not qs_permille or any(not 1 <= int(q) <= 1000 for q in qs_permille):
+        raise ValueError(
+            f"sampled_quantiles: qs_permille must be within [1, 1000], got "
+            f"{qs_permille!r}"
+        )
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _u60
+    from .checkpoint import cut_lineage
+
+    mod = 1 << int(level)
+    s = cut_lineage(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("v"),
+            F.col(key_col).alias("id"),
+        )
+        .where(F.col("v").isNotNull())
+        .where(
+            _u60(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string")))
+            % F.lit(mod)
+            == 0
+        )
+    )
+    ranked = s.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("v", "id"))
+    )
+    counts = s.groupBy("grp").agg(F.count("*").cast("long").alias("n_sample"))
+    qs_lit = F.explode(
+        F.array(*[F.lit(int(q)) for q in qs_permille])
+    ).alias("q_permille")
+    targets = counts.select("grp", "n_sample", qs_lit).withColumn(
+        "k",
+        F.expr("greatest(cast(1 as bigint), (q_permille * n_sample + 999)"
+               " div 1000)"),
+    )
+    return (
+        targets.join(
+            ranked,
+            (targets.grp == ranked.grp) & (targets.k == ranked.rn),
+        )
+        .select(
+            targets.grp.alias("grp"),
+            F.col("q_permille").cast("long").alias("q_permille"),
+            "n_sample",
+            F.col("v").alias("est"),
+        )
+        .orderBy("grp", "q_permille")
+    )

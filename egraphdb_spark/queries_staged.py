@@ -1220,3 +1220,407 @@ ORDER BY p.grp
 """
 
 STAGED_R9_REGISTRY["evt_conformal"] = (q_evt_conformal, O_EVT_CONFORMAL)
+
+
+# ===========================================================================
+# Round-10 staging (merge at round 11): STAGED_R10_REGISTRY
+#
+# Same contract as the round-9 batch (round-9 verdict item 5): Spark
+# implementation + hand-written DuckDB oracle + pytest enrollment
+# (tests/test_r10_staged.py) + 10x scale probe BEFORE staging; NOT merged
+# into the live registry this round (tools/verify_sweep.py --staged proves
+# them in the same fresh-process session).
+# ===========================================================================
+
+STAGED_R10_REGISTRY: dict[str, tuple] = {}
+
+
+# --------------------------------------------------------------------------
+# dedup_span_coverage — exact-substring span dedup (Lee et al. ExactSubstr)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_span_coverage(spark, sf_dir):
+    """Per-document exact-substring duplication cover at span granularity
+    (operators/dedup.py duplicated_span_coverage — the Lee et al. 2021
+    ExactSubstr pass re-expressed as an L-gram interval union; the
+    generalization of dedup_repeated_spans' fixed-8-token scan the
+    round-9 verdict named).  The corpus is documents ∪ two planted
+    families: self-concatenated docs (text ‖ ' ' ‖ text, doc_id%20==0,
+    +1000000 — WITHIN-doc repeats, which ExactSubstr counts) and exact
+    copies (doc_id%20==7, +2000000 — cross-doc repeats covering both the
+    copy and its source), so span starts, interval merges and the
+    zero-coverage path all carry driver data on any corpus."""
+    from .operators.dedup import duplicated_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.selectExpr("doc_id as id", "text")
+        .unionByName(
+            docs.where("doc_id % 20 = 0").selectExpr(
+                "doc_id + 1000000 as id", "concat(text, ' ', text) as text"
+            )
+        )
+        .unionByName(
+            docs.where("doc_id % 20 = 7").selectExpr(
+                "doc_id + 2000000 as id", "text"
+            )
+        )
+    )
+    return duplicated_span_coverage(uni, "id", "text", n_tokens=8).orderBy(
+        "id"
+    )
+
+
+O_SPAN_COVERAGE = r"""
+WITH uni AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' ' || text FROM documents
+  WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 7
+),
+norm AS (
+  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM uni
+),
+lens AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks, toks
+  FROM (SELECT id, string_split(t, ' ') AS toks FROM norm)
+),
+starts AS (
+  SELECT id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+           toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 15))
+           AS BIGINT) AS g
+  FROM lens, unnest(range(1, greatest(n_toks - 7, 0) + 1)) AS t(i)
+),
+dupg AS (SELECT g FROM starts GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT id, pos FROM starts JOIN dupg USING (g)),
+brk AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT id, pos,
+         sum(b) OVER (PARTITION BY id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+),
+sp AS (
+  SELECT id, island, max(pos) - min(pos) + 8 AS cov
+  FROM isl GROUP BY id, island
+),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(cov) AS BIGINT) AS dup_tokens,
+         CAST(max(cov) AS BIGINT) AS max_span_tokens
+  FROM sp GROUP BY id
+)
+SELECT lens.id AS id, n_toks,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(dup_tokens, 0) AS dup_tokens,
+       COALESCE(max_span_tokens, 0) AS max_span_tokens,
+       COALESCE(dup_tokens, 0) * 1000 // greatest(n_toks, 1) AS dup_permille
+FROM lens LEFT JOIN agg USING (id) ORDER BY id
+"""
+
+STAGED_R10_REGISTRY["dedup_span_coverage"] = (
+    q_dedup_span_coverage,
+    O_SPAN_COVERAGE,
+)
+
+
+# --------------------------------------------------------------------------
+# mm_phash_pairs — perceptual (DCT) hash near-dup pairs over media payloads
+# --------------------------------------------------------------------------
+
+
+def q_mm_phash_pairs(spark, sf_dir):
+    """Perceptual-hash near-duplicate media pairs: 64-bit DCT pHash per
+    payload (operators/multimodal.py phash64 — stripe-fold "decode",
+    integer 2-D DCT-II, AC-median threshold) paired through the SAME
+    Manku-Jain-Das Sarma 4×16-bit multi-index join as
+    dedup_hamming64_pairs (the round-9 verdict's named slot: the
+    DCT-shaped twin of mm_simhash_pairs, sharing its banding).  Corpus =
+    synth media over documents ∪ planted families: ' qq'-appended
+    payloads (doc_id%25==0, +1000000 — mostly perturbing only the last
+    byte stripe, the robustness pHash exists for) and exact copies
+    (doc_id%25==13, +2000000 — Hamming 0)."""
+    from .operators.dedup import hamming64_pairs
+    from .operators.multimodal import phash64
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.selectExpr("doc_id as id", "encode(text, 'UTF-8') as payload")
+        .unionByName(
+            docs.where("doc_id % 25 = 0").selectExpr(
+                "doc_id + 1000000 as id",
+                "encode(concat(text, ' qq'), 'UTF-8') as payload",
+            )
+        )
+        .unionByName(
+            docs.where("doc_id % 25 = 13").selectExpr(
+                "doc_id + 2000000 as id", "encode(text, 'UTF-8') as payload"
+            )
+        )
+    )
+    return hamming64_pairs(phash64(uni), radius=3, max_band_df=20).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _phash_oracle() -> str:
+    from .operators.multimodal import PHASH_DCT_MILLI
+
+    cmat = ", ".join(
+        f"({u}, {x}, {b})"
+        for u, row in enumerate(PHASH_DCT_MILLI)
+        for x, b in enumerate(row)
+    )
+    return f"""
+WITH uni AS (
+  SELECT doc_id AS id, encode(text) AS payload FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, encode(text || ' qq') FROM documents
+  WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, encode(text) FROM documents WHERE doc_id % 25 = 13
+),
+cmat(u, x, b) AS (VALUES {cmat}),
+med AS (
+  SELECT id, hex(payload) AS hx, CAST(octet_length(payload) AS BIGINT) AS nb
+  FROM uni WHERE octet_length(payload) >= 64
+),
+byt AS (
+  SELECT id, nb,
+         list_transform(range(1, CAST(nb AS INT) + 1), j ->
+           CAST(('0x' || substr(hx, CAST(2 * j - 1 AS INT), 2)) AS BIGINT)
+         ) AS bytes
+  FROM med
+),
+cells AS (
+  SELECT id, CAST(k AS INT) AS idx,
+         CAST(list_sum(bytes[
+           CAST(k * (nb // 64) + 1 AS INT):
+           CAST(CASE WHEN k = 63 THEN nb
+                     ELSE (k + 1) * (nb // 64) END AS INT)])
+           AS BIGINT) AS val
+  FROM byt, unnest(range(0, 64)) AS t(k)
+),
+rc AS (SELECT id, idx % 8 AS c, idx // 8 AS r, val FROM cells),
+t1 AS (
+  SELECT id, u, c, CAST(sum(val * b) AS BIGINT) AS v1
+  FROM rc JOIN cmat ON rc.r = cmat.x GROUP BY id, u, c
+),
+t2 AS (
+  SELECT id, t1.u AS u, c2.u AS v, CAST(sum(v1 * c2.b) AS BIGINT) AS coeff
+  FROM t1 JOIN cmat c2 ON t1.c = c2.x GROUP BY id, t1.u, c2.u
+),
+ac AS (SELECT * FROM t2 WHERE NOT (u = 0 AND v = 0)),
+medn AS (
+  SELECT id, coeff AS med FROM (
+    SELECT id, coeff,
+           row_number() OVER (PARTITION BY id ORDER BY coeff, u, v) AS rn
+    FROM ac)
+  WHERE rn = 32
+),
+bits AS (
+  SELECT ac.id, u * 8 + v AS pos,
+         CASE WHEN coeff > med THEN 1 ELSE 0 END AS bit
+  FROM ac JOIN medn USING (id)
+),
+sh AS (
+  SELECT id,
+         CAST(sum(CASE WHEN bit = 1 AND pos < 32
+                       THEN CAST(1 AS BIGINT) << pos ELSE 0 END)
+              AS BIGINT) AS sh_hi,
+         CAST(sum(CASE WHEN bit = 1 AND pos >= 32
+                       THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END)
+              AS BIGINT) AS sh_lo
+  FROM bits GROUP BY id
+),
+blk AS (
+  SELECT id, sh_hi, sh_lo, t.b AS blk,
+         CASE t.b WHEN 0 THEN (sh_hi >> 16) & 65535
+                  WHEN 1 THEN sh_hi & 65535
+                  WHEN 2 THEN (sh_lo >> 16) & 65535
+                  ELSE sh_lo & 65535 END AS val
+  FROM sh, (SELECT unnest(range(0, 4)) AS b) t
+),
+cap AS (SELECT blk, val FROM blk GROUP BY blk, val HAVING count(*) <= 20),
+kept AS (SELECT blk.* FROM blk JOIN cap USING (blk, val))
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh_hi, b.sh_hi))
+            + bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+FROM kept a JOIN kept b ON a.blk = b.blk AND a.val = b.val AND a.id < b.id
+WHERE bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+STAGED_R10_REGISTRY["mm_phash_pairs"] = (q_mm_phash_pairs, _phash_oracle())
+
+
+# --------------------------------------------------------------------------
+# rag_feature_rerank — feature-vector rerank over BM25 + cosine candidates
+# --------------------------------------------------------------------------
+
+
+def q_rag_feature_rerank(spark, sf_dir):
+    """Feature rerank of the BM25 top-50 ∪ cosine top-50 candidate union
+    (operators/ranking.py feature_rerank — the r8 verdict's cross-
+    encoder-style slot): per candidate a 5-feature vector (min-max score
+    norms, reciprocal-rank features, list-hit count; absent-list
+    features imputed 0 through the full-outer join) scored by a fixed
+    integer linear model, features kept in the output for audit.  Same
+    retriever pair as rag_hybrid_rrf / rag_fusion_weighted, so all three
+    rungs of the fusion ladder are directly comparable."""
+    from .operators import ranking, similarity
+    from .queries_pipeline import QUERY_VEC, _BM25_TERMS
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = ranking.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50).select(
+        F.col("doc_id").alias("id"),
+        F.expr("cast(round(score * 1000000) as bigint)").alias("score_micro"),
+    )
+    sem = similarity.cosine_topk(
+        emb, "vec_id", "embedding", QUERY_VEC, k=50
+    ).select(
+        "id",
+        F.expr("cast(round(cosine * 1000000) as bigint)").alias("score_micro"),
+    )
+    return ranking.feature_rerank(lex, sem, k=15)
+
+
+def _feature_rerank_oracle() -> str:
+    from .operators import ranking
+    from .queries_pipeline import _BM25_TERMS, _QV_SQL
+
+    bm25 = ranking.bm25_oracle_sql("documents", "doc_id", "text", _BM25_TERMS, k=50)
+    return f"""
+WITH lex AS ({bm25}),
+lex0 AS (
+  SELECT doc_id AS id, CAST(round(score * 1000000) AS BIGINT) AS s FROM lex
+),
+lexr AS (
+  SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rnk FROM lex0
+),
+lexmm AS (SELECT min(s) AS mn, max(s) AS mx FROM lex0),
+lexf AS (
+  SELECT id,
+         CAST(CASE WHEN mx = mn THEN 1000000
+                   ELSE ((s - mn) * 1000000) // (mx - mn) END AS BIGINT)
+           AS f_lex_norm,
+         CAST(1000000 // (60 + rnk) AS BIGINT) AS f_lex_rrf
+  FROM lexr, lexmm
+),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), q AS (SELECT {_QV_SQL} AS qv),
+sem AS (
+  SELECT vec_id AS id,
+         round(CASE WHEN sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x))) = 0 THEN 0.0 ELSE list_sum(list_transform(range(1, len(vec) + 1), i -> vec[CAST(i AS INT)] * qv[CAST(i AS INT)])) / (sqrt(list_sum(list_transform(vec, x -> x * x))) * sqrt(list_sum(list_transform(qv, x -> x * x)))) END, 6) AS cosine
+  FROM v, q ORDER BY cosine DESC, vec_id LIMIT 50
+),
+sem0 AS (SELECT id, CAST(round(cosine * 1000000) AS BIGINT) AS s FROM sem),
+semr AS (
+  SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rnk FROM sem0
+),
+semmm AS (SELECT min(s) AS mn, max(s) AS mx FROM sem0),
+semf AS (
+  SELECT id,
+         CAST(CASE WHEN mx = mn THEN 1000000
+                   ELSE ((s - mn) * 1000000) // (mx - mn) END AS BIGINT)
+           AS f_sem_norm,
+         CAST(1000000 // (60 + rnk) AS BIGINT) AS f_sem_rrf
+  FROM semr, semmm
+),
+j AS (
+  SELECT COALESCE(l.id, s.id) AS id,
+         COALESCE(l.f_lex_norm, 0) AS f_lex_norm,
+         COALESCE(s.f_sem_norm, 0) AS f_sem_norm,
+         COALESCE(l.f_lex_rrf, 0) AS f_lex_rrf,
+         COALESCE(s.f_sem_rrf, 0) AS f_sem_rrf,
+         CAST((CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lists
+  FROM lexf l FULL OUTER JOIN semf s ON l.id = s.id
+)
+SELECT id, f_lex_norm, f_sem_norm, f_lex_rrf, f_sem_rrf, n_lists,
+       CAST(500 * f_lex_norm + 300 * f_sem_norm + 100 * f_lex_rrf
+            + 100 * f_sem_rrf + 200 * 1000 * n_lists AS BIGINT)
+         AS score_scaled
+FROM j ORDER BY score_scaled DESC, id LIMIT 15
+"""
+
+
+STAGED_R10_REGISTRY["rag_feature_rerank"] = (
+    q_rag_feature_rerank,
+    _feature_rerank_oracle(),
+)
+
+
+# --------------------------------------------------------------------------
+# sketch_sampled_quantiles — mergeable hash-sample quantile estimator
+# --------------------------------------------------------------------------
+
+
+def q_sketch_sampled_quantiles(spark, sf_dir):
+    """Per-event-type quantile estimates of the cent-quantized event
+    value from a deterministic 1/8 hash sample (operators/sketches.py
+    sampled_quantiles — the sketch family's equi-DEPTH quantile story
+    next to sketch_hist_quantiles' equi-width buckets): type-1 sample
+    quantiles at p25/p50/p75/p90/p99 with the sample size carried for
+    DKW error bands."""
+    from .operators.sketches import sampled_quantiles
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        "event_id",
+    )
+    return sampled_quantiles(
+        ev, "event_type", "cents", "event_id", level=3
+    ).select(
+        F.col("grp").alias("event_type"),
+        "q_permille",
+        "n_sample",
+        F.col("est").alias("est_cents"),
+    )
+
+
+O_SAMPLED_QUANTILES = """
+WITH s AS (
+  SELECT event_type AS grp,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         event_id AS id
+  FROM events
+  WHERE value IS NOT NULL
+    AND CAST(('0x' || substr(md5('sq:' || CAST(event_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 8 = 0
+),
+r AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rn
+  FROM s
+),
+c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_sample FROM s GROUP BY grp),
+t AS (
+  SELECT grp, n_sample, CAST(q AS BIGINT) AS q_permille,
+         greatest(CAST(1 AS BIGINT), (q * n_sample + 999) // 1000) AS k
+  FROM c, (SELECT unnest([250, 500, 750, 900, 990]) AS q)
+)
+SELECT t.grp AS event_type, q_permille, n_sample, r.v AS est_cents
+FROM t JOIN r ON r.grp = t.grp AND r.rn = t.k
+ORDER BY event_type, q_permille
+"""
+
+STAGED_R10_REGISTRY["sketch_sampled_quantiles"] = (
+    q_sketch_sampled_quantiles,
+    O_SAMPLED_QUANTILES,
+)

@@ -174,6 +174,16 @@ STAGED_R9_FUZZ_GATES = [
     "rag_fusion_weighted",
 ]
 
+# round-10 staged gates (STAGED_R10_REGISTRY, pre-merge): documents-shaped
+# (mm_phash_pairs folds payload bytes = utf-8 of the hostile text;
+# rag_feature_rerank mirrors rag_fusion_weighted's hostile surface;
+# sketch_sampled_quantiles reads events and fuzzes in the events battery)
+STAGED_R10_FUZZ_GATES = [
+    "dedup_span_coverage",
+    "mm_phash_pairs",
+    "rag_feature_rerank",
+]
+
 R8_FUZZ_GATES = [
     "txt_winnow_fingerprints",
     "txt_kneser_ney",
@@ -195,6 +205,7 @@ R8_FUZZ_GATES = [
 def test_gates_parity_on_hostile_corpus(spark, texts):
     from egraphdb_spark.queries_staged import (
         STAGED_R9_REGISTRY,
+        STAGED_R10_REGISTRY,
         STAGED_REGISTRY,
     )
 
@@ -202,8 +213,16 @@ def test_gates_parity_on_hostile_corpus(spark, texts):
     # parametrize would pay the corpus write FUZZ_GATES times over)
     sf_dir = _write_corpus(spark, texts)
     failures = []
-    for gate in FUZZ_GATES + STAGED_FUZZ_GATES + R8_FUZZ_GATES + STAGED_R9_FUZZ_GATES:
-        fn, sql = {**REGISTRY, **STAGED_REGISTRY, **STAGED_R9_REGISTRY}[gate]
+    for gate in (
+        FUZZ_GATES + STAGED_FUZZ_GATES + R8_FUZZ_GATES
+        + STAGED_R9_FUZZ_GATES + STAGED_R10_FUZZ_GATES
+    ):
+        fn, sql = {
+            **REGISTRY,
+            **STAGED_REGISTRY,
+            **STAGED_R9_REGISTRY,
+            **STAGED_R10_REGISTRY,
+        }[gate]
         spark_pdf = fn(spark, sf_dir).toPandas()
         oracle_pdf = run_oracle(sql, sf_dir)
         problems = compare(spark_pdf, oracle_pdf)
@@ -407,19 +426,32 @@ R8_EVT_GATES = ["clean_dates_normalize", "evt_bootstrap_ci"]
 # exact-moment adjustment; split-conformal intervals
 STAGED_R9_EVT_GATES = ["clean_isotonic_calibrate", "evt_cuped", "evt_conformal"]
 
+# round-10 staged events gate: hash-sample quantile sketch (ties in value,
+# duplicate event ids, tiny samples where k clamps to 1)
+STAGED_R10_EVT_GATES = ["sketch_sampled_quantiles"]
+
 
 @given(rows=st.lists(_EVT, min_size=1, max_size=20))
 @settings(**_SETTINGS)
 def test_event_gates_parity_on_tied_timestamps(spark, rows):
     from egraphdb_spark.queries_staged import (
         STAGED_R9_REGISTRY,
+        STAGED_R10_REGISTRY,
         STAGED_REGISTRY,
     )
 
     sf_dir = _write_events(rows)
     failures = []
-    for gate in EVT_GATES + STAGED_EVT_GATES + R8_EVT_GATES + STAGED_R9_EVT_GATES:
-        fn, sql = {**REGISTRY, **STAGED_REGISTRY, **STAGED_R9_REGISTRY}[gate]
+    for gate in (
+        EVT_GATES + STAGED_EVT_GATES + R8_EVT_GATES
+        + STAGED_R9_EVT_GATES + STAGED_R10_EVT_GATES
+    ):
+        fn, sql = {
+            **REGISTRY,
+            **STAGED_REGISTRY,
+            **STAGED_R9_REGISTRY,
+            **STAGED_R10_REGISTRY,
+        }[gate]
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:

@@ -665,3 +665,76 @@ def test_cuped_moments_broadcast_to_arms(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staged gates (STAGED_R10_REGISTRY — pre-merge plan shapes)
+# ---------------------------------------------------------------------------
+
+
+def q10(spark, name):
+    from egraphdb_spark.queries_staged import STAGED_R10_REGISTRY
+
+    fn, _ = STAGED_R10_REGISTRY[name]
+    return fn(spark, SF_SMOKE)
+
+
+def test_span_coverage_windows_are_per_doc_and_join_is_hash(spark):
+    p = plan_of(q10(spark, "dedup_span_coverage"))
+    # the gaps-and-islands windows partition by doc id — a corpus-sized
+    # SinglePartition window would serialize the whole corpus
+    assert "Exchange SinglePartition" not in p
+    # the duplicated-gram probe is an equi-join on the 60-bit hash,
+    # never all-pairs
+    assert "CartesianProduct" not in p
+    # the posting table is lineage-cut: the tokenize+explode pipeline
+    # runs once, not once per reference (count + semi-join probe)
+    assert "Scan parquet" not in p
+
+
+def test_phash_band_join_hash_and_basis_broadcast(spark):
+    p = plan_of(q10(spark, "mm_phash_pairs"))
+    # Hamming candidate generation is the proven multi-index equi-join
+    # (the phash table itself is lineage-cut before the triple reference,
+    # so this plan starts at the checkpointed codes — DCT shape below)
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+
+    from pyspark.sql import functions as F
+
+    from egraphdb_spark.operators.multimodal import phash64
+
+    media = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    p2 = plan_of(phash64(media))
+    # the 64-row DCT basis attaches by broadcast on both passes; the
+    # median threshold windows per id — no global exchange anywhere
+    assert p2.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p2
+    assert "Exchange SinglePartition" not in p2
+
+
+def test_feature_rerank_topk_and_single_retriever_runs(spark):
+    p = plan_of(q10(spark, "rag_feature_rerank"))
+    # final top-15 is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in p
+    # min/max scalars attach by broadcast
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # each retriever runs ONCE — the k-row lists are lineage-cut before
+    # the min/max + rank + outer-join triple reference
+    assert "Scan parquet" not in p
+
+
+def test_sampled_quantiles_per_group_window_over_sample(spark):
+    p = plan_of(q10(spark, "sketch_sampled_quantiles"))
+    # the rank window partitions by group over the lineage-cut sample;
+    # never a SinglePartition exchange anywhere in the plan
+    assert "Exchange SinglePartition" not in p
+    assert "Window" in p
+    # rank-target join is an equi-join
+    assert "CartesianProduct" not in p

@@ -211,6 +211,11 @@ PROBES = [
     "txt_dup_structure",
     "evt_cuped",
     "evt_conformal",
+    # round-10 staged gates (queries_staged.py STAGED_R10_REGISTRY)
+    "dedup_span_coverage",
+    "mm_phash_pairs",
+    "rag_feature_rerank",
+    "sketch_sampled_quantiles",
 ]
 
 
@@ -240,10 +245,16 @@ def main() -> None:
     from egraphdb_spark.queries import REGISTRY as _LIVE, fixture
     from egraphdb_spark.queries_staged import (
         STAGED_R9_REGISTRY,
+        STAGED_R10_REGISTRY,
         STAGED_REGISTRY,
     )
 
-    REGISTRY = {**_LIVE, **STAGED_REGISTRY, **STAGED_R9_REGISTRY}
+    REGISTRY = {
+        **_LIVE,
+        **STAGED_REGISTRY,
+        **STAGED_R9_REGISTRY,
+        **STAGED_R10_REGISTRY,
+    }
     from egraphdb_spark.queries_pipeline import doc_shingles
     from egraphdb_spark.session import get_spark
 

@@ -44,14 +44,16 @@ def main() -> int:
     oracles = dict(entry.oracle_sql())
     if staged:
         # pre-merge sweep of queries_staged.py, same compare as the driver
-        # (STAGED_REGISTRY is merged-live since r8 — harmless re-add;
-        # STAGED_R9_REGISTRY is the round-9 pre-merge batch)
+        # (STAGED_REGISTRY / STAGED_R9_REGISTRY are merged-live since
+        # r8/r10 — harmless re-adds; STAGED_R10_REGISTRY is the round-10
+        # pre-merge batch)
         from egraphdb_spark.queries_staged import (
             STAGED_R9_REGISTRY,
+            STAGED_R10_REGISTRY,
             STAGED_REGISTRY,
         )
 
-        for reg in (STAGED_REGISTRY, STAGED_R9_REGISTRY):
+        for reg in (STAGED_REGISTRY, STAGED_R9_REGISTRY, STAGED_R10_REGISTRY):
             for n, (fn, sql) in reg.items():
                 qs[n] = fn
                 oracles[n] = sql
