@@ -1285,6 +1285,82 @@ def hamming64_pairs(
     )
 
 
+def _dup_span_islands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    L: int,
+    min_occurrences: int,
+):
+    """Shared machinery of the ExactSubstr pair
+    (:func:`duplicated_span_coverage` measures, :func:`despan_rewrite`
+    deletes): tokenize, emit L-gram start postings as 60-bit hashes,
+    find grams with >= min_occurrences corpus-wide occurrences, merge
+    the duplicated start positions into disjoint maximal spans per doc.
+
+    Returns ``(toks, islands)`` — toks (id, toks, n_toks) lineage-cut,
+    islands (id, island, start, cov) with cov = covered token count;
+    islands are DISJOINT by construction (a new island only begins when
+    the gap exceeds L, so consecutive covers cannot overlap).
+    """
+    toks = cut_lineage(
+        df.select(
+            F.col(id_col).alias("id"), normalize(text_col).alias("norm_t")
+        )
+        .withColumn("toks", F.split(F.col("norm_t"), " "))
+        .select(
+            "id", F.col("toks"), F.size("toks").cast("long").alias("n_toks")
+        )
+    )
+    starts = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"if(size(toks) < {L}, array(),"
+                f" transform(sequence(1, size(toks) - {L - 1}),"
+                f" i -> struct(cast(i as bigint) as pos,"
+                f"   cast(conv(substring(md5(array_join(slice(toks, i, {L}),"
+                f" ' ')), 1, 15), 16, 10) as bigint) as g)))"
+            )
+        ).alias("sg"),
+    ).select("id", "sg.pos", "sg.g")
+    # the posting table feeds BOTH the count and the semi-join probe
+    starts = cut_lineage(starts)
+    dup_g = (
+        starts.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= int(min_occurrences))
+        .select("g")
+    )
+    dup_pos = starts.join(dup_g, "g", "left_semi").select("id", "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = (
+        dup_pos.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(L), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("brk").over(
+                Window.partitionBy("id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") - F.min("pos") + F.lit(L)).alias("cov"),
+        )
+    )
+    return toks, isl
+
+
 def duplicated_span_coverage(
     df: DataFrame,
     id_col: str,
@@ -1331,56 +1407,8 @@ def duplicated_span_coverage(
     <= L tokens; the oracle derives identical hashes so parity is exact
     regardless.
     """
-    toks = cut_lineage(
-        df.select(
-            F.col(id_col).alias("id"), normalize(text_col).alias("norm_t")
-        )
-        .withColumn("toks", F.split(F.col("norm_t"), " "))
-        .select("id", F.col("toks"), F.size("toks").cast("long").alias("n_toks"))
-    )
-    L = int(n_tokens)
-    starts = toks.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"if(size(toks) < {L}, array(),"
-                f" transform(sequence(1, size(toks) - {L - 1}),"
-                f" i -> struct(cast(i as bigint) as pos,"
-                f"   cast(conv(substring(md5(array_join(slice(toks, i, {L}),"
-                f" ' ')), 1, 15), 16, 10) as bigint) as g)))"
-            )
-        ).alias("sg"),
-    ).select("id", "sg.pos", "sg.g")
-    # the posting table feeds BOTH the count and the semi-join probe
-    starts = cut_lineage(starts)
-    dup_g = (
-        starts.groupBy("g")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= int(min_occurrences))
-        .select("g")
-    )
-    dup_pos = starts.join(dup_g, "g", "left_semi").select("id", "pos")
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy("pos")
-    isl = (
-        dup_pos.withColumn(
-            "brk",
-            F.when(
-                F.col("pos") - F.lag("pos").over(w) > F.lit(L), F.lit(1)
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "island",
-            F.sum("brk").over(
-                Window.partitionBy("id")
-                .orderBy("pos")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("id", "island")
-        .agg((F.max("pos") - F.min("pos") + F.lit(L)).alias("cov"))
+    toks, isl = _dup_span_islands(
+        df, id_col, text_col, int(n_tokens), int(min_occurrences)
     )
     per_doc = isl.groupBy("id").agg(
         F.count("*").cast("long").alias("n_spans"),
@@ -1401,5 +1429,77 @@ def duplicated_span_coverage(
             F.expr(
                 "coalesce(dup_tokens, 0) * 1000 div greatest(n_toks, 1)"
             ).alias("dup_permille"),
+        )
+    )
+
+
+def despan_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The DELETION half of Lee et al. 2021's ExactSubstr pipeline —
+    :func:`duplicated_span_coverage` measures duplicated-span cover;
+    this operator REMOVES it and rebuilds the cleaned corpus (their §3:
+    drop every token inside a duplicated substring, keep the rest in
+    order), the step that actually shrinks a training set.
+
+    Pipeline past the shared span machinery (:func:`_dup_span_islands`):
+      1. covered positions: each disjoint island (start, cov) explodes
+         into its token positions — islands never overlap, so no
+         distinct is needed;
+      2. kept tokens: posexplode the token array, ANTI-join covered
+         positions on (id, pos);
+      3. ordered rebuild: per doc, tokens re-assemble sorted by position
+         (collect_list order is non-deterministic under parallel merge —
+         array_sort on (pos, tok) structs pins it) into the cleaned
+         text; docs whose every token was covered rebuild to ''.
+
+    Output per document: ``(id, n_toks, n_kept, clean_md5)`` — the md5
+    of the rebuilt text rather than the text itself, so the gate's rows
+    stay narrow while still proving byte-exact reconstruction against
+    the oracle's string_agg rebuild.
+
+    Scale: the heavy stages are the shared posting pass plus ONE
+    posexplode + anti-join (shuffle keyed on (id, pos) — co-partitioned
+    with the covered side); the rebuild groupBy carries each kept token
+    once.  At 100 TB the rebuilt text would be written to a corpus sink
+    instead of hashed — same plan minus the md5.
+    """
+    L = int(n_tokens)
+    toks, isl = _dup_span_islands(
+        df, id_col, text_col, L, int(min_occurrences)
+    )
+    covered = isl.select(
+        "id",
+        F.explode(
+            F.expr("sequence(start, start + cov - 1)")
+        ).alias("pos"),
+    )
+    kept = (
+        toks.select(
+            "id",
+            F.posexplode("toks").alias("p0", "tok"),
+        )
+        .select("id", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
+        .join(covered, ["id", "pos"], "left_anti")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " x -> x.tok), ' ')"
+        ).alias("clean"),
+    )
+    return (
+        toks.select("id", "n_toks")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_toks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
         )
     )

@@ -1624,3 +1624,100 @@ STAGED_R10_REGISTRY["sketch_sampled_quantiles"] = (
     q_sketch_sampled_quantiles,
     O_SAMPLED_QUANTILES,
 )
+
+
+# --------------------------------------------------------------------------
+# pipe_despan_rewrite — ExactSubstr deletion: rebuild the de-spanned corpus
+# --------------------------------------------------------------------------
+
+
+def q_pipe_despan_rewrite(spark, sf_dir):
+    """The deletion half of the ExactSubstr pair (operators/dedup.py
+    despan_rewrite): duplicated spans are REMOVED and the cleaned corpus
+    rebuilt in token order, emitting (id, n_toks, n_kept, clean_md5) —
+    the md5 proves byte-exact reconstruction against the oracle's
+    ORDER BY rebuild.  Same planted corpus as dedup_span_coverage
+    (self-concatenated docs + exact copies) so measure and delete are
+    directly comparable per document."""
+    from .operators.dedup import despan_rewrite
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.selectExpr("doc_id as id", "text")
+        .unionByName(
+            docs.where("doc_id % 20 = 0").selectExpr(
+                "doc_id + 1000000 as id", "concat(text, ' ', text) as text"
+            )
+        )
+        .unionByName(
+            docs.where("doc_id % 20 = 7").selectExpr(
+                "doc_id + 2000000 as id", "text"
+            )
+        )
+    )
+    return despan_rewrite(uni, "id", "text", n_tokens=8).orderBy("id")
+
+
+O_DESPAN_REWRITE = r"""
+WITH uni AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' ' || text FROM documents
+  WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 7
+),
+norm AS (
+  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM uni
+),
+lens AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks, toks
+  FROM (SELECT id, string_split(t, ' ') AS toks FROM norm)
+),
+starts AS (
+  SELECT id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+           toks[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')), 1, 15))
+           AS BIGINT) AS g
+  FROM lens, unnest(range(1, greatest(n_toks - 7, 0) + 1)) AS t(i)
+),
+dupg AS (SELECT g FROM starts GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT id, pos FROM starts JOIN dupg USING (g)),
+brk AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM dup
+),
+isl AS (
+  SELECT id, pos,
+         sum(b) OVER (PARTITION BY id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+),
+sp AS (
+  SELECT id, island, min(pos) AS s, max(pos) - min(pos) + 8 AS cov
+  FROM isl GROUP BY id, island
+),
+covered AS (SELECT id, CAST(p AS BIGINT) AS pos FROM sp, unnest(range(s, s + cov)) AS t(p)),
+tokp AS (
+  SELECT id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+  FROM lens, unnest(range(1, CAST(n_toks AS INT) + 1)) AS t(i)
+),
+kept AS (SELECT tokp.* FROM tokp ANTI JOIN covered USING (id, pos)),
+reb AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY id
+)
+SELECT lens.id AS id, n_toks,
+       COALESCE(n_kept, 0) AS n_kept,
+       md5(COALESCE(clean, '')) AS clean_md5
+FROM lens LEFT JOIN reb USING (id) ORDER BY id
+"""
+
+STAGED_R10_REGISTRY["pipe_despan_rewrite"] = (
+    q_pipe_despan_rewrite,
+    O_DESPAN_REWRITE,
+)

@@ -182,6 +182,7 @@ STAGED_R10_FUZZ_GATES = [
     "dedup_span_coverage",
     "mm_phash_pairs",
     "rag_feature_rerank",
+    "pipe_despan_rewrite",
 ]
 
 R8_FUZZ_GATES = [

@@ -738,3 +738,13 @@ def test_sampled_quantiles_per_group_window_over_sample(spark):
     assert "Window" in p
     # rank-target join is an equi-join
     assert "CartesianProduct" not in p
+
+
+def test_despan_rewrite_anti_join_and_per_doc_rebuild(spark):
+    p = plan_of(q10(spark, "pipe_despan_rewrite"))
+    # kept tokens come from a LEFT ANTI equi-join on (id, pos); the
+    # rebuild groupBy is per doc — no cartesian, no global exchange
+    assert "LeftAnti" in p or "left_anti" in p.lower()
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "Scan parquet" not in p  # shared posting table is lineage-cut

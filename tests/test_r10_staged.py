@@ -20,7 +20,7 @@ def test_r10_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_R10_REGISTRY
 
-    assert len(STAGED_R10_REGISTRY) == 4
+    assert len(STAGED_R10_REGISTRY) == 5
     for name, (fn, sql) in STAGED_R10_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -328,3 +328,69 @@ def test_sampled_quantiles_parameter_guards(spark):
         sampled_quantiles(df, "grp", "v", "id", qs_permille=(0,))
     with pytest.raises(ValueError, match="qs_permille"):
         sampled_quantiles(df, "grp", "v", "id", qs_permille=())
+
+
+# ----------------------------------------------------------- despan rewrite
+
+
+def test_despan_rewrite_hand_computed(spark):
+    # doc 1 = block + unique middle + block: the two block copies merge
+    # into ONE island (gap 8 <= L) covering the whole doc -> n_kept 0;
+    # doc 2 unrelated -> untouched, clean_md5 = md5(normalized text)
+    import hashlib
+
+    from egraphdb_spark.operators.dedup import despan_rewrite
+
+    block = "a b c d e f g h"
+    doc2 = "totally unrelated tokens one two three four five six seven"
+    rows = [(1, f"{block} {block}"), (2, doc2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in despan_rewrite(df, "doc_id", "text", 8).collect()}
+    assert (out[1].n_kept, out[1].clean_md5) == (
+        0, hashlib.md5(b"").hexdigest(),
+    )
+    assert out[2].n_kept == out[2].n_toks == 10
+    assert out[2].clean_md5 == hashlib.md5(doc2.encode()).hexdigest()
+
+
+def test_despan_rewrite_keeps_unique_middle(spark):
+    # spans separated by a gap > L: the unique middle tokens survive in
+    # order and the rebuilt string is exactly the middle
+    import hashlib
+
+    from egraphdb_spark.operators.dedup import despan_rewrite
+
+    block_a = "a b c d e f g h"
+    block_b = "q r s t u v w x"
+    middle = "uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8 uniq9"
+    rows = [
+        (1, f"{block_a} {middle} {block_b}"),
+        (2, block_a),
+        (3, block_b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in despan_rewrite(df, "doc_id", "text", 8).collect()}
+    assert out[1].n_kept == 9
+    assert out[1].clean_md5 == hashlib.md5(middle.encode()).hexdigest()
+
+
+def test_despan_rewrite_conserves_with_coverage(spark):
+    # invariant tying the ExactSubstr pair together:
+    # n_kept + dup_tokens == n_toks on every document
+    from egraphdb_spark.operators.dedup import (
+        despan_rewrite,
+        duplicated_span_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    cov = {
+        r.id: r
+        for r in duplicated_span_coverage(
+            docs, "doc_id", "text", 8
+        ).collect()
+    }
+    rew = despan_rewrite(docs, "doc_id", "text", 8).collect()
+    assert len(rew) == len(cov)
+    for r in rew:
+        c = cov[r.id]
+        assert r.n_kept + c.dup_tokens == c.n_toks == r.n_toks, r.id

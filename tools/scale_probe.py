@@ -216,6 +216,7 @@ PROBES = [
     "mm_phash_pairs",
     "rag_feature_rerank",
     "sketch_sampled_quantiles",
+    "pipe_despan_rewrite",
 ]
 
 
