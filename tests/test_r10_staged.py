@@ -394,3 +394,50 @@ def test_despan_rewrite_conserves_with_coverage(spark):
     for r in rew:
         c = cov[r.id]
         assert r.n_kept + c.dup_tokens == c.n_toks == r.n_toks, r.id
+
+
+def test_phash_large_payload_no_overflow(spark):
+    # int64 headroom claim in the docstring, exercised: a ~1.2 MB payload
+    # (stage-2 coefficient ~255*nb*64*1e8 worst case) hashes cleanly and
+    # matches the pure-python integer replay
+    from egraphdb_spark.operators.multimodal import PHASH_DCT_MILLI, phash64
+
+    text = "qwertyuiopasdfgh" * 75000  # 1.2e6 bytes
+    df = spark.createDataFrame([(1, text)], "id long, text string").select(
+        "id", F.encode("text", "UTF-8").alias("payload")
+    )
+    r = phash64(df).collect()[0]
+
+    b = text.encode()
+    nb, w = len(b), len(b) // 64
+    cells = [
+        sum(b[k * w : (nb if k == 63 else (k + 1) * w)]) for k in range(64)
+    ]
+    grid = [cells[r_ * 8 : r_ * 8 + 8] for r_ in range(8)]
+    t1 = [
+        [
+            sum(PHASH_DCT_MILLI[u][x] * grid[x][c] for x in range(8))
+            for c in range(8)
+        ]
+        for u in range(8)
+    ]
+    t2 = {
+        (u, v): sum(PHASH_DCT_MILLI[v][c] * t1[u][c] for c in range(8))
+        for u in range(8)
+        for v in range(8)
+    }
+    assert max(abs(c) for c in t2.values()) < 2**63  # inside int64
+    ac = sorted(
+        (coeff, u, v) for (u, v), coeff in t2.items() if (u, v) != (0, 0)
+    )
+    med = ac[31][0]
+    hi = lo = 0
+    for (u, v), coeff in t2.items():
+        if (u, v) == (0, 0) or coeff <= med:
+            continue
+        pos = u * 8 + v
+        if pos < 32:
+            hi |= 1 << pos
+        else:
+            lo |= 1 << (pos - 32)
+    assert (r.sh_hi, r.sh_lo) == (hi, lo)
