@@ -1303,6 +1303,22 @@ def _dup_span_islands(
     islands are DISJOINT by construction (a new island only begins when
     the gap exceeds L, so consecutive covers cannot overlap).
     """
+    toks, starts = _token_postings(df, id_col, text_col, L)
+    dup_g = (
+        starts.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= int(min_occurrences))
+        .select("g")
+    )
+    dup_pos = starts.join(dup_g, "g", "left_semi").select("id", "pos")
+    return toks, _islands_from_positions(dup_pos, L)
+
+
+def _token_postings(df: DataFrame, id_col: str, text_col: str, L: int):
+    """Tokenize + L-gram start postings as 60-bit hashes: returns
+    ``(toks, starts)`` — toks (id, toks, n_toks) and starts
+    (id, pos, g), both lineage-cut (each feeds >= 2 references
+    downstream in every caller)."""
     toks = cut_lineage(
         df.select(
             F.col(id_col).alias("id"), normalize(text_col).alias("norm_t")
@@ -1324,20 +1340,17 @@ def _dup_span_islands(
             )
         ).alias("sg"),
     ).select("id", "sg.pos", "sg.g")
-    # the posting table feeds BOTH the count and the semi-join probe
-    starts = cut_lineage(starts)
-    dup_g = (
-        starts.groupBy("g")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= int(min_occurrences))
-        .select("g")
-    )
-    dup_pos = starts.join(dup_g, "g", "left_semi").select("id", "pos")
+    return toks, cut_lineage(starts)
 
+
+def _islands_from_positions(dup_pos: DataFrame, L: int) -> DataFrame:
+    """Merge marked L-gram start positions (id, pos) into disjoint
+    maximal spans (id, island, start, cov) by interval union — the
+    gaps-and-islands shape, windows partitioned per doc."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("pos")
-    isl = (
+    return (
         dup_pos.withColumn(
             "brk",
             F.when(
@@ -1358,7 +1371,6 @@ def _dup_span_islands(
             (F.max("pos") - F.min("pos") + F.lit(L)).alias("cov"),
         )
     )
-    return toks, isl
 
 
 def duplicated_span_coverage(
@@ -1501,5 +1513,80 @@ def despan_rewrite(
             "n_toks",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.md5(F.coalesce("clean", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    n_tokens: int = 13,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination scan — the n-gram-overlap
+    rule every large LM training run applies before eval (GPT-3
+    appendix C used 13-gram collisions; PaLM, Llama and the rest kept
+    the recipe): mark every corpus token inside an ``n_tokens``-gram
+    that also occurs ANYWHERE in the benchmark/eval table, merge marked
+    positions into maximal spans, and report per-document contaminated
+    coverage.  The span-granular sibling of doc-level
+    :func:`~.queries_pipeline` contamination (which flags whole docs on
+    any shared shingle): this one measures HOW MUCH of each document is
+    benchmark text, which is what the removal decision actually needs.
+
+    Pipeline: benchmark side reduces to its DISTINCT 60-bit gram-hash
+    set (no ids, no positions — the smallest possible probe table);
+    corpus postings semi-join it; islands/coverage identical to
+    :func:`duplicated_span_coverage` (shared `_token_postings` +
+    `_islands_from_positions`).
+
+    Output per corpus document: ``(id, n_toks, n_spans, contam_tokens,
+    max_span_tokens, contam_permille)`` — every document present, zeros
+    when clean.
+
+    Scale: the benchmark gram set is typically millions of rows (eval
+    suites are small) — it broadcasts into the semi-join, so the ONLY
+    corpus-sized work is the posting explode + a broadcast-semi-join
+    probe; no shuffle of the corpus at all when the bench side fits,
+    and a plain hash semi-join when it doesn't.  60-bit hashes: a false
+    collision marks <= L extra tokens in one doc at ~n_corpus·n_bench/2⁶¹
+    expected occurrences; the oracle hashes identically so parity is
+    exact regardless.
+    """
+    L = int(n_tokens)
+    toks, starts = _token_postings(corpus, id_col, text_col, L)
+    # the bench side reduces to a gram SET — its row identity is
+    # irrelevant, so a constant id keeps the operator agnostic to the
+    # benchmark table's schema
+    b = bench.select(
+        F.lit(0).cast("long").alias("__bid"), F.col(bench_text_col)
+    )
+    _, bstarts = _token_postings(b, "__bid", bench_text_col, L)
+    bench_g = bstarts.select("g").distinct()
+    hit_pos = starts.join(bench_g, "g", "left_semi").select("id", "pos")
+    isl = _islands_from_positions(hit_pos, L)
+    per_doc = isl.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("cov").cast("long").alias("contam_tokens"),
+        F.max("cov").cast("long").alias("max_span_tokens"),
+    )
+    return (
+        toks.select("id", "n_toks")
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_toks",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("contam_tokens", F.lit(0))
+            .cast("long")
+            .alias("contam_tokens"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_span_tokens"),
+            F.expr(
+                "coalesce(contam_tokens, 0) * 1000 div greatest(n_toks, 1)"
+            ).alias("contam_permille"),
         )
     )

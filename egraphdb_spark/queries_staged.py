@@ -1721,3 +1721,102 @@ STAGED_R10_REGISTRY["pipe_despan_rewrite"] = (
     q_pipe_despan_rewrite,
     O_DESPAN_REWRITE,
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_contam_spans — span-level benchmark decontamination (13-gram rule)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_contam_spans(spark, sf_dir):
+    """Span-level eval-set decontamination (operators/dedup.py
+    contamination_spans — the GPT-3 appendix-C 13-gram overlap rule at
+    span granularity): the 'benchmark' is the 120-char prefix of every
+    50th document, so its sources show partial prefix contamination and
+    all other docs exercise the clean-zero path.  Complements the
+    doc-level dedup_contamination gate: this one measures HOW MUCH of
+    each document is benchmark text."""
+    from .operators.dedup import contamination_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.selectExpr("doc_id as id", "text")
+    bench = docs.where("doc_id % 50 = 3").selectExpr(
+        "doc_id as id", "substring(text, 1, 120) as btext"
+    )
+    return contamination_spans(
+        corpus, bench, "id", "text", "btext", n_tokens=13
+    ).orderBy("id")
+
+
+O_CONTAM_SPANS = r"""
+WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+bench AS (
+  SELECT doc_id AS id, substr(text, 1, 120) AS btext FROM documents
+  WHERE doc_id % 50 = 3
+),
+cnorm AS (
+  SELECT id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM corpus
+),
+clens AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks, toks
+  FROM (SELECT id, string_split(t, ' ') AS toks FROM cnorm)
+),
+cstarts AS (
+  SELECT id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+           toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')), 1, 15))
+           AS BIGINT) AS g
+  FROM clens, unnest(range(1, greatest(n_toks - 12, 0) + 1)) AS t(i)
+),
+bnorm AS (
+  SELECT id, trim(regexp_replace(lower(btext), '\s+', ' ', 'g')) AS t
+  FROM bench
+),
+blens AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS n_toks, toks
+  FROM (SELECT id, string_split(t, ' ') AS toks FROM bnorm)
+),
+bg AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(array_to_string(
+           toks[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')), 1, 15))
+           AS BIGINT) AS g
+  FROM blens, unnest(range(1, greatest(n_toks - 12, 0) + 1)) AS t(i)
+),
+hit AS (SELECT id, pos FROM cstarts SEMI JOIN bg USING (g)),
+brk AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 13
+              THEN 1 ELSE 0 END AS b
+  FROM hit
+),
+isl AS (
+  SELECT id, pos,
+         sum(b) OVER (PARTITION BY id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+),
+sp AS (
+  SELECT id, island, max(pos) - min(pos) + 13 AS cov
+  FROM isl GROUP BY id, island
+),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(cov) AS BIGINT) AS contam_tokens,
+         CAST(max(cov) AS BIGINT) AS max_span_tokens
+  FROM sp GROUP BY id
+)
+SELECT clens.id AS id, n_toks,
+       COALESCE(n_spans, 0) AS n_spans,
+       COALESCE(contam_tokens, 0) AS contam_tokens,
+       COALESCE(max_span_tokens, 0) AS max_span_tokens,
+       COALESCE(contam_tokens, 0) * 1000 // greatest(n_toks, 1)
+         AS contam_permille
+FROM clens LEFT JOIN agg USING (id) ORDER BY id
+"""
+
+STAGED_R10_REGISTRY["dedup_contam_spans"] = (
+    q_dedup_contam_spans,
+    O_CONTAM_SPANS,
+)

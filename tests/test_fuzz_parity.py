@@ -183,6 +183,7 @@ STAGED_R10_FUZZ_GATES = [
     "mm_phash_pairs",
     "rag_feature_rerank",
     "pipe_despan_rewrite",
+    "dedup_contam_spans",
 ]
 
 R8_FUZZ_GATES = [

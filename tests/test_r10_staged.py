@@ -20,7 +20,7 @@ def test_r10_staged_gate_parity(spark):
 
     from egraphdb_spark.queries_staged import STAGED_R10_REGISTRY
 
-    assert len(STAGED_R10_REGISTRY) == 5
+    assert len(STAGED_R10_REGISTRY) == 6
     for name, (fn, sql) in STAGED_R10_REGISTRY.items():
         sp = fn(spark, SF_DIR).toPandas()
         problems = compare(sp, run_oracle(sql, SF_DIR))
@@ -441,3 +441,68 @@ def test_phash_large_payload_no_overflow(spark):
         else:
             lo |= 1 << (pos - 32)
     assert (r.sh_hi, r.sh_lo) == (hi, lo)
+
+
+# ------------------------------------------------------- contamination spans
+
+
+def test_contam_spans_hand_computed(spark):
+    # benchmark phrase of exactly 13 tokens sits mid-doc in doc 1; doc 2
+    # is clean; doc 3 IS the benchmark text verbatim (full coverage)
+    from egraphdb_spark.operators.dedup import contamination_spans
+
+    phrase = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13"
+    rows = [
+        (1, f"lead1 lead2 lead3 {phrase} tail1 tail2"),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15"),
+        (3, phrase),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, phrase)], "id long, btext string")
+    out = {
+        r.id: r
+        for r in contamination_spans(
+            corpus, bench, "doc_id", "text", "btext", 13
+        ).collect()
+    }
+    # doc 1: the single 13-gram hit at pos 4 covers exactly 13 tokens
+    assert (out[1].n_spans, out[1].contam_tokens) == (1, 13)
+    assert out[1].contam_permille == 13 * 1000 // 18
+    assert (out[2].n_spans, out[2].contam_tokens) == (0, 0)
+    assert (out[3].contam_tokens, out[3].contam_permille) == (13, 1000)
+
+
+def test_contam_spans_duplicate_bench_rows_idempotent(spark):
+    # the same benchmark text listed twice must not double-count cover
+    from egraphdb_spark.operators.dedup import contamination_spans
+
+    phrase = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13"
+    corpus = spark.createDataFrame(
+        [(1, phrase)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, phrase), (101, phrase)], "id long, btext string"
+    )
+    r = contamination_spans(
+        corpus, bench, "doc_id", "text", "btext", 13
+    ).collect()[0]
+    assert (r.n_spans, r.contam_tokens) == (1, 13)
+
+
+def test_contam_spans_corpus_internal_dups_do_not_contaminate(spark):
+    # grams repeated WITHIN the corpus but absent from the benchmark are
+    # not contamination (unlike duplicated_span_coverage's criterion)
+    from egraphdb_spark.operators.dedup import contamination_spans
+
+    t = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13"
+    corpus = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "totally different eval text with many words here ok")],
+        "id long, btext string",
+    )
+    out = contamination_spans(
+        corpus, bench, "doc_id", "text", "btext", 13
+    ).collect()
+    assert all(r.n_spans == 0 and r.contam_tokens == 0 for r in out)

@@ -217,6 +217,7 @@ PROBES = [
     "rag_feature_rerank",
     "sketch_sampled_quantiles",
     "pipe_despan_rewrite",
+    "dedup_contam_spans",
 ]
 
 
