@@ -50,19 +50,25 @@ def connected_components(
             e.join(labels, e.src_key == labels.key)
             .select(F.col("dst_key").alias("key"), F.col("component"))
         )
-        new_labels = (
-            labels.unionByName(msgs)
+        # one aggregate yields BOTH the new minimum and the previous
+        # value (old = min over rows tagged carried-forward — exactly
+        # one per key, since labels covers every key), so the fixpoint
+        # probe below is a cheap scan of the materialized frame instead
+        # of a second shuffle join per round (the SSSP merge trick).
+        merged = (
+            labels.withColumn("is_old", F.lit(1))
+            .unionByName(msgs.withColumn("is_old", F.lit(0)))
             .groupBy("key")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("is_old") == 1, F.col("component"))).alias("old"),
+            )
             .transform(cut_lineage)
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "key")
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
+            merged.where(F.col("component") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("key", "component")
         if changed == 0:
             break
     return labels
@@ -258,14 +264,25 @@ def harmonic_centrality(
     a bounded landmark set (dimension keys, or a hash sample); the oracle
     mirrors with a set-semantics recursive CTE.
     """
+    # The BFS iterates on 8-byte xxhash64 node ids (the kcore/hits
+    # discipline): level arithmetic never looks at the key, so each
+    # round's (seed, key) frontier join, distinct and anti-join carry
+    # 16 B of ids instead of two strings — the deepest round emits
+    # millions of pairs and dominates the query (profiled ~70 %).  The
+    # id→key map joins back once, on the final node-sized aggregate.
+    e = edges.select(
+        F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
+    ).transform(cut_lineage)
     visited = seeds.select(
-        F.col("seed"), F.col("seed").alias("key"), F.lit(0).alias("level")
+        F.xxhash64("seed").alias("seed"),
+        F.xxhash64("seed").alias("key"),
+        F.lit(0).alias("level"),
     ).transform(cut_lineage)
     frontier = visited.select("seed", "key")
     for level in range(1, max_depth + 1):
         hop = (
-            edges.join(frontier, edges.src_key == frontier.key)
-            .select("seed", F.col("dst_key").alias("key"))
+            e.join(frontier, e.src == frontier.key)
+            .select("seed", F.col("dst").alias("key"))
             .distinct()
             .join(visited.select("seed", "key"), ["seed", "key"], "left_anti")
             .select("seed", "key", F.lit(level).alias("level"))
@@ -275,13 +292,23 @@ def harmonic_centrality(
             break
         visited = visited.unionByName(hop)
         frontier = hop.select("seed", "key")
-    return (
+    keymap = (
+        edges.select(F.col("src_key").alias("k"))
+        .unionByName(edges.select(F.col("dst_key").alias("k")))
+        .distinct()
+        .select(F.xxhash64("k").alias("nid"), F.col("k").alias("key"))
+    )
+    agg = (
         visited.where(F.col("level") > 0)
         .groupBy("key")
         .agg(
             F.count("*").cast("long").alias("n_sources"),
             F.sum(F.expr("1000000 div level")).cast("long").alias("harmonic_micro"),
         )
+    )
+    return (
+        agg.join(keymap, agg.key == keymap.nid)
+        .select(keymap.key, "n_sources", "harmonic_micro")
         .orderBy("key")
     )
 
@@ -455,11 +482,16 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     as length-of-binary-representation - 1 (pure integer, engine-exact).
     Scale: one degree aggregate + one tiny bucket aggregate.
     """
+    # degrees and buckets never look at the key, so the symmetrize +
+    # distinct + degree aggregate run on 8-byte xxhash64 ids (the
+    # kcore/hits discipline) — both shuffles carry 16 B rows instead of
+    # two key strings, and no mapback is needed (output is buckets only)
+    ids = edges.select(
+        F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
+    )
     und = (
-        edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
-        .unionByName(
-            edges.select(F.col("dst_key").alias("a"), F.col("src_key").alias("b"))
-        )
+        ids.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(ids.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
     deg = und.groupBy("a").agg(F.count("*").alias("deg"))
@@ -948,11 +980,21 @@ def personalized_pagerank(
     seeds: one ``key`` column; a bounded personalization set (its count
     is the only driver-side action).
     """
-    e = edges.select("src_key", "dst_key").transform(cut_lineage)
-    ed = e.join(
-        e.groupBy("src_key").agg(F.count("*").alias("d")), "src_key"
+    # Iterates on 8-byte xxhash64 node ids (the kcore/hits discipline):
+    # the fixed-point arithmetic never looks at the key, so every
+    # scatter join / gather aggregate shuffles 8 B ids instead of key
+    # strings; the id→key map joins back once on the final
+    # neighborhood-sized frame.  The map includes the seed keys — a
+    # seed absent from the edge set still carries restart mass.
+    kedges = edges.select("src_key", "dst_key")
+    e = kedges.select(
+        F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
     ).transform(cut_lineage)
-    s = seeds.select("key").distinct().transform(cut_lineage)
+    ed = e.join(
+        e.groupBy("src").agg(F.count("*").alias("d")), "src"
+    ).transform(cut_lineage)
+    kseeds = seeds.select("key").distinct().transform(cut_lineage)
+    s = kseeds.select(F.xxhash64("key").alias("key"))
     ns = s.count()
     if ns == 0:
         raise ValueError("personalized_pagerank: seeds must be non-empty")
@@ -960,9 +1002,9 @@ def personalized_pagerank(
     pr = s.select("key", F.lit(scale // ns).cast("long").alias("pr"))
     for _ in range(iters):
         gathered = (
-            ed.join(pr, ed.src_key == pr.key)
+            ed.join(pr, ed.src == pr.key)
             .select(
-                F.col("dst_key").alias("key"),
+                F.col("dst").alias("key"),
                 _intdiv(F.col("pr"), F.col("d")).alias("c"),
             )
             .groupBy("key")
@@ -985,7 +1027,16 @@ def personalized_pagerank(
             .where(F.col("pr") > 0)
             .transform(cut_lineage)
         )
-    return pr.select("key", F.col("pr").alias("ppr"))
+    keymap = (
+        kedges.select(F.col("src_key").alias("k"))
+        .unionByName(kedges.select(F.col("dst_key").alias("k")))
+        .unionByName(kseeds.select(F.col("key").alias("k")))
+        .distinct()
+        .select(F.xxhash64("k").alias("nid"), F.col("k").alias("k"))
+    )
+    return pr.join(keymap, pr.key == keymap.nid).select(
+        F.col("k").alias("key"), F.col("pr").alias("ppr")
+    )
 
 
 def strongly_connected_components(
@@ -1062,19 +1113,25 @@ def strongly_connected_components(
             msgs = e.join(c, e.src_key == c.key).select(
                 F.col("dst_key").alias("key"), "color"
             )
+            # the aggregate carries the previous color (max over rows
+            # tagged carried-forward — exactly one per key), so the
+            # stability probe is a cheap scan of the materialized frame
+            # instead of a second shuffle join per inner round (the
+            # SSSP merge trick).
             nc = (
-                c.unionByName(msgs)
+                c.withColumn("is_old", F.lit(1))
+                .unionByName(msgs.withColumn("is_old", F.lit(0)))
                 .groupBy("key")
-                .agg(F.max("color").alias("color"))
+                .agg(
+                    F.max("color").alias("color"),
+                    F.max(F.when(F.col("is_old") == 1, F.col("color"))).alias("old"),
+                )
                 .transform(cut_lineage)
             )
             stable = (
-                nc.join(c.withColumnRenamed("color", "old"), "key")
-                .where(F.col("color") != F.col("old"))
-                .limit(1)
-                .isEmpty()
+                nc.where(F.col("color") != F.col("old")).limit(1).isEmpty()
             )
-            c = nc
+            c = nc.select("key", "color")
             if stable:
                 break
         if not stable:
@@ -1101,7 +1158,10 @@ def strongly_connected_components(
             if cand.limit(1).isEmpty():
                 walk_done = True
                 break
-            reach = reach.unionByName(cand).transform(cut_lineage)
+            # plain union of the already-checkpointed hops (the
+            # harmonic-centrality visited-set discipline): re-cutting
+            # the growing union would re-materialize O(rounds²) rows
+            reach = reach.unionByName(cand)
         if not walk_done:
             # incomplete SCC membership would make even the found
             # members' min-key component id wrong — settle nothing
@@ -1124,7 +1184,8 @@ def strongly_connected_components(
 
 
 def betweenness_k(
-    edges: DataFrame, seeds: DataFrame, max_depth: int
+    edges: DataFrame, seeds: DataFrame, max_depth: int,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Seed-sampled, depth-bounded betweenness centrality — Brandes'
     algorithm (J. Math. Sociol. '01) in its landmark form: dependency
@@ -1155,15 +1216,27 @@ def betweenness_k(
     # σ counts SHORTEST PATHS on the simple graph: a duplicate edge row
     # would multiply sigma and every backward contribution (unlike
     # harmonic/BFS, whose min-level semantics are duplicate-immune), so
-    # the operator dedupes its input rather than trusting callers.
-    # Materialize the deduped table once: it feeds max_depth forward
-    # joins plus max_depth-1 backward joins, and an unmaterialized
-    # distinct would re-shuffle the full edge set at every reuse.
-    edges = (
-        edges.select("src_key", "dst_key").distinct().transform(cut_lineage)
-    )
+    # the operator dedupes its input unless the caller vouches for
+    # distinctness (``pre_deduped=True`` — the gates pass a distinct,
+    # already-checkpointed edge set; re-dedup would re-shuffle and
+    # re-materialize the full table for nothing).
+    kedges = edges.select("src_key", "dst_key")
+    if not pre_deduped:
+        kedges = kedges.distinct().transform(cut_lineage)
+    # The loops iterate on 8-byte xxhash64 node ids (the kcore/hits
+    # discipline): σ/δ arithmetic never looks at the key, so every
+    # per-level shuffle, aggregate and anti-join carries 16 B of ids
+    # instead of two key strings — at depth 3 the frontier joins emit
+    # tens of millions of rows, and halving their width halves the
+    # dominant shuffles (profiled: forward L3 + the two backward passes
+    # are ~85 % of the query).  The id→key map joins back exactly once,
+    # on the final node-sized aggregate.
+    e = kedges.select(
+        F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
+    ).transform(cut_lineage)
     l0 = seeds.select(
-        F.col("seed"), F.col("seed").alias("key"),
+        F.xxhash64("seed").alias("seed"),
+        F.xxhash64("seed").alias("key"),
         F.lit(1).cast("long").alias("sigma"),
     ).transform(cut_lineage)
     levels = [l0]
@@ -1171,8 +1244,8 @@ def betweenness_k(
     for _ in range(1, max_depth + 1):
         frontier = levels[-1]
         hop = (
-            edges.join(frontier, edges.src_key == frontier.key)
-            .groupBy("seed", F.col("dst_key").alias("k2"))
+            e.join(frontier, e.src == frontier.key)
+            .groupBy("seed", F.col("dst").alias("k2"))
             .agg(F.sum("sigma").alias("sigma"))
             .withColumnRenamed("k2", "key")
             .join(visited, ["seed", "key"], "left_anti")
@@ -1193,8 +1266,8 @@ def betweenness_k(
             F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
         )
         contrib = (
-            edges.join(succ, edges.dst_key == succ.w)
-            .select("seed", F.col("src_key").alias("key"),
+            e.join(succ, e.dst == succ.w)
+            .select("seed", F.col("src").alias("key"),
                     "sigma_w", "delta_w")
             .join(levels[lv], ["seed", "key"])
             .groupBy("seed", "key")
@@ -1224,9 +1297,16 @@ def betweenness_k(
             .where(F.lit(False))
             .withColumn("bc_micro", F.lit(0).cast("long"))
         )
+    keymap = (
+        kedges.select(F.col("src_key").alias("key"))
+        .unionByName(kedges.select(F.col("dst_key").alias("key")))
+        .distinct()
+        .select(F.xxhash64("key").alias("nid"), "key")
+    )
+    agg = out.groupBy("key").agg(F.sum("delta").cast("long").alias("bc_micro"))
     return (
-        out.groupBy("key")
-        .agg(F.sum("delta").cast("long").alias("bc_micro"))
+        agg.join(keymap, agg.key == keymap.nid)
+        .select(keymap.key, "bc_micro")
         .orderBy("key")
     )
 
@@ -1259,7 +1339,7 @@ def ktruss_peel(
     LOWER supports, so the cap is a documented approximation exactly as
     in those operators).
     """
-    und = (
+    und_keys = (
         edges.select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
@@ -1267,6 +1347,17 @@ def ktruss_peel(
         .distinct()
         .transform(cut_lineage)
     )
+    # The peel iterates on 8-byte xxhash64 node ids (the kcore/hits
+    # discipline), pairs re-canonicalized by ID order: support counts
+    # are orientation- and representation-invariant (any injective node
+    # relabeling maps triangles 1:1), so every wedge join, side explode
+    # and support aggregate shuffles 16 B pairs instead of two key
+    # strings.  The id-pair → key-pair map joins back once, on the
+    # final survivor set.
+    und = und_keys.select(
+        F.least(F.xxhash64("a"), F.xxhash64("b")).alias("a"),
+        F.greatest(F.xxhash64("a"), F.xxhash64("b")).alias("b"),
+    ).transform(cut_lineage)
 
     def support(e: DataFrame) -> DataFrame:
         # Degree-oriented wedge enumeration (the triangle_stats discipline,
@@ -1340,12 +1431,19 @@ def ktruss_peel(
             .transform(cut_lineage)
         )
     final = support(und)
+    survivors = und.join(final, ["a", "b"], "left").select(
+        F.col("a").alias("ia"),
+        F.col("b").alias("ib"),
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+    back = und_keys.select(
+        "a",
+        "b",
+        F.least(F.xxhash64("a"), F.xxhash64("b")).alias("ia"),
+        F.greatest(F.xxhash64("a"), F.xxhash64("b")).alias("ib"),
+    )
     return (
-        und.join(final, ["a", "b"], "left")
-        .select(
-            "a",
-            "b",
-            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
-        )
+        survivors.join(back, ["ia", "ib"])
+        .select("a", "b", "support")
         .orderBy("a", "b")
     )

@@ -1178,8 +1178,13 @@ def q_graph_kcore(spark, sf_dir):
     from .operators.graph_algos import kcore_peel
 
     g = _fixture(spark, sf_dir)
-    supplied = g.edges.where(
-        F.get_json_object("details", "$.rel") == "supplied_by"
+    # one JSON-parse pass, materialized: kcore_peel scans its input four
+    # times (keymap union ×2 + symmetrizing union ×2) — uncut, every
+    # scan re-parses `details` over the full cached edge table
+    supplied = cut_lineage(
+        g.edges.where(
+            F.get_json_object("details", "$.rel") == "supplied_by"
+        ).select("src", "dst", "src_key", "dst_key")
     )
     return kcore_peel(supplied, k=2, rounds=4)
 
@@ -1270,7 +1275,10 @@ def q_graph_betweenness(spark, sf_dir):
     seeds = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
     )
-    return betweenness_k(und, seeds, max_depth=3)
+    # und is already distinct and checkpointed above — skip the
+    # operator's defensive re-dedup (one full shuffle + materialization
+    # of the largest table in the query)
+    return betweenness_k(und, seeds, max_depth=3, pre_deduped=True)
 
 
 _BC_EDGES = """
@@ -2051,8 +2059,13 @@ def q_graph_lpa(spark, sf_dir):
     from .operators.graph_algos import label_propagation
 
     g = _fixture(spark, sf_dir)
-    supplied = g.edges.where(
-        F.get_json_object("details", "$.rel") == "supplied_by"
+    # one JSON-parse pass, materialized: label_propagation scans its
+    # input twice (the symmetrizing union) — uncut, each scan re-parses
+    # `details` over the full cached edge table
+    supplied = cut_lineage(
+        g.edges.where(
+            F.get_json_object("details", "$.rel") == "supplied_by"
+        ).select("src_key", "dst_key")
     )
     return label_propagation(supplied, rounds=3)
 
@@ -2106,8 +2119,13 @@ def q_graph_modularity(spark, sf_dir):
     from .operators.graph_algos import connected_components, modularity_micro
 
     g = _fixture(spark, sf_dir)
-    membership = g.edges.where(
-        F.get_json_object("details", "$.rel") == "in_region"
+    # one JSON-parse pass, materialized: connected_components and the
+    # symmetrized edge set below otherwise each re-parse `details`
+    # over the full cached edge table
+    membership = cut_lineage(
+        g.edges.where(
+            F.get_json_object("details", "$.rel") == "in_region"
+        ).select("src_key", "dst_key")
     )
     comm = connected_components(membership, undirected=True).select(
         "key", F.col("component").alias("community")
@@ -4182,8 +4200,13 @@ def q_graph_hits(spark, sf_dir):
     from .operators.graph_algos import hits_scaled
 
     g = _fixture(spark, sf_dir)
-    supplied = g.edges.where(
-        F.get_json_object("details", "$.rel") == "supplied_by"
+    # one JSON-parse pass, materialized: the operator input and the
+    # keymap below otherwise each re-parse `details` over the full
+    # cached edge table (three scans total)
+    supplied = cut_lineage(
+        g.edges.where(
+            F.get_json_object("details", "$.rel") == "supplied_by"
+        ).select("src", "dst", "src_key", "dst_key")
     )
     scores = hits_scaled(
         supplied.select(
@@ -4875,8 +4898,12 @@ def q_graph_scc(spark, sf_dir):
     rev = base.where(F.col("rel") == "in_region").select(
         F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
     )
+    # one JSON-parse pass, materialized: the operator derives its node
+    # set (two scans) and filtered edge set (one more) from this input —
+    # uncut, each scan re-parses `details` over the full cached edge
+    # table (six parse passes measured; this was ~80 % of the query)
     return strongly_connected_components(
-        keep.unionByName(rev), max_outer=4
+        cut_lineage(keep.unionByName(rev)), max_outer=4
     ).orderBy("key")
 
 
