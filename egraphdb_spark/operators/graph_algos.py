@@ -238,7 +238,8 @@ def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
 
 
 def harmonic_centrality(
-    edges: DataFrame, seeds: DataFrame, max_depth: int
+    edges: DataFrame, seeds: DataFrame, max_depth: int,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Seed-set harmonic centrality: for every node reachable from the
     seed set, ``(key, n_sources, harmonic_micro)`` where harmonic_micro =
@@ -270,9 +271,24 @@ def harmonic_centrality(
     # 16 B of ids instead of two strings — the deepest round emits
     # millions of pairs and dominates the query (profiled ~70 %).  The
     # id→key map joins back once, on the final node-sized aggregate.
-    e = edges.select(
+    # With ``symmetrize=True`` the caller passes the raw DIRECTED edge
+    # set and the undirected closure is built here — union, then
+    # distinct on the 16 B id pairs, NOT on the string pairs, so the
+    # edge-sized dedup shuffle carries ids (the gates previously
+    # materialized a string-pair distinct just to feed this hash).
+    eb = edges.select("src_key", "dst_key")
+    if symmetrize:
+        eb = eb.unionByName(
+            eb.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
+    e = eb.select(
         F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
-    ).transform(cut_lineage)
+    )
+    if symmetrize:
+        e = e.distinct()
+    e = e.transform(cut_lineage)
     visited = seeds.select(
         F.xxhash64("seed").alias("seed"),
         F.xxhash64("seed").alias("key"),
@@ -292,11 +308,17 @@ def harmonic_centrality(
             break
         visited = visited.unionByName(hop)
         frontier = hop.select("seed", "key")
-    keymap = (
-        edges.select(F.col("src_key").alias("k"))
-        .unionByName(edges.select(F.col("dst_key").alias("k")))
-        .distinct()
-        .select(F.xxhash64("k").alias("nid"), F.col("k").alias("key"))
+    # symmetrized eb already lists every node on the src side — one
+    # projection + node-sized distinct instead of a two-sided union
+    keymap_src = (
+        eb.select(F.col("src_key").alias("k"))
+        if symmetrize
+        else eb.select(F.col("src_key").alias("k")).unionByName(
+            eb.select(F.col("dst_key").alias("k"))
+        )
+    )
+    keymap = keymap_src.distinct().select(
+        F.xxhash64("k").alias("nid"), F.col("k").alias("key")
     )
     agg = (
         visited.where(F.col("level") > 0)
@@ -527,15 +549,73 @@ def label_propagation(
     per round so lineage stays linear in rounds.  A fixed round count
     (unrolled identically by the SQL oracle) keeps parity exact whether or
     not the labels have converged — same discipline as kcore/pagerank.
+
+    Undirected path optimizations (result-identical, oracle-verified):
+      * Round 1 collapses algebraically: the initial labels are the
+        identity (lbl(v) = key(v)), so the message stream IS the distinct
+        edge set — every (dst, lbl) pair has count 1 and the mode argmax
+        ``min_by(lbl, (-1, lbl))`` reduces to ``min(neighbor key)``.  One
+        aggregate replaces the join + two aggregates of a naive round 1
+        (which is also the most expensive round: |E| distinct labels).
+      * Rounds 2+ iterate on 8-byte xxhash64 node ids (the kcore/hits
+        discipline) with the label STRING as payload — ties still break
+        on the lexicographically smallest label, so results are unchanged
+        while the join keys and grouping keys shuffle as integers.  The
+        id→key map joins back once on the final node-sized frame.
     """
-    e = edges.select("src_key", "dst_key")
     if undirected:
-        e = e.unionByName(
-            e.select(
+        sym = edges.select("src_key", "dst_key")
+        sym = sym.unionByName(
+            sym.select(
                 F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
             )
         )
-    e = e.distinct().transform(cut_lineage)
+        # distinct directed pairs in id space; the src KEY string rides
+        # along as the round-1 label payload (functionally determined by
+        # src, so whichever duplicate row survives carries the same value)
+        pairs = (
+            sym.select(
+                F.xxhash64("src_key").alias("src"),
+                F.xxhash64("dst_key").alias("dst"),
+                F.col("src_key").alias("lbl"),
+            )
+            .dropDuplicates(["src", "dst"])
+            .transform(cut_lineage)
+        )
+        if rounds < 1:
+            return (
+                pairs.select(F.col("lbl").alias("key"))
+                .distinct()
+                .select("key", F.col("key").alias("community"))
+            )
+        labels = (
+            pairs.groupBy("dst")
+            .agg(F.min("lbl").alias("lbl"))
+            .withColumnRenamed("dst", "nid")
+            .transform(cut_lineage)
+        )
+        e_ids = pairs.select("src", "dst")
+        for _ in range(rounds - 1):
+            msgs = e_ids.join(
+                labels.select(F.col("nid").alias("src"), "lbl"), "src"
+            ).select(F.col("dst").alias("nid"), "lbl")
+            counts = msgs.groupBy("nid", "lbl").agg(F.count("*").alias("c"))
+            labels = (
+                counts.groupBy("nid")
+                .agg(
+                    F.min_by(
+                        "lbl", F.struct((-F.col("c")).alias("nc"), F.col("lbl"))
+                    ).alias("lbl")
+                )
+                .transform(cut_lineage)
+            )
+        keymap = pairs.select(
+            F.col("src").alias("nid"), F.col("lbl").alias("key")
+        ).distinct()
+        return labels.join(keymap, "nid").select(
+            "key", F.col("lbl").alias("community")
+        )
+    e = edges.select("src_key", "dst_key").distinct().transform(cut_lineage)
     labels = (
         e.select(F.col("src_key").alias("key"))
         .union(e.select("dst_key"))
@@ -555,20 +635,11 @@ def label_propagation(
                 ).alias("new_lbl")
             )
         )
-        if undirected:
-            # every node in the (deduped, symmetrized) edge set has >= 1
-            # neighbor, so `best` covers the full node set — the
-            # labels⋈best carry-over join is the identity and is dropped
-            # (one fewer shuffle join per round; result-identical)
-            labels = best.select(
-                "key", F.col("new_lbl").alias("lbl")
-            ).transform(cut_lineage)
-        else:
-            labels = (
-                labels.join(best, "key", "left")
-                .select("key", F.coalesce("new_lbl", "lbl").alias("lbl"))
-                .transform(cut_lineage)
-            )
+        labels = (
+            labels.join(best, "key", "left")
+            .select("key", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .transform(cut_lineage)
+        )
     return labels.select("key", F.col("lbl").alias("community"))
 
 
@@ -714,6 +785,16 @@ def deterministic_walks(
     indexed adjacency (row_number-per-node neighbor ranks, one window
     shuffle, materialized once) — T keyed joins total, each linear in
     the walk count; no per-walk driver logic, no RNG state.
+
+    The pick is resolved BEFORE touching the adjacency: a walk first
+    joins the node-sized degree table to compute ``pick = h60 % deg``
+    (one md5 per walk), then equi-joins the adjacency on
+    ``(node, idx) = (cur, pick)`` — one output row per walk.  The naive
+    formulation (join all neighbors, filter ``idx = pick``) emits
+    Σ deg(cur) rows per step and evaluates the md5 once per NEIGHBOR;
+    on hub-heavy graphs that is orders of magnitude more join output
+    for identical results (the equi-join on idx selects exactly the row
+    the filter kept).
     """
     from pyspark.sql import Window
 
@@ -736,11 +817,13 @@ def deterministic_walks(
         (F.row_number().over(w) - 1).alias("idx"),
         F.count("*").over(Window.partitionBy("node")).alias("deg"),
     ).transform(cut_lineage)
+    # node-sized (node, deg) table — deg is constant within a node group
+    degs = ai.select("node", "deg").distinct().transform(cut_lineage)
 
     def h60(c):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
-    frontier = ai.select("node").distinct().select(
+    frontier = degs.select(
         F.col("node").alias("walk_id"),
         F.col("node").alias("cur"),
         F.lit(0).cast("long").alias("step"),
@@ -750,9 +833,14 @@ def deterministic_walks(
         pick = h60(
             F.concat_ws(":", F.col("walk_id"), F.lit(str(t)), F.col("cur"))
         ) % F.col("deg")
+        stepped = frontier.join(degs, frontier.cur == degs.node).select(
+            "walk_id", "cur", pick.alias("pick")
+        )
         frontier = (
-            frontier.join(ai, frontier.cur == ai.node)
-            .where(F.col("idx") == pick)
+            stepped.join(
+                ai,
+                (stepped.cur == ai.node) & (stepped.pick == ai.idx),
+            )
             .select(
                 "walk_id",
                 F.col("nbr").alias("cur"),
@@ -1185,7 +1273,7 @@ def strongly_connected_components(
 
 def betweenness_k(
     edges: DataFrame, seeds: DataFrame, max_depth: int,
-    pre_deduped: bool = False,
+    pre_deduped: bool = False, symmetrize: bool = False,
 ) -> DataFrame:
     """Seed-sampled, depth-bounded betweenness centrality — Brandes'
     algorithm (J. Math. Sociol. '01) in its landmark form: dependency
@@ -1217,12 +1305,18 @@ def betweenness_k(
     # would multiply sigma and every backward contribution (unlike
     # harmonic/BFS, whose min-level semantics are duplicate-immune), so
     # the operator dedupes its input unless the caller vouches for
-    # distinctness (``pre_deduped=True`` — the gates pass a distinct,
-    # already-checkpointed edge set; re-dedup would re-shuffle and
-    # re-materialize the full table for nothing).
+    # distinctness (``pre_deduped=True``).  With ``symmetrize=True`` the
+    # caller passes the raw DIRECTED edge set and the undirected closure
+    # is built here; the dedup then runs on the 16 B id pairs, NOT the
+    # string pairs — the gates previously materialized a string-pair
+    # distinct of the largest table in the query just to re-hash it.
     kedges = edges.select("src_key", "dst_key")
-    if not pre_deduped:
-        kedges = kedges.distinct().transform(cut_lineage)
+    if symmetrize:
+        kedges = kedges.unionByName(
+            kedges.select(
+                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
+            )
+        )
     # The loops iterate on 8-byte xxhash64 node ids (the kcore/hits
     # discipline): σ/δ arithmetic never looks at the key, so every
     # per-level shuffle, aggregate and anti-join carries 16 B of ids
@@ -1233,7 +1327,10 @@ def betweenness_k(
     # on the final node-sized aggregate.
     e = kedges.select(
         F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
-    ).transform(cut_lineage)
+    )
+    if symmetrize or not pre_deduped:
+        e = e.distinct()
+    e = e.transform(cut_lineage)
     l0 = seeds.select(
         F.xxhash64("seed").alias("seed"),
         F.xxhash64("seed").alias("key"),
@@ -1297,12 +1394,16 @@ def betweenness_k(
             .where(F.lit(False))
             .withColumn("bc_micro", F.lit(0).cast("long"))
         )
-    keymap = (
+    # symmetrized kedges already lists every node on the src side — one
+    # projection + node-sized distinct instead of a two-sided union
+    keymap_src = (
         kedges.select(F.col("src_key").alias("key"))
-        .unionByName(kedges.select(F.col("dst_key").alias("key")))
-        .distinct()
-        .select(F.xxhash64("key").alias("nid"), "key")
+        if symmetrize
+        else kedges.select(F.col("src_key").alias("key")).unionByName(
+            kedges.select(F.col("dst_key").alias("key"))
+        )
     )
+    keymap = keymap_src.distinct().select(F.xxhash64("key").alias("nid"), "key")
     agg = out.groupBy("key").agg(F.sum("delta").cast("long").alias("bc_micro"))
     return (
         agg.join(keymap, agg.key == keymap.nid)

@@ -57,9 +57,25 @@ def cosine(a: Column, b: Column) -> Column:
     / below any positive threshold.  The SQL oracles carry the identical
     CASE guard (queries_pipeline._cos_sql).
     """
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return _cos_pre(a, b, _norm(a), _norm(b))
+
+
+def _norm(v: Column) -> Column:
+    """L2 norm, sequential fold — the exact subexpression ``cosine`` uses."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the norms supplied as columns.
+
+    Hoisting the norms to one column per row (instead of re-folding both
+    arrays inside every pair evaluation) is the pair-join optimization:
+    the arithmetic — same doubles, same sequential fold, same guard — is
+    unchanged, so rounded values are bit-identical to ``cosine``.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     return F.when(na * nb == F.lit(0.0), F.lit(0.0)).otherwise(dot / (na * nb))
 
 
@@ -94,13 +110,32 @@ def ivf_assign(
     sort-shuffle all n·k rows).  ``vec`` is constant within an id group,
     so ``first(vec)`` is deterministic here.
     """
+    # single select (not select + withColumn): a second Project on top of
+    # an upstream orderBy().limit() blocks CollapseProject (the cast would
+    # be duplicated) and with it the TakeOrderedAndProject pattern — the
+    # k-row anchor side would plan as a 2-Exchange global sort
     a = anchors.select(
-        F.col("anchor_id"), _as_double("vec").alias("avec")
+        F.col("anchor_id"),
+        _as_double("vec").alias("avec"),
+        _norm(_as_double("vec")).alias("anorm"),
     )
+    # norms hoisted to one column per vector / per anchor: the n·k scored
+    # rows then evaluate only the dot product — same doubles, same fold
+    # order, so the 9dp rounded cosine is bit-identical while the norm
+    # flops drop from 2·n·k·d to (n + k)·d (guide §2.3 "don't recompute")
     scored = (
         emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+        .withColumn("vnorm", _norm(F.col("vec")))
         .join(F.broadcast(a))
-        .withColumn("cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9))
+        .withColumn(
+            "cos_a",
+            F.round(
+                _cos_pre(
+                    F.col("vec"), F.col("avec"), F.col("vnorm"), F.col("anorm")
+                ),
+                9,
+            ),
+        )
     )
     best = F.max(F.struct(F.col("cos_a"), (-F.col("anchor_id")).alias("neg_anchor")))
     return (
@@ -214,12 +249,22 @@ def probe_assign(
     shuffle is the n-row repartition, never the n·m scored rows
     (asserted in tests/test_plans.py).
     """
-    a = anchors.select(F.col("anchor_id"), _as_double("vec").alias("avec"))
+    # single select — see ivf_assign: a stacked withColumn over the k-row
+    # orderBy().limit() anchor table defeats TakeOrderedAndProject
+    a = anchors.select(
+        F.col("anchor_id"),
+        _as_double("vec").alias("avec"),
+        _norm(_as_double("vec")).alias("an"),
+    )
+    # norms hoisted per vector / per anchor (bit-identical; see ivf_assign)
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    ).repartition("id")
+    ).withColumn("vn", _norm(F.col("vec"))).repartition("id")
     scored = base.join(F.broadcast(a)).withColumn(
-        "cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9)
+        "cos_a",
+        F.round(
+            _cos_pre(F.col("vec"), F.col("avec"), F.col("vn"), F.col("an")), 9
+        ),
     )
     from pyspark.sql import Window
 
@@ -274,22 +319,38 @@ def knn_graph(
     # anchors are referenced by every scoring branch and are typically
     # DERIVED from the embeddings table (prefix_anchors/k-means) — the
     # cut stops each reference re-scanning the corpus for a tiny table
+    # Norms are hoisted EVERYWHERE a pair is scored (one column per
+    # vector / per anchor instead of a re-fold inside every pair
+    # evaluation): same doubles, same sequential fold order, so every
+    # rounded cosine is bit-identical while the scoring passes evaluate
+    # only the dot product per pair (guide §2.3).
     a = cut_lineage(
-        anchors.select(F.col("anchor_id"), _as_double("vec").alias("avec"))
+        anchors.select(
+            F.col("anchor_id"),
+            _as_double("vec").alias("avec"),
+            _norm(_as_double("vec")).alias("an"),
+        )
     )
     base = emb.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    ).repartition("id")
+    ).withColumn("vn", _norm(F.col("vec"))).repartition("id")
 
     if n_super is None:
         scored = base.join(F.broadcast(a)).withColumn(
-            "cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9)
+            "cos_a",
+            F.round(
+                _cos_pre(F.col("vec"), F.col("avec"), F.col("vn"), F.col("an")), 9
+            ),
         )
     else:
         sup = (
             a.orderBy("anchor_id")
             .limit(n_super)
-            .select(F.col("anchor_id").alias("super_id"), F.col("avec").alias("svec"))
+            .select(
+                F.col("anchor_id").alias("super_id"),
+                F.col("avec").alias("svec"),
+                F.col("an").alias("sn"),
+            )
         )
         # level 1: anchor → coarse cell (argmax over s supers; m·s work)
         best_s = F.max(
@@ -297,10 +358,22 @@ def knn_graph(
         )
         a2s = (
             a.join(F.broadcast(sup))
-            .withColumn("cos_s", F.round(cosine(F.col("avec"), F.col("svec")), 9))
+            .withColumn(
+                "cos_s",
+                F.round(
+                    _cos_pre(F.col("avec"), F.col("svec"), F.col("an"), F.col("sn")),
+                    9,
+                ),
+            )
             .groupBy("anchor_id")
-            .agg(F.first("avec").alias("avec"), best_s.alias("b"))
-            .select("anchor_id", "avec", (-F.col("b.neg_super")).alias("super_id"))
+            .agg(
+                F.first("avec").alias("avec"),
+                F.first("an").alias("an"),
+                best_s.alias("b"),
+            )
+            .select(
+                "anchor_id", "avec", "an", (-F.col("b.neg_super")).alias("super_id")
+            )
         )
         # level 2: vector → top-n_probe coarse cells (n·s work)
         w_s = Window.partitionBy("id").orderBy(
@@ -308,32 +381,35 @@ def knn_graph(
         )
         v2s = (
             base.join(F.broadcast(sup))
-            .withColumn("cos_s", F.round(cosine(F.col("vec"), F.col("svec")), 9))
+            .withColumn(
+                "cos_s",
+                F.round(
+                    _cos_pre(F.col("vec"), F.col("svec"), F.col("vn"), F.col("sn")),
+                    9,
+                ),
+            )
             .withColumn("rn_s", F.row_number().over(w_s))
             .where(F.col("rn_s") <= n_probe)
-            .select("id", "vec", "super_id")
+            .select("id", "vec", "vn", "super_id")
         )
         # level 3: score only the anchors inside the shortlisted cells
         scored = v2s.join(F.broadcast(a2s), "super_id").withColumn(
-            "cos_a", F.round(cosine(F.col("vec"), F.col("avec")), 9)
+            "cos_a",
+            F.round(
+                _cos_pre(F.col("vec"), F.col("avec"), F.col("vn"), F.col("an")), 9
+            ),
         )
 
     w_a = Window.partitionBy("id").orderBy(F.col("cos_a").desc(), F.col("anchor_id"))
-    # norms are hoisted to one column per row (n·n_probe rows) so the
-    # candidate loop evaluates only the dot product — the norm lambda is
-    # the same double expression, computed once instead of per pair
-    # (identical value, so the 6dp round and the oracle are unchanged)
-    nrm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     # cut_lineage: assignments feeds BOTH the probe side and the primary
     # side of the candidate join — uncut, the entire assignment scoring
     # (every vector × every probed anchor) runs twice (8 embeddings
-    # scans measured in the gate's plan)
+    # scans measured in the gate's plan).  `vn` (hoisted above) is the
+    # same double the old per-row norm fold produced.
     assignments = (
         scored.withColumn("rn", F.row_number().over(w_a))
         .where(F.col("rn") <= n_probe)
-        .select("id", "vec", "anchor_id", "rn", nrm(F.col("vec")).alias("na"))
+        .select("id", "vec", "anchor_id", "rn", F.col("vn").alias("na"))
         .transform(cut_lineage)
     )
     probes = assignments
@@ -757,6 +833,58 @@ def ivfpq_topk(
 _PCA_Q = 1 << 20  # fixed-point scale for moments, covariance, and vectors
 
 
+def _moment_partials(d: int, s: float):
+    """Per-task quantized Gram + mean partial sums for :func:`pca_power`.
+
+    Emits, once per task: the upper triangle (i ≤ j) of
+    Σ_rows floor((x_i·x_j)·s) as int64, plus one row per dimension with
+    j = −1 carrying Σ_rows floor(x_i·s), and the task's row count ``n``.
+    Every float op matches the SQL/explode formulation exactly —
+    (x_i·x_j) then ·s, IEEE doubles, floor — and int64 addition is
+    associative, so downstream SUMs of these partials are bit-identical
+    to the global per-(i, j) sums.  Rows are processed in bounded chunks
+    so the (chunk, d, d) outer-product block stays small.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        acc = np.zeros((d, d), dtype=np.int64)
+        acc_m = np.zeros(d, dtype=np.int64)
+        n = 0
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            x = flat.reshape(-1, d)
+            n += x.shape[0]
+            for lo in range(0, x.shape[0], 512):
+                blk = x[lo:lo + 512]
+                prod = blk[:, :, None] * blk[:, None, :]
+                acc += np.floor(prod * s).astype(np.int64).sum(axis=0)
+            acc_m += np.floor(x * s).astype(np.int64).sum(axis=0)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        out_i = np.concatenate([iu, np.arange(d)]).astype(np.int32)
+        out_j = np.concatenate([ju, np.full(d, -1)]).astype(np.int32)
+        out_s = np.concatenate([acc[iu, ju], acc_m])
+        out_n = np.full(out_i.shape[0], n, dtype=np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_i, type=pa.int32()),
+                pa.array(out_j, type=pa.int32()),
+                pa.array(out_s, type=pa.int64()),
+                pa.array(out_n, type=pa.int64()),
+            ],
+            names=["i", "j", "s", "n"],
+        )
+
+    return fn
+
+
 def pca_power(
     emb: DataFrame,
     vec_col: str = "embedding",
@@ -793,19 +921,24 @@ def pca_power(
     # dimension guard: ANSI element_at THROWS on short vectors (DuckDB
     # yields NULL) — malformed rows must be excluded, not crash the scan
     base = emb.select(v.alias("x")).where(F.size("x") == d)
-    # upper-triangle second moments, mirrored to the full grid
-    tri = base.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, {d - 1}), i ->"
-                f" transform(sequence(i, {d - 1}), j -> struct(i AS i, j AS j,"
-                f" cast(floor(element_at(x, i + 1) * element_at(x, j + 1)"
-                f" * {float(S)!r}) as bigint) AS q))))"
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.q")
-    sm_up = tri.groupBy("i", "j").agg(
-        F.sum("q").alias("s_xy"), F.count("*").alias("n")
+    # Second moments + means in ONE Arrow pass (guide §4.2, and this
+    # docstring's own 100 TB plan): each task folds its rows into a d×d
+    # int64 Gram accumulator with NumPy — floor((x_i·x_j)·2²⁰) per row
+    # element, the IDENTICAL IEEE product order and floor the explode
+    # formulation evaluated, summed in int64 (associative, so partial
+    # sums per task then a 2080-group aggregate reproduce the global
+    # sums bit-for-bit).  The old shape exploded d·(d+1)/2 structs per
+    # row through a hash aggregate — ~2080× the aggregate input rows.
+    # materialized once: the tiny partial table feeds the moment
+    # aggregate AND the means aggregate — uncut, the corpus-sized Arrow
+    # pass would run once per consumer
+    parts = cut_lineage(
+        base.mapInArrow(
+            _moment_partials(d, float(S)), "i int, j int, s long, n long"
+        )
+    )
+    sm_up = parts.where(F.col("j") >= 0).groupBy("i", "j").agg(
+        F.sum("s").alias("s_xy"), F.sum("n").alias("n")
     )
     sm = sm_up.unionByName(
         sm_up.where(F.col("i") != F.col("j")).select(
@@ -813,14 +946,11 @@ def pca_power(
             F.col("s_xy"), F.col("n"),
         )
     )
-    means = base.select(
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {d - 1}), i -> struct(i AS i,"
-                f" cast(floor(element_at(x, i + 1) * {float(S)!r}) as bigint) AS q))"
-            )
-        ).alias("p")
-    ).select("p.i", "p.q").groupBy("i").agg(F.sum("q").alias("s_x"))
+    means = (
+        parts.where(F.col("j") == -1)
+        .groupBy("i")
+        .agg(F.sum("s").alias("s_x"))
+    )
     # n is constant; fold it into the mean tables via a broadcast 1-row agg
     nrow = sm_up.agg(F.max("n").alias("n"))
     mi = means.crossJoin(F.broadcast(nrow)).select(
@@ -1307,8 +1437,20 @@ def kcenter_coreset(
         return F.array(*[F.lit(float(x)) for x in xs]).cast("array<double>")
 
     chosen: list[tuple[int, int, float | None]] = [(0, seed.id, None)]
+    # the row-vector norm is hoisted ONCE into the materialized frame —
+    # every round's distance update then folds only the dot product
+    # (k rounds × n rows × d norm flops saved; same doubles, same order,
+    # so the 6dp rounded distances are bit-identical)
+    v = v.withColumn("vn", _norm(F.col("vec")))
     cur = v.withColumn(
-        "dmin", F.round(F.lit(1.0) - cosine(F.col("vec"), _lit_vec(seed.vec)), 6)
+        "dmin",
+        F.round(
+            F.lit(1.0)
+            - _cos_pre(
+                F.col("vec"), _lit_vec(seed.vec), F.col("vn"), _norm(_lit_vec(seed.vec))
+            ),
+            6,
+        ),
     ).transform(cut_lineage)
     for r in range(1, k):
         top = (
@@ -1330,7 +1472,16 @@ def kcenter_coreset(
             "dmin",
             F.least(
                 "dmin",
-                F.round(F.lit(1.0) - cosine(F.col("vec"), _lit_vec(t.vec)), 6),
+                F.round(
+                    F.lit(1.0)
+                    - _cos_pre(
+                        F.col("vec"),
+                        _lit_vec(t.vec),
+                        F.col("vn"),
+                        _norm(_lit_vec(t.vec)),
+                    ),
+                    6,
+                ),
             ),
         ).transform(cut_lineage)
     return spark.createDataFrame(chosen, "rank long, id long, dist double")

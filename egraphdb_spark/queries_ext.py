@@ -1128,22 +1128,16 @@ def q_graph_harmonic(spark, sf_dir):
     from .operators.graph_algos import harmonic_centrality
 
     g = _fixture(spark, sf_dir)
-    e = g.edges.select("src_key", "dst_key")
-    und = (
-        e.unionByName(
-            e.select(
-                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
-            )
-        )
-        .distinct()
-        # materialized once — the BFS joins this table every round, and a
-        # lazy union+distinct would re-shuffle 2|E| rows per round
-        .transform(cut_lineage)
-    )
     seeds = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
     )
-    return harmonic_centrality(und, seeds, max_depth=3)
+    # the operator symmetrizes and dedups INTERNALLY on the 8-byte id
+    # pairs — the old gate-side string-pair distinct materialized the
+    # largest table in the query only to be re-hashed immediately
+    return harmonic_centrality(
+        g.edges.select("src_key", "dst_key"), seeds, max_depth=3,
+        symmetrize=True,
+    )
 
 
 O_GRAPH_HARMONIC = """
@@ -1262,23 +1256,16 @@ def q_graph_betweenness(spark, sf_dir):
     from .operators.graph_algos import betweenness_k
 
     g = _fixture(spark, sf_dir)
-    e = g.edges.select("src_key", "dst_key")
-    und = (
-        e.unionByName(
-            e.select(
-                F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
-            )
-        )
-        .distinct()
-        .transform(cut_lineage)
-    )
     seeds = _t(spark, sf_dir, "nation").select(
         F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("seed")
     )
-    # und is already distinct and checkpointed above — skip the
-    # operator's defensive re-dedup (one full shuffle + materialization
-    # of the largest table in the query)
-    return betweenness_k(und, seeds, max_depth=3, pre_deduped=True)
+    # the operator symmetrizes and dedups INTERNALLY on the 8-byte id
+    # pairs — the old gate-side string-pair distinct materialized the
+    # largest table in the query only to be re-hashed immediately
+    return betweenness_k(
+        g.edges.select("src_key", "dst_key"), seeds, max_depth=3,
+        symmetrize=True,
+    )
 
 
 _BC_EDGES = """
