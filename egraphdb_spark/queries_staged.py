@@ -694,23 +694,34 @@ def q_dedup_hamming64_pairs(spark, sf_dir):
     exact copies (doc_id%25==13, +2000000), so the gate exercises
     hamming 0 and small-positive distances on any corpus.  Band hot
     buckets are df-capped at 20 (mirrored)."""
-    from .operators.dedup import hamming64_pairs, simhash64
+    from .operators.dedup import hamming64_pairs, shingle_table, simhash64
+    from .queries_pipeline import doc_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    uni = (
-        docs.selectExpr("doc_id as id", "text")
-        .unionByName(
-            docs.where("doc_id % 25 = 0").selectExpr(
-                "doc_id + 1000000 as id", "text || ' qq' as text"
-            )
-        )
-        .unionByName(
-            docs.where("doc_id % 25 = 13").selectExpr(
-                "doc_id + 2000000 as id", "text"
-            )
-        )
+    # Assemble the union's shingle table from the SHARED cached corpus
+    # shingle table instead of re-normalizing + re-exploding + re-hashing
+    # the whole tripled corpus (guide §2.4 — don't recompute a derived
+    # table the session already materialized): the base family IS
+    # doc_shingles; the exact-copy family (+2000000, text unchanged) has
+    # the identical shingle rows under the shifted id; only the
+    # near-copies (4 % of docs, text actually modified) are re-shingled.
+    # The shingle multiset per id is unchanged, so simhash64 — and the
+    # declared result — are bit-identical.
+    base_sh = doc_shingles(spark, sf_dir)
+    near_sh = shingle_table(
+        docs.where("doc_id % 25 = 0").selectExpr(
+            "doc_id + 1000000 as id", "text || ' qq' as text"
+        ),
+        "id",
+        "text",
     )
-    sh = simhash64(uni, "id", "text")
+    shingles = base_sh.unionByName(
+        base_sh.where("id % 25 = 13").selectExpr(
+            "id + 2000000 as id", "shingle", "h"
+        )
+    ).unionByName(near_sh)
+    sh = simhash64(docs.selectExpr("doc_id as id", "text"), "id", "text",
+                   shingles=shingles)
     return hamming64_pairs(sh, radius=3, max_band_df=20).orderBy(
         "id_a", "id_b"
     )
