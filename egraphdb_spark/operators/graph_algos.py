@@ -45,9 +45,17 @@ def connected_components(
         .distinct()
         .select("key", F.col("key").alias("component"))
     )
+    # DELTA propagation (the SSSP frontier trick for monotone min): only
+    # nodes whose label DROPPED last round send messages.  An unchanged
+    # node already delivered its label to every neighbor the round it
+    # last changed, and min is monotone, so dropping its re-sends leaves
+    # every per-round label — and the round the fixpoint fires —
+    # identical, while rounds 2+ join O(changed-adjacent edges) instead
+    # of O(|E|).
+    senders = labels
     for _ in range(max_iter):
         msgs = (
-            e.join(labels, e.src_key == labels.key)
+            e.join(senders, e.src_key == senders.key)
             .select(F.col("dst_key").alias("key"), F.col("component"))
         )
         # one aggregate yields BOTH the new minimum and the previous
@@ -67,6 +75,9 @@ def connected_components(
         )
         changed = (
             merged.where(F.col("component") != F.col("old")).limit(1).count()
+        )
+        senders = merged.where(F.col("component") != F.col("old")).select(
+            "key", "component"
         )
         labels = merged.select("key", "component")
         if changed == 0:
@@ -1168,6 +1179,15 @@ def strongly_connected_components(
     are limit(1) existence probes, not counts over the full frame.
     """
     raw = edges.select("src_key", "dst_key")
+    # The loops iterate on the CALLER'S keys, not xxhash64 ids — the
+    # kcore/betweenness id-space discipline was tried here and measured
+    # SLOWER (interleaved same-session A/B at sf0.1: 10.5-24.0 s vs
+    # 8.5-17.2 s): the coloring's outer/inner round counts depend on the
+    # label ORDER, and an arbitrary relabeling bought narrower shuffles
+    # at the price of an extra outer round and more color rounds on
+    # every graph tested.  Round counts dominate row width for this
+    # operator.
+    #
     # node set from the UNFILTERED edges: a node appearing only in a
     # self-loop is still a (singleton) SCC
     nodes = (
@@ -1196,9 +1216,17 @@ def strongly_connected_components(
             .transform(cut_lineage)
         )
         c = active.select("key", F.col("key").alias("color"))
+        # DELTA propagation (the SSSP frontier trick for monotone max):
+        # only nodes whose color ROSE last round send messages.  An
+        # unchanged node u already delivered its color to every
+        # out-neighbor the round it last changed, and max is monotone,
+        # so dropping its re-sends leaves every per-round color — and
+        # the round the probe fires — bit-identical, while rounds 2+
+        # join O(changed-adjacent edges) instead of O(|E|).
+        changed = c
         stable = False
         for _ in range(max_inner):
-            msgs = e.join(c, e.src_key == c.key).select(
+            msgs = e.join(changed, e.src_key == changed.key).select(
                 F.col("dst_key").alias("key"), "color"
             )
             # the aggregate carries the previous color (max over rows
@@ -1219,6 +1247,9 @@ def strongly_connected_components(
             stable = (
                 nc.where(F.col("color") != F.col("old")).limit(1).isEmpty()
             )
+            changed = nc.where(F.col("color") != F.col("old")).select(
+                "key", "color"
+            )
             c = nc.select("key", "color")
             if stable:
                 break
@@ -1229,18 +1260,27 @@ def strongly_connected_components(
         reach = c.where(F.col("key") == F.col("color")).select(
             "key", F.col("color").alias("root")
         ).transform(cut_lineage)
+        frontier = reach
         walk_done = False
         for _ in range(max_inner):
             # walk one step backward: u -> v with v settled-for-root and
-            # c(u) = root  ⇒  u is in SCC(root)
+            # c(u) = root  ⇒  u is in SCC(root).  Joining the FRONTIER
+            # (last hop) instead of the whole growing reach set yields
+            # the identical per-hop candidates — any u adjacent to an
+            # older reach member was a candidate on the hop after that
+            # member joined, so it is already in reach and the anti-join
+            # removes it either way — while the edge join stays
+            # O(frontier-adjacent edges) instead of O(reach-adjacent).
+            # The anti-join keys on the node alone: a node belongs to at
+            # most one color class, so (key, root) is determined by key.
             cand = (
-                e.join(reach, e.dst_key == reach.key)
+                e.join(frontier, e.dst_key == frontier.key)
                 .select(F.col("src_key").alias("key"), "root")
                 .join(c, "key")
                 .where(F.col("color") == F.col("root"))
                 .select("key", "root")
-                .join(reach, ["key", "root"], "left_anti")
                 .distinct()
+                .join(reach.select("key"), "key", "left_anti")
                 .transform(cut_lineage)
             )
             if cand.limit(1).isEmpty():
@@ -1250,6 +1290,7 @@ def strongly_connected_components(
             # harmonic-centrality visited-set discipline): re-cutting
             # the growing union would re-materialize O(rounds²) rows
             reach = reach.unionByName(cand)
+            frontier = cand
         if not walk_done:
             # incomplete SCC membership would make even the found
             # members' min-key component id wrong — settle nothing
@@ -1362,11 +1403,19 @@ def betweenness_k(
             F.col("seed"), F.col("key").alias("w"),
             F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
         )
+        # join the SHALLOWER level frame to the edges first, then attach
+        # the successor frame — inner joins commute and every integer
+        # term is unchanged, so the aggregate is bit-identical, but the
+        # intermediate is "out-edges of L_lv" instead of "in-edges of
+        # L_{lv+1}": on the symmetrized graph the old order dragged every
+        # edge adjacent to the (largest) deepest level through the
+        # shallow passes only to discard it in the L_lv join (profiled:
+        # the two backward cuts were the top cost of the query).
+        lvf = levels[lv]
         contrib = (
-            e.join(succ, e.dst == succ.w)
-            .select("seed", F.col("src").alias("key"),
-                    "sigma_w", "delta_w")
-            .join(levels[lv], ["seed", "key"])
+            lvf.join(e, lvf.key == e.src)
+            .select("seed", "key", "sigma", F.col("dst").alias("w"))
+            .join(succ, ["seed", "w"])
             .groupBy("seed", "key")
             .agg(
                 F.sum(

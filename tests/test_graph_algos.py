@@ -19,6 +19,17 @@ def test_cc_two_components(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_cc_long_chain_delta_rounds(spark):
+    # 12-node path: min-label propagation needs ~11 rounds, so the delta
+    # sender set (only nodes whose label dropped last round) shrinks and
+    # re-expands across many iterations — exercises the frontier variant
+    # well past the 1-2-round graphs above
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    e = _edges(spark, pairs)
+    got = {r["key"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {f"n{i:02d}": "n00" for i in range(12)}
+
+
 def test_cc_directed_chain_undirected_semantics(spark):
     # undirected=True joins a long chain into one component even though
     # edges all point one way
@@ -392,6 +403,24 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     seeds = spark.createDataFrame([], "key string")
     with _pytest.raises(ValueError, match="seeds"):
         personalized_pagerank(e, seeds)
+
+
+def test_betweenness_path_deep_backward_chain(spark):
+    """Path a-b-c-d-e, seed a, depth 4 — four backward passes chained
+    (δ accumulates level by level), pinning the level-side-first join
+    order of the backward pass against hand-run Brandes."""
+    from egraphdb_spark.operators.graph_algos import betweenness_k
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src_key string, dst_key string"
+    )
+    seeds = spark.createDataFrame([("a",)], "seed string")
+    got = {r.key: r.bc_micro for r in betweenness_k(edges, seeds, 4).collect()}
+    # sigma = 1 everywhere; delta(e)=0, d=1e6, c=2e6, b=3e6
+    assert got == {
+        "b": 3_000_000, "c": 2_000_000, "d": 1_000_000, "e": 0,
+    }, got
 
 
 def test_betweenness_k_hand_computed_diamond(spark):
