@@ -248,9 +248,28 @@ def bfs_levels(edges: DataFrame, src_key: str, max_depth: int) -> DataFrame:
     return visited
 
 
+def _seed_bits(seeds: DataFrame):
+    """(ranked seeds frame, count) for the MS-BFS batching: distinct seed
+    values, each assigned a dense index ``i`` (bit ``i % 64`` of batch
+    ``i div 64``).  The window is unpartitioned BY DESIGN: seeds are a
+    bounded landmark set (the documented scale knob of every caller), so
+    the single-partition sort is a dimension-table sort, never data-sized.
+    The count is a bounded driver action for the batch loop range only.
+    """
+    from pyspark.sql import Window
+
+    ranked = (
+        seeds.select("seed")
+        .distinct()
+        .withColumn("i", F.row_number().over(Window.orderBy("seed")) - 1)
+        .transform(cut_lineage)
+    )
+    return ranked, ranked.count()
+
+
 def harmonic_centrality(
     edges: DataFrame, seeds: DataFrame, max_depth: int,
-    symmetrize: bool = False,
+    symmetrize: bool = False, pre_deduped: bool = False,
 ) -> DataFrame:
     """Seed-set harmonic centrality: for every node reachable from the
     seed set, ``(key, n_sources, harmonic_micro)`` where harmonic_micro =
@@ -260,33 +279,40 @@ def harmonic_centrality(
     sampling is the standard scale-out, Boldi & Vigna "Axioms for
     Centrality" 2014).
 
-    Level-synchronous multi-source BFS: the frontier carries (seed, key)
-    PAIRS, so one round of |seeds| BFS walks costs the same joins as one
-    single-source round; the per-seed visited set is the anti-join
-    dedup, which keeps each (seed, node) at its FIRST (minimum) level —
-    all arithmetic on the resulting integer distances is exact.
+    Batched multi-source BFS (MS-BFS, Then et al. VLDB'15 "The More the
+    Merrier"): seeds are processed in batches of ≤ 64, and within a batch
+    each node's BFS state is ONE LONG — bit i set ⟺ seed i has reached
+    the node.  A round is then
 
-    Scale: frontier/visited are bounded by |seeds|·|nodes| rows of two
-    keys; each round is one join on the node key (co-partitioned with the
-    previous round's output) + one anti-join.  Only each round's *hop* is
-    ``localCheckpoint``-ed (the kcore/pagerank discipline); the visited
-    set stays a plain union of those checkpointed hops — re-checkpointing
-    the growing union would re-materialize O(rounds²) rows and compound
-    the union's partition count into every later stage.  Seeds should be
-    a bounded landmark set (dimension keys, or a hash sample); the oracle
-    mirrors with a set-semantics recursive CTE.
+      * messages: one row PER EDGE out of the frontier (not per
+        (seed, edge) pair — the pre-r10 shape), carrying the sender's
+        newly-set bits: 16 B rows, |E|-bounded;
+      * merge: ``bit_or`` per destination — map-side combinable, so the
+        shuffle carries one long per (dst, map partition);
+      * update: newly = merged & ~mask; per-seed FIRST-reach levels drop
+        out exactly as in the pair form because a bit, once set, is never
+        re-delivered (min-level semantics ⟺ monotone bit-OR).
+
+    Every per-(seed,node) distance is identical to the pair-at-a-time
+    BFS, so the integer 10⁶ div d arithmetic — and the declared result —
+    is bit-identical; only the row representation changed.  Seeds must be
+    distinct values (duplicates are collapsed, as before).
+
+    Scale: state is |V| rows × (two longs); messages are |E|-bounded per
+    round per 64-seed batch (vs |E|·|seeds| pair rows) — the |seeds|
+    factor moves from the shuffle into bit-parallel CPU work.  Each
+    round's state frame is ``localCheckpoint``-ed (kcore/pagerank
+    discipline); seeds are a bounded landmark set (the documented scale
+    knob), batches beyond 64 seeds run as independent passes whose
+    per-level bit counts add.
     """
     # The BFS iterates on 8-byte xxhash64 node ids (the kcore/hits
-    # discipline): level arithmetic never looks at the key, so each
-    # round's (seed, key) frontier join, distinct and anti-join carry
-    # 16 B of ids instead of two strings — the deepest round emits
-    # millions of pairs and dominates the query (profiled ~70 %).  The
-    # id→key map joins back once, on the final node-sized aggregate.
-    # With ``symmetrize=True`` the caller passes the raw DIRECTED edge
-    # set and the undirected closure is built here — union, then
-    # distinct on the 16 B id pairs, NOT on the string pairs, so the
-    # edge-sized dedup shuffle carries ids (the gates previously
-    # materialized a string-pair distinct just to feed this hash).
+    # discipline): level arithmetic never looks at the key, so message
+    # rows carry 16 B of ids+bits instead of strings.  The id→key map
+    # joins back once, on the final node-sized aggregate.  With
+    # ``symmetrize=True`` the caller passes the raw DIRECTED edge set and
+    # the undirected closure is built here — union, then distinct on the
+    # 16 B id pairs, NOT on the string pairs.
     eb = edges.select("src_key", "dst_key")
     if symmetrize:
         eb = eb.unionByName(
@@ -297,28 +323,59 @@ def harmonic_centrality(
     e = eb.select(
         F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
     )
-    if symmetrize:
+    # BFS min-level semantics are duplicate-immune (bit_or is idempotent),
+    # so the dedup exists only to shrink the per-round message joins.
+    # ``pre_deduped=True`` callers vouch the (symmetrized) union is
+    # duplicate-free and skip the edge-sized shuffle outright; the cut
+    # then materializes a shuffle-free projection.
+    if symmetrize and not pre_deduped:
         e = e.distinct()
     e = e.transform(cut_lineage)
-    visited = seeds.select(
-        F.xxhash64("seed").alias("seed"),
-        F.xxhash64("seed").alias("key"),
-        F.lit(0).alias("level"),
-    ).transform(cut_lineage)
-    frontier = visited.select("seed", "key")
-    for level in range(1, max_depth + 1):
-        hop = (
-            e.join(frontier, e.src == frontier.key)
-            .select("seed", F.col("dst").alias("key"))
-            .distinct()
-            .join(visited.select("seed", "key"), ["seed", "key"], "left_anti")
-            .select("seed", "key", F.lit(level).alias("level"))
-            .transform(cut_lineage)
+    ranked, n_seeds = _seed_bits(seeds)
+    # per-level newly-reached frames: (key, ns = seeds first reaching the
+    # node at this level, hm = ns * (10^6 div level)); level is a Python
+    # constant per frame so the div folds at plan time
+    hops: list[DataFrame] = []
+    for b in range(0, n_seeds, 64):
+        init = (
+            ranked.where((F.col("i") >= b) & (F.col("i") < b + 64))
+            .select(
+                F.xxhash64("seed").alias("key"),
+                F.expr("shiftleft(1L, int(i % 64))").alias("bit"),
+            )
+            .groupBy("key")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
         )
-        if hop.isEmpty():
-            break
-        visited = visited.unionByName(hop)
-        frontier = hop.select("seed", "key")
+        state = init.select(
+            "key", "mask", F.col("mask").alias("new")
+        ).transform(cut_lineage)
+        for level in range(1, max_depth + 1):
+            frontier = state.where(F.col("new") != 0).select("key", "new")
+            msgs = (
+                e.join(frontier, e.src == frontier.key)
+                .groupBy(F.col("dst").alias("key"))
+                .agg(F.expr("bit_or(new)").alias("m"))
+            )
+            state = (
+                msgs.join(state.select("key", "mask"), "key", "full")
+                .select(
+                    "key",
+                    F.expr("coalesce(m, 0L) | coalesce(mask, 0L)").alias("mask"),
+                    F.expr("coalesce(m, 0L) & ~coalesce(mask, 0L)").alias("new"),
+                )
+                .transform(cut_lineage)
+            )
+            hop = state.where(F.col("new") != 0)
+            if hop.limit(1).isEmpty():
+                break
+            hops.append(
+                hop.select(
+                    "key",
+                    F.bit_count("new").cast("long").alias("ns"),
+                    (F.bit_count("new").cast("long") * F.lit(10**6 // level))
+                    .alias("hm"),
+                )
+            )
     # symmetrized eb already lists every node on the src side — one
     # projection + node-sized distinct instead of a two-sided union
     keymap_src = (
@@ -331,13 +388,19 @@ def harmonic_centrality(
     keymap = keymap_src.distinct().select(
         F.xxhash64("k").alias("nid"), F.col("k").alias("key")
     )
-    agg = (
-        visited.where(F.col("level") > 0)
-        .groupBy("key")
-        .agg(
-            F.count("*").cast("long").alias("n_sources"),
-            F.sum(F.expr("1000000 div level")).cast("long").alias("harmonic_micro"),
-        )
+    if not hops:
+        reached = e.select(
+            F.col("src").alias("key"),
+            F.lit(0).cast("long").alias("ns"),
+            F.lit(0).cast("long").alias("hm"),
+        ).where(F.lit(False))
+    else:
+        reached = hops[0]
+        for h in hops[1:]:
+            reached = reached.unionByName(h)
+    agg = reached.groupBy("key").agg(
+        F.sum("ns").cast("long").alias("n_sources"),
+        F.sum("hm").cast("long").alias("harmonic_micro"),
     )
     return (
         agg.join(keymap, agg.key == keymap.nid)
@@ -1358,84 +1421,168 @@ def betweenness_k(
                 F.col("dst_key").alias("src_key"), F.col("src_key").alias("dst_key")
             )
         )
-    # The loops iterate on 8-byte xxhash64 node ids (the kcore/hits
-    # discipline): σ/δ arithmetic never looks at the key, so every
-    # per-level shuffle, aggregate and anti-join carries 16 B of ids
-    # instead of two key strings — at depth 3 the frontier joins emit
-    # tens of millions of rows, and halving their width halves the
-    # dominant shuffles (profiled: forward L3 + the two backward passes
-    # are ~85 % of the query).  The id→key map joins back exactly once,
-    # on the final node-sized aggregate.
+    # Batched multi-source Brandes (MS-BFS batching, Then et al. VLDB'15,
+    # applied to the landmark-Brandes passes): seeds run in batches of
+    # ≤ 64; within a batch a node's per-seed state is ONE ROW — a 64-bit
+    # "newly reached" mask plus a σ (forward) / δ (backward) array
+    # indexed by seed bit.  Every join therefore emits one row PER EDGE
+    # instead of one per (seed, edge) pair (the pre-r10 shape): at 25
+    # seeds the dominant forward-L3/backward shuffles carry ~25× fewer
+    # rows.  σ/δ stay exact BIGINT per (seed, node) — element i of an
+    # array is summed/divided with exactly the integers the pair form
+    # used, and Σ over array elements is order-free — so the declared
+    # result is bit-identical.  The loops also stay on 8-byte xxhash64
+    # node ids (the kcore/hits discipline) with one id→key mapback join
+    # on the final aggregate.
     e = kedges.select(
         F.xxhash64("src_key").alias("src"), F.xxhash64("dst_key").alias("dst")
     )
-    if symmetrize or not pre_deduped:
+    # ``pre_deduped=True`` is the caller's proof obligation that the edge
+    # set — INCLUDING the symmetrized union when ``symmetrize=True`` — is
+    # duplicate-free (σ would double on a duplicate row).  The gates
+    # prove it structurally: every fixture edge family is per-family
+    # distinct and the ordered (src-prefix, dst-prefix) pairs are
+    # disjoint with no family's reverse being a family, so neither the
+    # base set nor its reversal union can repeat a pair.  Skipping the
+    # no-op distinct removes the largest prep shuffle in the query.
+    if not pre_deduped:
         e = e.distinct()
     e = e.transform(cut_lineage)
-    l0 = seeds.select(
-        F.xxhash64("seed").alias("seed"),
-        F.xxhash64("seed").alias("key"),
-        F.lit(1).cast("long").alias("sigma"),
-    ).transform(cut_lineage)
-    levels = [l0]
-    visited = l0.select("seed", "key")
-    for _ in range(1, max_depth + 1):
-        frontier = levels[-1]
-        hop = (
-            e.join(frontier, e.src == frontier.key)
-            .groupBy("seed", F.col("dst").alias("k2"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .withColumnRenamed("k2", "key")
-            .join(visited, ["seed", "key"], "left_anti")
-            .transform(cut_lineage)
-        )
-        if hop.isEmpty():
-            break
-        levels.append(hop)
-        visited = visited.unionByName(hop.select("seed", "key"))
-    # backward dependency accumulation, deepest level first
-    deltas = [None] * len(levels)
-    deltas[-1] = levels[-1].withColumn(
-        "delta", F.lit(0).cast("long")
-    )
-    for lv in range(len(levels) - 2, 0, -1):
-        succ = deltas[lv + 1].select(
-            F.col("seed"), F.col("key").alias("w"),
-            F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
-        )
-        # join the SHALLOWER level frame to the edges first, then attach
-        # the successor frame — inner joins commute and every integer
-        # term is unchanged, so the aggregate is bit-identical, but the
-        # intermediate is "out-edges of L_lv" instead of "in-edges of
-        # L_{lv+1}": on the symmetrized graph the old order dragged every
-        # edge adjacent to the (largest) deepest level through the
-        # shallow passes only to discard it in the L_lv join (profiled:
-        # the two backward cuts were the top cost of the query).
-        lvf = levels[lv]
-        contrib = (
-            lvf.join(e, lvf.key == e.src)
-            .select("seed", "key", "sigma", F.col("dst").alias("w"))
-            .join(succ, ["seed", "w"])
-            .groupBy("seed", "key")
-            .agg(
-                F.sum(
-                    F.expr("sigma * (1000000L + delta_w) div sigma_w")
-                ).alias("delta"),
-            )
-        )
-        deltas[lv] = (
-            levels[lv]
-            .join(contrib.select("seed", "key", "delta"), ["seed", "key"], "left")
-            .select(
-                "seed", "key", "sigma",
-                F.coalesce(F.col("delta"), F.lit(0).cast("long")).alias("delta"),
-            )
-            .transform(cut_lineage)
-        )
+    ranked, n_seeds = _seed_bits(seeds)
     out = None
-    for lv in range(1, len(levels)):
-        part = deltas[lv].select("key", "delta")
-        out = part if out is None else out.unionByName(part)
+    for b in range(0, n_seeds, 64):
+        nb = min(64, n_seeds - b)  # seeds in this batch = array width
+        sig0 = F.array(
+            *[
+                F.when(F.col("i") % 64 == i, F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for i in range(nb)
+            ]
+        )
+        l0 = (
+            ranked.where((F.col("i") >= b) & (F.col("i") < b + 64))
+            .select(
+                F.xxhash64("seed").alias("key"),
+                F.expr("shiftleft(1L, int(i % 64))").alias("new"),
+                sig0.alias("sig"),
+            )
+            .transform(cut_lineage)
+        )
+        # levels[lv]: (key, new = seeds whose BFS first reaches key at
+        # lv, sig = per-seed σ, zero outside `new`); state tracks the
+        # cumulative reached mask for the anti-visited semantics.
+        levels = [l0]
+        state = l0.select("key", F.col("new").alias("mask"))
+        for _ in range(1, max_depth + 1):
+            frontier = levels[-1]
+            sums = (
+                e.join(frontier, e.src == frontier.key)
+                .groupBy(F.col("dst").alias("key"))
+                .agg(
+                    *[
+                        F.sum(F.element_at("sig", i + 1)).alias(f"s{i}")
+                        for i in range(nb)
+                    ]
+                )
+            )
+            # newly = seeds with ≥1 shortest path arriving AND not yet
+            # reached; σ keeps only newly elements (zero elsewhere), so a
+            # level frame's sig column doubles as its membership test
+            # static (plan-time-unrolled) bit expressions, no lambda
+            # higher-order functions: HOFs are interpreted row-at-a-time
+            # outside whole-stage codegen and their wide lambda plans cost
+            # driver analysis time per round (profiled: +3 s residue)
+            got = " | ".join(
+                f"if(s{i} > 0L, shiftleft(1L, {i}), 0L)" for i in range(nb)
+            )
+            cand = (
+                sums.join(state, "key", "full")
+                .select(
+                    "key",
+                    F.coalesce("mask", F.lit(0).cast("long")).alias("mask"),
+                    F.expr(f"({got}) & ~coalesce(mask, 0L)").alias("new"),
+                    F.array(
+                        *[F.coalesce(f"s{i}", F.lit(0).cast("long")) for i in range(nb)]
+                    ).alias("raw"),
+                )
+                .transform(cut_lineage)
+            )
+            hop = cand.where(F.col("new") != 0)
+            if hop.limit(1).isEmpty():
+                break
+            levels.append(
+                hop.select(
+                    "key",
+                    "new",
+                    F.array(
+                        *[
+                            F.expr(
+                                f"if((new & shiftleft(1L, {i})) != 0L, raw[{i}], 0L)"
+                            )
+                            for i in range(nb)
+                        ]
+                    ).alias("sig"),
+                )
+            )
+            state = cand.select(
+                "key", F.expr("mask | new").alias("mask")
+            )
+        # backward dependency accumulation, deepest level first.
+        # deltas[lv]: (key, sig, delta) aligned arrays, zero outside the
+        # level's seed membership (sig[i] > 0 ⟺ key is at lv for seed i).
+        deltas = [None] * len(levels)
+        zeros = F.array(*[F.lit(0).cast("long") for _ in range(nb)])
+        deltas[-1] = levels[-1].select("key", "sig", zeros.alias("delta"))
+        for lv in range(len(levels) - 2, 0, -1):
+            succ = deltas[lv + 1].select(
+                F.col("key").alias("w"),
+                F.col("sig").alias("sig_w"),
+                F.col("delta").alias("delta_w"),
+            )
+            # join the SHALLOWER level frame to the edges first, then
+            # attach the successor frame (same commuting-inner-joins
+            # argument as the pair form): the intermediate is "out-edges
+            # of L_lv", never "in-edges of the huge deepest level".
+            # Element i contributes σ_v·(10⁶+δ_w) div σ_w exactly when v
+            # is at lv AND w at lv+1 for seed i — both encoded by the
+            # zero-filled σ arrays.
+            lvf = levels[lv]
+            contrib = (
+                lvf.join(e, lvf.key == e.src)
+                .select("key", "sig", F.col("dst").alias("w"))
+                .join(succ, "w")
+                .groupBy("key")
+                .agg(
+                    *[
+                        F.sum(
+                            F.expr(
+                                f"if(sig[{i}] > 0L and sig_w[{i}] > 0L, "
+                                f"sig[{i}] * (1000000L + delta_w[{i}]) div sig_w[{i}], "
+                                "0L)"
+                            )
+                        ).alias(f"d{i}")
+                        for i in range(nb)
+                    ]
+                )
+            )
+            deltas[lv] = (
+                lvf.join(contrib, "key", "left")
+                .select(
+                    "key",
+                    "sig",
+                    F.array(
+                        *[
+                            F.coalesce(f"d{i}", F.lit(0).cast("long"))
+                            for i in range(nb)
+                        ]
+                    ).alias("delta"),
+                )
+                .transform(cut_lineage)
+            )
+        dsum = " + ".join(f"delta[{i}]" for i in range(nb))
+        for lv in range(1, len(levels)):
+            part = deltas[lv].select("key", F.expr(dsum).alias("delta"))
+            out = part if out is None else out.unionByName(part)
     if out is None:
         # no node left the seed level: empty result typed off the seeds
         return (

@@ -1134,9 +1134,14 @@ def q_graph_harmonic(spark, sf_dir):
     # the operator symmetrizes and dedups INTERNALLY on the 8-byte id
     # pairs — the old gate-side string-pair distinct materialized the
     # largest table in the query only to be re-hashed immediately
+    # pre_deduped: the fixture's five edge families are each distinct and
+    # their ordered (src-prefix, dst-prefix) pairs are disjoint with no
+    # family's reverse being a family (graph.py edge derivation), so the
+    # symmetrized union cannot repeat a pair — the operator's defensive
+    # edge-sized dedup shuffle is a no-op and is skipped
     return harmonic_centrality(
         g.edges.select("src_key", "dst_key"), seeds, max_depth=3,
-        symmetrize=True,
+        symmetrize=True, pre_deduped=True,
     )
 
 
@@ -1262,9 +1267,13 @@ def q_graph_betweenness(spark, sf_dir):
     # the operator symmetrizes and dedups INTERNALLY on the 8-byte id
     # pairs — the old gate-side string-pair distinct materialized the
     # largest table in the query only to be re-hashed immediately
+    # pre_deduped: same structural proof as q_graph_harmonic — per-family
+    # distinct + disjoint ordered prefix pairs + no family's reverse is a
+    # family ⇒ the symmetrized union is duplicate-free, so σ is safe and
+    # the operator's defensive dedup shuffle is skipped
     return betweenness_k(
         g.edges.select("src_key", "dst_key"), seeds, max_depth=3,
-        symmetrize=True,
+        symmetrize=True, pre_deduped=True,
     )
 
 

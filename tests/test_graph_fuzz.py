@@ -631,6 +631,24 @@ def test_harmonic_centrality_matches_reference(spark):
         assert got == _harmonic_ref(pairs, seeds, 4), name
 
 
+def test_harmonic_centrality_multi_batch_seeds(spark):
+    """> 64 seeds forces the MS-BFS batch loop (bit i of batch i div 64):
+    a 70-node path with every node as a seed — per-batch bit counts must
+    add across the two batches to the per-seed reference."""
+    from egraphdb_spark.operators.graph_algos import harmonic_centrality
+
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(69)]
+    und = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(und, "src_key string, dst_key string")
+    seeds = sorted({k for p in pairs for k in p})
+    sdf = spark.createDataFrame([(s,) for s in seeds], "seed string")
+    got = {
+        r["key"]: (r["n_sources"], r["harmonic_micro"])
+        for r in harmonic_centrality(e, sdf, max_depth=3).collect()
+    }
+    assert got == _harmonic_ref(pairs, seeds, 3)
+
+
 def ppr_ref(pairs, seed_keys, iters=3, scale=10**12):
     """Pure-Python personalized PageRank with the identical integer
     recurrence: restart mass to seeds only, dangling mass dropped,
@@ -754,6 +772,24 @@ def _betweenness_ref(pairs, seeds, depth):
             if l_ >= 1:
                 bc[v] = bc.get(v, 0) + delta[v]
     return bc
+
+
+def test_betweenness_multi_batch_seeds(spark):
+    """> 64 seeds forces the batched-Brandes loop (σ/δ arrays per ≤64-seed
+    batch): a 70-node cycle, every node a seed — per-batch δ sums must add
+    across the two batches to the per-seed reference."""
+    from egraphdb_spark.operators.graph_algos import betweenness_k
+
+    pairs = [(f"n{i:02d}", f"n{(i + 1) % 70:02d}") for i in range(70)]
+    und = pairs + [(b, a) for a, b in pairs]
+    e = spark.createDataFrame(und, "src_key string, dst_key string").distinct()
+    seeds = sorted({k for p in pairs for k in p})
+    sdf = spark.createDataFrame([(s,) for s in seeds], "seed string")
+    got = {
+        r["key"]: r["bc_micro"]
+        for r in betweenness_k(e, sdf, max_depth=3).collect()
+    }
+    assert got == _betweenness_ref(pairs, seeds, 3)
 
 
 def test_betweenness_matches_reference(spark):
