@@ -1609,7 +1609,8 @@ def betweenness_k(
 
 
 def ktruss_peel(
-    edges: DataFrame, k: int = 4, rounds: int = 3
+    edges: DataFrame, k: int = 4, rounds: int = 3,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """k-truss of an undirected simple graph (Cohen '08): the maximal
     subgraph where every edge sits in ≥ k−2 triangles — the standard
@@ -1636,14 +1637,21 @@ def ktruss_peel(
     LOWER supports, so the cap is a documented approximation exactly as
     in those operators).
     """
-    und_keys = (
-        edges.select(
-            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .transform(cut_lineage)
+    # ``pre_deduped=True`` is the caller's proof obligation that the
+    # CANONICALIZED (least, greatest) pair set is duplicate-free and
+    # self-loop-free (duplicates would double-count triangle support).
+    # The gate proves it structurally: every edge family is per-family
+    # distinct, the unordered prefix pairs of the families are pairwise
+    # distinct, and no family's reverse is a family — so canonicalization
+    # cannot collide two rows.  Skipping the no-op distinct removes the
+    # largest prep shuffle in the query (a string-pair dedup of the
+    # biggest table); the cut then materializes a shuffle-free projection.
+    und_keys = edges.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     )
+    if not pre_deduped:
+        und_keys = und_keys.where(F.col("a") != F.col("b")).distinct()
+    und_keys = und_keys.transform(cut_lineage)
     # The peel iterates on 8-byte xxhash64 node ids (the kcore/hits
     # discipline), pairs re-canonicalized by ID order: support counts
     # are orientation- and representation-invariant (any injective node

@@ -338,6 +338,13 @@ def q_graph_ktruss(spark, sf_dir):
     aug = e.unionByName(shortcuts).select(
         F.col("src_key").alias("a"), F.col("dst_key").alias("b")
     )
+    # pre_deduped=True was TRIED and measured SLOWER in order-alternating
+    # same-session A/B at sf0.1 (old 7.1/8.0/8.2 s vs new 9.7/12.5 s,
+    # quiet host): the aug pair set is provably duplicate-free (the
+    # harmonic/betweenness structural proof), but the distinct's shuffle
+    # also re-partitions the 67-small-partition cached-edge projection
+    # into 16 compact AQE-coalesced partitions, and the wedge self-join
+    # downstream is worth more than the dedup costs.  Keep the distinct.
     return ktruss_peel(aug, k=3, rounds=1)
 
 
