@@ -1022,11 +1022,22 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
     gather aggregate each direction (aggregateMessages shape), node-sized
     frames localCheckpointed so the plan stays linear in rounds.
     """
-    e = edges.select("src_key", "dst_key").distinct().transform(cut_lineage)
+    # The rounds iterate on 8-byte xxhash64 node ids (the kcore/ppr
+    # discipline): the fixed-point arithmetic never inspects the key, the
+    # round COUNT is fixed (iters), and Σ h(u) / Σ a(v) are order-free
+    # integer sums — an injective relabeling changes nothing — so every
+    # scatter join and gather aggregate shuffles 8 B ids instead of key
+    # strings.  The id→key map joins back once, on the final output.
+    ks = edges.select("src_key", "dst_key").distinct().transform(cut_lineage)
+    e = ks.select(
+        F.xxhash64("src_key").alias("src_key"),
+        F.xxhash64("dst_key").alias("dst_key"),
+    )
     nodes = (
-        e.select(F.col("src_key").alias("key"))
-        .unionByName(e.select(F.col("dst_key").alias("key")))
+        ks.select(F.col("src_key").alias("key"))
+        .unionByName(ks.select(F.col("dst_key").alias("key")))
         .distinct()
+        .select(F.xxhash64("key").alias("nid"), "key")
         .transform(cut_lineage)
     )
     # Inner-only propagation: a node whose score is 0 contributes nothing
@@ -1076,10 +1087,10 @@ def hits_scaled(edges: DataFrame, iters: int = 3, scale: int = 10**6) -> DataFra
             .transform(cut_lineage)
         )
     return (
-        nodes.join(hub, "key", "left")
-        .join(auth.withColumnRenamed("key", "akey"), nodes["key"] == F.col("akey"), "left")
+        nodes.join(hub, nodes["nid"] == hub["key"], "left")
+        .join(auth.withColumnRenamed("key", "akey"), nodes["nid"] == F.col("akey"), "left")
         .select(
-            "key",
+            nodes["key"],
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
         )
