@@ -267,9 +267,24 @@ def _seed_bits(seeds: DataFrame):
     return ranked, ranked.count()
 
 
+def _node_keymap(keymap: DataFrame) -> DataFrame:
+    """(nid, key) mapback table from a caller-supplied node-key frame.
+
+    ``keymap`` carries one ``key`` row per node, UNIQUE by key (a
+    duplicate would duplicate output rows), covering at least every node
+    key the operator's output can contain — extra keys are harmless
+    because the final mapback is an inner join on the reached ids.  The
+    canonical caller argument is the engine's vertices table (key is its
+    primary key and every edge endpoint references it), which spares the
+    operator an edge-sized string distinct just to recover key strings.
+    """
+    return keymap.select(F.xxhash64("key").alias("nid"), "key")
+
+
 def harmonic_centrality(
     edges: DataFrame, seeds: DataFrame, max_depth: int,
     symmetrize: bool = False, pre_deduped: bool = False,
+    keymap: DataFrame | None = None,
 ) -> DataFrame:
     """Seed-set harmonic centrality: for every node reachable from the
     seed set, ``(key, n_sources, harmonic_micro)`` where harmonic_micro =
@@ -376,18 +391,21 @@ def harmonic_centrality(
                     .alias("hm"),
                 )
             )
-    # symmetrized eb already lists every node on the src side — one
-    # projection + node-sized distinct instead of a two-sided union
-    keymap_src = (
-        eb.select(F.col("src_key").alias("k"))
-        if symmetrize
-        else eb.select(F.col("src_key").alias("k")).unionByName(
-            eb.select(F.col("dst_key").alias("k"))
+    if keymap is not None:
+        keymap = _node_keymap(keymap)
+    else:
+        # symmetrized eb already lists every node on the src side — one
+        # projection + node-sized distinct instead of a two-sided union
+        keymap_src = (
+            eb.select(F.col("src_key").alias("k"))
+            if symmetrize
+            else eb.select(F.col("src_key").alias("k")).unionByName(
+                eb.select(F.col("dst_key").alias("k"))
+            )
         )
-    )
-    keymap = keymap_src.distinct().select(
-        F.xxhash64("k").alias("nid"), F.col("k").alias("key")
-    )
+        keymap = keymap_src.distinct().select(
+            F.xxhash64("k").alias("nid"), F.col("k").alias("key")
+        )
     if not hops:
         reached = e.select(
             F.col("src").alias("key"),
@@ -1134,7 +1152,8 @@ def bipartite_projection(
 
 
 def personalized_pagerank(
-    edges: DataFrame, seeds: DataFrame, iters: int = 3, scale: int = 10**12
+    edges: DataFrame, seeds: DataFrame, iters: int = 3, scale: int = 10**12,
+    keymap: DataFrame | None = None,
 ) -> DataFrame:
     """(key, ppr) — personalized PageRank: the random walk restarts to
     the SEED set instead of uniformly (topic-sensitive PageRank,
@@ -1200,14 +1219,20 @@ def personalized_pagerank(
             .where(F.col("pr") > 0)
             .transform(cut_lineage)
         )
-    keymap = (
-        kedges.select(F.col("src_key").alias("k"))
-        .unionByName(kedges.select(F.col("dst_key").alias("k")))
-        .unionByName(kseeds.select(F.col("key").alias("k")))
-        .distinct()
-        .select(F.xxhash64("k").alias("nid"), F.col("k").alias("k"))
-    )
-    return pr.join(keymap, pr.key == keymap.nid).select(
+    if keymap is not None:
+        # caller-supplied node-key frame (see _node_keymap) — must also
+        # cover the seed keys (a seed absent from the edges still
+        # carries restart mass)
+        km = _node_keymap(keymap).withColumnRenamed("key", "k")
+    else:
+        km = (
+            kedges.select(F.col("src_key").alias("k"))
+            .unionByName(kedges.select(F.col("dst_key").alias("k")))
+            .unionByName(kseeds.select(F.col("key").alias("k")))
+            .distinct()
+            .select(F.xxhash64("k").alias("nid"), F.col("k").alias("k"))
+        )
+    return pr.join(km, pr.key == km.nid).select(
         F.col("k").alias("key"), F.col("pr").alias("ppr")
     )
 
@@ -1389,6 +1414,7 @@ def strongly_connected_components(
 def betweenness_k(
     edges: DataFrame, seeds: DataFrame, max_depth: int,
     pre_deduped: bool = False, symmetrize: bool = False,
+    keymap: DataFrame | None = None,
 ) -> DataFrame:
     """Seed-sampled, depth-bounded betweenness centrality — Brandes'
     algorithm (J. Math. Sociol. '01) in its landmark form: dependency
@@ -1601,16 +1627,21 @@ def betweenness_k(
             .where(F.lit(False))
             .withColumn("bc_micro", F.lit(0).cast("long"))
         )
-    # symmetrized kedges already lists every node on the src side — one
-    # projection + node-sized distinct instead of a two-sided union
-    keymap_src = (
-        kedges.select(F.col("src_key").alias("key"))
-        if symmetrize
-        else kedges.select(F.col("src_key").alias("key")).unionByName(
-            kedges.select(F.col("dst_key").alias("key"))
+    if keymap is not None:
+        keymap = _node_keymap(keymap)
+    else:
+        # symmetrized kedges already lists every node on the src side —
+        # one projection + node-sized distinct instead of a two-sided union
+        keymap_src = (
+            kedges.select(F.col("src_key").alias("key"))
+            if symmetrize
+            else kedges.select(F.col("src_key").alias("key")).unionByName(
+                kedges.select(F.col("dst_key").alias("key"))
+            )
         )
-    )
-    keymap = keymap_src.distinct().select(F.xxhash64("key").alias("nid"), "key")
+        keymap = keymap_src.distinct().select(
+            F.xxhash64("key").alias("nid"), "key"
+        )
     agg = out.groupBy("key").agg(F.sum("delta").cast("long").alias("bc_micro"))
     return (
         agg.join(keymap, agg.key == keymap.nid)

@@ -1139,9 +1139,13 @@ def q_graph_harmonic(spark, sf_dir):
     # family's reverse being a family (graph.py edge derivation), so the
     # symmetrized union cannot repeat a pair — the operator's defensive
     # edge-sized dedup shuffle is a no-op and is skipped
+    # keymap = the cached vertices table: key is its primary key and
+    # every edge endpoint references it (checked: endpoints ≡ vertex
+    # keys at every SF), so the operator skips the edge-sized string
+    # distinct it would otherwise run just to recover key strings
     return harmonic_centrality(
         g.edges.select("src_key", "dst_key"), seeds, max_depth=3,
-        symmetrize=True, pre_deduped=True,
+        symmetrize=True, pre_deduped=True, keymap=g.vertices.select("key"),
     )
 
 
@@ -1271,9 +1275,11 @@ def q_graph_betweenness(spark, sf_dir):
     # distinct + disjoint ordered prefix pairs + no family's reverse is a
     # family ⇒ the symmetrized union is duplicate-free, so σ is safe and
     # the operator's defensive dedup shuffle is skipped
+    # keymap = vertices, same contract as q_graph_harmonic (seeds are
+    # nation vertices, so the output key set is covered)
     return betweenness_k(
         g.edges.select("src_key", "dst_key"), seeds, max_depth=3,
-        symmetrize=True, pre_deduped=True,
+        symmetrize=True, pre_deduped=True, keymap=g.vertices.select("key"),
     )
 
 
@@ -4771,8 +4777,11 @@ def q_graph_ppr(spark, sf_dir):
     seeds = spark.createDataFrame(
         [("customer:1",), ("customer:7",), ("customer:13",)], "key string"
     )
+    # keymap = vertices (covers every endpoint AND the customer seeds),
+    # sparing the operator's two-sided union + string distinct
     return personalized_pagerank(
-        g.edges.select("src_key", "dst_key"), seeds, iters=3
+        g.edges.select("src_key", "dst_key"), seeds, iters=3,
+        keymap=g.vertices.select("key"),
     ).orderBy("key")
 
 
