@@ -520,7 +520,8 @@ def triangle_stats(edges: DataFrame, orientation: str = "degree") -> DataFrame:
 
 
 def kcore_peel(
-    edges: DataFrame, k: int, rounds: int, checkpoint: bool = True
+    edges: DataFrame, k: int, rounds: int, checkpoint: bool = True,
+    keymap: DataFrame | None = None,
 ) -> DataFrame:
     """R-round k-core peel: (key, degree) of nodes surviving ``rounds``
     iterations of "drop every node with degree < k in the current induced
@@ -540,13 +541,19 @@ def kcore_peel(
     join back once at the end) — every round's shuffle carries 16 B/edge,
     not two key strings.
     """
-    keymap = (
-        edges.select(F.col("src").alias("nid"), F.col("src_key").alias("key"))
-        .unionByName(
-            edges.select(F.col("dst").alias("nid"), F.col("dst_key").alias("key"))
+    if keymap is not None:
+        # caller-supplied node-key frame (see _node_keymap): node_id()
+        # IS xxhash64(key), so the same mapback contract applies — the
+        # final join is inner on surviving ids, extra keys harmless
+        keymap = _node_keymap(keymap)
+    else:
+        keymap = (
+            edges.select(F.col("src").alias("nid"), F.col("src_key").alias("key"))
+            .unionByName(
+                edges.select(F.col("dst").alias("nid"), F.col("dst_key").alias("key"))
+            )
+            .distinct()
         )
-        .distinct()
-    )
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -623,7 +630,8 @@ def degree_stats(edges: DataFrame) -> DataFrame:
 
 
 def label_propagation(
-    edges: DataFrame, rounds: int, undirected: bool = True
+    edges: DataFrame, rounds: int, undirected: bool = True,
+    keymap: DataFrame | None = None,
 ) -> DataFrame:
     """Synchronous mode-label propagation (LPA community detection).
 
@@ -701,10 +709,17 @@ def label_propagation(
                 )
                 .transform(cut_lineage)
             )
-        keymap = pairs.select(
-            F.col("src").alias("nid"), F.col("lbl").alias("key")
-        ).distinct()
-        return labels.join(keymap, "nid").select(
+        # mapback: caller-supplied node-key frame when available (see
+        # _node_keymap — labels anchor the inner join, extra keys
+        # harmless), else a distinct over the edge-sized pair table
+        km = (
+            _node_keymap(keymap)
+            if keymap is not None
+            else pairs.select(
+                F.col("src").alias("nid"), F.col("lbl").alias("key")
+            ).distinct()
+        )
+        return labels.join(km, "nid").select(
             "key", F.col("lbl").alias("community")
         )
     e = edges.select("src_key", "dst_key").distinct().transform(cut_lineage)

@@ -1189,7 +1189,10 @@ def q_graph_kcore(spark, sf_dir):
             F.get_json_object("details", "$.rel") == "supplied_by"
         ).select("src", "dst", "src_key", "dst_key")
     )
-    return kcore_peel(supplied, k=2, rounds=4)
+    # keymap = vertices (node_id ≡ xxhash64(key); survivors anchor the
+    # inner mapback, so the superset is harmless) — spares the operator's
+    # two-sided (id, key) union + distinct over the edge table
+    return kcore_peel(supplied, k=2, rounds=4, keymap=g.vertices.select("key"))
 
 
 def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
@@ -2069,7 +2072,11 @@ def q_graph_lpa(spark, sf_dir):
             F.get_json_object("details", "$.rel") == "supplied_by"
         ).select("src_key", "dst_key")
     )
-    return label_propagation(supplied, rounds=3)
+    # keymap = vertices (labels anchor the inner mapback; superset
+    # harmless) — spares the pair-table (id, key) distinct
+    return label_propagation(
+        supplied, rounds=3, keymap=g.vertices.select("key")
+    )
 
 
 def _lpa_oracle(rounds: int = 3) -> str:
