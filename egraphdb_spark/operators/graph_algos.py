@@ -1317,18 +1317,28 @@ def strongly_connected_components(
     )
     active = nodes
     settled = None
-    for _ in range(max_outer):
+    for outer in range(max_outer):
         if active.limit(1).isEmpty():
             break
-        e = (
-            e_all.join(
-                active.select(F.col("key").alias("src_key")), "src_key", "left_semi"
+        if outer == 0:
+            # round 1: active IS the full node set, so the two
+            # edge-filtering semi-joins are identities — skip both
+            # edge-sized shuffles and reuse the already-cut e_all
+            e = e_all
+        else:
+            e = (
+                e_all.join(
+                    active.select(F.col("key").alias("src_key")),
+                    "src_key",
+                    "left_semi",
+                )
+                .join(
+                    active.select(F.col("key").alias("dst_key")),
+                    "dst_key",
+                    "left_semi",
+                )
+                .transform(cut_lineage)
             )
-            .join(
-                active.select(F.col("key").alias("dst_key")), "dst_key", "left_semi"
-            )
-            .transform(cut_lineage)
-        )
         c = active.select("key", F.col("key").alias("color"))
         # DELTA propagation (the SSSP frontier trick for monotone max):
         # only nodes whose color ROSE last round send messages.  An
