@@ -18,6 +18,8 @@ time-range scan (SURVEY.md §2 S4) something to range over.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .ingest import make_edges, make_vertices
@@ -39,6 +41,44 @@ TABLES = (
 # Memoized per (session, sf_dir): spark.read.parquet runs a footer/schema
 # job per table, which would otherwise be re-paid by every query call.
 _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+# Tables below this size stay on their natural splits: a 32-task plan over a
+# 5-row dimension costs more scheduling than the spread buys.
+_SPREAD_MIN_BYTES = 128 * 1024
+
+
+def _spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a low-parallelism scan up to the session's parallelism.
+
+    Guide §2.5 (input skew — unsplittable files): the driver's testdata
+    ships every table as ONE parquet file with ONE row group, so each scan
+    plans exactly one input split and ALL pre-shuffle compute — JSON
+    assembly, tokenization, md5-per-gram fingerprinting, explode blowups —
+    serializes on one core while 31 idle.  Spreading the scan is the
+    guide's prescribed fix ("repartition immediately after the read").
+
+    Scale-adaptive by construction, not a local[32] constant: the target is
+    the session's ``defaultParallelism`` and the repartition only fires
+    when the scan planned FEWER splits than that — at 100 TB any real table
+    yields thousands of file splits, so this is a no-op there.  Filters and
+    column pruning push through Repartition, so PushedFilters/ReadSchema at
+    the parquet scan are unchanged; the exchange carries only the pruned
+    projection.  (``df.rdd`` here is safe — scan DataFrames are narrow
+    plans with no exchanges, so no AQE stage materialization is triggered.)
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        nbytes = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+        )
+    except (OSError, ValueError):
+        return df
+    if nbytes < _SPREAD_MIN_BYTES:
+        return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -68,7 +108,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # integer div, NOT /1000.0: epoch-nanos exceed double's 53-bit
             # mantissa, float division silently corrupts the microsecond
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return _spread_small_scan(df)
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -1349,6 +1349,14 @@ def winnow_fingerprints(
         raise ValueError(f"winnow_fingerprints: k={k} and w={w} must be >= 1")
     from pyspark.sql import Window
 
+    # Shuffle DOCUMENTS, not grams (guide §2.3 "shuffle fewer bytes" + §8):
+    # hash-partitioning the doc rows by id up front means the window
+    # (partitionBy id) and the trailing (id, pos, fp) distinct both find
+    # their ClusteredDistribution already satisfied — the gram-level stream
+    # (one row per character, ~200× the doc bytes) never crosses the
+    # network, and the gram hashing itself runs at full width instead of
+    # on the scan's file splits.
+    docs = docs.repartition(F.col(id_col))
     z = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
     # grams are sliced from a pre-split CODEPOINT ARRAY, not substring(z,
     # pos, k): UTF8String.substring re-scans from byte 0 to find the

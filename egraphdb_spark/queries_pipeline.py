@@ -50,8 +50,16 @@ def doc_shingles(spark, sf_dir: str):
     prune_dead_entries(_DOC_SHINGLES, app)
     key = (app, sf_dir.rstrip("/"))
     if key not in _DOC_SHINGLES:
+        # Partition the DOCS by id before shingling (guide §2.3/§2.4): the
+        # exchange moves 5 k doc rows instead of millions of shingle rows,
+        # the normalize+explode+md5 build runs at full width, and the cache
+        # comes out hash-partitioned on id — so every downstream
+        # groupBy("id") signature build (minhash, simhash, hamming64)
+        # reads the cache with its ClusteredDistribution already satisfied
+        # and skips its own exchange of the shingle stream entirely.
+        docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
         _DOC_SHINGLES[key] = dedup.shingle_table(
-            _t(spark, sf_dir, "documents"), "doc_id", "text"
+            docs, "doc_id", "text"
         ).cache()
     return _DOC_SHINGLES[key]
 

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold (guide §3.1/§9): the iterative graph family re-joins
+        # checkpointed node/edge frames every round, and skipping the
+        # per-round sorts measured 2-8% faster across the top-6 graph
+        # queries (interleaved A/B, tools/ab_conf.py, r11).  Planner- and
+        # AQE-gated by build-side size, so this is not a local-only tune.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
