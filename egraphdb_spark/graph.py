@@ -18,8 +18,6 @@ time-range scan (SURVEY.md §2 S4) something to range over.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .ingest import make_edges, make_vertices
@@ -42,12 +40,21 @@ TABLES = (
 # job per table, which would otherwise be re-paid by every query call.
 _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
-# Tables below this size stay on their natural splits: a 32-task plan over a
-# 5-row dimension costs more scheduling than the spread buys.
-_SPREAD_MIN_BYTES = 128 * 1024
+# Only the tables whose consumers do HEAVY per-row compute are spread.
+# Measured both ways (interleaved probes, r11): spreading `documents`
+# (regex/md5/tokenize per row across ~45 txt/clean/dedup gates) wins
+# 2-4× per gate; spreading the relational tables LOSES — their consumers
+# are light column aggregates where the extra narrow exchange costs more
+# than the map-side parallelism buys, and high-cardinality aggregates
+# (bigram tables, distinct lines) additionally lose map-side partial-agg
+# reduction when their input is pre-scattered (up to P× more partial rows
+# into the exchange).  Operators with a genuine compute blowup over the
+# other tables spread locally (see behavior.poisson_bootstrap_ci,
+# skew.bloom_prefilter_join).
+_SPREAD_TABLES = frozenset({"documents"})
 
 
-def _spread_small_scan(df: DataFrame) -> DataFrame:
+def spread_low_parallelism(df: DataFrame) -> DataFrame:
     """Repartition a low-parallelism scan up to the session's parallelism.
 
     Guide §2.5 (input skew — unsplittable files): the driver's testdata
@@ -63,19 +70,11 @@ def _spread_small_scan(df: DataFrame) -> DataFrame:
     yields thousands of file splits, so this is a no-op there.  Filters and
     column pruning push through Repartition, so PushedFilters/ReadSchema at
     the parquet scan are unchanged; the exchange carries only the pruned
-    projection.  (``df.rdd`` here is safe — scan DataFrames are narrow
-    plans with no exchanges, so no AQE stage materialization is triggered.)
+    projection.  Only call this on narrow scan-derived frames: ``df.rdd``
+    on a frame with exchanges upstream would materialize AQE stages.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        nbytes = sum(
-            os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
-        )
-    except (OSError, ValueError):
-        return df
-    if nbytes < _SPREAD_MIN_BYTES:
-        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
@@ -108,7 +107,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # integer div, NOT /1000.0: epoch-nanos exceed double's 53-bit
             # mantissa, float division silently corrupts the microsecond
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return _spread_small_scan(df)
+        return spread_low_parallelism(df) if t in _SPREAD_TABLES else df
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -554,10 +554,19 @@ def poisson_bootstrap_ci(
     from pyspark.sql import Window
 
     cents = F.expr(f"cast(round(100 * {value}) as bigint)")
-    base = df.select(
-        F.col(group).alias("grp"),
-        F.col(id_col).cast("string").alias("rid"),
-        cents.alias("cents"),
+    from ..graph import spread_low_parallelism
+
+    # n_boot× compute blowup (explode + one md5 per (row, resample))
+    # follows — spread the narrow base projection first so the blowup
+    # runs at full width instead of on the scan's file splits (guide
+    # §2.5; no-op when the input is already wide).  Measured 3.5 → 1.4 s
+    # on the sf0.1 gate, whose events table is one single-split file.
+    base = spread_low_parallelism(
+        df.select(
+            F.col(group).alias("grp"),
+            F.col(id_col).cast("string").alias("rid"),
+            cents.alias("cents"),
+        )
     )
     # sign·(|sum| div n): Spark div truncates toward zero, DuckDB //
     # floors — identical only when the numerator is non-negative

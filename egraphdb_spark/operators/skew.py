@@ -122,7 +122,12 @@ def bloom_prefilter_join(
         bloom_build(build.select(F.col(build_key)), build_key)
     )
     key = F.col(probe_key)
-    pruned = probe
+    from ..graph import spread_low_parallelism
+
+    # four hash positions × (broadcast probe + bit test) per probe row
+    # follow — spread a single-split probe scan first so the membership
+    # pass runs at full width (guide §2.5; no-op on wide inputs)
+    pruned = spread_low_parallelism(probe)
     member = None
     for j, pos in enumerate(_bloom_pos(key)):
         w = words.select(

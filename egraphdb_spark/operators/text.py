@@ -1349,14 +1349,13 @@ def winnow_fingerprints(
         raise ValueError(f"winnow_fingerprints: k={k} and w={w} must be >= 1")
     from pyspark.sql import Window
 
-    # Shuffle DOCUMENTS, not grams (guide §2.3 "shuffle fewer bytes" + §8):
-    # hash-partitioning the doc rows by id up front means the window
-    # (partitionBy id) and the trailing (id, pos, fp) distinct both find
-    # their ClusteredDistribution already satisfied — the gram-level stream
-    # (one row per character, ~200× the doc bytes) never crosses the
-    # network, and the gram hashing itself runs at full width instead of
-    # on the scan's file splits.
-    docs = docs.repartition(F.col(id_col))
+    # NOTE (r11, measured): pre-partitioning the docs by id here — so the
+    # window and the (id, pos, fp) distinct run shuffle-free over grams —
+    # was tried and REVERTED: order-alternating same-session A/B read the
+    # fused explode+md5+sort stage at 1.9-3.2 s vs 0.76-0.95 s for the
+    # two-stage form (gram hashing over the spread scan, then one gram
+    # exchange into the window).  The gram exchange is narrow (4 longs)
+    # and buys a balanced sort stage; do not re-try without re-measuring.
     z = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")
     # grams are sliced from a pre-split CODEPOINT ARRAY, not substring(z,
     # pos, k): UTF8String.substring re-scans from byte 0 to find the

@@ -50,14 +50,20 @@ def doc_shingles(spark, sf_dir: str):
     prune_dead_entries(_DOC_SHINGLES, app)
     key = (app, sf_dir.rstrip("/"))
     if key not in _DOC_SHINGLES:
-        # Partition the DOCS by id before shingling (guide §2.3/§2.4): the
-        # exchange moves 5 k doc rows instead of millions of shingle rows,
-        # the normalize+explode+md5 build runs at full width, and the cache
-        # comes out hash-partitioned on id — so every downstream
-        # groupBy("id") signature build (minhash, simhash, hamming64)
-        # reads the cache with its ClusteredDistribution already satisfied
-        # and skips its own exchange of the shingle stream entirely.
-        docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+        # The shingle cache keeps the documents scan's NATURAL partitioning
+        # (file splits), deliberately bypassing load_tables' documents
+        # spread.  Measured (r11, gate-level A/B swapping the cache in one
+        # session): natural layout beat both a 32-wide round-robin cache
+        # and id-/h-hash-partitioned caches on every shingle consumer
+        # (dedup_lsh_recall 3.9 vs 6.6-10.9 s, dedup_source_overlap 1.7 vs
+        # 2.7-3.8 s, dedup_hamming64_pairs ~3.0-3.7 both) — the family's
+        # heavy keys (shingle/h/band) are high-cardinality, and
+        # pre-scattering the cache multiplies every map-side partial
+        # aggregate by the partition count, which costs more than the map
+        # width buys.  At 100 TB the scan has thousands of splits and this
+        # is simply the bucketed-derived-table layout the shingle_table
+        # docstring already prescribes.
+        docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
         _DOC_SHINGLES[key] = dedup.shingle_table(
             docs, "doc_id", "text"
         ).cache()
