@@ -375,9 +375,14 @@ def q_clean_dates_normalize(spark, sf_dir):
     date parser (operators/text.py normalize_datestrings).  Output: per
     format tag, row count, parse count and exact epoch aggregates; the
     junk variant must land in 'unknown' with NULL epochs."""
+    from .graph import spread_low_parallelism
     from .operators.text import normalize_datestrings
 
-    ev = _t(spark, sf_dir, "events")
+    # ~20 regex matches + integer civil-date math per row follow on the
+    # synthesized variants — spread a single-split events scan first so
+    # the parse runs at full width (guide §2.5; no-op on wide inputs;
+    # measured 3.2 → 0.8 s on the sf0.1 single-file events table)
+    ev = spread_low_parallelism(_t(spark, sf_dir, "events"))
     mon = (
         "case month(ts) when 1 then 'Jan' when 2 then 'Feb' when 3 then 'Mar'"
         " when 4 then 'Apr' when 5 then 'May' when 6 then 'Jun'"
