@@ -247,9 +247,12 @@ def test_bm25_posting_list_shuffle_and_broadcast_side_inputs(spark):
 
 
 def test_chunking_zero_shuffle(spark):
-    """Chunking is a pure per-row explode — no Exchange anywhere."""
+    """Chunking is a pure per-row explode — no DATA-KEYED exchange
+    (no hash/range repartitioning); the only exchange allowed is the
+    keyless scan-spread round-robin (graph.spread_low_parallelism, r11),
+    which moves doc rows, never chunk rows."""
     p = plan_of(q(spark, "pipe_chunking"))
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
     assert "Generate" in p  # the explode
 
 
@@ -318,10 +321,11 @@ def test_index_store_partition_pruning(spark, graph, tmp_path):
 
 def test_weighted_sample_is_pure_take_ordered(spark):
     # A-ES sampling must be TakeOrdered (k per partition → driver merge),
-    # never a global sort + limit, and must not shuffle at all
+    # never a global sort + limit; no data-keyed exchange (the keyless
+    # scan-spread round-robin over doc rows is allowed — r11)
     p = plan_of(q(spark, "sample_weighted"))
     assert "TakeOrderedAndProject" in p
-    assert "Exchange" not in p
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
 
 
 def test_wau_broadcast_semi_join_no_range_join(spark):
@@ -448,7 +452,10 @@ def test_adamic_adar_no_cartesian_contrib_join_keyed(spark):
 
 def test_readability_narrow_projection_no_shuffle(spark):
     p = plan_of(q(spark, "txt_readability"))
-    assert "Exchange" not in p  # pure per-row projection
+    # pure per-row projection: no data-keyed exchange (the keyless
+    # scan-spread round-robin is allowed — it carries the same narrow
+    # projection, measured 0.9 -> 0.7 s warm on the syllable regexes)
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p
     read_schema = p.split("ReadSchema")[1][:300]
     assert "source" not in read_schema and "lang" not in read_schema
 
@@ -520,10 +527,14 @@ def test_layout_bucket_join_gate_zero_join_exchange(spark):
 
 def test_dates_normalize_map_only_no_shuffle_until_agg(spark):
     # regex + civil math must be one narrow projection; the only
-    # exchanges are the per-fmt aggregate's and the output orderBy's
-    # (formatted plans print each node twice: tree + detail section)
+    # exchanges are the per-fmt aggregate's, the output orderBy's, and
+    # the keyless scan-spread round-robin over event rows (r11, measured
+    # 3.2 -> 0.97 s — the spread parallelizes the regex pass, never the
+    # parsed stream).  Formatted plans print each node twice (tree +
+    # detail section).
     p = plan_of(q(spark, "clean_dates_normalize"))
-    assert p.count("Exchange") <= 4
+    assert p.count("Exchange") <= 6
+    assert p.count("hashpartitioning") <= 2 and p.count("rangepartitioning") <= 2
     assert "HashAggregate" in p and p.count("Scan parquet") <= 2
 
 
