@@ -40,18 +40,21 @@ TABLES = (
 # job per table, which would otherwise be re-paid by every query call.
 _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
-# Only the tables whose consumers do HEAVY per-row compute are spread.
-# Measured both ways (interleaved probes, r11): spreading `documents`
-# (regex/md5/tokenize per row across ~45 txt/clean/dedup gates) wins
-# 2-4× per gate; spreading the relational tables LOSES — their consumers
-# are light column aggregates where the extra narrow exchange costs more
-# than the map-side parallelism buys, and high-cardinality aggregates
-# (bigram tables, distinct lines) additionally lose map-side partial-agg
-# reduction when their input is pre-scattered (up to P× more partial rows
-# into the exchange).  Operators with a genuine compute blowup over the
-# other tables spread locally (see behavior.poisson_bootstrap_ci,
-# skew.bloom_prefilter_join).
-_SPREAD_TABLES = frozenset({"documents"})
+# NO table is spread at load time.  Measured three ways this round
+# (interleaved same-session A/B, finally a 26-gate documents basket run
+# arm-alternating in one session: spread 63.8/64.4 s vs natural
+# 45.7/43.6 s): a blanket spread loses on net for EVERY table —
+# light column aggregates pay an exchange they don't need, and
+# high-cardinality aggregates (bigram tables, distinct lines, token
+# vocabularies, BPE pair counts) lose map-side partial-agg reduction on
+# pre-scattered input (up to P× more partial rows into their exchange).
+# The handful of consumers whose per-row compute is heavy AND whose
+# output aggregation is low-cardinality spread LOCALLY with
+# :func:`spread_low_parallelism` (poisson_bootstrap_ci,
+# bloom_prefilter_join, clean_dates_normalize, txt_repetition,
+# txt_lang_id, pipe_quality_ablation, dedup_fuzzy_pairs, txt_pii_scrub,
+# txt_readability, txt_winnow_fingerprints — each a measured win).
+_SPREAD_TABLES: frozenset[str] = frozenset()
 
 
 def spread_low_parallelism(df: DataFrame) -> DataFrame:

@@ -43,6 +43,17 @@ def _t(spark, sf_dir: str, name: str):
 _DOC_SHINGLES: dict[tuple[str, str], object] = {}
 
 
+
+def _docs_spread(spark, sf_dir: str):
+    """documents scan spread to session width (graph.spread_low_parallelism)
+    — used ONLY by the gates measured to win from it (heavy per-row
+    compute, low-cardinality output aggregation; 26-gate basket A/B in
+    OPTIMIZATION_r11.md).  Everything else reads the natural scan: the
+    spread costs high-cardinality aggregates their map-side reduction."""
+    from .graph import spread_low_parallelism
+
+    return spread_low_parallelism(_t(spark, sf_dir, "documents"))
+
 def doc_shingles(spark, sf_dir: str):
     from .session import prune_dead_entries, session_cache_key
 
@@ -184,7 +195,7 @@ FROM m
 
 
 def q_txt_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(F.col("doc_id"), text.lang_id("text").alias("pred_lang"))
 
 
@@ -1988,7 +1999,7 @@ def q_pipe_quality_ablation(spark, sf_dir):
     matches the label, quality ≥ 0.5, token count in [5, 1000].  One
     scan, one aggregate of conditional counts; every signal is an
     existing engine primitive with an exact SQL mirror."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     nt = text.token_count("text")
     flags = docs.select(
         (text.lang_id("text") == F.col("lang")).alias("pl"),
@@ -2063,7 +2074,7 @@ O_PIPE_ABLATION = _ablation_oracle()
 def q_txt_repetition(spark, sf_dir):
     """Gopher-style repetition filter evidence per document (exact integer
     numerators/denominators; see operators/text.repetition_stats)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return text.repetition_stats(docs)
 
 
@@ -2195,7 +2206,7 @@ def q_txt_pii_scrub(spark, sf_dir):
     phone derived from doc_id) is appended to each document, then scrubbed;
     output = per-doc match counts, redacted-size delta, and the md5 of the
     scrubbed text (bit-exact evidence the redaction is identical)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -2923,7 +2934,7 @@ def q_dedup_fuzzy_pairs(spark, sf_dir):
     approximate-string-join member of the dedup ladder (prefix blocking
     + length prefilter + bounded Levenshtein; see dedup.fuzzy_pairs)."""
     return dedup.fuzzy_pairs(
-        _t(spark, sf_dir, "documents"),
+        _docs_spread(spark, sf_dir),
         "doc_id",
         "text",
         max_dist=8,
@@ -3375,8 +3386,8 @@ def q_txt_readability(spark, sf_dir):
     """Flesch-style readability per document: vowel-run syllable heuristic,
     terminator-run sentence count, integer milli-ratios and a micro-scaled
     reading-ease score — all engine-exact integer arithmetic; empty docs
-    emit NULL score.  Narrow projection, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    emit NULL score.  Narrow projection, no data-keyed shuffle."""
+    docs = _docs_spread(spark, sf_dir)
     return text.readability_stats(docs, "doc_id", "text")
 
 

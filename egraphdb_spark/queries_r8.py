@@ -42,8 +42,11 @@ def q_txt_winnow_fingerprints(spark, sf_dir):
     sketches (MinHash/SimHash) and global mod-p sampling
     (txt_fingerprint)."""
     from .operators.text import winnow_fingerprints
+    from .queries_pipeline import _docs_spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # measured winner for the spread (md5-per-gram compute, per-doc
+    # output): fingerprints gate 2.83 vs 3.35 s in the r11 basket A/B
+    docs = _docs_spread(spark, sf_dir)
     fps = winnow_fingerprints(docs, "doc_id", "text", k=8, w=4)
     z = F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
     grams = docs.select(
