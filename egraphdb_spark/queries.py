@@ -699,35 +699,35 @@ REGISTRY.update(STAGED_R9_REGISTRY)
 # (union of CORRECTNESS_r01..r08), 15 queries_r8.py gates never checked.
 # Round 9 (emitted by tools/next_window.py): fronted the 15 r8 gates, then
 # the 28 stalest r3-era re-checks, then the 7 oldest r4 re-checks.
-# Round 10 (emitted by tools/next_window.py): fronts the 6 newly merged
-# round-9 staged gates (never driver-checked), then the 43 stalest r4
-# re-checks + 1 r5 re-check — this closes the rotation: after the r10
-# window, no gate's driver evidence is older than r5.
+# Round 10 (emitted by tools/next_window.py): fronted the 6 newly merged
+# round-9 staged gates, then the 43 stalest r4 re-checks + 1 r5 re-check —
+# closing the rotation: after the r10 window, no gate's driver evidence
+# was older than r5.
+# Round 11 (emitted by tools/next_window.py): pure staleness rotation —
+# the 49 stalest re-checks (last driver-green r5) + the next-oldest r6
+# gate.  No new gates this round (optimization round; staging frozen).
 # Gates not named here keep their insertion order after the priority block.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # -- 6 round-9 staged gates merged this round, never driver-checked --
-    "dedup_hamming64_pairs", "rag_fusion_weighted",
-    "clean_isotonic_calibrate", "txt_dup_structure", "evt_cuped",
-    "evt_conformal",
-    # -- 43 stalest re-checks, last driver-green r4 --
-    "dedup_repeated_spans", "dedup_incremental_lsh", "sample_token_budget",
-    "emb_label_centroids", "sim_pq_codes", "sim_pq_topk", "sim_lsh_topk",
-    "txt_bpe_tokens", "txt_repetition", "txt_pii_scrub", "txt_lang_id",
-    "txt_fingerprint", "dedup_near_clusters", "emb_quantize_int8",
-    "sketch_hll_distinct", "sketch_cm_heavy", "sketch_hist_quantiles",
-    "sketch_bloom_fp", "sample_train_test", "sample_stratified",
-    "mm_meta", "mm_features", "mm_payload_dedup", "mm_frame_sample",
-    "agg_q7_nation_volume", "agg_q18_large_orders",
-    "agg_q19_disjunctive_revenue", "agg_q22_idle_rich",
-    "skew_salted_topn", "skew_salted_join", "graph_pagerank",
-    "evt_props_json", "agg_q12_priority_flags", "stream_user_profile",
-    "join_asof_tolerance", "graph_kcore", "evt_spikes",
-    "agg_q14_promo_share", "agg_q8_market_share", "agg_q9_product_profit",
-    "agg_q11_important_stock", "agg_q15_top_supplier",
-    "agg_q17_small_qty_revenue",
-    # -- 1 next-stalest re-check, last driver-green r5 --
-    "pipe_pack_pairs",
+    # -- 49 stalest re-checks, last driver-green r5 --
+    "mm_simhash_pairs", "emb_pca_power", "emb_abtt_topk",
+    "txt_char_entropy", "pipe_temperature_mix", "pipe_interleave",
+    "txt_hash_embedding", "txt_bigram_nll", "txt_source_jsd",
+    "dedup_fuzzy_pairs", "sketch_hll_overlap", "pipe_length_buckets",
+    "sample_weighted", "dedup_canonical_corpus", "txt_tfidf_sim_pairs",
+    "sim_ivfpq_topk", "sim_knn_graph", "txt_top_bigrams",
+    "txt_bpe_pair_counts", "txt_unigram_nll", "pipe_shard_manifest",
+    "dedup_minhash_sig", "dedup_simhash", "dedup_containment_pairs",
+    "dedup_semantic_pairs", "sim_cosine_topk", "clean_winsorize",
+    "sample_hash_docs", "sample_group_split", "mm_resize_features",
+    "evt_anomaly_mad", "graph_hits", "graph_lpa",
+    "graph_neighbor_jaccard", "join_asof_nearest", "graph_degree_stats",
+    "stream_session_window", "evt_retention", "s15_logtable_diff",
+    "evt_active_users_7d", "evt_wau_hll", "stream_wau_hll",
+    "stream_cm_heavy", "agg_pivot", "win_ntile", "s15_logtable_asof",
+    "s15_logtable_compact", "reindex_status", "io_csv_quarantine",
+    # -- 1 next-stalest re-check, last driver-green r6 --
+    "s10_geo_knearest",
 ]
 
 assert set(_PRIORITY) <= set(REGISTRY), sorted(set(_PRIORITY) - set(REGISTRY))
